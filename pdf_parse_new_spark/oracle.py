@@ -1,0 +1,332 @@
+"""Single-node pure-Python golden extractor.
+
+This is the independent reference implementation pytest compares the Spark
+engine against, exactly the way pdf-parse-new's golden ``.txt`` files anchor
+its mocha suites (reference ``test/01-valid-default.js:22-25``). Readable,
+per-string, zero Spark/pandas — the vectorized kernels in ``kernels/`` are a
+separate code path implementing the same ``spec.py`` contract.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import unicodedata
+import zlib
+from dataclasses import dataclass, field
+
+from pdf_parse_new_spark import spec
+
+# ------------------------------------------------------------------ result --
+
+@dataclass
+class Extraction:
+    family: str
+    text: str = ""
+    spans: list[tuple[int, int, str]] = field(default_factory=list)
+    error: str | None = None
+    n_pages: int = 0
+
+
+# ----------------------------------------------------------- family detect --
+
+def detect_family(raw: str) -> str:
+    if "\x00" in raw:
+        return spec.FAM_CORRUPT  # binary garbage
+    if raw.startswith("%PDF-"):
+        return spec.FAM_PDF
+    head = raw.lstrip()[:16].lower()
+    if head.startswith("<!doctype") or head.startswith("<html"):
+        return spec.FAM_HTML
+    return spec.FAM_PLAIN
+
+
+def _nfkc(s: str) -> str:
+    return unicodedata.normalize("NFKC", s)
+
+
+# ------------------------------------------------------- content tokenizer --
+
+_TOKEN = re.compile(
+    r"""
+      (?P<str>\((?:\\.|[^\\()])*\))
+    | (?P<arr>\[(?:\\.|\((?:\\.|[^\\()])*\)|[^\]])*\])
+    | (?P<name>/[A-Za-z0-9]+)
+    | (?P<num>[-+]?(?:\d+\.?\d*|\.\d+))
+    | (?P<op>[A-Za-z'"*]+)
+    """,
+    re.X | re.S,
+)
+
+_ESCAPES = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
+
+
+def _unescape(lit: str) -> str:
+    # lit includes the surrounding parens
+    out, i, body = [], 0, lit[1:-1]
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def tokenize_content(stream: str) -> list[tuple[str, float]]:
+    """Run the text-op state machine; return positioned items [(str, y)].
+
+    Implements the operator semantics of the reference's PartialEvaluator
+    (pdf.worker.js:36856-36945): Td/TD translate the line matrix, Tm sets it,
+    T*/'/" advance by the leading, Tj/TJ/'/" emit show-text items. TJ kerning
+    numbers below ``-TJ_SPACE_THRESHOLD`` contribute one space
+    (pdf.worker.js:36889-36894 analog with a fixed cut).
+    """
+    items: list[tuple[str, float]] = []
+    stack: list = []
+    y = 0.0
+    leading = 0.0
+
+    def emit(s: str) -> None:
+        items.append((s, y))
+
+    for m in _TOKEN.finditer(stream):
+        kind = m.lastgroup
+        tok = m.group()
+        if kind == "str":
+            stack.append(_unescape(tok))
+        elif kind == "arr":
+            stack.append(tok)
+        elif kind == "name":
+            stack.append(tok)
+        elif kind == "num":
+            stack.append(float(tok))
+        else:  # operator
+            if tok == "BT":
+                y = 0.0  # reset text matrix; leading is text state, persists
+            elif tok == "Td" and len(stack) >= 2:
+                y += float(stack[-1])
+            elif tok == "TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                y += float(stack[-1])
+            elif tok == "Tm" and len(stack) >= 6:
+                y = float(stack[-1])
+            elif tok == "TL" and len(stack) >= 1:
+                leading = float(stack[-1])
+            elif tok == "T*":
+                y -= leading
+            elif tok == "Tj" and stack:
+                emit(str(stack[-1]))
+            elif tok == "'" and stack:
+                y -= leading
+                emit(str(stack[-1]))
+            elif tok == '"' and stack:
+                y -= leading
+                emit(str(stack[-1]))
+            elif tok == "TJ" and stack:
+                arr = str(stack[-1])
+                buf: list[str] = []
+                for am in _TOKEN.finditer(arr[1:-1]):
+                    if am.lastgroup == "str":
+                        buf.append(_unescape(am.group()))
+                    elif am.lastgroup == "num":
+                        if float(am.group()) < -spec.TJ_SPACE_THRESHOLD:
+                            buf.append(" ")
+                emit("".join(buf))
+            stack.clear()
+    return items
+
+
+def fold_lines(items: list[tuple[str, float]]) -> str:
+    """The core scalar kernel: '\\n' when |y - last_y| > Y_TOLERANCE, equal-Y
+    items concatenate with no inserted space (reference lib/pdf-parse.js:25-39)."""
+    text: list[str] = []
+    last_y: float | None = None
+    for s, y in items:
+        if last_y is not None and abs(y - last_y) > spec.Y_TOLERANCE:
+            text.append("\n")
+        text.append(s)
+        last_y = y
+    return "".join(text)
+
+
+# --------------------------------------------------------- PDF structural ---
+
+_OBJ = re.compile(r"(\d+) 0 obj\b")
+_XREF_ROW = re.compile(r"^(\d{10}) (\d{5}) ([nf]) ?$")
+_CONTENTS = re.compile(r"/Contents (\d+) 0 R")
+
+
+def _object_slices(raw: str, offsets: dict[int, int]) -> dict[int, tuple[int, str]]:
+    """num -> (body_start_offset_in_raw, body)."""
+    out = {}
+    for num, off in offsets.items():
+        m = _OBJ.match(raw, off)
+        if not m or int(m.group(1)) != num:
+            return {}
+        end = raw.find("endobj", off)
+        if end < 0:
+            return {}
+        out[num] = (m.end(), raw[m.end() : end])
+    return out
+
+
+def _recovery_scan(raw: str) -> dict[int, int]:
+    """Brute-force object index when the xref table is unusable (reference
+    ``indexObjects``, pdf.worker.js:58331-58476)."""
+    return {int(m.group(1)): m.start() for m in _OBJ.finditer(raw)}
+
+
+def _decode_stream(body: str) -> tuple[str | None, str | None, tuple[int, int] | None]:
+    """-> (content_stream_text, error, (start, end) of the stream body)."""
+    i = body.find("stream\n")
+    if i < 0:
+        return None, spec.ERR_FLATE, None
+    i += len("stream\n")
+    j = body.find("\nendstream", i)
+    if j < 0:
+        return None, spec.ERR_FLATE, None
+    b64 = body[i:j]
+    try:
+        comp = base64.b64decode(b64, validate=True)
+    except Exception:
+        return None, spec.ERR_BAD_B64, (i, j)
+    if len(comp) < 2 or (comp[0] & 0x0F) != 0x08:
+        return None, spec.ERR_BAD_CMF, (i, j)
+    try:
+        return zlib.decompress(comp).decode("utf-8"), None, (i, j)
+    except Exception:
+        return None, spec.ERR_FLATE, (i, j)
+
+
+def extract_pdf(raw: str) -> Extraction:
+    res = Extraction(family=spec.FAM_PDF)
+    m = re.search(r"startxref\s+(\d+)\s*%%EOF\s*$", raw)
+    if not m:
+        return Extraction(spec.FAM_PDF, error=spec.ERR_NO_STARTXREF)
+    xref_off = int(m.group(1))
+
+    offsets: dict[int, int] = {}
+    sec = raw[xref_off:]
+    lines = sec.split("\n")
+    ok = len(lines) >= 2 and lines[0].strip() == "xref"
+    if ok:
+        try:
+            first, count = (int(x) for x in lines[1].split())
+            for k in range(count):
+                row = _XREF_ROW.match(lines[2 + k])
+                if not row:
+                    ok = False
+                    break
+                if row.group(3) == "n":
+                    offsets[first + k] = int(row.group(1))
+        except Exception:
+            ok = False
+    objs = _object_slices(raw, offsets) if ok else {}
+    if not objs:
+        offsets = _recovery_scan(raw)  # fallback: brute-force re-index
+        objs = _object_slices(raw, offsets)
+    if not objs:
+        return Extraction(spec.FAM_PDF, error=spec.ERR_BAD_XREF)
+
+    pages = sorted(n for n, (_, b) in objs.items() if "/Type /Page" in b)
+    if not pages:
+        return Extraction(spec.FAM_PDF, error=spec.ERR_NO_PAGES)
+
+    page_texts: list[str] = []
+    first_err: str | None = None
+    for pno in pages:
+        cm = _CONTENTS.search(objs[pno][1])
+        content_num = int(cm.group(1)) if cm else -1
+        if content_num not in objs:
+            page_texts.append("")
+            first_err = first_err or spec.ERR_FLATE
+            continue
+        base, body = objs[content_num]
+        stream, err, span = _decode_stream(body)
+        if err is not None:
+            page_texts.append("")  # per-page mask (lib/pdf-parse.js:116-119)
+            first_err = first_err or err
+            continue
+        page_texts.append(fold_lines(tokenize_content(stream)))
+        if span is not None:
+            res.spans.append((base + span[0], base + span[1], "page"))
+    res.n_pages = len(pages)
+    res.text = _nfkc(spec.PAGE_SEP.join(page_texts))
+    res.error = first_err
+    if first_err is not None and all(t == "" for t in page_texts):
+        res.text = ""  # fully-failed doc: no separator scaffolding
+        res.spans = []
+    return res
+
+
+# ------------------------------------------------------------------- HTML ---
+
+_PARA = re.compile(r"<p\b[^>]*>(.*?)</p>", re.S | re.I)
+_TAG = re.compile(r"<[^>]+>")
+_LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
+_WS = re.compile(r"\s+")
+
+
+def _html_clean(fragment: str) -> str:
+    txt = _TAG.sub(" ", fragment)
+    for ent, ch in spec.HTML_ENTITIES.items():
+        txt = txt.replace(ent, ch)
+    return _WS.sub(" ", txt).strip()
+
+
+def extract_html(raw: str) -> Extraction:
+    res = Extraction(family=spec.FAM_HTML)
+    kept: list[str] = []
+    for m in _PARA.finditer(raw):
+        inner = m.group(1)
+        text = _html_clean(inner)
+        link_len = len(_TAG.sub("", "".join(_LINK.findall(inner))).strip())
+        if len(text) >= spec.HTML_MIN_TEXT_LEN and (
+            link_len <= spec.HTML_MAX_LINK_RATIO * max(1, len(text))
+        ):
+            kept.append(text)
+            res.spans.append((m.start(), m.end(), "p"))
+    res.text = _nfkc("\n".join(kept))
+    res.n_pages = 1
+    return res
+
+
+# ------------------------------------------------------------------ plain ---
+
+def extract_plain(raw: str) -> Extraction:
+    res = Extraction(family=spec.FAM_PLAIN)
+    res.text = _nfkc(raw.replace("\r\n", "\n"))
+    res.spans = [(0, len(raw), "text")]
+    res.n_pages = 1
+    return res
+
+
+# ------------------------------------------------------------- dispatcher ---
+
+def extract(raw: str) -> Extraction:
+    fam = detect_family(raw)
+    if fam == spec.FAM_CORRUPT:
+        return Extraction(spec.FAM_CORRUPT, error=spec.ERR_BINARY)
+    if fam == spec.FAM_PDF:
+        return extract_pdf(raw)
+    if fam == spec.FAM_HTML:
+        return extract_html(raw)
+    return extract_plain(raw)
+
+
+# ------------------------------------------------ conversation-level fold ---
+
+def concat_conversation(turn_texts: list[str], leading_separator: bool = False,
+                        max_turns: int = 0) -> tuple[str, int, int]:
+    """(full_text, n_turns, n_extracted) with the reference's exact join
+    semantics: parallel join (lib/pdf-parse.js:126) vs sequential leading
+    separator (lib/pdf-parse.js:134); max<=0 -> all, clamped (:98-99)."""
+    n = len(turn_texts)
+    counter = n if max_turns <= 0 else min(max_turns, n)
+    body = spec.PAGE_SEP.join(turn_texts[:counter])
+    if leading_separator and counter > 0:
+        body = spec.PAGE_SEP + body
+    return body, n, counter

@@ -1,0 +1,80 @@
+"""Extraction spec — the single source of truth for payload formats and
+extraction semantics shared by the fixture generator (``fixtures.py``), the
+pure-Python oracle (``oracle.py``) and the vectorized Spark kernels
+(``kernels/``).
+
+The semantics mirror the reference engine's observable behavior:
+
+* Line fold: a ``\\n`` is emitted between successive text items whenever
+  ``|y_cur - y_last| > Y_TOLERANCE``; equal-line items concatenate with NO
+  inserted space (reference ``lib/pdf-parse.js:20-39``).
+* Page join: page texts join with ``"\\n\\n"``; *sequential* mode prepends a
+  leading ``"\\n\\n"`` (reference ``lib/pdf-parse.js:134``), *parallel* mode
+  does not (``lib/pdf-parse.js:126``). Both live behind a flag.
+* ``max`` turns: ``<= 0`` means all; clamped to the conversation's turn count
+  (``lib/pdf-parse.js:98-99``); ``n_extracted`` reports the clamped counter.
+* Per-page failure masks to ``""`` and never aborts the document
+  (``lib/pdf-parse.js:116-119,131-133``); a structurally invalid document
+  yields an error row, never a job failure (``test/03-invalid-default.js``).
+* NFKC normalization folds ligatures (reference bundled pdf.js
+  ``normalizeUnicode``, pdf.worker.js:5303-5309).
+
+Payload families (detected from the raw ``text`` column):
+
+``pdfstream``  starts with ``%PDF-``. A deterministic ASCII-framed mini-PDF:
+    header line, numbered objects (``N 0 obj ... endobj``), page objects
+    (``<< /Type /Page /Contents M 0 R >>``), content objects whose
+    ``stream\\n<base64(zlib(content))>\\nendstream`` body holds a PDF-style
+    content stream, a classic fixed-width ``xref`` table, a ``trailer`` dict,
+    ``startxref`` offset, ``%%EOF``.
+    Content-stream operators supported: BT ET Td TD Tm T* Tf Tj TJ ' "
+    (reference pdf.worker.js:36856-36945). TJ arrays mix strings and kerning
+    numbers; a number ``< -TJ_SPACE_THRESHOLD`` contributes one space.
+``html``       starts with ``<!DOCTYPE`` or ``<html``. Main content =
+    ``<p>…</p>`` blocks that pass the boilerplate filter (min text length +
+    link-ratio), tags stripped, entities unescaped, whitespace collapsed.
+``plain``      anything else printable: CRLF->LF + NFKC identity transform.
+``corrupt``    detected during parse (bad header/xref/b64/zlib/cmf) or via a
+    NUL byte (binary garbage) -> error row with ``extracted_text == ""``.
+"""
+
+from __future__ import annotations
+
+# --- line-fold kernel (reference lib/pdf-parse.js:20) ---
+Y_TOLERANCE = 1.0
+
+# --- TJ kerning-number -> implied space threshold (our spec; reference
+# pdf.worker.js:36889-36894 scales by -fontSize/1000 — we fix the cut) ---
+TJ_SPACE_THRESHOLD = 180.0
+
+# --- page/turn join separator (reference lib/pdf-parse.js:126,134) ---
+PAGE_SEP = "\n\n"
+
+# --- HTML boilerplate-strip thresholds (north-rule axis B) ---
+HTML_MIN_TEXT_LEN = 25      # kept paragraphs need >= this many visible chars
+HTML_MAX_LINK_RATIO = 0.33  # and at most this fraction of link text
+
+# --- error codes (per-turn error rows; never job failures) ---
+ERR_BINARY = "binary-garbage"
+ERR_NO_STARTXREF = "pdf:no-startxref"
+ERR_BAD_XREF = "pdf:bad-xref"
+ERR_NO_PAGES = "pdf:no-pages"
+ERR_BAD_B64 = "pdf:bad-b64"
+ERR_BAD_CMF = "pdf:bad-cmf"
+ERR_FLATE = "pdf:flate"
+
+# payload family tags
+FAM_PDF = "pdfstream"
+FAM_HTML = "html"
+FAM_PLAIN = "plain"
+FAM_CORRUPT = "corrupt"
+
+# basic HTML entities the generator may emit (both sides unescape exactly these)
+HTML_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&nbsp;": " ",
+}
