@@ -1,0 +1,78 @@
+"""HTML boilerplate-strip kernel (north-rule axis B).
+
+Strategy: flatten ALL ``<p>…</p>`` blocks of the whole Arrow batch into one
+flat frame (row id, span, inner html), clean them with vectorized
+``Series.str`` ops (tag strip, entity unescape, whitespace collapse), score
+each block by visible-text length and link-text ratio, then group back per
+row. The only per-row Python is the ``finditer`` that records span offsets —
+everything downstream is whole-batch.
+
+Spec (spec.py): keep a paragraph iff ``len(text) >= HTML_MIN_TEXT_LEN`` and
+``link_len <= HTML_MAX_LINK_RATIO * max(1, len(text))``; kept texts join with
+"\\n"; NFKC at the end.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pdf_parse_new_spark import spec
+
+_PARA = re.compile(r"<p\b[^>]*>(.*?)</p>", re.S | re.I)
+_LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
+_TAG_RE = r"<[^>]+>"
+
+
+def _clean(col: pd.Series) -> pd.Series:
+    txt = col.str.replace(_TAG_RE, " ", regex=True)
+    for ent, ch in spec.HTML_ENTITIES.items():
+        txt = txt.str.replace(ent, ch, regex=False)
+    return txt.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def extract(texts: pd.Series) -> pd.DataFrame:
+    rows, starts, ends, inners = [], [], [], []
+    for idx, raw in texts.items():
+        for m in _PARA.finditer(raw):
+            rows.append(idx)
+            starts.append(m.start())
+            ends.append(m.end())
+            inners.append(m.group(1))
+
+    out = pd.DataFrame(
+        {
+            "family": spec.FAM_HTML,
+            "extracted_text": "",
+            "spans": [[] for _ in range(len(texts))],
+            "error": None,
+            "n_pages": 1,
+        },
+        index=texts.index,
+    )
+    if not rows:
+        return out
+
+    flat = pd.DataFrame({"row": rows, "start": starts, "end": ends, "inner": inners})
+    flat["text"] = _clean(flat["inner"])
+    link_inner = flat["inner"].str.findall(_LINK).str.join("")
+    flat["link_len"] = (
+        link_inner.str.replace(_TAG_RE, "", regex=True).str.strip().str.len()
+    )
+    tlen = flat["text"].str.len()
+    keep = (tlen >= spec.HTML_MIN_TEXT_LEN) & (
+        flat["link_len"] <= spec.HTML_MAX_LINK_RATIO * tlen.clip(lower=1)
+    )
+    kept = flat[keep]
+    if len(kept):
+        joined = kept.groupby("row")["text"].agg("\n".join)
+        out.loc[joined.index, "extracted_text"] = joined.str.normalize("NFKC")
+        spans = kept.apply(
+            lambda r: {"start": int(r["start"]), "end": int(r["end"]), "kind": "p"},
+            axis=1,
+        )
+        span_lists = spans.groupby(kept["row"]).agg(list)
+        for idx, sl in span_lists.items():
+            out.at[idx, "spans"] = sl
+    return out

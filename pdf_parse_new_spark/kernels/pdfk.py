@@ -1,0 +1,221 @@
+"""Mini-PDF byte-stream kernel.
+
+Per-document structural pass (header check -> startxref -> classic xref table
+-> object slicing, with the brute-force recovery scan as fallback — reference
+``XRef.parse``/``indexObjects``, pdf.worker.js:58108-58476), then per page:
+base64 frame -> zlib inflate with cmf validation (reference FlateStream
+header check, pdf.worker.js:8610-8640) -> content-stream tokenization
+(Td/TD/Tm/TL/T*/Tj/TJ/'/\" — reference pdf.worker.js:36856-36945) -> numpy
+Y-tolerance line fold (reference lib/pdf-parse.js:25-39).
+
+Loops iterate over regex matches and pages only; zlib/base64/regex run in C,
+the fold is numpy. Per-page failures mask to "" and record the first error
+code (reference lib/pdf-parse.js:116-119); structural failures produce an
+error row, never an exception (test/03-invalid-default.js contract).
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import unicodedata
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from pdf_parse_new_spark import spec
+
+_TOKEN = re.compile(
+    r"""
+      (?P<str>\((?:\\.|[^\\()])*\))
+    | (?P<arr>\[(?:\\.|\((?:\\.|[^\\()])*\)|[^\]])*\])
+    | (?P<name>/[A-Za-z0-9]+)
+    | (?P<num>[-+]?(?:\d+\.?\d*|\.\d+))
+    | (?P<op>[A-Za-z'"*]+)
+    """,
+    re.X | re.S,
+)
+_OBJ = re.compile(r"(\d+) 0 obj\b")
+_CONTENTS = re.compile(r"/Contents (\d+) 0 R")
+_STARTXREF = re.compile(r"startxref\s+(\d+)\s*%%EOF\s*$")
+_XREF_ROW = re.compile(r"^(\d{10}) (\d{5}) ([nf]) ?$")
+_ESC = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
+_ESC_RE = re.compile(r"\\(.)")
+
+
+def _unescape(lit: str) -> str:
+    return _ESC_RE.sub(lambda m: _ESC.get(m.group(1), m.group(1)), lit[1:-1])
+
+
+def _tokenize(stream: str) -> tuple[list[str], list[float]]:
+    """-> parallel arrays (item strings, item Y coords)."""
+    strs: list[str] = []
+    ys: list[float] = []
+    stack: list = []
+    y = leading = 0.0
+    for m in _TOKEN.finditer(stream):
+        g = m.lastgroup
+        if g == "op":
+            op = m.group()
+            if op == "Tj":
+                if stack:
+                    strs.append(str(stack[-1]))
+                    ys.append(y)
+            elif op == "TJ":
+                if stack:
+                    buf = []
+                    for am in _TOKEN.finditer(str(stack[-1])[1:-1]):
+                        if am.lastgroup == "str":
+                            buf.append(_unescape(am.group()))
+                        elif am.lastgroup == "num" and (
+                            float(am.group()) < -spec.TJ_SPACE_THRESHOLD
+                        ):
+                            buf.append(" ")
+                    strs.append("".join(buf))
+                    ys.append(y)
+            elif op == "Td":
+                if len(stack) >= 2:
+                    y += float(stack[-1])
+            elif op == "TD":
+                if len(stack) >= 2:
+                    leading = -float(stack[-1])
+                    y += float(stack[-1])
+            elif op == "Tm":
+                if len(stack) >= 6:
+                    y = float(stack[-1])
+            elif op == "TL":
+                if stack:
+                    leading = float(stack[-1])
+            elif op == "T*":
+                y -= leading
+            elif op in ("'", '"'):
+                if stack:
+                    y -= leading
+                    strs.append(str(stack[-1]))
+                    ys.append(y)
+            elif op == "BT":
+                y = 0.0
+            stack.clear()
+        elif g == "str":
+            stack.append(_unescape(m.group()))
+        elif g == "num":
+            stack.append(float(m.group()))
+        else:  # name / arr kept raw
+            stack.append(m.group())
+    return strs, ys
+
+
+def _fold(strs: list[str], ys: list[float]) -> str:
+    if not strs:
+        return ""
+    breaks = np.abs(np.diff(np.asarray(ys, dtype=np.float64))) > spec.Y_TOLERANCE
+    out = np.empty(2 * len(strs) - 1, dtype=object)
+    out[0::2] = strs
+    if len(strs) > 1:
+        out[1::2] = np.where(breaks, "\n", "")
+    return "".join(out)
+
+
+def _slice_objects(raw: str, offsets: dict[int, int]) -> dict[int, tuple[int, str]]:
+    objs: dict[int, tuple[int, str]] = {}
+    for num, off in offsets.items():
+        m = _OBJ.match(raw, off)
+        if m is None or int(m.group(1)) != num:
+            return {}
+        end = raw.find("endobj", off)
+        if end < 0:
+            return {}
+        objs[num] = (m.end(), raw[m.end() : end])
+    return objs
+
+
+def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
+    """-> (text, spans, error, n_pages). Never raises."""
+    m = _STARTXREF.search(raw)
+    if m is None:
+        return "", [], spec.ERR_NO_STARTXREF, 0
+
+    # classic xref table at the declared offset
+    offsets: dict[int, int] = {}
+    lines = raw[int(m.group(1)) :].split("\n")
+    if len(lines) >= 2 and lines[0].strip() == "xref":
+        try:
+            first, count = (int(x) for x in lines[1].split())
+            for k in range(count):
+                row = _XREF_ROW.match(lines[2 + k])
+                if row is None:
+                    offsets = {}
+                    break
+                if row.group(3) == "n":
+                    offsets[first + k] = int(row.group(1))
+        except Exception:
+            offsets = {}
+    objs = _slice_objects(raw, offsets) if offsets else {}
+    if not objs:
+        # recovery scan: brute-force re-index every "N 0 obj" marker
+        objs = _slice_objects(
+            raw, {int(om.group(1)): om.start() for om in _OBJ.finditer(raw)}
+        )
+    if not objs:
+        return "", [], spec.ERR_BAD_XREF, 0
+
+    pages = sorted(num for num, (_, body) in objs.items() if "/Type /Page" in body)
+    if not pages:
+        return "", [], spec.ERR_NO_PAGES, 0
+
+    texts: list[str] = []
+    spans: list[dict] = []
+    err: str | None = None
+
+    def fail(code: str) -> None:
+        nonlocal err
+        texts.append("")
+        err = err or code
+
+    for pno in pages:
+        cm = _CONTENTS.search(objs[pno][1])
+        if cm is None or int(cm.group(1)) not in objs:
+            fail(spec.ERR_FLATE)
+            continue
+        base, body = objs[int(cm.group(1))]
+        i = body.find("stream\n")
+        j = body.find("\nendstream")
+        if i < 0 or j < 0:
+            fail(spec.ERR_FLATE)
+            continue
+        i += len("stream\n")
+        try:
+            comp = base64.b64decode(body[i:j], validate=True)
+        except Exception:
+            fail(spec.ERR_BAD_B64)
+            continue
+        if len(comp) < 2 or (comp[0] & 0x0F) != 0x08:
+            fail(spec.ERR_BAD_CMF)
+            continue
+        try:
+            stream = zlib.decompress(comp).decode("utf-8")
+        except Exception:
+            fail(spec.ERR_FLATE)
+            continue
+        texts.append(_fold(*_tokenize(stream)))
+        spans.append({"start": base + i, "end": base + j, "kind": "page"})
+
+    if err is not None and all(t == "" for t in texts):
+        return "", [], err, len(pages)
+    text = unicodedata.normalize("NFKC", spec.PAGE_SEP.join(texts))
+    return text, spans, err, len(pages)
+
+
+def extract(texts: pd.Series) -> pd.DataFrame:
+    recs = [_parse_one(raw) for raw in texts]
+    return pd.DataFrame(
+        {
+            "family": spec.FAM_PDF,
+            "extracted_text": [r[0] for r in recs],
+            "spans": [r[1] for r in recs],
+            "error": [r[2] for r in recs],
+            "n_pages": [r[3] for r in recs],
+        },
+        index=texts.index,
+    )

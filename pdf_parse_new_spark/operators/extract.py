@@ -1,0 +1,95 @@
+"""The extraction operator: transcripts -> per-turn extracted rows.
+
+Spark shape: ``select`` (column pruning reaches the parquet/Iceberg scan) ->
+optional even ``repartition`` (the map stage is embarrassingly parallel —
+partitioning by (conv_id, turn_idx) spreads skewed conversations across
+tasks, the analog of the reference's fixed page chunks,
+lib/pdf-parse-processes.js:92-99) -> ``mapInPandas`` over Arrow batches
+running the vectorized kernels. A custom per-turn kernel can replace the
+default (the reference's ``pagerender``/``pagerenderModule`` extension point,
+lib/pdf-parse.js:49,68 / index.d.ts:32); it must be an importable module
+attribute, not a closure — the same serialization constraint the reference
+enforces for its worker processes.
+"""
+
+from __future__ import annotations
+
+import importlib
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, family string, "
+    "extracted_text string, "
+    "spans array<struct<start:int,end:int,kind:string>>, "
+    "error string, n_pages int"
+)
+
+# extended schema with per-batch lineage fields (partition-level metrics
+# aggregate from these; X2 progress-callback analog)
+EXTRACT_SCHEMA_LINEAGE = EXTRACT_SCHEMA + ", kernel_ms double"
+
+KernelFn = Callable[[pd.Series], pd.DataFrame]
+
+
+def resolve_kernel(kernel: str | KernelFn | None) -> KernelFn:
+    """Resolve the per-turn kernel. ``None`` -> default (the reference treats
+    ``pagerender: null/undefined`` as the default kernel,
+    lib/pdf-parse.js:68). A string ``"module:attr"`` is imported on the
+    executor (pagerenderModule semantics)."""
+    if kernel is None:
+        from pdf_parse_new_spark import kernels
+
+        return kernels.extract_batch
+    if isinstance(kernel, str):
+        mod, _, attr = kernel.partition(":")
+        return getattr(importlib.import_module(mod), attr)
+    return kernel
+
+
+def extract_turns(
+    df: DataFrame,
+    kernel: str | KernelFn | None = None,
+    partitions: int | None = None,
+    with_lineage: bool = False,
+) -> DataFrame:
+    """Run the extraction kernel over every turn.
+
+    ``partitions``: even repartition on (conv_id, turn_idx) before the map —
+    defuses long-conversation skew for the compute stage without any shuffle
+    of extracted output. At 100 TB this is the knob the planner sets from the
+    stats probe (plans/planner.py).
+    """
+    kernel_ref = kernel if isinstance(kernel, (str, type(None))) else kernel
+    cols = df.select("conv_id", "turn_idx", "role", "text")
+    if partitions:
+        cols = cols.repartition(partitions, "conv_id", "turn_idx")
+
+    schema = EXTRACT_SCHEMA_LINEAGE if with_lineage else EXTRACT_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = resolve_kernel(kernel_ref)
+        for pdf in batches:
+            t0 = time.perf_counter()
+            res = fn(pdf["text"])
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "role": pdf["role"],
+                    "family": res["family"],
+                    "extracted_text": res["extracted_text"],
+                    "spans": res["spans"],
+                    "error": res["error"],
+                    "n_pages": res["n_pages"],
+                }
+            )
+            if with_lineage:
+                out["kernel_ms"] = (time.perf_counter() - t0) * 1e3
+            yield out
+
+    return cols.mapInPandas(run, schema)

@@ -1,0 +1,54 @@
+"""High-level API — the analog of the reference's ``pdf(dataBuffer, options)``
+entry point (lib/pdf-parse.js:56-142), lifted to a table of conversations.
+
+``extract_conversations(df, options)`` returns one row per conversation:
+``conv_id, n_turns, n_extracted, full_text, n_errors`` — the Result record
+(numpages, numrender, text) of the reference, per group.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from pdf_parse_new_spark.operators import concat, extract
+
+
+@dataclass
+class Options:
+    """Mirror of the reference's DEFAULT_OPTIONS (lib/pdf-parse.js:48-54),
+    reinterpreted for the table pipeline."""
+
+    kernel: str | None = None          # pagerender / pagerenderModule analog
+    max_turns: int = 0                 # max: <=0 -> all, clamped
+    leading_separator: bool = False    # sequential (True) vs parallel join
+    salted: bool = True                # two-level skew-proof concat
+    salt_block: int = 1024
+    partitions: int | None = None      # extraction-stage repartition
+
+
+def extract_turns(df: DataFrame, options: Options | None = None) -> DataFrame:
+    opt = options or Options()
+    return extract.extract_turns(
+        df, kernel=opt.kernel, partitions=opt.partitions
+    )
+
+
+def extract_conversations(
+    df: DataFrame, options: Options | None = None
+) -> DataFrame:
+    opt = options or Options()
+    turns = extract_turns(df, opt)
+    if opt.salted:
+        return concat.concat_conversations_salted(
+            turns,
+            block=opt.salt_block,
+            leading_separator=opt.leading_separator,
+            max_turns=opt.max_turns,
+        )
+    return concat.concat_conversations(
+        turns,
+        leading_separator=opt.leading_separator,
+        max_turns=opt.max_turns,
+    )

@@ -1,0 +1,117 @@
+"""Kernel-level parity: vectorized pandas kernels vs the pure-Python oracle,
+plus targeted semantics checks (the reference's per-case assertions,
+test/01-valid-default.js / test/03-invalid-default.js)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pdf_parse_new_spark import fixtures, kernels, oracle, spec
+
+
+def _rows(n_convs=40, median=10, skew=(1, 80)):
+    return list(
+        fixtures.transcript_rows(n_convs, median, skew_convs=skew[0], skew_turns=skew[1])
+    )
+
+
+def test_kernel_matches_oracle_bytewise():
+    rows = _rows()
+    out = kernels.extract_batch(pd.Series([r[3] for r in rows]))
+    for i, r in enumerate(rows):
+        ex = oracle.extract(r[3])
+        k = out.iloc[i]
+        assert k.extracted_text == ex.text, (r[0], r[1])
+        assert (k.error if pd.notna(k.error) else None) == ex.error, (r[0], r[1])
+        assert k.family == ex.family
+        assert k.n_pages == ex.n_pages
+        assert list(k.spans) == [
+            {"start": s, "end": e, "kind": kd} for (s, e, kd) in ex.spans
+        ]
+
+
+def test_line_fold_semantics():
+    # equal-Y items concatenate with NO space; |dY|>1 breaks; sub-tolerance
+    # jitter does not (reference lib/pdf-parse.js:20-39)
+    items = [("abc", 700.0), ("def", 700.4), ("ghi", 680.0), ("jkl", 680.9)]
+    assert oracle.fold_lines(items) == "abcdef\nghijkl"
+
+
+def test_tj_kerning_spaces():
+    stream = "BT 1 0 0 1 72 700 Tm [(a) -250 (b) -50 (c)] TJ ET"
+    items = oracle.tokenize_content(stream)
+    assert items == [("a bc", 700.0)]
+
+
+def test_ligature_nfkc():
+    res = oracle.extract("eﬃcient ﬂow")
+    assert res.text == "efficient flow"
+
+
+def test_corrupt_rows_error_not_raise():
+    import random
+
+    for k in range(30):
+        payload = fixtures.build_corrupt(random.Random(k))
+        res = oracle.extract(payload)
+        assert res.error is not None, k
+        assert res.text == ""
+
+
+def test_recovery_scan_broken_xref():
+    import random
+
+    rng = random.Random(7)
+    good = fixtures.build_pdf(rng, 2)
+    rng = random.Random(7)
+    broken = fixtures.build_pdf(rng, 2, break_xref=True)
+    a, b = oracle.extract(good), oracle.extract(broken)
+    assert a.error is None and b.error is None
+    assert a.text == b.text != ""
+
+
+def test_html_boilerplate_dropped():
+    import random
+
+    raw = fixtures.build_html(random.Random(3))
+    res = oracle.extract(raw)
+    assert res.error is None
+    assert res.text
+    # link farms (nav/footer/sidebar) and short/linky paragraphs are gone
+    assert "href" not in res.text
+    assert all(len(line) >= spec.HTML_MIN_TEXT_LEN for line in res.text.split("\n"))
+    # entity unescape happened where generator emitted one
+    assert "&amp;" not in res.text
+
+
+def test_spans_point_into_raw_payload():
+    rows = _rows(20, 8, (0, 0))
+    for cid, t, role, raw, tool, ts in rows:
+        res = oracle.extract(raw)
+        for s, e, kind in res.spans:
+            assert 0 <= s <= e <= len(raw)
+            if kind == "p":
+                assert raw[s : s + 2] == "<p"
+
+
+def test_concat_semantics():
+    body, n, k = oracle.concat_conversation(["a", "b", "c"])
+    assert (body, n, k) == ("a\n\nb\n\nc", 3, 3)
+    body, n, k = oracle.concat_conversation(["a", "b", "c"], leading_separator=True)
+    assert body == "\n\na\n\nb\n\nc"  # golden .txt files begin with \n\n
+    body, n, k = oracle.concat_conversation(["a", "b", "c"], max_turns=2)
+    assert (body, n, k) == ("a\n\nb", 3, 2)
+    body, n, k = oracle.concat_conversation(["a", "b"], max_turns=99)
+    assert (body, n, k) == ("a\n\nb", 2, 2)  # clamp (lib/pdf-parse.js:99)
+    body, n, k = oracle.concat_conversation([], leading_separator=True)
+    assert (body, n, k) == ("", 0, 0)
+
+
+@pytest.mark.parametrize("fam", ["pdfstream", "html", "plain"])
+def test_families_deterministic(fam):
+    # payload_for is a pure function — same key, same payload
+    for cid, t in [("c", 0), ("c", 5), ("zz", 17)]:
+        a = fixtures.payload_for(cid, t)
+        b = fixtures.payload_for(cid, t)
+        assert a == b
