@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship extraction pipeline — derives a transcripts table
+from the sf0.001 ``documents`` parquet (each document becomes a turn of a
+per-source conversation) and runs per-conversation main-content extraction
+(kernel dispatch -> salted ordered concat), returning one row per
+conversation.
+
+``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
+16 DuckDB-checked queries covering SURVEY §2 operator families plus the
+training-data extensions, and 6 rows-only entries for the non-SQL
+extraction/LSH kernels.
 """
 
 from __future__ import annotations
@@ -12,27 +17,42 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import Window
+
+    from pdf_parse_new_spark import pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        (rn - 1).alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    return pipeline.extract_conversations(
+        transcripts, pipeline.Options(salt_block=64)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_parse_new_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _) in q.SQL_CHECKED.items()}
+    out.update(q.ROWS_ONLY)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_parse_new_spark import queries as q
+
+    return {name: sql for name, (_, sql) in q.SQL_CHECKED.items()}

@@ -1,0 +1,174 @@
+"""Deduplication operators: exact, word-set signature, MinHash+LSH, SimHash,
+n-gram Jaccard — the scale path for training-data cleaning.
+
+Design for 100 TB:
+- signatures are computed scan-side with JVM expressions (xxhash64 /
+  md5 over arrays — whole-stage codegen, no Python);
+- candidate generation is an equi-join on (band, band_hash) LSH buckets —
+  a shuffle on small fixed-width keys, never an O(n^2) cross join;
+- only candidates pay the exact-Jaccard verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- exact ------
+
+def text_signature(col: Column) -> Column:
+    """md5 of the exact text — exact-duplicate key."""
+    return F.md5(col.cast("binary"))
+
+
+def wordset_signature(col: Column) -> Column:
+    """md5 of the sorted distinct word set — order/multiplicity-insensitive
+    near-dup key (bag-of-words collapse)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(col, " ")))).cast(
+            "binary"
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per identical text (hash-groupBy; map-side
+    partial min, one shuffle)."""
+    sig = df.select(
+        F.col(id_col), text_signature(F.col(text_col)).alias("sig")
+    )
+    keep = sig.groupBy("sig").agg(F.min(id_col).alias(id_col))
+    # AQE upgrades this to a broadcast join when the keeper set is small
+    return df.join(keep, id_col, "semi")
+
+
+# ------------------------------------------------------------- MinHash ------
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (JVM: sequence + transform + concat_ws)."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def _minhash_at(sh: Column, i: int) -> Column:
+    # NB: the lambda must be unary — pyspark's transform() feeds a second
+    # lambda parameter the ARRAY INDEX, which would silently shadow a
+    # default-arg capture of i
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+
+def minhash_signature(col: Column, k: int = 64, shingle_n: int = 3) -> Column:
+    """k-permutation MinHash over shingles, entirely JVM-side:
+    sig[i] = min over shingles of xxhash64(shingle, seed=i)."""
+    sh = shingles(col, shingle_n)
+    return F.array(*[_minhash_at(sh, i) for i in range(k)])
+
+
+def minhash_bands(sig_col: Column, bands: int = 16, rows: int = 4) -> Column:
+    """array<struct<band:int, bh:bigint>> — LSH band hashes."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[sig_col[b * rows + r] for r in range(rows)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter).cast("double")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id1 < id2, exact shingle-Jaccard >= threshold).
+
+    shingle -> minhash -> band -> bucket-join -> verify: the standard LSH
+    plan. The bucket join is an equi-join on (band, bh); the exact Jaccard
+    check runs only on candidates.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+        minhash_signature(F.col(text_col), k, shingle_n).alias("sig"),
+    )
+    banded = base.select(
+        "id", "sh", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.col("l.sh").alias("sh1"),
+            F.col("r.sh").alias("sh2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- SimHash -----
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens, pure JVM: per-bit majority vote of
+    xxhash64(token) bits. Expressed as aggregate over the token array —
+    codegen-friendly, no Python."""
+    toks = F.array_distinct(F.split(col, " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # for each bit, count tokens with the bit set; bit in simhash iff
+    # count*2 >= n_tokens
+    n = F.size(toks)
+
+    def bit_count(b: int) -> Column:
+        # unary lambda on purpose (see _minhash_at note)
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        return F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        out = out.bitwiseOR(
+            F.when(bit_count(b) * 2 >= n, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_buckets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", prefix_bits: int = 16) -> DataFrame:
+    """doc -> (simhash, bucket = top prefix_bits) for banded hamming search."""
+    sh = simhash(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        sh.alias("simhash"),
+        F.shiftrightunsigned(sh, 64 - prefix_bits).alias("bucket"),
+    )

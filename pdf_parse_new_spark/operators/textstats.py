@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines (SURVEY-mandated
+extensions): token counting, quality scoring, language-ID, fingerprinting.
+
+All hot-path expressions are JVM-side ``pyspark.sql.functions`` (whole-stage
+codegen; no Python in the loop) — at 100 TB these run at scan speed. Only
+language-ID drops to a (vectorized, Arrow-batched) pandas UDF because its
+per-language scoring table is awkward as a SQL expression.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# tiny function-word table for the n-gram/stopword language heuristic;
+# deterministic and self-contained (no external models)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "it": ("il", "di", "che", "la", "un"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean characters per whitespace token."""
+    return F.round(
+        F.length(F.replace(col, F.lit(" "), F.lit("")))
+        / token_count(col).cast("double"),
+        6,
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    stops = F.filter(
+        toks, lambda x: x.isin(*[F.lit(s) for s in STOPWORDS])
+    )
+    return F.size(stops) / F.size(toks).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Length + stopword-balance heuristic in [0,1] (reference has no such
+    scorer; this is the training-pipeline extension the north rule asks for)."""
+    length_term = F.least(F.lit(1.0), token_count(col) / F.lit(20.0))
+    return F.round(0.5 * length_term + 0.5 * (1.0 - stopword_ratio(col)), 6)
+
+
+def line_count(col: Column) -> Column:
+    """A4 analog (reference test/examples/10-structured-extraction.js:42)."""
+    return F.size(F.split(col, "\n"))
+
+
+def fingerprint(col: Column, k: int = 8) -> Column:
+    """Rolling k-gram document fingerprint: min over md5 of every k-char
+    window (winnowing-style). Pure JVM expression — array ops + md5."""
+    idx = F.sequence(F.lit(0), F.length(col) - k)
+    return F.array_min(
+        F.transform(idx, lambda i: F.md5(F.substring(col, i + 1, k).cast("binary")))
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "avg_token_len": avg_token_len(c),
+            "stopword_ratio": F.round(stopword_ratio(c), 6),
+            "quality": quality_score(c),
+        }
+    )
+
+
+_LANG_SCHEMA = T.StringType()
+
+
+@F.pandas_udf(_LANG_SCHEMA)
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized language-ID: per-language marker-word hit counts over the
+    whole Arrow batch (one str.count pass per marker), argmax per row."""
+    import numpy as np
+
+    scores = np.zeros((len(texts), len(LANG_MARKERS)), dtype=np.int64)
+    langs = list(LANG_MARKERS)
+    padded = " " + texts.fillna("") + " "
+    for j, lang in enumerate(langs):
+        for w in LANG_MARKERS[lang]:
+            scores[:, j] += padded.str.count(f" {w} ").to_numpy()
+    best = scores.argmax(axis=1)
+    none = scores.max(axis=1) == 0
+    out = pd.Series([langs[b] for b in best], index=texts.index)
+    out[none] = "und"
+    return out
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("pred_lang", lang_id_udf(F.col(text_col)))

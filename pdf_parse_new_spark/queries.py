@@ -1,0 +1,466 @@
+"""Driver-contract query registry: each entry pairs a Spark DataFrame program
+with a DuckDB-equivalent ANSI SQL oracle over the driver's parquet tables
+(region nation customer supplier part orders lineitem events documents
+embeddings). Column names, types (bigint counts, rounded doubles) and
+rounding are aligned on both sides because the driver hash-compares values
+per sorted column name.
+
+The registry exercises every SURVEY §2 operator family the engine implements
+— ordered group-concat (A1/A2), per-group limit (P3/O2), stats aggregations
+(A5-A7), window/sessionize (W1-W3), joins (J1-J3 infrastructure), scalar
+functions (F10-F14) — plus the training-data extensions (dedup, similarity,
+text analysis). Extraction kernels are covered by rows-only entries +
+pytest goldens (non-SQL-expressible per the driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parse_new_spark.operators import dedup, extract, similarity, textstats
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# SQL-checked queries
+# --------------------------------------------------------------------------
+
+def q_conv_concat(spark, sf_dir):
+    """A1/A2: ordered group concat ('\\n\\n' page-join semantics) on documents."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("full_text"),
+    )
+
+
+SQL_CONV_CONCAT = """
+SELECT source,
+       count(*) AS n_docs,
+       string_agg(text, e'\n\n' ORDER BY doc_id) AS full_text
+FROM documents GROUP BY source
+"""
+
+
+def q_group_limit(spark, sf_dir):
+    """P3/O2: first-N per group via row_number (the max-pages clamp)."""
+    d = load(spark, sf_dir, "documents")
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    return (
+        d.withColumn("rn", rn).filter(F.col("rn") <= 3).select("lang", "doc_id", "n_chars")
+    )
+
+
+SQL_GROUP_LIMIT = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 3
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (training-data text analysis)."""
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count(c).cast("bigint").alias("n_tokens"),
+        textstats.avg_token_len(c).alias("avg_token_len"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(length(replace(text, ' ', '')) * 1.0
+             / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_lang_quality(spark, sf_dir):
+    """A6 analog: per-category count/avg/median."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+    )
+
+
+SQL_LANG_QUALITY = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_dup_groups(spark, sf_dir):
+    """Exact/bag-of-words dedup groups (hash-groupBy; map-side combinable)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(dedup.wordset_signature(F.col("text")).alias("sig"), "doc_id")
+        .groupBy("sig")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DUP_GROUPS = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
+       count(*) AS n_docs, min(doc_id) AS first_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_events_stats(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+SQL_EVENTS_STATS = """
+SELECT event_type, count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (scan + partial/final agg; the
+    filter pushes to the parquet scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast-joined revenue top-k (customer is the dim side)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_nation_orders(spark, sf_dir):
+    """Multi-hop dim joins (broadcast) + agg."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_NATION_ORDERS = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force exact cosine top-10 vs the vec_id=0 embedding."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(e.filter(F.col("vec_id") != 0), query, k=10)
+
+
+SQL_KNN_COSINE = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_lang_share(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    return counts.select(
+        "lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6).alias("share"),
+    )
+
+
+SQL_LANG_SHARE = """
+SELECT lang, count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM documents GROUP BY lang
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling 8-gram winnowing-style document fingerprint (JVM-only)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_aggregate(
+         list_transform(range(0, length(text) - 7),
+                        i -> md5(substr(text, i + 1, 8))), 'min') AS fp
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       round(0.5 * least(1.0, len(string_split(text, ' ')) / 20.0)
+           + 0.5 * (1 - len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','of','and','to','in'))) * 1.0
+                    / len(string_split(text, ' '))), 6) AS quality
+FROM documents
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """W1/W2 analog: lag + gap>30min session counting per user."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = e.withColumn("pts", F.lag("ts").over(w))
+    new_sess = F.when(
+        F.col("pts").isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp("pts") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        lagged.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events)
+SELECT user_id,
+       count(*) FILTER (WHERE pts IS NULL OR ts - pts > INTERVAL 30 MINUTE)
+         AS n_sessions
+FROM l GROUP BY user_id
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """F12 analog: JSON field extraction + agg (regexp path, portable)."""
+    e = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count("*").alias("n"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4)
+         AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, verified by exact shingle Jaccard.
+    The DuckDB oracle computes the exact O(n^2) answer; the Spark plan finds
+    the same pairs via LSH bucket join (recall at threshold 0.9 with 16x4
+    bands is 1-4e-8 — candidate generation is exhaustively checked by the
+    exact verify stage)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, threshold=0.9).select(
+        "id1", "id2", "jaccard"
+    )
+
+
+SQL_MINHASH_PAIRS = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1),
+           i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS s
+  FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: extraction kernels, LSH ANN, ...)
+# --------------------------------------------------------------------------
+
+def q_extract_turns(spark, sf_dir):
+    """Flagship kernel: per-turn extraction over the synthetic transcript
+    corpus (deterministic, generated on executors)."""
+    from pdf_parse_new_spark import fixtures
+
+    df = fixtures.make_transcripts_df_dist(
+        spark, n_convs=60, median_turns=10, skew_convs=2, skew_turns=120,
+        partitions=8,
+    )
+    return extract.extract_turns(df).drop("spans")
+
+
+def q_extract_conversations(spark, sf_dir):
+    from pdf_parse_new_spark import fixtures, pipeline
+
+    df = fixtures.make_transcripts_df_dist(
+        spark, n_convs=60, median_turns=10, skew_convs=2, skew_turns=120,
+        partitions=8,
+    )
+    return pipeline.extract_conversations(df, pipeline.Options(salt_block=64))
+
+
+def q_simhash_buckets(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_buckets(d)
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # 5 planes -> 32 buckets: sized for the sf-scale corpora; at 100 TB the
+    # plane count grows with log(n/target_bucket_size)
+    return similarity.ann_topk_lsh(
+        e.filter(F.col("vec_id") != 0), query, k=10, n_planes=5
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return textstats.with_lang_id(d).select("doc_id", "pred_lang")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents text bytes stand in for media payloads
+    (decode is a deterministic fake; schema/batching/UDF shape are real)."""
+    from pdf_parse_new_spark.operators import multimodal
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    return multimodal.extract_features(d)
+
+
+SQL_CHECKED = {
+    "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
+    "group_limit": (q_group_limit, SQL_GROUP_LIMIT),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_quality": (q_lang_quality, SQL_LANG_QUALITY),
+    "dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
+    "events_stats": (q_events_stats, SQL_EVENTS_STATS),
+    "tpch_pricing": (q_tpch_pricing, SQL_TPCH_PRICING),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "nation_orders": (q_nation_orders, SQL_NATION_ORDERS),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "lang_share": (q_lang_share, SQL_LANG_SHARE),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "quality": (q_quality, SQL_QUALITY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+}
+
+ROWS_ONLY = {
+    "extract_turns": q_extract_turns,
+    "extract_conversations": q_extract_conversations,
+    "simhash_buckets": q_simhash_buckets,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "multimodal_features": q_multimodal_features,
+}

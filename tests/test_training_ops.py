@@ -1,0 +1,137 @@
+"""Training-data operators: dedup (minhash/simhash), similarity (brute +
+LSH), text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parse_new_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .cache()
+    )
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    got = {
+        (r.id1, r.id2)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    # exact O(n^2) reference on the driver
+    rows = docs.select("doc_id", "text").collect()
+
+    def sh(t, n=3):
+        toks = t.split(" ")
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    want = set()
+    shs = {r.doc_id: sh(r.text) for r in rows}
+    ids = sorted(shs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shs[a] & shs[b])
+            j = inter / (len(shs[a]) + len(shs[b]) - inter)
+            if j >= 0.9:
+                want.add((a, b))
+    assert got == want
+    assert len(want) > 0  # corpus must actually contain near-dups
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id int, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_simhash_near_dups_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+            (3, "completely different words appear within this unrelated sentence"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in dedup.simhash_buckets(df).collect()}
+    ham12 = bin(rows[1] ^ rows[2]).count("1")
+    ham13 = bin(rows[1] ^ rows[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_cosine_topk_exact(spark, emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = similarity.cosine_topk(emb.filter("vec_id <> 0"), q, k=5).collect()
+    import numpy as np
+
+    rows = emb.filter("vec_id <> 0").collect()
+    qv = np.array(q)
+    sims = sorted(
+        (
+            (
+                float(np.dot(r.embedding, qv))
+                / (np.linalg.norm(r.embedding) * np.linalg.norm(qv)),
+                -r.vec_id,
+            ),
+            r.vec_id,
+        )
+        for r in rows
+    )[::-1][:5]
+    assert [r.vec_id for r in got] == [v for _, v in sims]
+
+
+def test_ann_lsh_subset_of_bucket(spark, emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = similarity.ann_topk_lsh(emb.filter("vec_id <> 0"), q, k=5, n_planes=4)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_text_stats_and_lang_id(spark, docs):
+    st = textstats.with_text_stats(docs.limit(20)).collect()
+    for r in st:
+        assert r.n_tokens == len(r.text.split(" "))
+        assert 0.0 <= r.quality <= 1.0
+    pred = textstats.with_lang_id(
+        spark.createDataFrame(
+            [("a", "the cat and the dog of to in"), ("b", "el que la de y")],
+            "id string, text string",
+        )
+    ).collect()
+    assert {r.id: r.pred_lang for r in pred} == {"a": "en", "b": "es"}
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = docs.limit(10).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r.feature) == 16
+        assert r.width > 0 and r.height > 0
+        if r.kind == "image":
+            assert r.n_frames == 1
+        else:
+            assert 1 <= r.n_frames <= 4
