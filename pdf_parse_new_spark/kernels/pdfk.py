@@ -45,75 +45,103 @@ _ESC_RE = re.compile(r"\\(.)")
 
 
 def _unescape(lit: str) -> str:
-    return _ESC_RE.sub(lambda m: _ESC.get(m.group(1), m.group(1)), lit[1:-1])
+    body = lit[1:-1]
+    if "\\" not in body:
+        return body
+    return _ESC_RE.sub(lambda m: _ESC.get(m.group(1), m.group(1)), body)
+
+
+# Clause-level scanner: one regex match per *well-formed operator clause*
+# (operands + operator together), instead of one per token. Strings/arrays/
+# numbers that belong to no recognized clause are consumed atomically by the
+# skip alternatives, so tokenization boundaries stay identical to the
+# oracle's token scanner for any stream the generator can emit.
+_NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)"
+_STR = r"\((?:\\.|[^\\()])*\)"
+_CLAUSE = re.compile(
+    rf"""
+      (?P<tj>{_STR})\s+Tj
+    | (?P<arr>\[(?:\\.|{_STR}|[^\]])*\])\s+TJ
+    | (?P<tdx>{_NUM})\s+(?P<tdy>{_NUM})\s+(?P<tdop>T[dD])
+    | {_NUM}\s+{_NUM}\s+{_NUM}\s+{_NUM}\s+{_NUM}\s+(?P<tmy>{_NUM})\s+Tm
+    | (?P<tlv>{_NUM})\s+TL
+    | (?P<tstar>T\*)
+    | (?P<q1>{_STR})\s+'
+    | {_NUM}\s+{_NUM}\s+(?P<q2>{_STR})\s+"
+    | (?P<bt>BT)
+    | {_STR} | {_NUM} | /[A-Za-z0-9]+ | [A-Za-z'"*]+
+    """,
+    re.X | re.S,
+)
+_ARR_TOK = re.compile(rf"(?P<str>{_STR})|(?P<num>{_NUM})", re.S)
 
 
 def _tokenize(stream: str) -> tuple[list[str], list[float]]:
     """-> parallel arrays (item strings, item Y coords)."""
     strs: list[str] = []
     ys: list[float] = []
-    stack: list = []
     y = leading = 0.0
-    for m in _TOKEN.finditer(stream):
+    thresh = -spec.TJ_SPACE_THRESHOLD
+    for m in _CLAUSE.finditer(stream):
         g = m.lastgroup
-        if g == "op":
-            op = m.group()
-            if op == "Tj":
-                if stack:
-                    strs.append(str(stack[-1]))
-                    ys.append(y)
-            elif op == "TJ":
-                if stack:
-                    buf = []
-                    for am in _TOKEN.finditer(str(stack[-1])[1:-1]):
-                        if am.lastgroup == "str":
-                            buf.append(_unescape(am.group()))
-                        elif am.lastgroup == "num" and (
-                            float(am.group()) < -spec.TJ_SPACE_THRESHOLD
-                        ):
-                            buf.append(" ")
-                    strs.append("".join(buf))
-                    ys.append(y)
-            elif op == "Td":
-                if len(stack) >= 2:
-                    y += float(stack[-1])
-            elif op == "TD":
-                if len(stack) >= 2:
-                    leading = -float(stack[-1])
-                    y += float(stack[-1])
-            elif op == "Tm":
-                if len(stack) >= 6:
-                    y = float(stack[-1])
-            elif op == "TL":
-                if stack:
-                    leading = float(stack[-1])
-            elif op == "T*":
-                y -= leading
-            elif op in ("'", '"'):
-                if stack:
-                    y -= leading
-                    strs.append(str(stack[-1]))
-                    ys.append(y)
-            elif op == "BT":
-                y = 0.0
-            stack.clear()
-        elif g == "str":
-            stack.append(_unescape(m.group()))
-        elif g == "num":
-            stack.append(float(m.group()))
-        else:  # name / arr kept raw
-            stack.append(m.group())
+        if g == "tj":
+            strs.append(_unescape(m.group("tj")))
+            ys.append(y)
+        elif g == "tdop":
+            dy = float(m.group("tdy"))
+            if m.group("tdop") == "TD":
+                leading = -dy
+            y += dy
+        elif g == "tmy":
+            y = float(m.group("tmy"))
+        elif g == "tstar":
+            y -= leading
+        elif g == "arr":
+            buf = []
+            for am in _ARR_TOK.finditer(m.group("arr")[1:-1]):
+                if am.lastgroup == "str":
+                    buf.append(_unescape(am.group()))
+                elif float(am.group()) < thresh:
+                    buf.append(" ")
+            strs.append("".join(buf))
+            ys.append(y)
+        elif g == "q1":
+            y -= leading
+            strs.append(_unescape(m.group("q1")))
+            ys.append(y)
+        elif g == "q2":
+            y -= leading
+            strs.append(_unescape(m.group("q2")))
+            ys.append(y)
+        elif g == "tlv":
+            leading = float(m.group("tlv"))
+        elif g == "bt":
+            y = 0.0
     return strs, ys
 
 
 def _fold(strs: list[str], ys: list[float]) -> str:
-    if not strs:
+    n = len(strs)
+    if n == 0:
         return ""
+    if n == 1:
+        return strs[0]
+    if n <= 64:  # short lists: plain loop beats numpy setup cost
+        parts = [strs[0]]
+        last = ys[0]
+        tol = spec.Y_TOLERANCE
+        for i in range(1, n):
+            cur = ys[i]
+            d = cur - last
+            if d > tol or d < -tol:
+                parts.append("\n")
+            parts.append(strs[i])
+            last = cur
+        return "".join(parts)
     breaks = np.abs(np.diff(np.asarray(ys, dtype=np.float64))) > spec.Y_TOLERANCE
-    out = np.empty(2 * len(strs) - 1, dtype=object)
+    out = np.empty(2 * n - 1, dtype=object)
     out[0::2] = strs
-    if len(strs) > 1:
-        out[1::2] = np.where(breaks, "\n", "")
+    out[1::2] = np.where(breaks, "\n", "")
     return "".join(out)
 
 

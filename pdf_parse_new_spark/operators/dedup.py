@@ -89,6 +89,27 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter).cast("double")
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature table via explode + grouped min.
+
+    One shingle-construction pass, then k min-aggregations over the exploded
+    (id, shingle) rows — map-side partial aggregation keeps the shuffle at
+    one row per (id); this is the plan that survives 100 TB, unlike k
+    re-evaluations of the shingle expression per row."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(k)]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -102,36 +123,43 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs (id1 < id2, exact shingle-Jaccard >= threshold).
 
     shingle -> minhash -> band -> bucket-join -> verify: the standard LSH
-    plan. The bucket join is an equi-join on (band, bh); the exact Jaccard
-    check runs only on candidates.
+    plan. Band buckets carry only (id, band, bh) — fixed-width keys; the
+    shingle arrays are joined back onto the (deduplicated) candidate pairs
+    only, so wide arrays never ride the bucket shuffle.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-        minhash_signature(F.col(text_col), k, shingle_n).alias("sig"),
+    sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_n)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for b in range(bands)
+        ]
     )
-    banded = base.select(
-        "id", "sh", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    left = banded.alias("l")
-    right = banded.alias("r")
+    banded = sigs.select("id", F.explode(band_cols).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
     cand = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id1"),
-            F.col("r.id").alias("id2"),
-            F.col("l.sh").alias("sh1"),
-            F.col("r.sh").alias("sh2"),
-        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    sh_sets = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
     return (
-        cand.withColumn("jaccard", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
+        cand.join(sh_sets.withColumnsRenamed({"id": "id1", "sh": "sh1"}), "id1")
+        .join(sh_sets.withColumnsRenamed({"id": "id2", "sh": "sh2"}), "id2")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )

@@ -56,6 +56,7 @@ def extract_turns(
     kernel: str | KernelFn | None = None,
     partitions: int | None = None,
     with_lineage: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Run the extraction kernel over every turn.
 
@@ -63,13 +64,19 @@ def extract_turns(
     defuses long-conversation skew for the compute stage without any shuffle
     of extracted output. At 100 TB this is the knob the planner sets from the
     stats probe (plans/planner.py).
+
+    ``passthrough``: extra input columns carried through unchanged (e.g.
+    ``("ts",)`` so streaming consumers keep event time without a re-join).
     """
     kernel_ref = kernel if isinstance(kernel, (str, type(None))) else kernel
-    cols = df.select("conv_id", "turn_idx", "role", "text")
+    cols = df.select("conv_id", "turn_idx", "role", "text", *passthrough)
     if partitions:
         cols = cols.repartition(partitions, "conv_id", "turn_idx")
 
     schema = EXTRACT_SCHEMA_LINEAGE if with_lineage else EXTRACT_SCHEMA
+    by_name = {f.name: f for f in df.schema.fields}
+    for name in passthrough:
+        schema += f", {name} {by_name[name].dataType.simpleString()}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = resolve_kernel(kernel_ref)
@@ -90,6 +97,8 @@ def extract_turns(
             )
             if with_lineage:
                 out["kernel_ms"] = (time.perf_counter() - t0) * 1e3
+            for name in passthrough:
+                out[name] = pdf[name]
             yield out
 
     return cols.mapInPandas(run, schema)

@@ -1,0 +1,110 @@
+"""Checkpointed, idempotent extraction runs (north rule: "resumes
+idempotently from the last committed snapshot checkpoint").
+
+Model: the output directory is an Iceberg-style table of per-turn extraction
+results plus a ``_commits/`` log. A run:
+
+1. loads the set of already-committed ``conv_id``s from the commit log's
+   data files (the committed snapshot);
+2. anti-joins the input on ``conv_id`` — only unprocessed conversations are
+   re-extracted (the reference's analog: the benchmark collector re-saves
+   incrementally after every file and skips finished ones on restart,
+   benchmark/collect-benchmarks.js:199-223);
+3. appends results atomically (Spark parquet job commit) and then records
+   the commit manifest. A crash before the manifest write leaves orphaned
+   data files that the next run ignores (manifest-listed files only), so
+   re-running is always safe — same semantics as an Iceberg snapshot commit.
+
+On a real deployment this maps 1:1 onto ``df.writeTo(tbl).append()`` with
+Iceberg snapshot IDs; parquet + a JSON commit log keeps the sandbox
+dependency-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parse_new_spark.operators import extract
+from pdf_parse_new_spark.sources import lineage
+
+
+def _commit_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_commits")
+
+
+def committed_files(out_dir: str) -> list[dict]:
+    cd = _commit_dir(out_dir)
+    if not os.path.isdir(cd):
+        return []
+    commits = []
+    for name in sorted(os.listdir(cd)):
+        if name.endswith(".json"):
+            with open(os.path.join(cd, name)) as f:
+                commits.append(json.load(f))
+    return commits
+
+
+def committed_data_paths(out_dir: str) -> list[str]:
+    paths: list[str] = []
+    for c in committed_files(out_dir):
+        paths.extend(c["data_dirs"])
+    return [p for p in paths if os.path.isdir(p)]
+
+
+def read_committed(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    paths = committed_data_paths(out_dir)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def run_incremental(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    kernel: str | None = None,
+    partitions: int | None = None,
+) -> dict:
+    """Extract only conversations absent from the committed snapshot; append
+    + commit. Returns the commit manifest (or a no-op marker)."""
+    os.makedirs(_commit_dir(out_dir), exist_ok=True)
+    todo = transcripts
+    done = read_committed(spark, out_dir)
+    if done is not None:
+        committed_ids = done.select("conv_id").distinct()
+        todo = transcripts.join(committed_ids, "conv_id", "anti")
+
+    snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+    data_dir = os.path.join(out_dir, f"data-{snap_id}")
+    extracted = extract.extract_turns(
+        todo, kernel=kernel, partitions=partitions, with_lineage=True
+    )
+    extracted.write.mode("overwrite").parquet(data_dir)
+
+    written = spark.read.parquet(data_dir)
+    manifest = lineage.partition_manifest(written)
+    n_rows = sum(m["n_rows"] for m in manifest)
+    commit = {
+        "snapshot_id": snap_id,
+        "data_dirs": [data_dir],
+        "n_rows": n_rows,
+        "n_convs": int(written.select("conv_id").distinct().count()),
+        "n_errors": sum(m["n_errors"] for m in manifest),
+        "partitions": manifest,
+        "committed_at": time.time(),
+    }
+    if n_rows == 0:
+        # nothing new: do not commit an empty snapshot (idempotent re-run)
+        return {"snapshot_id": None, "n_rows": 0, "skipped": True}
+    tmp = os.path.join(_commit_dir(out_dir), f".{snap_id}.json.tmp")
+    final = os.path.join(_commit_dir(out_dir), f"{snap_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(commit, f, indent=1)
+    os.rename(tmp, final)  # atomic commit point
+    return commit

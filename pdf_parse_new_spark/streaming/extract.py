@@ -1,0 +1,72 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference engine is batch-only (its "stream" strategy is memory-chunked
+batch, lib/pdf-parse-stream.js:40-44), so this module is an *extension*, not
+parity: it lets the same kernels run over a continuously-arriving transcript
+table (e.g. a Kafka topic or files landing in object storage).
+
+Design:
+- the per-turn extraction operator is reused verbatim — ``mapInPandas`` works
+  identically on streaming DataFrames;
+- per-conversation concat is NOT attempted in-stream (conversations are
+  unbounded); instead ``foreachBatch`` feeds each micro-batch through the
+  same checkpointed incremental commit as batch runs, so batch and streaming
+  share one idempotent sink;
+- ``error_rate_stream`` shows the watermarked windowed-aggregation shape for
+  monitoring (event-time window on ``ts``, late data bounded by the
+  watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_parse_new_spark.operators import extract
+
+
+def streaming_extract_turns(stream_df: DataFrame,
+                            kernel: str | None = None) -> DataFrame:
+    """Per-turn extraction over a streaming transcripts DataFrame."""
+    return extract.extract_turns(stream_df, kernel=kernel)
+
+
+def error_rate_stream(stream_df: DataFrame, window: str = "5 minutes",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window extraction error rate per payload family.
+
+    Event time rides through the extraction operator via ``passthrough`` —
+    no stream-stream re-join needed."""
+    extracted = extract.extract_turns(stream_df, passthrough=("ts",))
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "family")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("error").alias("n_errors"),
+        )
+    )
+
+
+def run_stream_to_checkpointed_table(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    kernel: str | None = None,
+    trigger_seconds: int = 30,
+):
+    """Start a stream writing per-turn extraction results through the same
+    idempotent snapshot-commit sink the batch path uses (exactly-once via
+    Spark's streaming checkpoint + our conv_id anti-join)."""
+    from pdf_parse_new_spark.sources import checkpoint as ckpt
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ckpt.run_incremental(batch_df.sparkSession, batch_df, out_dir,
+                             kernel=kernel)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
