@@ -117,12 +117,18 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False) -> str:
+def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False,
+              xref_stream: bool = False) -> str:
     """Serialize a deterministic ASCII mini-PDF (spec.py format).
 
     ``break_xref=True`` zeroes the xref offsets: still a *valid* document —
     the parser must fall back to the brute-force object recovery scan
-    (reference ``indexObjects``, pdf.worker.js:58331-58476)."""
+    (reference ``indexObjects``, pdf.worker.js:58331-58476).
+
+    ``xref_stream=True`` replaces the classic table with a PDF-1.5-style
+    cross-reference *stream* object: ``/Type /XRef /W [1 4 2]`` dict whose
+    (zlib+base64-framed) body holds packed binary rows ``type:1 offset:4
+    gen:2`` (reference ``readXRefStream``, pdf.worker.js:58264-58330)."""
     objects: list[tuple[int, str]] = []
     next_obj = 1
     for _ in range(n_pages):
@@ -145,6 +151,20 @@ def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False) -> str
         pos += len(chunk)
     xref_off = pos
     size = next_obj
+    if xref_stream:
+        rows = bytearray()
+        rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        for num in range(1, size):
+            rows += bytes([1]) + offsets[num].to_bytes(4, "big") + b"\x00\x00"
+        payload = base64.b64encode(zlib.compress(bytes(rows))).decode("ascii")
+        out.append(
+            f"{size} 0 obj\n"
+            f"<< /Type /XRef /W [1 4 2] /Size {size} /Length {len(payload)} "
+            f"/Filter /FlateDecode /Root 1 0 R >>\n"
+            f"stream\n{payload}\nendstream\nendobj\n"
+        )
+        out.append(f"startxref\n{xref_off}\n%%EOF")
+        return "".join(out)
     xref = ["xref\n", f"0 {size}\n", "0000000000 65535 f \n"]
     for num in range(1, size):
         off = 0 if break_xref else offsets[num]
@@ -248,11 +268,15 @@ def payload_for(conv_id: str, turn_idx: int) -> tuple[str, str]:
     fam = family_for(conv_id, turn_idx)
     rng = _rng(conv_id, turn_idx, "payload")
     if fam == "pdfstream":
-        # 15% of single-page docs carry a zeroed xref table: valid document,
-        # must succeed via the recovery scan (SURVEY §2.1 S6)
-        return fam, build_pdf(rng, 1, break_xref=rng.random() < 0.15)
+        # 15% of single-page docs carry a zeroed xref table (valid document,
+        # must succeed via the recovery scan — SURVEY §2.1 S6); another 15%
+        # use a PDF-1.5-style xref *stream* (S5)
+        r = rng.random()
+        return fam, build_pdf(
+            rng, 1, break_xref=r < 0.15, xref_stream=0.15 <= r < 0.30
+        )
     if fam == "pdfstream-multiline":
-        return fam, build_pdf(rng, rng.randint(2, 4))
+        return fam, build_pdf(rng, rng.randint(2, 4), xref_stream=rng.random() < 0.3)
     if fam == "html":
         return fam, build_html(rng)
     if fam == "plain":

@@ -158,15 +158,59 @@ def _slice_objects(raw: str, offsets: dict[int, int]) -> dict[int, tuple[int, st
     return objs
 
 
+_W_ARR = re.compile(r"/W \[(\d+) (\d+) (\d+)\]")
+
+
+def _read_xref_stream(raw: str, xref_off: int) -> dict[int, int]:
+    """Cross-reference *stream*: decode the /W-packed binary rows with numpy
+    (reference ``readXRefStream``, pdf.worker.js:58264-58330)."""
+    om = _OBJ.match(raw, xref_off)
+    if om is None:
+        return {}
+    end = raw.find("endobj", xref_off)
+    body = raw[om.end() : end if end > 0 else len(raw)]
+    if "/Type /XRef" not in body:
+        return {}
+    wm = _W_ARR.search(body)
+    i = body.find("stream\n")
+    j = body.find("\nendstream")
+    if wm is None or i < 0 or j < 0:
+        return {}
+    try:
+        packed = zlib.decompress(
+            base64.b64decode(body[i + len("stream\n") : j], validate=True)
+        )
+    except Exception:
+        return {}
+    w = [int(x) for x in wm.groups()]
+    rowlen = sum(w)
+    n = len(packed) // rowlen
+    if n == 0:
+        return {}
+    arr = np.frombuffer(packed[: n * rowlen], dtype=np.uint8).reshape(n, rowlen)
+    typ = (
+        arr[:, : w[0]].astype(np.int64) @ (256 ** np.arange(w[0] - 1, -1, -1))
+        if w[0]
+        else np.ones(n, dtype=np.int64)
+    )
+    off = arr[:, w[0] : w[0] + w[1]].astype(np.int64) @ (
+        256 ** np.arange(w[1] - 1, -1, -1)
+    )
+    nums = np.arange(n)
+    keep = typ == 1
+    return dict(zip(nums[keep].tolist(), off[keep].tolist()))
+
+
 def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
     """-> (text, spans, error, n_pages). Never raises."""
     m = _STARTXREF.search(raw)
     if m is None:
         return "", [], spec.ERR_NO_STARTXREF, 0
 
-    # classic xref table at the declared offset
+    # classic xref table at the declared offset; else try an xref stream
     offsets: dict[int, int] = {}
-    lines = raw[int(m.group(1)) :].split("\n")
+    xref_off = int(m.group(1))
+    lines = raw[xref_off:].split("\n")
     if len(lines) >= 2 and lines[0].strip() == "xref":
         try:
             first, count = (int(x) for x in lines[1].split())
@@ -179,6 +223,8 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
                     offsets[first + k] = int(row.group(1))
         except Exception:
             offsets = {}
+    else:
+        offsets = _read_xref_stream(raw, xref_off)
     objs = _slice_objects(raw, offsets) if offsets else {}
     if not objs:
         # recovery scan: brute-force re-index every "N 0 obj" marker

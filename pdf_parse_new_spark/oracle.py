@@ -201,6 +201,48 @@ def _decode_stream(body: str) -> tuple[str | None, str | None, tuple[int, int] |
         return None, spec.ERR_FLATE, (i, j)
 
 
+_W_ARR = re.compile(r"/W \[(\d+) (\d+) (\d+)\]")
+
+
+def _read_xref_stream(raw: str, xref_off: int) -> dict[int, int]:
+    """PDF-1.5-style cross-reference stream: /Type /XRef object whose packed
+    binary rows (widths from /W) map object numbers to offsets (reference
+    ``readXRefStream``, pdf.worker.js:58264-58330). Returns {} if unusable."""
+    om = _OBJ.match(raw, xref_off)
+    if om is None:
+        return {}
+    end = raw.find("endobj", xref_off)
+    body = raw[om.end() : end if end > 0 else len(raw)]
+    if "/Type /XRef" not in body:
+        return {}
+    wm = _W_ARR.search(body)
+    if wm is None:
+        return {}
+    w = tuple(int(x) for x in wm.groups())
+    data_b64_start = body.find("stream\n")
+    data_b64_end = body.find("\nendstream")
+    if data_b64_start < 0 or data_b64_end < 0:
+        return {}
+    try:
+        packed = zlib.decompress(
+            base64.b64decode(
+                body[data_b64_start + len("stream\n") : data_b64_end],
+                validate=True,
+            )
+        )
+    except Exception:
+        return {}
+    rowlen = sum(w)
+    offsets: dict[int, int] = {}
+    for num in range(len(packed) // rowlen):
+        row = packed[num * rowlen : (num + 1) * rowlen]
+        typ = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+        off = int.from_bytes(row[w[0] : w[0] + w[1]], "big")
+        if typ == 1:
+            offsets[num] = off
+    return offsets
+
+
 def extract_pdf(raw: str) -> Extraction:
     res = Extraction(family=spec.FAM_PDF)
     m = re.search(r"startxref\s+(\d+)\s*%%EOF\s*$", raw)
@@ -212,6 +254,8 @@ def extract_pdf(raw: str) -> Extraction:
     sec = raw[xref_off:]
     lines = sec.split("\n")
     ok = len(lines) >= 2 and lines[0].strip() == "xref"
+    if not ok:
+        offsets = _read_xref_stream(raw, xref_off)
     if ok:
         try:
             first, count = (int(x) for x in lines[1].split())
@@ -224,7 +268,9 @@ def extract_pdf(raw: str) -> Extraction:
                     offsets[first + k] = int(row.group(1))
         except Exception:
             ok = False
-    objs = _object_slices(raw, offsets) if ok else {}
+        if not ok:
+            offsets = {}  # a malformed table is unusable as a whole
+    objs = _object_slices(raw, offsets) if offsets else {}
     if not objs:
         offsets = _recovery_scan(raw)  # fallback: brute-force re-index
         objs = _object_slices(raw, offsets)

@@ -71,6 +71,18 @@ def test_recovery_scan_broken_xref():
     assert a.text == b.text != ""
 
 
+def test_xref_stream_equals_classic_table():
+    import random
+
+    rng = random.Random(7)
+    classic = fixtures.build_pdf(rng, 2)
+    rng = random.Random(7)
+    streamed = fixtures.build_pdf(rng, 2, xref_stream=True)
+    a, b = oracle.extract(classic), oracle.extract(streamed)
+    assert a.error is None and b.error is None
+    assert a.text == b.text != ""
+
+
 def test_html_boilerplate_dropped():
     import random
 
