@@ -4,21 +4,25 @@ Semantics (reference lib/pdf-parse.js):
 - turns join with "\\n\\n" in stable turn order (A1/A2, :126/:134);
 - ``leading_separator=True`` reproduces sequential mode's leading "\\n\\n"
   (:134 — the golden .txt files begin with two newlines);
-- ``max_turns`` keeps the first N turns; <=0 means all; ``n_extracted``
-  reports the clamp while ``n_turns`` reports the full count (:98-99,138).
+- ``max_turns`` keeps turns with ``turn_idx < N`` (== first N under the
+  input_hint's dense 0-based contract); <=0 means all; ``n_extracted``
+  reports the kept count while ``n_turns`` reports the full count (:98-99,
+  :138). ``n_errors`` counts error rows among the *kept* turns.
 
-Scale design: the naive plan is one groupBy(conv_id) — a single reducer per
-conversation, which dies on the skew tail (one conv with 10^6 turns). The
-salted variant runs a two-level ordered aggregation: partial concat per
-(conv_id, turn_idx // block) — map-side-combinable, bounded state — then a
-final concat of the ordered partials. Join with "\\n\\n" is associative, so
-partial+final equals the direct fold (the exact shape of the reference's
-child/parent partial joins, lib/pdf-child.js:104 + pdf-parse-processes.js:108).
+Scale design: everything is ONE aggregation pass — the max-turns clamp and
+the error count are conditional expressions inside the aggregate, so the
+extraction kernel upstream runs exactly once and no window/join re-shuffles
+appear (verified by tests/test_plans.py). The salted variant adds a second
+level: partial ordered concat per (conv_id, turn_idx // block) — map-side
+combinable, bounded state per group — then a final concat of ordered
+partials; "\\n\\n"-join is associative, so partial+final equals the direct
+fold (the exact shape of the reference's child/parent partial joins,
+lib/pdf-child.js:104 + pdf-parse-processes.js:108).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pdf_parse_new_spark import spec
@@ -26,14 +30,23 @@ from pdf_parse_new_spark import spec
 _SEP = spec.PAGE_SEP
 
 
-def _ordered_join(turn_col: str, text_col: str) -> Column:
-    return F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(turn_col, text_col))),
-            lambda s: s[text_col],
-        ),
-        _SEP,
+def _sorted_structs(max_turns: int) -> Column:
+    s = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "extracted_text", "error"))
     )
+    if max_turns > 0:
+        s = F.filter(s, lambda t: t["turn_idx"] < max_turns)
+    return s
+
+
+def _join_texts(structs: Column) -> Column:
+    return F.array_join(
+        F.transform(structs, lambda t: t["extracted_text"]), _SEP
+    )
+
+
+def _err_count(structs: Column) -> Column:
+    return F.size(F.filter(structs, lambda t: t["error"].isNotNull()))
 
 
 def _finish(df: DataFrame, leading_separator: bool) -> DataFrame:
@@ -59,21 +72,13 @@ def concat_conversations(
     leading_separator: bool = False,
     max_turns: int = 0,
 ) -> DataFrame:
-    """Direct one-level ordered concat (fine when conversations are short).
-
-    ``max_turns`` filters ``turn_idx < N`` — identical to "first N turns"
-    under the input_hint's dense 0-based turn_idx contract, and identical to
-    the salted variant's clamp on any input (verified by tests).
-    """
-    w = Window.partitionBy("conv_id")
-    df = extracted.withColumn("n_turns", F.count("*").over(w))
-    if max_turns > 0:
-        df = df.filter(F.col("turn_idx") < max_turns)
-    out = df.groupBy("conv_id").agg(
-        F.first("n_turns").alias("n_turns"),
-        F.count("*").alias("n_extracted"),
-        _ordered_join("turn_idx", "extracted_text").alias("full_text"),
-        F.count("error").alias("n_errors"),
+    """One-level ordered concat: a single groupBy(conv_id) — one exchange."""
+    kept = _sorted_structs(max_turns)
+    out = extracted.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.size(kept).alias("n_extracted"),
+        _join_texts(kept).alias("full_text"),
+        _err_count(kept).alias("n_errors"),
     )
     return _finish(out, leading_separator)
 
@@ -84,29 +89,30 @@ def concat_conversations_salted(
     leading_separator: bool = False,
     max_turns: int = 0,
 ) -> DataFrame:
-    """Two-level skew-proof concat. Assumes dense 0-based ``turn_idx`` (the
-    input_hint contract) so the ``max_turns`` clamp is ``turn_idx < N`` and
-    the salt is ``turn_idx // block`` — each partial holds <= block turns
-    regardless of conversation length."""
-    df = extracted
-    counted = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
-    if max_turns > 0:
-        df = df.filter(F.col("turn_idx") < max_turns)
-    partial = df.withColumn(
-        "salt", (F.col("turn_idx") / F.lit(block)).cast("long")
-    ).groupBy("conv_id", "salt").agg(
-        F.count("*").alias("pn"),
-        _ordered_join("turn_idx", "extracted_text").alias("ptext"),
-        F.count("error").alias("perr"),
-    )
-    out = (
-        partial.groupBy("conv_id")
+    """Two-level skew-proof concat: partial per (conv_id, turn_idx // block)
+    then final per conv_id — two exchanges, each with bounded per-group
+    state, so a 10^6-turn conversation never lands on one reducer."""
+    kept = _sorted_structs(max_turns)
+    partial = (
+        extracted.withColumn("salt", (F.col("turn_idx") / F.lit(block)).cast("long"))
+        .groupBy("conv_id", "salt")
         .agg(
-            F.sum("pn").cast("int").alias("n_extracted"),
-            _ordered_join("salt", "ptext").alias("full_text"),
-            F.sum("perr").cast("long").alias("n_errors"),
+            F.count("*").alias("pn_all"),
+            F.size(kept).alias("pn_kept"),
+            _join_texts(kept).alias("ptext"),
+            _err_count(kept).alias("perr"),
         )
-        .join(counted, "conv_id")
-        .select("conv_id", "n_turns", "n_extracted", "full_text", "n_errors")
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct("salt", "pn_kept", "ptext"))
+    )
+    nonempty = F.filter(parts, lambda p: p["pn_kept"] > 0)
+    out = partial.groupBy("conv_id").agg(
+        F.sum("pn_all").alias("n_turns"),
+        F.sum("pn_kept").alias("n_extracted"),
+        F.array_join(F.transform(nonempty, lambda p: p["ptext"]), _SEP).alias(
+            "full_text"
+        ),
+        F.sum("perr").alias("n_errors"),
     )
     return _finish(out, leading_separator)

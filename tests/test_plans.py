@@ -1,0 +1,70 @@
+"""Plan-regression tests: the scale-critical physical-plan properties must
+hold, not just the results (SURVEY §4 'optimizer' parity — Catalyst provides
+these, we prove we didn't accidentally defeat them)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parse_new_spark import fixtures, queries as q
+from pdf_parse_new_spark.operators import concat, extract
+from pdf_parse_new_spark.plans.inspect import assert_plan, formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_and_pruning(spark):
+    df = q.q_tpch_pricing(spark, SF)
+    assert_plan(
+        df,
+        "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate",
+        "HashAggregate",  # partial+final pair
+    )
+    plan = formatted_plan(df)
+    # column pruning: the scan must not read the full 11-column lineitem
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_broadcast_join_and_topk(spark):
+    assert_plan(
+        q.q_top_customers(spark, SF),
+        "BroadcastHashJoin",
+        "TakeOrderedAndProject",
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_multi_dim_joins_all_broadcast(spark):
+    assert_plan(
+        q.q_nation_orders(spark, SF),
+        "BroadcastHashJoin",
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_extract_pipeline_shape(spark, smoke_df):
+    turns = extract.extract_turns(smoke_df)
+    plan = formatted_plan(turns)
+    # the map stage must be shuffle-free: FlatMapGroups/Exchange only appear
+    # if we accidentally grouped before the kernel
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+    # salted concat: exactly two exchanges (partial by (conv,salt), final by
+    # conv) + the count-by-conv side — no more
+    conv = concat.concat_conversations_salted(turns, block=64)
+    n_exch = formatted_plan(conv).count("Exchange")
+    assert n_exch <= 4, n_exch
+
+
+def test_minhash_no_cartesian(spark):
+    df = q.q_minhash_pairs(spark, SF)
+    assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_dup_groups_partial_agg(spark):
+    plan = formatted_plan(q.q_dup_groups(spark, SF))
+    # hash-groupBy with map-side partial aggregation: two HashAggregate
+    # nodes around one Exchange
+    assert plan.count("HashAggregate") >= 2
