@@ -7,7 +7,7 @@ per-source conversation) and runs per-conversation main-content extraction
 conversation.
 
 ``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
-16 DuckDB-checked queries covering SURVEY §2 operator families plus the
+21 DuckDB-checked queries covering SURVEY §2 operator families plus the
 training-data extensions, and 6 rows-only entries for the non-SQL
 extraction/LSH kernels.
 """

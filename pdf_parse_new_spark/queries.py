@@ -375,6 +375,117 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
 """
 
 
+def q_part_stats(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+SQL_PART_STATS = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def q_supplier_balance(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy(F.col("total_bal").desc(), F.col("n_name"))
+        .limit(5)
+    )
+
+
+SQL_SUPPLIER_BALANCE = """
+SELECT n_name, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY total_bal DESC, n_name LIMIT 5
+"""
+
+
+def q_events_user_span(spark, sf_dir):
+    """min_by/max_by (O3/O4 analog: first and last event type per user)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_EVENTS_USER_SPAN = """
+SELECT user_id,
+       arg_min(event_type, ts) AS first_type,
+       arg_max(event_type, ts) AS last_type,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+def q_bigram_topk(spark, sf_dir):
+    """Explode word bigrams -> global top-10 (n-gram analysis shape)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(10)
+    )
+
+
+SQL_BIGRAM_TOPK = """
+WITH t AS (
+  SELECT unnest(list_transform(
+           range(0, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(string_split(text, ' ')[i+1:i+2], ' ')))
+         AS bigram
+  FROM documents)
+SELECT bigram, count(*) AS cnt
+FROM t GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT 10
+"""
+
+
+def q_orders_monthly(spark, sf_dir):
+    """date_trunc month rollup (temporal functions parity)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+            .alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_ORDERS_MONTHLY = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: extraction kernels, LSH ANN, ...)
 # --------------------------------------------------------------------------
@@ -454,6 +565,11 @@ SQL_CHECKED = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "part_stats": (q_part_stats, SQL_PART_STATS),
+    "supplier_balance": (q_supplier_balance, SQL_SUPPLIER_BALANCE),
+    "events_user_span": (q_events_user_span, SQL_EVENTS_USER_SPAN),
+    "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
+    "orders_monthly": (q_orders_monthly, SQL_ORDERS_MONTHLY),
 }
 
 ROWS_ONLY = {
