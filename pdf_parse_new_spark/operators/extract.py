@@ -57,6 +57,7 @@ def extract_turns(
     partitions: int | None = None,
     with_lineage: bool = False,
     passthrough: tuple[str, ...] = (),
+    max_payload_bytes: int | None = None,
 ) -> DataFrame:
     """Run the extraction kernel over every turn.
 
@@ -67,6 +68,12 @@ def extract_turns(
 
     ``passthrough``: extra input columns carried through unchanged (e.g.
     ``("ts",)`` so streaming consumers keep event time without a re-join).
+
+    ``max_payload_bytes``: wall-clock/memory guard — payloads longer than
+    this become ``payload-too-large`` error rows without parsing (the
+    distributed analog of the reference's per-chunk 120 s timeout -> SIGKILL,
+    lib/pdf-parse-processes.js:41,170-180: bound the damage of one
+    pathological input, never fail the job).
     """
     kernel_ref = kernel if isinstance(kernel, (str, type(None))) else kernel
     cols = df.select("conv_id", "turn_idx", "role", "text", *passthrough)
@@ -82,7 +89,18 @@ def extract_turns(
         fn = resolve_kernel(kernel_ref)
         for pdf in batches:
             t0 = time.perf_counter()
-            res = fn(pdf["text"])
+            texts = pdf["text"]
+            oversize = None
+            if max_payload_bytes is not None:
+                oversize = texts.str.len() > max_payload_bytes
+                texts = texts.mask(oversize, "")
+            res = fn(texts)
+            if oversize is not None and oversize.any():
+                res.loc[oversize, "extracted_text"] = ""
+                res.loc[oversize, "error"] = "payload-too-large"
+                res.loc[oversize, "spans"] = res.loc[oversize, "spans"].map(
+                    lambda _: []
+                )
             out = pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],

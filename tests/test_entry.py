@@ -1,0 +1,51 @@
+"""Driver-contract surface: entry() + queries()/oracle_sql() integrity.
+(The full value comparison runs in scripts/check_oracle.py; this guards the
+shape so refactors can't silently break the graded surface.)"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+CHEAP = [
+    "conv_concat",
+    "group_limit",
+    "lang_quality",
+    "dup_groups",
+    "tpch_pricing",
+    "top_customers",
+    "knn_cosine",
+    "part_stats",
+    "events_user_span",
+    "orders_monthly",
+]
+
+
+def test_entry_runs_and_has_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "conv_id", "n_turns", "n_extracted", "full_text", "n_errors"
+    }
+
+
+def test_contract_key_integrity():
+    qs = entrymod.queries()
+    oq = entrymod.oracle_sql()
+    assert set(oq) <= set(qs)
+    assert len(oq) >= 21
+    assert len(qs) >= 27
+    # every oracle is a non-empty SQL string mentioning a known table
+    tables = ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "nation", "region", "part", "supplier")
+    for name, sql in oq.items():
+        assert any(t in sql for t in tables), name
+
+
+@pytest.mark.parametrize("name", CHEAP)
+def test_cheap_queries_return_rows(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    assert df.count() > 0

@@ -126,6 +126,24 @@ def test_all_corrupt_conversation(spark):
     assert out[0].full_text == "\n\n".join([""] * 4)
 
 
+def test_payload_size_guard(spark, smoke_df):
+    # X4 analog: oversize payloads become error rows, never job failures
+    out = extract.extract_turns(smoke_df, max_payload_bytes=400).collect()
+    n_big = sum(1 for r in out if r.error == "payload-too-large")
+    assert n_big > 0
+    for r in out:
+        if r.error == "payload-too-large":
+            assert r.extracted_text == "" and list(r.spans) == []
+    # unguarded run still extracts those rows
+    base = {
+        (r.conv_id, r.turn_idx): r
+        for r in extract.extract_turns(smoke_df).collect()
+    }
+    assert all(
+        base[(r.conv_id, r.turn_idx)].error != "payload-too-large" for r in out
+    )
+
+
 def test_salted_equals_unsalted(spark, smoke_df):
     a = concat.concat_conversations(extract.extract_turns(smoke_df))
     b = concat.concat_conversations_salted(extract.extract_turns(smoke_df), block=7)
