@@ -36,7 +36,10 @@ CORPUS = {
 def corpus_path(sf: str) -> str:
     p = CORPUS[sf]
     tag = "-".join(str(v) for v in p.values())
-    return f"/tmp/spark_graft_bench/transcripts_{tag}.parquet"
+    return (
+        f"/tmp/spark_graft_bench/transcripts_v{fixtures.FIXTURES_VERSION}"
+        f"_{tag}.parquet"
+    )
 
 
 def materialize(spark, sf: str) -> str:

@@ -20,6 +20,8 @@ import zlib
 from pdf_parse_new_spark import spec
 
 SEED = 42
+# bump when payload generation changes — cached bench corpora key on this
+FIXTURES_VERSION = 2
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)

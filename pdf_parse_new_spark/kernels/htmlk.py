@@ -66,13 +66,24 @@ def extract(texts: pd.Series) -> pd.DataFrame:
     )
     kept = flat[keep]
     if len(kept):
-        joined = kept.groupby("row")["text"].agg("\n".join)
-        out.loc[joined.index, "extracted_text"] = joined.str.normalize("NFKC")
-        spans = kept.apply(
-            lambda r: {"start": int(r["start"]), "end": int(r["end"]), "kind": "p"},
-            axis=1,
-        )
-        span_lists = spans.groupby(kept["row"]).agg(list)
-        for idx, sl in span_lists.items():
+        # one cheap pass over the (few) kept paragraphs; flat is built in row
+        # order so append order == document order
+        texts_by_row: dict = {}
+        spans_by_row: dict = {}
+        for row, s, e, txt in zip(
+            kept["row"].to_numpy(),
+            kept["start"].to_numpy(),
+            kept["end"].to_numpy(),
+            kept["text"].to_numpy(),
+        ):
+            texts_by_row.setdefault(row, []).append(txt)
+            spans_by_row.setdefault(row, []).append(
+                {"start": int(s), "end": int(e), "kind": "p"}
+            )
+        joined = pd.Series(
+            {r: "\n".join(v) for r, v in texts_by_row.items()}
+        ).str.normalize("NFKC")
+        out.loc[joined.index, "extracted_text"] = joined
+        for idx, sl in spans_by_row.items():
             out.at[idx, "spans"] = sl
     return out

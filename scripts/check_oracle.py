@@ -25,11 +25,6 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        else:
-            try:
-                df[c] = pd.to_numeric(df[c], errors="ignore")
-            except Exception:
-                pass
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 

@@ -28,8 +28,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CORPUS = "/tmp/spark_graft_bench/transcripts_scaling.parquet"
 REPLICAS = 7
+
+
+def _corpus_path() -> str:
+    from pdf_parse_new_spark import fixtures
+
+    return (
+        "/tmp/spark_graft_bench/"
+        f"transcripts_scaling_v{fixtures.FIXTURES_VERSION}.parquet"
+    )
+
+
+CORPUS = _corpus_path()
 
 
 def build_corpus() -> None:
