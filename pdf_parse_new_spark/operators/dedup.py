@@ -142,15 +142,25 @@ def minhash_dedup_pairs(
     banded = sigs.select("id", F.explode(band_cols).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    cand = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.id") < F.col("r.id")),
+    # single-pass candidate generation: group each LSH bucket and expand the
+    # i<j pairs in-bucket (a self-join would execute the signature
+    # aggregation twice and shuffle it twice)
+    ids = F.array_sort(F.collect_list("id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+    )
+    cand = (
+        banded.groupBy("band", "bh")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
     sh_sets = df.select(
