@@ -51,6 +51,17 @@ def _unescape(lit: str) -> str:
     return _ESC_RE.sub(lambda m: _ESC.get(m.group(1), m.group(1)), body)
 
 
+_RTL_RUN = re.compile(f"[{spec.RTL_CLASS}]+")
+
+
+def _bidi(s: str) -> str:
+    # simplified logical->visual reorder per show-text item (spec.py;
+    # reference runBidiTransform, pdf.worker.js:36495-36510)
+    if _RTL_RUN.search(s) is None:
+        return s
+    return _RTL_RUN.sub(lambda m: m.group()[::-1], s)
+
+
 # Clause-level scanner: one regex match per *well-formed operator clause*
 # (operands + operator together), instead of one per token. Strings/arrays/
 # numbers that belong to no recognized clause are consumed atomically by the
@@ -85,7 +96,7 @@ def _tokenize(stream: str) -> tuple[list[str], list[float]]:
     for m in _CLAUSE.finditer(stream):
         g = m.lastgroup
         if g == "tj":
-            strs.append(_unescape(m.group("tj")))
+            strs.append(_bidi(_unescape(m.group("tj"))))
             ys.append(y)
         elif g == "tdop":
             dy = float(m.group("tdy"))
@@ -103,15 +114,15 @@ def _tokenize(stream: str) -> tuple[list[str], list[float]]:
                     buf.append(_unescape(am.group()))
                 elif float(am.group()) < thresh:
                     buf.append(" ")
-            strs.append("".join(buf))
+            strs.append(_bidi("".join(buf)))
             ys.append(y)
         elif g == "q1":
             y -= leading
-            strs.append(_unescape(m.group("q1")))
+            strs.append(_bidi(_unescape(m.group("q1"))))
             ys.append(y)
         elif g == "q2":
             y -= leading
-            strs.append(_unescape(m.group("q2")))
+            strs.append(_bidi(_unescape(m.group("q2"))))
             ys.append(y)
         elif g == "tlv":
             leading = float(m.group("tlv"))

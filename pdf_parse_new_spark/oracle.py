@@ -45,6 +45,18 @@ def _nfkc(s: str) -> str:
     return unicodedata.normalize("NFKC", s)
 
 
+_RTL_RUN = re.compile(f"[{spec.RTL_CLASS}]+")
+
+
+def bidi_visual(s: str) -> str:
+    """Simplified logical->visual reorder: reverse each maximal RTL run in
+    place (spec.py; subset of the reference's runBidiTransform,
+    pdf.worker.js:36495-36510). Applied per PDF show-text item."""
+    if _RTL_RUN.search(s) is None:
+        return s
+    return _RTL_RUN.sub(lambda m: m.group()[::-1], s)
+
+
 # ------------------------------------------------------- content tokenizer --
 
 _TOKEN = re.compile(
@@ -90,7 +102,7 @@ def tokenize_content(stream: str) -> list[tuple[str, float]]:
     leading = 0.0
 
     def emit(s: str) -> None:
-        items.append((s, y))
+        items.append((bidi_visual(s), y))
 
     for m in _TOKEN.finditer(stream):
         kind = m.lastgroup

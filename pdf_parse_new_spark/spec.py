@@ -50,6 +50,19 @@ TJ_SPACE_THRESHOLD = 180.0
 # --- page/turn join separator (reference lib/pdf-parse.js:126,134) ---
 PAGE_SEP = "\n\n"
 
+# --- simplified bidi (reference runBidiTransform, pdf.worker.js:36495) ---
+# PDF show-text items store RTL scripts in logical order; extraction output
+# is visual order. Our simplified rule (both oracle and kernel): within each
+# text item, every maximal run of RTL-range characters is reversed in place;
+# LTR text, digits, spaces and punctuation keep their positions. This is a
+# deliberate subset of UAX#9 (no nesting/mirroring), documented as such.
+RTL_RANGES = (
+    ("\u0590", "\u08ff"),  # Hebrew, Arabic, Syriac, Thaana, ...
+    ("\ufb1d", "\ufdff"),  # presentation forms A
+    ("\ufe70", "\ufeff"),  # presentation forms B
+)
+RTL_CLASS = "".join(f"{a}-{b}" for a, b in RTL_RANGES)
+
 # --- HTML boilerplate-strip thresholds (north-rule axis B) ---
 HTML_MIN_TEXT_LEN = 25      # kept paragraphs need >= this many visible chars
 HTML_MAX_LINK_RATIO = 0.33  # and at most this fraction of link text

@@ -71,6 +71,36 @@ def test_recovery_scan_broken_xref():
     assert a.text == b.text != ""
 
 
+def test_bidi_rtl_runs_reversed():
+    # simplified logical->visual: RTL runs reverse in place, LTR/space stay
+    # (spec.py; reference runBidiTransform, pdf.worker.js:36495-36510)
+    import base64 as b64
+    import zlib
+
+    from pdf_parse_new_spark.kernels import pdfk
+
+    heb = "שלום"  # logical order
+    stream = f"BT 1 0 0 1 72 700 Tm (hello {heb} world) Tj ET"
+    items = oracle.tokenize_content(stream)
+    assert items == [(f"hello {heb[::-1]} world", 700.0)]
+    assert pdfk._tokenize(stream)[0] == [f"hello {heb[::-1]} world"]
+
+    # end-to-end through a framed payload: kernel == oracle
+    import pandas as pd
+
+    payload = "%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+    body = b64.b64encode(zlib.compress(stream.encode())).decode()
+    payload += (
+        f"2 0 obj\n<< /Length {len(body)} /Filter /FlateDecode >>\n"
+        f"stream\n{body}\nendstream\nendobj\n"
+    )
+    off = payload.index("xref") if "xref" in payload else len(payload)
+    payload += f"trailer\n<< /Size 3 /Root 1 0 R >>\nstartxref\n{off}\n%%EOF"
+    ex = oracle.extract(payload)  # startxref bogus -> recovery scan path
+    k = kernels.extract_batch(pd.Series([payload])).iloc[0]
+    assert ex.text == k.extracted_text == f"hello {heb[::-1]} world"
+
+
 def test_xref_stream_equals_classic_table():
     import random
 
