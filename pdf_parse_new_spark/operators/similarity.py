@@ -78,6 +78,78 @@ def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 12,
     return df.withColumn("bucket", lsh_bucket_udf(dim, n_planes)(F.col(vec_col)))
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold)
+    via multi-table hyperplane LSH: each table buckets independently
+    (recall ~= 1 - (1 - p^planes)^tables with p = 1 - theta/pi), candidate
+    pairs expand in-bucket (no self-join, no cartesian), exact cosine runs
+    only on deduplicated candidates. Approximate by design — recall is a
+    tunable, unlike the exact-verified MinHash text path."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def bucket_udf(planes: np.ndarray, weights: np.ndarray):
+        @F.pandas_udf("long")
+        def bucket(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack(vecs.to_numpy())
+            return pd.Series(
+                ((mat @ planes) > 0).astype(np.int64) @ weights,
+                index=vecs.index,
+            )
+
+        return bucket
+
+    tables = []
+    for t in range(n_tables):
+        planes = np.random.RandomState(SEED + 1 + t).standard_normal(
+            (dim, n_planes)
+        )
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        fn = bucket_udf(planes, weights)
+        tables.append(
+            base.select(
+                "id", F.lit(t).alias("tbl"), fn(F.col("v")).alias("bucket")
+            )
+        )
+    banded = tables[0]
+    for t in tables[1:]:
+        banded = banded.unionAll(t)
+
+    ids = F.array_sort(F.collect_list("id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    cand = (
+        banded.groupBy("tbl", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    vecs = base.select(F.col("id"), F.col("v"))
+    return (
+        cand.join(vecs.withColumnsRenamed({"id": "id1", "v": "v1"}), "id1")
+        .join(vecs.withColumnsRenamed({"id": "id2", "v": "v2"}), "id2")
+        .withColumn("sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: list[float],

@@ -529,6 +529,22 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH multi-table, rows-only check:
+    recall is probabilistic by design; threshold low enough to find pairs
+    in the synthetic embedding space)."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    dim = len(e.select("embedding").first()[0])
+    # synthetic embeddings top out at cosine ~0.51; 0.4 with 8 short tables
+    # gives ~75% recall at that band (hyperplane LSH weakens at low cosine —
+    # the knob tradeoff is documented on the operator)
+    return similarity.embedding_dup_pairs(
+        e, dim=dim, threshold=0.4, n_tables=8, n_planes=4
+    )
+
+
 def q_lang_id(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return textstats.with_lang_id(d).select("doc_id", "pred_lang")
@@ -577,6 +593,7 @@ ROWS_ONLY = {
     "extract_conversations": q_extract_conversations,
     "simhash_buckets": q_simhash_buckets,
     "ann_lsh": q_ann_lsh,
+    "embedding_dups": q_embedding_dups,
     "lang_id": q_lang_id,
     "multimodal_features": q_multimodal_features,
 }
