@@ -1,0 +1,90 @@
+"""Structured Streaming front-end: windowed error rates, foreachBatch into
+the idempotent sink, and the applyInPandasWithState conversation-progress
+operator (state survives across micro-batches; rolling hash audits against
+an offline computation)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pdf_parse_new_spark import fixtures
+from pdf_parse_new_spark.operators import extract
+from pdf_parse_new_spark.streaming import extract as sx
+from pdf_parse_new_spark.streaming import stateful
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = str(tmp_path / "src")
+    full = fixtures.make_transcripts_df(spark, n_convs=6, median_turns=5)
+    # one file per landing so maxFilesPerTrigger=1 means one micro-batch each
+    full.filter("conv_id < 'conv-000003'").coalesce(1).write.parquet(src + "/b1")
+    stream = spark.readStream.schema(full.schema).parquet(src + "/*")
+    return src, full, stream
+
+
+def test_error_rate_stream(spark, stream_env):
+    src, full, stream = stream_env
+    q = (
+        sx.error_rate_stream(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("errs_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from errs_t").collect()
+    assert rows
+    assert {r.family for r in rows} <= {"pdfstream", "html", "plain", "corrupt"}
+
+
+def test_stateful_progress_across_batches(spark, tmp_path):
+    # split by TURN so every conversation spans both micro-batches — the
+    # second batch must accumulate onto existing state, not reset it
+    src = str(tmp_path / "st")
+    full = fixtures.make_transcripts_df(spark, n_convs=6, median_turns=5)
+    full.filter("turn_idx < 2").coalesce(1).write.parquet(src + "/b1")
+    full.filter("turn_idx >= 2").coalesce(1).write.parquet(src + "/b2")
+    stream1 = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    extracted = sx.streaming_extract_turns(stream1)
+    q = (
+        stateful.conversation_progress_stream(extracted)
+        .writeStream.format("memory")
+        .queryName("prog_t")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    updates = spark.sql("select * from prog_t").collect()
+    assert len(updates) > len({r.conv_id for r in updates})  # multi-batch
+    latest = {}
+    for r in updates:  # keep the most-accumulated update per conversation
+        if r.conv_id not in latest or r.n_turns > latest[r.conv_id].n_turns:
+            latest[r.conv_id] = r
+    want = {
+        r.conv_id: r
+        for r in stateful.batch_progress(extract.extract_turns(full)).collect()
+    }
+    assert set(latest) == set(want)
+    gold = {
+        (r.conv_id, r.turn_idx): r.extracted_text
+        for r in extract.extract_turns(full).collect()
+    }
+    for cid, w in want.items():
+        assert latest[cid].n_turns == w.n_turns, cid
+        assert latest[cid].n_errors == w.n_errors
+        assert latest[cid].max_turn == w.max_turn
+        acc = 0
+        for (c, t), txt in gold.items():
+            if c == cid:
+                acc ^= stateful.turn_digest(c, t, txt or "")
+        assert latest[cid].content_hash == f"{acc:032x}", cid
