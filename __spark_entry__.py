@@ -21,14 +21,20 @@ from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Input = the sf0.001 ``documents`` parquet lifted into transcript turns
+    (plain-text family) UNION a small deterministic synthetic corpus
+    (mini-PDF content streams, HTML boilerplate, corrupt payloads), so the
+    flagship run exercises every extraction kernel plus the salted ordered
+    concat."""
     from pyspark.sql import Window
 
-    from pdf_parse_new_spark import pipeline
+    from pdf_parse_new_spark import fixtures, pipeline
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
-    transcripts = docs.select(
+    doc_turns = docs.select(
         F.col("source").alias("conv_id"),
         (rn - 1).alias("turn_idx"),
         F.element_at(
@@ -39,8 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
         F.lit("").alias("tool"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
     )
+    synth = fixtures.make_transcripts_df_dist(
+        spark, n_convs=20, median_turns=8, skew_convs=1, skew_turns=60,
+        partitions=4,
+    )
     return pipeline.extract_conversations(
-        transcripts, pipeline.Options(salt_block=64)
+        doc_turns.unionByName(synth), pipeline.Options(salt_block=64)
     )
 
 

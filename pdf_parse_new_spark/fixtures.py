@@ -21,7 +21,7 @@ from pdf_parse_new_spark import spec
 
 SEED = 42
 # bump when payload generation changes — cached bench corpora key on this
-FIXTURES_VERSION = 2
+FIXTURES_VERSION = 3
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)
@@ -75,9 +75,14 @@ def _content_stream(rng: random.Random, n_lines: int) -> tuple[str, str]:
                 ops.append("T*")
                 y -= leading
         kind = rng.randint(0, 4)
-        if kind == 0:  # plain Tj
+        if kind == 0:  # plain Tj; sometimes a large-font "title" line
             s = _line(rng)
-            ops.append(f"({_esc(s)}) Tj")
+            if rng.random() < 0.25:
+                ops.append("/F1 18 Tf")
+                ops.append(f"({_esc(s)}) Tj")
+                ops.append("/F1 12 Tf")
+            else:
+                ops.append(f"({_esc(s)}) Tj")
             expected_lines.append(s)
         elif kind == 1:  # TJ with kerning numbers
             words = [rng.choice(_WORDS) for _ in range(rng.randint(3, 6))]

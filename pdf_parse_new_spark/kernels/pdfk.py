@@ -79,6 +79,7 @@ _CLAUSE = re.compile(
     | (?P<tstar>T\*)
     | (?P<q1>{_STR})\s+'
     | {_NUM}\s+{_NUM}\s+(?P<q2>{_STR})\s+"
+    | /[A-Za-z0-9]+\s+(?P<tfs>{_NUM})\s+Tf
     | (?P<bt>BT)
     | {_STR} | {_NUM} | /[A-Za-z0-9]+ | [A-Za-z'"*]+
     """,
@@ -87,17 +88,24 @@ _CLAUSE = re.compile(
 _ARR_TOK = re.compile(rf"(?P<str>{_STR})|(?P<num>{_NUM})", re.S)
 
 
-def _tokenize(stream: str) -> tuple[list[str], list[float]]:
-    """-> parallel arrays (item strings, item Y coords)."""
+def _tokenize(stream: str) -> tuple[list[str], list[float], list[float]]:
+    """-> parallel arrays (item strings, item Y coords, item font scales).
+
+    Font scale comes from the Tf operator (the reference exposes it as
+    ``transform[0]``, consumed by the title-only custom render example,
+    test/examples/09-custom-render.js:62-79)."""
     strs: list[str] = []
     ys: list[float] = []
+    scales: list[float] = []
     y = leading = 0.0
+    scale = 0.0
     thresh = -spec.TJ_SPACE_THRESHOLD
     for m in _CLAUSE.finditer(stream):
         g = m.lastgroup
         if g == "tj":
             strs.append(_bidi(_unescape(m.group("tj"))))
             ys.append(y)
+            scales.append(scale)
         elif g == "tdop":
             dy = float(m.group("tdy"))
             if m.group("tdop") == "TD":
@@ -116,19 +124,24 @@ def _tokenize(stream: str) -> tuple[list[str], list[float]]:
                     buf.append(" ")
             strs.append(_bidi("".join(buf)))
             ys.append(y)
+            scales.append(scale)
         elif g == "q1":
             y -= leading
             strs.append(_bidi(_unescape(m.group("q1"))))
             ys.append(y)
+            scales.append(scale)
         elif g == "q2":
             y -= leading
             strs.append(_bidi(_unescape(m.group("q2"))))
             ys.append(y)
+            scales.append(scale)
         elif g == "tlv":
             leading = float(m.group("tlv"))
+        elif g == "tfs":
+            scale = float(m.group("tfs"))
         elif g == "bt":
             y = 0.0
-    return strs, ys
+    return strs, ys, scales
 
 
 def _fold(strs: list[str], ys: list[float]) -> str:
@@ -283,7 +296,8 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
         except Exception:
             fail(spec.ERR_FLATE)
             continue
-        texts.append(_fold(*_tokenize(stream)))
+        s_, y_, _ = _tokenize(stream)
+        texts.append(_fold(s_, y_))
         spans.append({"start": base + i, "end": base + j, "kind": "page"})
 
     if err is not None and all(t == "" for t in texts):

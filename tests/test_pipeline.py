@@ -91,6 +91,32 @@ def test_custom_kernel_module(spark, smoke_df):
     assert {r.extracted_text for r in df2.collect()} == {"CONSTANT"}
 
 
+def test_title_only_kernel(spark, smoke_df):
+    # P5: font-size filter — titles (Tf scale > 12) only, via the example
+    # kernel (reference test/examples/09-custom-render.js:62-79)
+    full = {
+        (r.conv_id, r.turn_idx): r
+        for r in extract.extract_turns(smoke_df).collect()
+    }
+    titles = extract.extract_turns(
+        smoke_df, kernel="pdf_parse_new_spark.kernels.examples:title_only_kernel"
+    ).collect()
+    fewer = 0
+    for r in titles:
+        base = full[(r.conv_id, r.turn_idx)]
+        if r.family != "pdfstream" or r.error is not None:
+            assert r.extracted_text == base.extracted_text
+            continue
+        # every kept line is a line of the full extraction; output shrinks
+        base_lines = set(base.extracted_text.split("\n"))
+        for line in r.extracted_text.split("\n"):
+            if line:
+                assert line in base_lines, (r.conv_id, r.turn_idx, line)
+        if len(r.extracted_text) < len(base.extracted_text):
+            fewer += 1
+    assert fewer > 0  # the corpus contains title lines
+
+
 def test_error_rows_never_fail_job(spark, smoke_df, golden):
     rows = extract.extract_turns(smoke_df).collect()
     n_err = sum(1 for r in rows if r.error is not None)

@@ -82,4 +82,5 @@ def test_content_stream_tokenizer(seed, n_lines):
     from pdf_parse_new_spark.kernels import pdfk
 
     assert oracle.fold_lines(oracle.tokenize_content(stream)) == expected
-    assert pdfk._fold(*pdfk._tokenize(stream)) == expected
+    strs, ys, _scales = pdfk._tokenize(stream)
+    assert pdfk._fold(strs, ys) == expected
