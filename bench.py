@@ -73,9 +73,14 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: steady-state throughput is the north metric; a single
+        # sample is hostage to GC/shuffle-spill jitter
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     bench("extract_turns", lambda: run(extract.extract_turns(src)))
     bench(

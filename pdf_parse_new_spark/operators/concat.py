@@ -64,6 +64,10 @@ def _finish(df: DataFrame, leading_separator: bool) -> DataFrame:
         F.col("n_extracted").cast("int").alias("n_extracted"),
         "full_text",
         F.col("n_errors").cast("long").alias("n_errors"),
+        F.create_map(
+            F.lit("families"), F.col("_families"),
+            F.lit("n_pages"), F.col("_pages").cast("string"),
+        ).alias("meta"),  # ≙ the reference Result's info/metadata
     )
 
 
@@ -79,6 +83,8 @@ def concat_conversations(
         F.size(kept).alias("n_extracted"),
         _join_texts(kept).alias("full_text"),
         _err_count(kept).alias("n_errors"),
+        F.array_join(F.array_sort(F.collect_set("family")), ",").alias("_families"),
+        F.sum("n_pages").alias("_pages"),
     )
     return _finish(out, leading_separator)
 
@@ -101,6 +107,8 @@ def concat_conversations_salted(
             F.size(kept).alias("pn_kept"),
             _join_texts(kept).alias("ptext"),
             _err_count(kept).alias("perr"),
+            F.collect_set("family").alias("pfams"),
+            F.sum("n_pages").alias("ppages"),
         )
     )
     parts = F.array_sort(
@@ -114,5 +122,10 @@ def concat_conversations_salted(
             "full_text"
         ),
         F.sum("perr").alias("n_errors"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("pfams")))),
+            ",",
+        ).alias("_families"),
+        F.sum("ppages").alias("_pages"),
     )
     return _finish(out, leading_separator)

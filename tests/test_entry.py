@@ -28,7 +28,7 @@ def test_entry_runs_and_has_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {
-        "conv_id", "n_turns", "n_extracted", "full_text", "n_errors"
+        "conv_id", "n_turns", "n_extracted", "full_text", "n_errors", "meta"
     }
 
 

@@ -181,3 +181,4 @@ def test_salted_equals_unsalted(spark, smoke_df):
         assert pa[cid].n_turns == pb[cid].n_turns
         assert pa[cid].n_extracted == pb[cid].n_extracted
         assert pa[cid].n_errors == pb[cid].n_errors
+        assert pa[cid].meta == pb[cid].meta  # families + n_pages map
