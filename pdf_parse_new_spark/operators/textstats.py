@@ -109,3 +109,28 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", lang_id_udf(F.col(text_col)))
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Pure-expression language ID (JVM, codegen): per-language marker-token
+    hit counts, argmax with declaration-order tie-break, 'und' on no hits.
+    Token-exact (not substring) — SQL-oracle-checkable, and the scale path."""
+    toks = tokens(col)
+
+    def marker_hits(ws: tuple[str, ...]) -> Column:
+        lits = [F.lit(w) for w in ws]
+        return F.size(F.filter(toks, lambda x: x.isin(*lits)))  # unary lambda!
+
+    scores = {lang: marker_hits(ws) for lang, ws in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    # build the first-wins argmax as a reversed when-chain
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for other in langs[:i]:
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(pred)

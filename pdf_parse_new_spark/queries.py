@@ -463,6 +463,43 @@ ORDER BY cnt DESC, bigram LIMIT 10
 """
 
 
+def q_lang_id_expr(spark, sf_dir):
+    """Expression-based language ID (JVM argmax over marker-token hits) —
+    the SQL-checkable twin of the pandas-UDF lang_id."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.lang_id_expr(F.col("text")).alias("pred_lang")
+    )
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, ws in textstats.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        parts.append(
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({lst})))"
+            f" AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+def _sql_lang_case() -> str:
+    langs = list(textstats.LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} > s_{o}" for o in langs[:i]]
+        conds += [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+SQL_LANG_ID_EXPR = f"""
+WITH s AS (SELECT doc_id, {_sql_lang_scores()} FROM documents)
+SELECT doc_id, {_sql_lang_case()} AS pred_lang FROM s
+"""
+
+
 def q_orders_monthly(spark, sf_dir):
     """date_trunc month rollup (temporal functions parity)."""
     o = load(spark, sf_dir, "orders")
@@ -586,6 +623,7 @@ SQL_CHECKED = {
     "events_user_span": (q_events_user_span, SQL_EVENTS_USER_SPAN),
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "orders_monthly": (q_orders_monthly, SQL_ORDERS_MONTHLY),
+    "lang_id_expr": (q_lang_id_expr, SQL_LANG_ID_EXPR),
 }
 
 ROWS_ONLY = {

@@ -49,3 +49,36 @@ def test_contract_key_integrity():
 def test_cheap_queries_return_rows(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() > 0
+
+
+def test_sql_function_registry(spark, smoke_df):
+    from pdf_parse_new_spark import oracle
+    from pdf_parse_new_spark.functions import register_all
+
+    register_all(spark)
+    smoke_df.createOrReplaceTempView("transcripts_sql")
+    rows = spark.sql(
+        "SELECT conv_id, turn_idx, text, extract_text(text) AS t, "
+        "extract_error(text) AS e, payload_family(text) AS f "
+        "FROM transcripts_sql"
+    ).collect()
+    assert rows
+    for r in rows[:50]:
+        ex = oracle.extract(r.text)
+        assert r.t == ex.text and r.e == ex.error and r.f == ex.family
+
+
+def test_lang_id_expr_matches_udf(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parse_new_spark.operators import textstats
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    both = d.select(
+        textstats.lang_id_udf(F.col("text")).alias("udf"),
+        textstats.lang_id_expr(F.col("text")).alias("expr"),
+    ).collect()
+    agree = sum(1 for r in both if r.udf == r.expr)
+    # the UDF counts substring hits, the expression counts exact tokens —
+    # they agree on this corpus (single-space separated words)
+    assert agree == len(both)
