@@ -26,16 +26,6 @@ import pandas as pd
 
 from pdf_parse_new_spark import spec
 
-_TOKEN = re.compile(
-    r"""
-      (?P<str>\((?:\\.|[^\\()])*\))
-    | (?P<arr>\[(?:\\.|\((?:\\.|[^\\()])*\)|[^\]])*\])
-    | (?P<name>/[A-Za-z0-9]+)
-    | (?P<num>[-+]?(?:\d+\.?\d*|\.\d+))
-    | (?P<op>[A-Za-z'"*]+)
-    """,
-    re.X | re.S,
-)
 _OBJ = re.compile(r"(\d+) 0 obj\b")
 _CONTENTS = re.compile(r"/Contents (\d+) 0 R")
 _STARTXREF = re.compile(r"startxref\s+(\d+)\s*%%EOF\s*$")
