@@ -21,7 +21,7 @@ from pdf_parse_new_spark import spec
 
 SEED = 42
 # bump when payload generation changes — cached bench corpora key on this
-FIXTURES_VERSION = 3
+FIXTURES_VERSION = 4
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)
@@ -216,11 +216,21 @@ def build_html(rng: random.Random) -> str:
         "<p>read <a href='#'>more more more more more more</a> "
         f"<a href='#'>{rng.choice(_WORDS)}</a> ok</p>"
     )  # link-ratio too high -> dropped
+    # main-content leaf div (kept: long text, no links, low tag density)
+    main_div = (
+        f"<div class='main'>{' '.join(rng.choice(_WORDS) for _ in range(rng.randint(8, 16)))}</div>"
+    )
+    # widget div: tag-dense (one tag per word) -> dropped by tag density
+    widget = (
+        "<div class='widget'>"
+        + "".join(f"<span>{rng.choice(_WORDS)}</span> " for _ in range(8))
+        + "</div>"
+    )
     return (
         "<!DOCTYPE html><html><head><title>t</title>"
         "<style>p{color:red}</style></head><body>"
         f"<nav>{nav_links}</nav><ul class='sidebar'>{side}</ul>"
-        f"{short}{''.join(paras)}{linky}"
+        f"{widget}{short}{''.join(paras)}{main_div}{linky}"
         f"<footer>{nav_links}</footer></body></html>"
     )
 

@@ -20,7 +20,7 @@ import pandas as pd
 
 from pdf_parse_new_spark import spec
 
-_PARA = re.compile(r"<p\b[^>]*>(.*?)</p>", re.S | re.I)
+_BLOCK = re.compile(r"<(p|div)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _TAG_RE = r"<[^>]+>"
 
@@ -33,13 +33,14 @@ def _clean(col: pd.Series) -> pd.Series:
 
 
 def extract(texts: pd.Series) -> pd.DataFrame:
-    rows, starts, ends, inners = [], [], [], []
+    rows, starts, ends, inners, tags = [], [], [], [], []
     for idx, raw in texts.items():
-        for m in _PARA.finditer(raw):
+        for m in _BLOCK.finditer(raw):
             rows.append(idx)
             starts.append(m.start())
             ends.append(m.end())
-            inners.append(m.group(1))
+            inners.append(m.group(2))
+            tags.append(m.group(1).lower())
 
     out = pd.DataFrame(
         {
@@ -54,15 +55,21 @@ def extract(texts: pd.Series) -> pd.DataFrame:
     if not rows:
         return out
 
-    flat = pd.DataFrame({"row": rows, "start": starts, "end": ends, "inner": inners})
+    flat = pd.DataFrame(
+        {"row": rows, "start": starts, "end": ends, "inner": inners, "tag": tags}
+    )
     flat["text"] = _clean(flat["inner"])
     link_inner = flat["inner"].str.findall(_LINK).str.join("")
     flat["link_len"] = (
         link_inner.str.replace(_TAG_RE, "", regex=True).str.strip().str.len()
     )
     tlen = flat["text"].str.len()
-    keep = (tlen >= spec.HTML_MIN_TEXT_LEN) & (
-        flat["link_len"] <= spec.HTML_MAX_LINK_RATIO * tlen.clip(lower=1)
+    n_words = flat["text"].str.split(" ").str.len().clip(lower=1)
+    tag_count = flat["inner"].str.count("<")
+    keep = (
+        (tlen >= spec.HTML_MIN_TEXT_LEN)
+        & (flat["link_len"] <= spec.HTML_MAX_LINK_RATIO * tlen.clip(lower=1))
+        & (tag_count <= spec.HTML_MAX_TAG_DENSITY * n_words)
     )
     kept = flat[keep]
     if len(kept):
@@ -70,15 +77,16 @@ def extract(texts: pd.Series) -> pd.DataFrame:
         # order so append order == document order
         texts_by_row: dict = {}
         spans_by_row: dict = {}
-        for row, s, e, txt in zip(
+        for row, s, e, txt, tag in zip(
             kept["row"].to_numpy(),
             kept["start"].to_numpy(),
             kept["end"].to_numpy(),
             kept["text"].to_numpy(),
+            kept["tag"].to_numpy(),
         ):
             texts_by_row.setdefault(row, []).append(txt)
             spans_by_row.setdefault(row, []).append(
-                {"start": int(s), "end": int(e), "kind": "p"}
+                {"start": int(s), "end": int(e), "kind": tag}
             )
         joined = pd.Series(
             {r: "\n".join(v) for r, v in texts_by_row.items()}

@@ -322,7 +322,7 @@ def extract_pdf(raw: str) -> Extraction:
 
 # ------------------------------------------------------------------- HTML ---
 
-_PARA = re.compile(r"<p\b[^>]*>(.*?)</p>", re.S | re.I)
+_BLOCK = re.compile(r"<(p|div)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _TAG = re.compile(r"<[^>]+>")
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _WS = re.compile(r"\s+")
@@ -336,17 +336,22 @@ def _html_clean(fragment: str) -> str:
 
 
 def extract_html(raw: str) -> Extraction:
+    """Main-content blocks by text-length + link-ratio + tag-density scoring
+    (north-rule axis B; spec.py thresholds)."""
     res = Extraction(family=spec.FAM_HTML)
     kept: list[str] = []
-    for m in _PARA.finditer(raw):
-        inner = m.group(1)
+    for m in _BLOCK.finditer(raw):
+        tag, inner = m.group(1).lower(), m.group(2)
         text = _html_clean(inner)
         link_len = len(_TAG.sub("", "".join(_LINK.findall(inner))).strip())
-        if len(text) >= spec.HTML_MIN_TEXT_LEN and (
-            link_len <= spec.HTML_MAX_LINK_RATIO * max(1, len(text))
+        n_words = max(1, len(text.split(" "))) if text else 1
+        if (
+            len(text) >= spec.HTML_MIN_TEXT_LEN
+            and link_len <= spec.HTML_MAX_LINK_RATIO * max(1, len(text))
+            and inner.count("<") <= spec.HTML_MAX_TAG_DENSITY * n_words
         ):
             kept.append(text)
-            res.spans.append((m.start(), m.end(), "p"))
+            res.spans.append((m.start(), m.end(), tag))
     res.text = _nfkc("\n".join(kept))
     res.n_pages = 1
     return res

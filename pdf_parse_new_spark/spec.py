@@ -64,8 +64,15 @@ RTL_RANGES = (
 RTL_CLASS = "".join(f"{a}-{b}" for a, b in RTL_RANGES)
 
 # --- HTML boilerplate-strip thresholds (north-rule axis B) ---
-HTML_MIN_TEXT_LEN = 25      # kept paragraphs need >= this many visible chars
-HTML_MAX_LINK_RATIO = 0.33  # and at most this fraction of link text
+# Candidate blocks are non-overlapping <p> or <div> elements scanned
+# left-to-right (the generator guarantees divs contain no nested block
+# elements). A block is main content iff ALL of:
+#   len(visible text) >= HTML_MIN_TEXT_LEN
+#   link_text_len <= HTML_MAX_LINK_RATIO * len(visible text)
+#   count('<' in inner html) <= HTML_MAX_TAG_DENSITY * word count
+HTML_MIN_TEXT_LEN = 25      # kept blocks need >= this many visible chars
+HTML_MAX_LINK_RATIO = 0.33  # at most this fraction of link text
+HTML_MAX_TAG_DENSITY = 0.25  # at most this many tags per visible word
 
 # --- error codes (per-turn error rows; never job failures) ---
 ERR_BINARY = "binary-garbage"

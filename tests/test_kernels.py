@@ -133,8 +133,8 @@ def test_spans_point_into_raw_payload():
         res = oracle.extract(raw)
         for s, e, kind in res.spans:
             assert 0 <= s <= e <= len(raw)
-            if kind == "p":
-                assert raw[s : s + 2] == "<p"
+            if kind in ("p", "div"):
+                assert raw[s : s + 1 + len(kind)] == f"<{kind}"
 
 
 def test_concat_semantics():
