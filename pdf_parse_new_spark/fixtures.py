@@ -21,7 +21,7 @@ from pdf_parse_new_spark import spec
 
 SEED = 42
 # bump when payload generation changes — cached bench corpora key on this
-FIXTURES_VERSION = 4
+FIXTURES_VERSION = 5
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)
@@ -125,7 +125,7 @@ def _esc(s: str) -> str:
 
 
 def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False,
-              xref_stream: bool = False) -> str:
+              xref_stream: bool = False, obj_stream: bool = False) -> str:
     """Serialize a deterministic ASCII mini-PDF (spec.py format).
 
     ``break_xref=True`` zeroes the xref offsets: still a *valid* document —
@@ -135,18 +135,47 @@ def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False,
     ``xref_stream=True`` replaces the classic table with a PDF-1.5-style
     cross-reference *stream* object: ``/Type /XRef /W [1 4 2]`` dict whose
     (zlib+base64-framed) body holds packed binary rows ``type:1 offset:4
-    gen:2`` (reference ``readXRefStream``, pdf.worker.js:58264-58330)."""
+    gen:2`` (reference ``readXRefStream``, pdf.worker.js:58264-58330).
+
+    ``obj_stream=True`` (implies ``xref_stream``) additionally packs the
+    page dict objects into a ``/Type /ObjStm`` compressed object stream;
+    their xref rows become type-2 ``(objstm, index)`` entries (reference
+    compressed object streams, pdf.js XRef fetchCompressed)."""
     objects: list[tuple[int, str]] = []
+    page_nums: list[int] = []
     next_obj = 1
     for _ in range(n_pages):
         page_no, content_no = next_obj, next_obj + 1
         next_obj += 2
         stream, _ = _content_stream(rng, rng.randint(2, 6))
         payload = base64.b64encode(zlib.compress(stream.encode("utf-8"))).decode("ascii")
+        page_nums.append(page_no)
         objects.append((page_no, f"<< /Type /Page /Contents {content_no} 0 R >>"))
         objects.append((
             content_no,
             f"<< /Length {len(payload)} /Filter /FlateDecode >>\n"
+            f"stream\n{payload}\nendstream",
+        ))
+    if obj_stream:
+        xref_stream = True
+        packed_pages = [(n, b) for n, b in objects if n in set(page_nums)]
+        objects = [(n, b) for n, b in objects if n not in set(page_nums)]
+        bodies = "".join(b for _, b in packed_pages)
+        offs, acc = [], 0
+        for _, b in packed_pages:
+            offs.append(acc)
+            acc += len(b)
+        header = (
+            " ".join(f"{n} {o}" for (n, _), o in zip(packed_pages, offs)) + "\n"
+        )
+        stm = header + bodies
+        payload = base64.b64encode(zlib.compress(stm.encode("utf-8"))).decode("ascii")
+        objstm_no = next_obj
+        next_obj += 1
+        objects.append((
+            objstm_no,
+            f"<< /Type /ObjStm /N {len(packed_pages)} /First {len(header)} "
+            f"/Length {len(payload)} /Filter /FlateDecode >>\n"
             f"stream\n{payload}\nendstream",
         ))
     out, offsets = ["%PDF-1.4\n"], {}
@@ -162,7 +191,11 @@ def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False,
         rows = bytearray()
         rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
         for num in range(1, size):
-            rows += bytes([1]) + offsets[num].to_bytes(4, "big") + b"\x00\x00"
+            if obj_stream and num in set(page_nums):
+                idx = page_nums.index(num)
+                rows += bytes([2]) + (size - 1).to_bytes(4, "big") + idx.to_bytes(2, "big")
+            else:
+                rows += bytes([1]) + offsets[num].to_bytes(4, "big") + b"\x00\x00"
         payload = base64.b64encode(zlib.compress(bytes(rows))).decode("ascii")
         out.append(
             f"{size} 0 obj\n"
@@ -293,7 +326,12 @@ def payload_for(conv_id: str, turn_idx: int) -> tuple[str, str]:
             rng, 1, break_xref=r < 0.15, xref_stream=0.15 <= r < 0.30
         )
     if fam == "pdfstream-multiline":
-        return fam, build_pdf(rng, rng.randint(2, 4), xref_stream=rng.random() < 0.3)
+        r = rng.random()
+        n = rng.randint(2, 4)
+        # 30% xref-stream docs (S5), 15% compressed-object-stream docs
+        return fam, build_pdf(
+            rng, n, xref_stream=r < 0.30, obj_stream=0.30 <= r < 0.45
+        )
     if fam == "html":
         return fam, build_html(rng)
     if fam == "plain":

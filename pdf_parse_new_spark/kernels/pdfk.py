@@ -175,44 +175,101 @@ def _slice_objects(raw: str, offsets: dict[int, int]) -> dict[int, tuple[int, st
 _W_ARR = re.compile(r"/W \[(\d+) (\d+) (\d+)\]")
 
 
-def _read_xref_stream(raw: str, xref_off: int) -> dict[int, int]:
+_OBJSTM_HDR = re.compile(r"/N (\d+) /First (\d+)")
+
+
+def _read_xref_stream(
+    raw: str, xref_off: int
+) -> tuple[dict[int, int], dict[int, tuple[int, int]]]:
     """Cross-reference *stream*: decode the /W-packed binary rows with numpy
-    (reference ``readXRefStream``, pdf.worker.js:58264-58330)."""
+    (reference ``readXRefStream``, pdf.worker.js:58264-58330). Type-1 rows
+    give direct offsets; type-2 rows point into /ObjStm containers."""
     om = _OBJ.match(raw, xref_off)
     if om is None:
-        return {}
+        return {}, {}
     end = raw.find("endobj", xref_off)
     body = raw[om.end() : end if end > 0 else len(raw)]
     if "/Type /XRef" not in body:
-        return {}
+        return {}, {}
     wm = _W_ARR.search(body)
     i = body.find("stream\n")
     j = body.find("\nendstream")
     if wm is None or i < 0 or j < 0:
-        return {}
+        return {}, {}
     try:
         packed = zlib.decompress(
             base64.b64decode(body[i + len("stream\n") : j], validate=True)
         )
     except Exception:
-        return {}
+        return {}, {}
     w = [int(x) for x in wm.groups()]
     rowlen = sum(w)
     n = len(packed) // rowlen
     if n == 0:
-        return {}
+        return {}, {}
     arr = np.frombuffer(packed[: n * rowlen], dtype=np.uint8).reshape(n, rowlen)
     typ = (
         arr[:, : w[0]].astype(np.int64) @ (256 ** np.arange(w[0] - 1, -1, -1))
         if w[0]
         else np.ones(n, dtype=np.int64)
     )
-    off = arr[:, w[0] : w[0] + w[1]].astype(np.int64) @ (
+    f2 = arr[:, w[0] : w[0] + w[1]].astype(np.int64) @ (
         256 ** np.arange(w[1] - 1, -1, -1)
     )
+    f3 = arr[:, w[0] + w[1] :].astype(np.int64) @ (
+        256 ** np.arange(w[2] - 1, -1, -1)
+    )
     nums = np.arange(n)
-    keep = typ == 1
-    return dict(zip(nums[keep].tolist(), off[keep].tolist()))
+    direct = dict(zip(nums[typ == 1].tolist(), f2[typ == 1].tolist()))
+    compressed = {
+        int(k): (int(s), int(ix))
+        for k, s, ix in zip(nums[typ == 2], f2[typ == 2], f3[typ == 2])
+    }
+    return direct, compressed
+
+
+def _expand_objstm(
+    raw: str,
+    objs: dict[int, tuple[int, str]],
+    compressed: dict[int, tuple[int, int]],
+) -> dict[int, tuple[int, str]]:
+    """Resolve type-2 entries from /Type /ObjStm containers (header of
+    N (objnum, offset) pairs, bodies packed at /First + offset)."""
+    out = dict(objs)
+    cache: dict[int, list[tuple[int, str]] | None] = {}
+    for num, (stm_num, idx) in compressed.items():
+        if stm_num not in cache:
+            cache[stm_num] = None
+            body = objs.get(stm_num, (0, ""))[1]
+            hm = _OBJSTM_HDR.search(body)
+            i = body.find("stream\n")
+            j = body.find("\nendstream")
+            if "/Type /ObjStm" in body and hm and i >= 0 and j >= 0:
+                try:
+                    stm = zlib.decompress(
+                        base64.b64decode(
+                            body[i + len("stream\n") : j], validate=True
+                        )
+                    ).decode("utf-8")
+                except Exception:
+                    continue
+                nn, first = int(hm.group(1)), int(hm.group(2))
+                ints = stm[:first].split()
+                pairs = [
+                    (int(ints[2 * k]), int(ints[2 * k + 1]))
+                    for k in range(min(nn, len(ints) // 2))
+                ]
+                items = []
+                for k, (onum, ooff) in enumerate(pairs):
+                    stop = (
+                        first + pairs[k + 1][1] if k + 1 < len(pairs) else len(stm)
+                    )
+                    items.append((onum, stm[first + ooff : stop]))
+                cache[stm_num] = items
+        items = cache.get(stm_num)
+        if items is not None and idx < len(items) and items[idx][0] == num:
+            out[num] = (-1, items[idx][1])
+    return out
 
 
 def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
@@ -223,6 +280,7 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
 
     # classic xref table at the declared offset; else try an xref stream
     offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
     xref_off = int(m.group(1))
     lines = raw[xref_off:].split("\n")
     if len(lines) >= 2 and lines[0].strip() == "xref":
@@ -238,8 +296,10 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
         except Exception:
             offsets = {}
     else:
-        offsets = _read_xref_stream(raw, xref_off)
+        offsets, compressed = _read_xref_stream(raw, xref_off)
     objs = _slice_objects(raw, offsets) if offsets else {}
+    if objs and compressed:
+        objs = _expand_objstm(raw, objs, compressed)
     if not objs:
         # recovery scan: brute-force re-index every "N 0 obj" marker
         objs = _slice_objects(

@@ -214,27 +214,31 @@ def _decode_stream(body: str) -> tuple[str | None, str | None, tuple[int, int] |
 
 
 _W_ARR = re.compile(r"/W \[(\d+) (\d+) (\d+)\]")
+_OBJSTM_HDR = re.compile(r"/N (\d+) /First (\d+)")
 
 
-def _read_xref_stream(raw: str, xref_off: int) -> dict[int, int]:
+def _read_xref_stream(
+    raw: str, xref_off: int
+) -> tuple[dict[int, int], dict[int, tuple[int, int]]]:
     """PDF-1.5-style cross-reference stream: /Type /XRef object whose packed
     binary rows (widths from /W) map object numbers to offsets (reference
-    ``readXRefStream``, pdf.worker.js:58264-58330). Returns {} if unusable."""
+    ``readXRefStream``, pdf.worker.js:58264-58330). Returns (direct offsets,
+    compressed {num: (objstm_num, index)}); ({}, {}) if unusable."""
     om = _OBJ.match(raw, xref_off)
     if om is None:
-        return {}
+        return {}, {}
     end = raw.find("endobj", xref_off)
     body = raw[om.end() : end if end > 0 else len(raw)]
     if "/Type /XRef" not in body:
-        return {}
+        return {}, {}
     wm = _W_ARR.search(body)
     if wm is None:
-        return {}
+        return {}, {}
     w = tuple(int(x) for x in wm.groups())
     data_b64_start = body.find("stream\n")
     data_b64_end = body.find("\nendstream")
     if data_b64_start < 0 or data_b64_end < 0:
-        return {}
+        return {}, {}
     try:
         packed = zlib.decompress(
             base64.b64decode(
@@ -243,16 +247,61 @@ def _read_xref_stream(raw: str, xref_off: int) -> dict[int, int]:
             )
         )
     except Exception:
-        return {}
+        return {}, {}
     rowlen = sum(w)
     offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
     for num in range(len(packed) // rowlen):
         row = packed[num * rowlen : (num + 1) * rowlen]
         typ = int.from_bytes(row[: w[0]], "big") if w[0] else 1
-        off = int.from_bytes(row[w[0] : w[0] + w[1]], "big")
+        f2 = int.from_bytes(row[w[0] : w[0] + w[1]], "big")
+        f3 = int.from_bytes(row[w[0] + w[1] :], "big")
         if typ == 1:
-            offsets[num] = off
-    return offsets
+            offsets[num] = f2
+        elif typ == 2:  # compressed: lives in object stream f2 at index f3
+            compressed[num] = (f2, f3)
+    return offsets, compressed
+
+
+def _expand_objstm(
+    objs: dict[int, tuple[int, str]], compressed: dict[int, tuple[int, int]]
+) -> dict[int, tuple[int, str]]:
+    """Resolve type-2 entries by decoding their /Type /ObjStm containers
+    (reference compressed object streams; pdf.js XRef fetchCompressed).
+    Layout: header of N (objnum offset) integer pairs, then bodies packed at
+    /First + offset."""
+    out = dict(objs)
+    cache: dict[int, list[tuple[int, str]] | None] = {}
+    for num, (stm_num, idx) in compressed.items():
+        if stm_num not in cache:
+            cache[stm_num] = None
+            if stm_num in objs:
+                body = objs[stm_num][1]
+                if "/Type /ObjStm" in body:
+                    stream, err, _span = _decode_stream(body)
+                    hm = _OBJSTM_HDR.search(body)
+                    if stream is not None and hm is not None:
+                        n, first = int(hm.group(1)), int(hm.group(2))
+                        ints = stream[: first].split()
+                        pairs = [
+                            (int(ints[2 * k]), int(ints[2 * k + 1]))
+                            for k in range(min(n, len(ints) // 2))
+                        ]
+                        items: list[tuple[int, str]] = []
+                        for k, (onum, ooff) in enumerate(pairs):
+                            stop = (
+                                first + pairs[k + 1][1]
+                                if k + 1 < len(pairs)
+                                else len(stream)
+                            )
+                            items.append((onum, stream[first + ooff : stop]))
+                        cache[stm_num] = items
+        items = cache.get(stm_num)
+        if items is not None and idx < len(items):
+            onum, obody = items[idx]
+            if onum == num:
+                out[num] = (-1, obody)  # no raw offset: synthetic slice
+    return out
 
 
 def extract_pdf(raw: str) -> Extraction:
@@ -263,11 +312,12 @@ def extract_pdf(raw: str) -> Extraction:
     xref_off = int(m.group(1))
 
     offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
     sec = raw[xref_off:]
     lines = sec.split("\n")
     ok = len(lines) >= 2 and lines[0].strip() == "xref"
     if not ok:
-        offsets = _read_xref_stream(raw, xref_off)
+        offsets, compressed = _read_xref_stream(raw, xref_off)
     if ok:
         try:
             first, count = (int(x) for x in lines[1].split())
@@ -283,6 +333,8 @@ def extract_pdf(raw: str) -> Extraction:
         if not ok:
             offsets = {}  # a malformed table is unusable as a whole
     objs = _object_slices(raw, offsets) if offsets else {}
+    if objs and compressed:
+        objs = _expand_objstm(objs, compressed)
     if not objs:
         offsets = _recovery_scan(raw)  # fallback: brute-force re-index
         objs = _object_slices(raw, offsets)

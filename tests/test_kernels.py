@@ -113,6 +113,24 @@ def test_xref_stream_equals_classic_table():
     assert a.text == b.text != ""
 
 
+def test_object_stream_equals_classic(spark=None):
+    import random
+
+    rng = random.Random(7)
+    classic = fixtures.build_pdf(rng, 3)
+    rng = random.Random(7)
+    packed = fixtures.build_pdf(rng, 3, obj_stream=True)
+    a, b = oracle.extract(classic), oracle.extract(packed)
+    assert a.error is None and b.error is None
+    assert a.text == b.text != ""
+    assert b.n_pages == 3
+    k = kernels.extract_batch(pd.Series([packed])).iloc[0]
+    assert k.extracted_text == b.text and k.error is None
+    # spans still point at the top-level content streams
+    for s in b.spans:
+        assert packed[s[0] - 7 : s[0]] == "stream\n"
+
+
 def test_html_boilerplate_dropped():
     import random
 

@@ -34,13 +34,15 @@ def _agree(payload: str) -> None:
     n_pages=st.integers(1, 5),
     break_xref=st.booleans(),
     xref_stream=st.booleans(),
+    obj_stream=st.booleans(),
 )
-def test_pdf_payloads(seed, n_pages, break_xref, xref_stream):
+def test_pdf_payloads(seed, n_pages, break_xref, xref_stream, obj_stream):
     rng = random.Random(seed)
     _agree(
         fixtures.build_pdf(
-            rng, n_pages, break_xref=break_xref and not xref_stream,
-            xref_stream=xref_stream,
+            rng, n_pages,
+            break_xref=break_xref and not (xref_stream or obj_stream),
+            xref_stream=xref_stream, obj_stream=obj_stream,
         )
     )
 
