@@ -21,7 +21,7 @@ from pdf_parse_new_spark import spec
 
 SEED = 42
 # bump when payload generation changes — cached bench corpora key on this
-FIXTURES_VERSION = 5
+FIXTURES_VERSION = 6
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)
@@ -122,6 +122,44 @@ def _content_stream(rng: random.Random, n_lines: int) -> tuple[str, str]:
 
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf_incremental(rng: random.Random, n_pages: int) -> str:
+    """Incrementally-updated document: a base classic doc plus an appended
+    update section (new page + content objects, a second xref subsection
+    covering only them, and a trailer whose /Prev points at the base xref —
+    the PDF incremental-save layout; reference XRef.parse follows Prev
+    chains, pdf.worker.js:58108-58117)."""
+    base_pages = max(1, n_pages - 1)
+    base = build_pdf(rng, base_pages)
+    base_xref_off = int(base.rsplit("startxref\n", 1)[1].split("\n")[0])
+    next_obj = 2 * base_pages + 1
+    page_no, content_no = next_obj, next_obj + 1
+    stream, _ = _content_stream(rng, rng.randint(2, 6))
+    payload = base64.b64encode(zlib.compress(stream.encode("utf-8"))).decode("ascii")
+    out = [base, "\n"]
+    pos = len(base) + 1
+    offs = {}
+    for num, body in (
+        (page_no, f"<< /Type /Page /Contents {content_no} 0 R >>"),
+        (
+            content_no,
+            f"<< /Length {len(payload)} /Filter /FlateDecode >>\n"
+            f"stream\n{payload}\nendstream",
+        ),
+    ):
+        chunk = f"{num} 0 obj\n{body}\nendobj\n"
+        offs[num] = pos
+        out.append(chunk)
+        pos += len(chunk)
+    xref2 = pos
+    out.append(
+        f"xref\n{page_no} 2\n"
+        f"{offs[page_no]:010d} 00000 n \n{offs[content_no]:010d} 00000 n \n"
+        f"trailer\n<< /Size {content_no + 1} /Root 1 0 R /Prev {base_xref_off} >>\n"
+        f"startxref\n{xref2}\n%%EOF"
+    )
+    return "".join(out)
 
 
 def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False,
@@ -328,7 +366,10 @@ def payload_for(conv_id: str, turn_idx: int) -> tuple[str, str]:
     if fam == "pdfstream-multiline":
         r = rng.random()
         n = rng.randint(2, 4)
-        # 30% xref-stream docs (S5), 15% compressed-object-stream docs
+        # 30% xref-stream docs (S5), 15% compressed object streams,
+        # 15% incrementally-updated docs with /Prev chains
+        if 0.45 <= r < 0.60:
+            return fam, build_pdf_incremental(rng, n)
         return fam, build_pdf(
             rng, n, xref_stream=r < 0.30, obj_stream=0.30 <= r < 0.45
         )

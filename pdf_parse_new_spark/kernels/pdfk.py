@@ -278,22 +278,39 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
     if m is None:
         return "", [], spec.ERR_NO_STARTXREF, 0
 
-    # classic xref table at the declared offset; else try an xref stream
+    # classic xref table at the declared offset (following /Prev chains of
+    # incremental updates, newest section wins); else try an xref stream
     offsets: dict[int, int] = {}
     compressed: dict[int, tuple[int, int]] = {}
     xref_off = int(m.group(1))
     lines = raw[xref_off:].split("\n")
     if len(lines) >= 2 and lines[0].strip() == "xref":
-        try:
-            first, count = (int(x) for x in lines[1].split())
-            for k in range(count):
-                row = _XREF_ROW.match(lines[2 + k])
-                if row is None:
-                    offsets = {}
-                    break
-                if row.group(3) == "n":
-                    offsets[first + k] = int(row.group(1))
-        except Exception:
+        visit: int | None = xref_off
+        seen: set[int] = set()
+        ok = True
+        while ok and visit is not None and visit not in seen:
+            seen.add(visit)
+            lines = raw[visit:].split("\n")
+            if len(lines) < 2 or lines[0].strip() != "xref":
+                ok = False
+                break
+            try:
+                first, count = (int(x) for x in lines[1].split())
+                for k in range(count):
+                    row = _XREF_ROW.match(lines[2 + k])
+                    if row is None:
+                        ok = False
+                        break
+                    if row.group(3) == "n":
+                        offsets.setdefault(first + k, int(row.group(1)))
+            except Exception:
+                ok = False
+            if not ok:
+                break
+            tail = "\n".join(lines[2 + count : 2 + count + 3])
+            pm = re.search(r"/Prev (\d+)", tail)
+            visit = int(pm.group(1)) if pm else None
+        if not ok:
             offsets = {}
     else:
         offsets, compressed = _read_xref_stream(raw, xref_off)

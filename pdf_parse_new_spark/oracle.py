@@ -313,23 +313,37 @@ def extract_pdf(raw: str) -> Extraction:
 
     offsets: dict[int, int] = {}
     compressed: dict[int, tuple[int, int]] = {}
-    sec = raw[xref_off:]
-    lines = sec.split("\n")
+    lines = raw[xref_off:].split("\n")
     ok = len(lines) >= 2 and lines[0].strip() == "xref"
     if not ok:
         offsets, compressed = _read_xref_stream(raw, xref_off)
     if ok:
-        try:
-            first, count = (int(x) for x in lines[1].split())
-            for k in range(count):
-                row = _XREF_ROW.match(lines[2 + k])
-                if not row:
-                    ok = False
-                    break
-                if row.group(3) == "n":
-                    offsets[first + k] = int(row.group(1))
-        except Exception:
-            ok = False
+        # walk the /Prev chain of classic sections; newer sections win
+        # (incremental updates; reference XRef.parse, pdf.worker.js:58108)
+        visit: int | None = xref_off
+        seen: set[int] = set()
+        while ok and visit is not None and visit not in seen:
+            seen.add(visit)
+            lines = raw[visit:].split("\n")
+            if len(lines) < 2 or lines[0].strip() != "xref":
+                ok = False
+                break
+            try:
+                first, count = (int(x) for x in lines[1].split())
+                for k in range(count):
+                    row = _XREF_ROW.match(lines[2 + k])
+                    if not row:
+                        ok = False
+                        break
+                    if row.group(3) == "n":
+                        offsets.setdefault(first + k, int(row.group(1)))
+            except Exception:
+                ok = False
+            if not ok:
+                break
+            tail = "\n".join(lines[2 + count : 2 + count + 3])
+            pm = re.search(r"/Prev (\d+)", tail)
+            visit = int(pm.group(1)) if pm else None
         if not ok:
             offsets = {}  # a malformed table is unusable as a whole
     objs = _object_slices(raw, offsets) if offsets else {}

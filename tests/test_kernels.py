@@ -131,6 +131,18 @@ def test_object_stream_equals_classic(spark=None):
         assert packed[s[0] - 7 : s[0]] == "stream\n"
 
 
+def test_incremental_prev_chain():
+    import random
+
+    for seed in (1, 5):
+        rng = random.Random(seed)
+        inc = fixtures.build_pdf_incremental(rng, 3)
+        res = oracle.extract(inc)
+        assert res.error is None and res.n_pages == 3
+        k = kernels.extract_batch(pd.Series([inc])).iloc[0]
+        assert k.extracted_text == res.text and k.n_pages == 3
+
+
 def test_html_boilerplate_dropped():
     import random
 

@@ -48,6 +48,12 @@ def test_pdf_payloads(seed, n_pages, break_xref, xref_stream, obj_stream):
 
 
 @_settings
+@given(seed=st.integers(0, 10**9), n_pages=st.integers(2, 4))
+def test_incremental_payloads(seed, n_pages):
+    _agree(fixtures.build_pdf_incremental(random.Random(seed), n_pages))
+
+
+@_settings
 @given(seed=st.integers(0, 10**9))
 def test_html_payloads(seed):
     _agree(fixtures.build_html(random.Random(seed)))
