@@ -62,7 +62,7 @@ def build_corpus() -> None:
     spark.stop()
 
 
-def measured_run(cores: int) -> dict:
+def measured_run(cores: int, n_runs: int = 4) -> dict:
     from pdf_parse_new_spark import pipeline
     from pdf_parse_new_spark.session import get_spark
 
@@ -81,7 +81,7 @@ def measured_run(cores: int) -> dict:
 
     one()  # warm-up: python worker pool spin-up
     one()  # warm-up: JIT + page cache steady state
-    times = [one() for _ in range(4)]
+    times = [one() for _ in range(n_runs)]
     med = statistics.median(times)
     out = {
         "cores": cores,
@@ -96,12 +96,12 @@ def measured_run(cores: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "RUN":
-        print("RESULT " + json.dumps(measured_run(int(sys.argv[2]))))
+        print("RESULT " + json.dumps(measured_run(int(sys.argv[2]), 1)))
         return
 
     build_corpus()
-    results = {}
-    for cores in (8, 32):
+
+    def one_run(cores: int) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "RUN", str(cores)],
             capture_output=True, text=True, cwd=os.path.dirname(
@@ -112,8 +112,28 @@ def main() -> None:
         if not line:
             print(proc.stdout[-2000:], proc.stderr[-2000:])
             raise SystemExit(f"run at {cores} cores failed")
-        results[cores] = json.loads(line[-1][len("RESULT "):])
-        print(json.dumps(results[cores]))
+        return json.loads(line[-1][len("RESULT "):])
+
+    # interleave cluster sizes per measurement round so shared-machine noise
+    # drifts hit both sizes alike (a block design would attribute a noisy
+    # window entirely to one size — observed: one run measured "efficiency"
+    # 1.22, which is not physical)
+    samples: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(3):
+        for cores in (8, 32):
+            samples[cores].append(one_run(cores))
+            print(json.dumps(samples[cores][-1]))
+    results = {}
+    for cores in (8, 32):
+        times = sorted(t for s in samples[cores] for t in s["times_sec"])
+        med = times[len(times) // 2]
+        results[cores] = {
+            "cores": cores,
+            "n_turns": samples[cores][0]["n_turns"],
+            "times_sec": times,
+            "median_sec": round(med, 2),
+            "turns_per_sec": round(samples[cores][0]["n_turns"] / med),
+        }
 
     eff = results[32]["turns_per_sec"] / results[8]["turns_per_sec"] / 4.0
     md = f"""# BENCH/BASELINE.md — two-cluster-size scaling evidence
@@ -125,8 +145,9 @@ local[8] vs local[32].
 Job: parquet scan -> mapInPandas extraction kernels -> salted ordered
 conversation concat -> noop sink, over {results[8]['n_turns']:,} transcript
 turns (deterministic corpus incl. 56 skewed 4,000-turn conversations).
-Median of 4 runs after 2 warm-ups (worker spin-up + JIT excluded, matching
-a long-running cluster's steady state).
+Interleaved design: 3 alternating (N, 4N) measurement rounds, each a fresh
+session with 2 warm-ups (worker spin-up + JIT excluded); median over the
+pooled samples per size — shared-machine noise drifts hit both sizes alike.
 
 | cluster size | cores | median wall (s) | throughput (turns/s) |
 |---|---|---|---|
