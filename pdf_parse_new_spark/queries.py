@@ -546,7 +546,10 @@ def q_extract_conversations(spark, sf_dir):
         spark, n_convs=60, median_turns=10, skew_convs=2, skew_turns=120,
         partitions=8,
     )
-    return pipeline.extract_conversations(df, pipeline.Options(salt_block=64))
+    out = pipeline.extract_conversations(df, pipeline.Options(salt_block=64))
+    # driver harness canonicalizes by sorting columns — stringify the nested
+    # meta map here (library API keeps the full map schema)
+    return out.withColumn("meta", F.to_json("meta"))
 
 
 def q_simhash_buckets(spark, sf_dir):
@@ -598,7 +601,13 @@ def q_multimodal_features(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
-    return multimodal.extract_features(d)
+    out = multimodal.extract_features(d)
+    # stringify the feature vector for the driver canonicalizer (round to
+    # kill float32->json jitter; library API returns the real array<float>)
+    return out.withColumn(
+        "feature",
+        F.to_json(F.transform("feature", lambda x: F.round(x.cast("double"), 4))),
+    )
 
 
 SQL_CHECKED = {
