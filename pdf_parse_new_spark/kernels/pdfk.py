@@ -287,6 +287,11 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
     if len(lines) >= 2 and lines[0].strip() == "xref":
         visit: int | None = xref_off
         seen: set[int] = set()
+        # newest section wins for BOTH 'n' and 'f' rows: an object freed in
+        # an incremental update must not be resurrected from an older
+        # section's offset (reference XRef.readXRefTable stores free entries
+        # first-wins and fetch skips them, pdf.worker.js:58213-58231,58613)
+        winner: dict[int, tuple[str, int]] = {}
         ok = True
         while ok and visit is not None and visit not in seen:
             seen.add(visit)
@@ -301,8 +306,9 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
                     if row is None:
                         ok = False
                         break
-                    if row.group(3) == "n":
-                        offsets.setdefault(first + k, int(row.group(1)))
+                    winner.setdefault(
+                        first + k, (row.group(3), int(row.group(1)))
+                    )
             except Exception:
                 ok = False
             if not ok:
@@ -310,8 +316,11 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
             tail = "\n".join(lines[2 + count : 2 + count + 3])
             pm = re.search(r"/Prev (\d+)", tail)
             visit = int(pm.group(1)) if pm else None
-        if not ok:
-            offsets = {}
+        offsets = (
+            {num: off for num, (typ, off) in winner.items() if typ == "n"}
+            if ok
+            else {}
+        )
     else:
         offsets, compressed = _read_xref_stream(raw, xref_off)
     objs = _slice_objects(raw, offsets) if offsets else {}

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf_parse_new_spark import spec
+
 EXTRACT_SCHEMA = (
     "conv_id string, turn_idx int, role string, family string, "
     "extracted_text string, "
@@ -92,12 +94,18 @@ def extract_turns(
             texts = pdf["text"]
             oversize = None
             if max_payload_bytes is not None:
-                oversize = texts.str.len() > max_payload_bytes
+                # UTF-8 byte length, not characters — the knob is a memory
+                # guard, and multi-byte payloads would otherwise slip past it
+                oversize = (
+                    texts.fillna("").str.encode("utf-8").str.len()
+                    > max_payload_bytes
+                )
                 texts = texts.mask(oversize, "")
             res = fn(texts)
             if oversize is not None and oversize.any():
                 res.loc[oversize, "extracted_text"] = ""
                 res.loc[oversize, "error"] = "payload-too-large"
+                res.loc[oversize, "family"] = spec.FAM_CORRUPT
                 res.loc[oversize, "spans"] = res.loc[oversize, "spans"].map(
                     lambda _: []
                 )

@@ -64,12 +64,67 @@ def line_count(col: Column) -> Column:
     return F.size(F.split(col, "\n"))
 
 
-def fingerprint(col: Column, k: int = 8) -> Column:
-    """Rolling k-gram document fingerprint: min over md5 of every k-char
-    window (winnowing-style). Pure JVM expression — array ops + md5."""
-    idx = F.sequence(F.lit(0), F.length(col) - k)
-    return F.array_min(
-        F.transform(idx, lambda i: F.md5(F.substring(col, i + 1, k).cast("binary")))
+def fingerprint(col: Column, k: int = 8, stride: int = 4) -> Column:
+    """Strided k-gram document fingerprint: min over md5 of k-char windows
+    sampled every ``stride`` chars (winnowing-style sample). Pure JVM.
+
+    Strided, not per-char: a per-char window materializes one 32-char hash
+    string per character position — ~1M strings inside ONE row's expression
+    eval for a 1 MB web document. stride=4 keeps the sketch stable while
+    cutting that memory 4x; raise stride for longer corpora. Texts shorter
+    than ``k`` have no window and fingerprint NULL (matches the oracle)."""
+    idx = F.sequence(F.lit(0), F.length(col) - k, F.lit(stride))
+    return F.when(
+        F.length(col) >= k,
+        F.array_min(
+            F.transform(
+                idx, lambda i: F.md5(F.substring(col, i + 1, k).cast("binary"))
+            )
+        ),
+    )
+
+
+def fingerprint_udf(k: int = 8, stride: int = 4):
+    """Linear-time twin of :func:`fingerprint` for LONG documents.
+
+    Spark's ``substring(col, pos, len)`` re-scans the string to find the
+    char boundary at ``pos`` (UTF8String is variable-width), so the
+    expression path is O(n^2/stride) per row — ~24 s for a single 200 KB
+    doc. This Arrow-batched pandas UDF slices in Python (O(1) per window on
+    a str) and md5s each strided window: O(n/stride) per row, ~0.3 s for a
+    1 MB doc. Values are byte-identical to :func:`fingerprint`.
+
+    Rule of thumb: expression path for short fields (<~2 KB, e.g. transcript
+    turns), this UDF for web-document-scale text."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fp(texts: pd.Series) -> pd.Series:
+        def one(t: str | None) -> str | None:
+            if t is None or len(t) < k:
+                return None
+            return min(
+                hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()
+                for i in range(0, len(t) - k + 1, stride)
+            )
+
+        return texts.map(one)
+
+    return fp
+
+
+def fingerprint_xx(col: Column, k: int = 8, stride: int = 4) -> Column:
+    """Scale-path twin of :func:`fingerprint`: xxhash64 instead of md5 —
+    the window hashes stay bigints (no 32-char string per window), so the
+    per-row expression allocates 8 bytes/window instead of ~64. Not
+    DuckDB-oracle-checkable (DuckDB lacks Spark's xxhash64); value-tested
+    against null/shape invariants instead."""
+    idx = F.sequence(F.lit(0), F.length(col) - k, F.lit(stride))
+    return F.when(
+        F.length(col) >= k,
+        F.array_min(F.transform(idx, lambda i: F.xxhash64(F.substring(col, i + 1, k)))),
     )
 
 

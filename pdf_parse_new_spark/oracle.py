@@ -322,6 +322,9 @@ def extract_pdf(raw: str) -> Extraction:
         # (incremental updates; reference XRef.parse, pdf.worker.js:58108)
         visit: int | None = xref_off
         seen: set[int] = set()
+        # record free ('f') entries too, newest section wins, and drop object
+        # numbers whose winning entry is free (pdf.worker.js:58213-58231)
+        winner: dict[int, tuple[str, int]] = {}
         while ok and visit is not None and visit not in seen:
             seen.add(visit)
             lines = raw[visit:].split("\n")
@@ -335,16 +338,20 @@ def extract_pdf(raw: str) -> Extraction:
                     if not row:
                         ok = False
                         break
-                    if row.group(3) == "n":
-                        offsets.setdefault(first + k, int(row.group(1)))
+                    winner.setdefault(
+                        first + k, (row.group(3), int(row.group(1)))
+                    )
             except Exception:
                 ok = False
-            if not ok:
-                break
-            tail = "\n".join(lines[2 + count : 2 + count + 3])
-            pm = re.search(r"/Prev (\d+)", tail)
-            visit = int(pm.group(1)) if pm else None
-        if not ok:
+            if ok:
+                tail = "\n".join(lines[2 + count : 2 + count + 3])
+                pm = re.search(r"/Prev (\d+)", tail)
+                visit = int(pm.group(1)) if pm else None
+        if ok:
+            offsets = {
+                num: off for num, (typ, off) in winner.items() if typ == "n"
+            }
+        else:
             offsets = {}  # a malformed table is unusable as a whole
     objs = _object_slices(raw, offsets) if offsets else {}
     if objs and compressed:

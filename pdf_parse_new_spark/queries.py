@@ -276,9 +276,11 @@ def q_fingerprint(spark, sf_dir):
 
 SQL_FINGERPRINT = """
 SELECT doc_id,
-       list_aggregate(
-         list_transform(range(0, length(text) - 7),
-                        i -> md5(substr(text, i + 1, 8))), 'min') AS fp
+       CASE WHEN length(text) >= 8 THEN
+         list_aggregate(
+           list_transform(range(0, length(text) - 7, 4),
+                          i -> md5(substr(text, i + 1, 8))), 'min')
+       END AS fp
 FROM documents
 """
 
@@ -442,7 +444,11 @@ def q_bigram_topk(spark, sf_dir):
     idx = F.sequence(F.lit(0), F.size(toks) - 2)
     bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        # <2-token docs would make sequence() descend to [0,-1] and slice(0)
+        # throw; they contribute no bigrams, so filter them (oracle's range()
+        # is empty for those rows — same result)
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram"))

@@ -39,6 +39,22 @@ def turn_digest(conv_id: str, turn_idx: int, text: str) -> int:
 def _make_accumulate(idle_timeout_ms: int | None):
     def _accumulate(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (conv_id,) = key
+        if state.hasTimedOut:
+            # idle-eviction branch: emit a final tombstone row, drop the
+            # state, and do NOT re-arm the timer (re-arming would keep idle
+            # state alive forever and emit a duplicate row every interval)
+            n_turns, n_errors, max_turn, hash_hex = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [n_turns],
+                    "n_errors": [n_errors],
+                    "max_turn": [max_turn],
+                    "content_hash": [hash_hex],
+                }
+            )
+            return
         if state.exists:
             n_turns, n_errors, max_turn, hash_hex = state.get
             acc = int(hash_hex, 16)

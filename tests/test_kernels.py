@@ -143,6 +143,32 @@ def test_incremental_prev_chain():
         assert k.extracted_text == res.text and k.n_pages == 3
 
 
+def test_incremental_update_frees_object():
+    """An object marked 'f' in a NEWER xref section must not be resurrected
+    from an older section's offset (reference stores free entries first-wins
+    and fetch skips them, pdf.worker.js:58213-58231,58613)."""
+    import random
+
+    rng = random.Random(11)
+    base = fixtures.build_pdf(rng, 2)  # pages are objects 1 and 3
+    full = oracle.extract(base)
+    assert full.n_pages == 2
+    base_xref_off = int(base.rsplit("startxref\n", 1)[1].split("\n")[0])
+    xref2 = len(base) + 1
+    freed = base + "\n" + (
+        "xref\n3 1\n0000000000 00001 f \n"
+        f"trailer\n<< /Size 5 /Root 1 0 R /Prev {base_xref_off} >>\n"
+        f"startxref\n{xref2}\n%%EOF"
+    )
+    res = oracle.extract(freed)
+    assert res.error is None
+    assert res.n_pages == 1
+    # surviving text is exactly page 1's text (a strict prefix of the base)
+    assert res.text and full.text.startswith(res.text) and res.text != full.text
+    k = kernels.extract_batch(pd.Series([freed])).iloc[0]
+    assert k.extracted_text == res.text and k.n_pages == 1
+
+
 def test_html_boilerplate_dropped():
     import random
 

@@ -160,6 +160,7 @@ def test_payload_size_guard(spark, smoke_df):
     for r in out:
         if r.error == "payload-too-large":
             assert r.extracted_text == "" and list(r.spans) == []
+            assert r.family == "corrupt"  # no stale kernel-computed family
     # unguarded run still extracts those rows
     base = {
         (r.conv_id, r.turn_idx): r

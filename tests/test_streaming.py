@@ -88,3 +88,52 @@ def test_stateful_progress_across_batches(spark, tmp_path):
             if c == cid:
                 acc ^= stateful.turn_digest(c, t, txt or "")
         assert latest[cid].content_hash == f"{acc:032x}", cid
+
+
+def test_stateful_idle_timeout_evicts_state():
+    """The timed-out branch must emit one final row, remove the state, and
+    NOT re-arm the timer (unit-level: GroupState faked — a real
+    ProcessingTimeTimeout stream never settles under processAllAvailable)."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self, tup, timed_out):
+            self._tup = tup
+            self.hasTimedOut = timed_out
+            self.exists = tup is not None
+            self.removed = False
+            self.updated = None
+            self.armed = []
+
+        @property
+        def get(self):
+            return self._tup
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, tup):
+            self.updated = tup
+
+        def setTimeoutDuration(self, ms):
+            self.armed.append(ms)
+
+    fn = stateful._make_accumulate(idle_timeout_ms=500)
+
+    # normal data batch: updates state and arms the timer
+    live = FakeState((1, 0, 0, f"{0:032x}"), timed_out=False)
+    pdf = pd.DataFrame(
+        {"turn_idx": [1], "extracted_text": ["hi"], "error": [None]}
+    )
+    rows = list(fn(("c1",), [pdf], live))
+    assert live.updated is not None and live.armed == [500]
+    assert not live.removed and len(rows) == 1
+
+    # timeout invocation: final row, state removed, timer NOT re-armed
+    idle = FakeState((3, 1, 2, f"{42:032x}"), timed_out=True)
+    rows = list(fn(("c2",), iter(()), idle))
+    assert idle.removed and idle.updated is None and idle.armed == []
+    assert len(rows) == 1
+    r = rows[0].iloc[0]
+    assert (r.conv_id, r.n_turns, r.n_errors, r.max_turn) == ("c2", 3, 1, 2)
+    assert r.content_hash == f"{42:032x}"

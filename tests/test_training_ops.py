@@ -135,3 +135,44 @@ def test_multimodal_plumbing(spark, docs):
             assert r.n_frames == 1
         else:
             assert 1 <= r.n_frames <= 4
+
+
+def test_fingerprint_strided_and_short_texts(spark):
+    # short texts (<k chars) fingerprint NULL in every variant; medium docs:
+    # expression path == linear UDF path byte-for-byte
+    medium = ("lorem ipsum dolor sit amet " * 200)[:5000]
+    df = spark.createDataFrame(
+        [(0, "hi"), (1, ""), (2, "exactly8"), (3, medium)],
+        "doc_id int, text string",
+    )
+    fp_udf = textstats.fingerprint_udf()
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            textstats.fingerprint(F.col("text")).alias("fp"),
+            textstats.fingerprint_xx(F.col("text")).alias("fpx"),
+            fp_udf(F.col("text")).alias("fpu"),
+        ).collect()
+    }
+    for i in (0, 1):
+        assert rows[i].fp is None and rows[i].fpx is None and rows[i].fpu is None
+    import hashlib
+
+    assert rows[2].fp == hashlib.md5(b"exactly8").hexdigest() == rows[2].fpu
+    assert rows[3].fp == rows[3].fpu and len(rows[3].fp) == 32
+    assert isinstance(rows[3].fpx, int)
+
+
+def test_fingerprint_udf_long_doc_linear(spark):
+    # a 1 MB doc through the UDF path completes quickly (the expression path
+    # is O(n^2/stride) from substring char-scans — ~10 min at this size)
+    import time
+
+    big = ("lorem ipsum dolor sit amet " * 40000)[: 1 << 20]
+    df = spark.createDataFrame([(0, big), (1, big)], "doc_id int, text string")
+    fp_udf = textstats.fingerprint_udf()
+    t0 = time.perf_counter()
+    fps = [r.fp for r in df.select(fp_udf(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] and len(fps[0]) == 32
+    assert time.perf_counter() - t0 < 60
