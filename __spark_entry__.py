@@ -8,8 +8,9 @@ conversation.
 
 ``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
 22 DuckDB-checked queries covering SURVEY §2 operator families plus the
-training-data extensions, and 7 rows-only entries for the non-SQL
-extraction/LSH kernels.
+training-data extensions, and 8 rows-only entries for the non-SQL
+extraction/LSH kernels (incl. real_pdf_corpus: the reference's own binary
+PDF test corpus through the real-dialect parser).
 """
 
 from __future__ import annotations

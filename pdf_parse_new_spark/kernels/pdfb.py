@@ -1,0 +1,1166 @@
+"""Real-dialect binary PDF parser: the path that reads the reference's own
+test corpus (``/root/reference/test/data/0*.pdf``), not just the engine's
+synthetic ASCII mini-dialect.
+
+Covers what those documents actually exercise, per the PDF 1.7 spec and the
+reference's behavior (pdf.js ``XRef.parse`` / ``Lexer`` / ``PartialEvaluator``
+cited by file:line where we mirror a decision):
+
+- any EOL convention (\\r, \\n, \\r\\n) in xref tables, dicts and streams
+- classic xref tables with /Prev chains and free entries (newest wins;
+  pdf.worker.js:58213-58231), xref *streams* (/W + /Index + PNG predictors,
+  pdf.worker.js:58264-58330), and hybrid files (/XRefStm in the trailer)
+- compressed object streams (/Type /ObjStm)
+- raw (binary) stream bodies framed by /Length — including indirect /Length
+  refs — with an ``endstream`` scan fallback for broken lengths
+- literal strings with octal escapes and line continuations, hex strings
+  (pdf.js Lexer.getHexString), names with #xx escapes
+- FlateDecode (+predictors), ASCIIHexDecode, ASCII85Decode, RunLengthDecode,
+  LZWDecode filter chains
+- the page tree (/Root -> /Pages -> /Kids, /Count-bounded, cycle-safe) with
+  /Resources inheritance — page ORDER comes from the tree, not object ids
+- per-font byte->unicode decode: /ToUnicode CMaps (bfchar/bfrange) first,
+  then /Encoding /Differences glyph names over a base encoding
+  (Standard/WinAnsi/MacRoman), Adobe-Glyph-List subset incl. the f-ligatures
+  the reference golden expands ("specific", "official")
+- a content-stream text interpreter mirroring lib/pdf-parse.js:26-41
+  (render_page): same-Y items concatenate, |dY| > Y_TOLERANCE breaks a line,
+  TJ kerns below -TJ_SPACE_THRESHOLD contribute one space; pages join with a
+  leading "\\n\\n" each (lib/pdf-parse.js:129-135 sequential mode)
+
+Pure-Python + zlib; designed to run inside Arrow-batched ``mapInPandas``
+(one call per *batch*, C-speed inner loops) — same execution shape as
+``kernels.pdfk``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from pdf_parse_new_spark import spec
+
+# --------------------------------------------------------------------------
+# object model
+# --------------------------------------------------------------------------
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int) -> None:
+        self.num, self.gen = num, gen
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{self.num}R"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Ref) and (self.num, self.gen) == (
+            other.num,
+            other.gen,
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.num, self.gen))
+
+
+class Name(str):
+    """PDF name (/Foo) — distinct from a text string."""
+
+    __slots__ = ()
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict, self.raw = d, raw
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUMBER = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_HEX = re.compile(rb"#([0-9A-Fa-f]{2})")
+_OBJ_MARKER = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
+_STARTXREF = re.compile(rb"startxref\s+(\d+)")
+_XREF_ROW = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment to EOL
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def parse_object(data: bytes, pos: int):
+    """Recursive-descent parse of one PDF object at ``pos``.
+
+    Returns (object, next_pos). Raises ValueError on malformed input — the
+    caller decides whether that poisons the document or just one object.
+    """
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise ValueError("eof")
+    c = data[pos]
+    if c == 0x2F:  # /Name
+        return _parse_name(data, pos)
+    if c == 0x28:  # (literal string)
+        return _parse_literal_string(data, pos)
+    if c == 0x3C:  # << dict >> or <hex>
+        if data[pos : pos + 2] == b"<<":
+            return _parse_dict(data, pos)
+        return _parse_hex_string(data, pos)
+    if c == 0x5B:  # [ array ]
+        return _parse_array(data, pos)
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    m = _NUMBER.match(data, pos)
+    if m:
+        # lookahead for "num gen R" indirect reference
+        r = re.match(rb"(\d+)\s+(\d+)\s+R\b", data[pos : pos + 32])
+        if r and b"." not in m.group(0):
+            return Ref(int(r.group(1)), int(r.group(2))), pos + r.end()
+        tok = m.group(0)
+        return (float(tok) if b"." in tok else int(tok)), m.end()
+    raise ValueError(f"unexpected byte {c:#x} at {pos}")
+
+
+def _parse_name(data: bytes, pos: int):
+    pos += 1
+    start = pos
+    n = len(data)
+    while pos < n and data[pos] not in _WS and data[pos] not in _DELIM:
+        pos += 1
+    raw = data[start:pos]
+    raw = _NAME_HEX.sub(lambda m: bytes([int(m.group(1), 16)]), raw)
+    return Name(raw.decode("latin-1")), pos
+
+
+_STR_ESC = {
+    0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\x0c",
+    0x28: b"(", 0x29: b")", 0x5C: b"\\",
+}
+
+
+def _parse_literal_string(data: bytes, pos: int):
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos]
+            if e in _STR_ESC:
+                out += _STR_ESC[e]
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                oct_digits = bytearray([e])
+                pos += 1
+                while (
+                    pos < n and len(oct_digits) < 3 and 0x30 <= data[pos] <= 0x37
+                ):
+                    oct_digits.append(data[pos])
+                    pos += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation: swallow the EOL
+                pos += 1
+                if e == 0x0D and pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(e)
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    return bytes(out), pos
+
+
+def _parse_hex_string(data: bytes, pos: int):
+    end = data.find(b">", pos + 1)
+    if end < 0:
+        raise ValueError("unterminated hex string")
+    hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos + 1 : end])
+    if len(hexs) % 2:
+        hexs += b"0"  # odd count: final digit padded with 0 (spec 7.3.4.3)
+    return bytes.fromhex(hexs.decode("ascii")), end + 1
+
+
+def _parse_array(data: bytes, pos: int):
+    pos += 1
+    out = []
+    while True:
+        pos = _skip_ws(data, pos)
+        if pos >= len(data):
+            raise ValueError("unterminated array")
+        if data[pos] == 0x5D:
+            return out, pos + 1
+        obj, pos = parse_object(data, pos)
+        out.append(obj)
+
+
+def _parse_dict(data: bytes, pos: int):
+    pos += 2
+    out: dict = {}
+    while True:
+        pos = _skip_ws(data, pos)
+        if data.startswith(b">>", pos):
+            return out, pos + 2
+        if pos >= len(data):
+            raise ValueError("unterminated dict")
+        key, pos = parse_object(data, pos)
+        if not isinstance(key, Name):
+            raise ValueError("dict key is not a name")
+        val, pos = parse_object(data, pos)
+        out[str(key)] = val
+
+
+# --------------------------------------------------------------------------
+# stream filters
+# --------------------------------------------------------------------------
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = columns * bpp
+    out = bytearray()
+    prev = bytearray(row_len)
+    i = 0
+    while i + 1 + row_len <= len(data) + row_len:  # tolerate short last row
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + row_len])
+        if len(row) < row_len:
+            row += bytes(row_len - len(row))
+        if ft == 1:  # Sub
+            for j in range(bpp, row_len):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(row_len):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(row_len):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(row_len):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                cc = prev[j - bpp] if j >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+        i += 1 + row_len
+        if i >= len(data):
+            break
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """Minimal LZW per PDF spec 7.4.4 (early-change variant)."""
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits, acc, width = 0, 0, 9
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    data = re.sub(rb"\s", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i : i + 1] == b"z":
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        chunk = data[i : i + 5]
+        pad = 5 - len(chunk)
+        chunk += b"u" * pad
+        acc = 0
+        for c in chunk:
+            acc = acc * 85 + (c - 33)
+        quad = acc.to_bytes(4, "big")
+        out += quad[: 4 - pad]
+        i += 5
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _flate(data: bytes) -> bytes:
+    try:
+        return zlib.decompress(data)
+    except zlib.error:
+        # tolerate trailing garbage / truncation (pdf.js FlateStream keeps
+        # whatever inflated cleanly)
+        d = zlib.decompressobj()
+        try:
+            return d.decompress(data)
+        except zlib.error:
+            return b""
+
+
+class PdfError(Exception):
+    def __init__(self, code: str) -> None:
+        super().__init__(code)
+        self.code = code
+
+
+class Document:
+    """Random-access object store over one PDF byte buffer."""
+
+    MAX_OBJ_SIZE = 64 << 20
+
+    def __init__(self, raw: bytes) -> None:
+        self.raw = raw
+        self.cache: dict[int, object] = {}
+        self.trailer: dict = {}
+        # num -> ("n", offset) | ("c", container_num, idx); free entries drop
+        self.index: dict[int, tuple] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._load_index()
+
+    # -- xref ---------------------------------------------------------------
+
+    def _load_index(self) -> None:
+        tail = self.raw[-2048:]
+        m = None
+        for m in _STARTXREF.finditer(tail):
+            pass
+        entries: dict[int, tuple] = {}
+        ok = False
+        if m:
+            try:
+                self._walk_xref(int(m.group(1)), entries, set())
+                ok = bool(entries)
+            except Exception:
+                ok = False
+        if ok:
+            self.index = {
+                num: e for num, e in entries.items() if e[0] != "f"
+            }
+            # sanity: the Root must resolve, else fall back to recovery
+            root = self.trailer.get("Root")
+            if isinstance(root, Ref) and root.num not in self.index:
+                ok = False
+        if not ok:
+            self._recovery_scan()
+
+    def _walk_xref(self, off: int, entries: dict, seen: set) -> None:
+        if off in seen or off < 0 or off >= len(self.raw):
+            return
+        seen.add(off)
+        pos = _skip_ws(self.raw, off)
+        if self.raw.startswith(b"xref", pos):
+            trailer = self._read_classic_table(pos + 4, entries)
+        else:
+            trailer = self._read_xref_stream(pos, entries)
+        if trailer:
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            # hybrid-reference: the classic trailer points at an xref STREAM
+            # holding the ObjStm entries (spec 7.5.8.4)
+            xs = trailer.get("XRefStm")
+            if isinstance(xs, int):
+                self._walk_xref(xs, entries, seen)
+            prev = trailer.get("Prev")
+            if isinstance(prev, int):
+                self._walk_xref(prev, entries, seen)
+
+    def _read_classic_table(self, pos: int, entries: dict) -> dict:
+        raw = self.raw
+        while True:
+            pos = _skip_ws(raw, pos)
+            if raw.startswith(b"trailer", pos):
+                t, _ = parse_object(raw, pos + 7)
+                return t if isinstance(t, dict) else {}
+            m = re.match(rb"(\d+)\s+(\d+)", raw[pos : pos + 48])
+            if not m:
+                return {}
+            first, count = int(m.group(1)), int(m.group(2))
+            pos += m.end()
+            for k in range(count):
+                pos = _skip_ws(raw, pos)
+                row = _XREF_ROW.match(raw, pos)
+                if not row:
+                    raise PdfError(spec.ERR_BAD_XREF)
+                num = first + k
+                if num not in entries:
+                    typ = "n" if row.group(3) == b"n" else "f"
+                    entries[num] = (typ, int(row.group(1)))
+                pos = row.end()
+
+    def _read_xref_stream(self, pos: int, entries: dict) -> dict:
+        m = _OBJ_MARKER.match(self.raw, pos)
+        if not m:
+            raise PdfError(spec.ERR_BAD_XREF)
+        obj, _ = self._parse_indirect_at(pos)
+        if not isinstance(obj, Stream) or obj.dict.get("Type") != Name("XRef"):
+            raise PdfError(spec.ERR_BAD_XREF)
+        d = obj.dict
+        data = self._decode_stream(obj)
+        w = [int(x) for x in d.get("W", [])]
+        if not w:
+            raise PdfError(spec.ERR_BAD_XREF)
+        size = int(d.get("Size", 0))
+        index = d.get("Index", [0, size])
+        rw = sum(w)
+        p = 0
+        for s in range(0, len(index) - 1, 2):
+            first, count = int(index[s]), int(index[s + 1])
+            for k in range(count):
+                if p + rw > len(data):
+                    break
+                fields = []
+                for width in w:
+                    fields.append(
+                        int.from_bytes(data[p : p + width], "big") if width else 1
+                    )
+                    p += width
+                num = first + k
+                if num in entries:
+                    continue
+                typ = fields[0]
+                if typ == 1:
+                    entries[num] = ("n", fields[1])
+                elif typ == 2:
+                    entries[num] = ("c", fields[1], fields[2])
+                else:
+                    entries[num] = ("f", fields[1])
+        return {k: v for k, v in d.items() if k in ("Root", "Info", "Prev", "Size", "ID")}
+
+    def _recovery_scan(self) -> None:
+        """Brute-force re-index of every ``N G obj`` marker (last marker wins
+        — later incremental bodies override), mirroring pdf.js indexObjects
+        (pdf.worker.js:58331-58476). Also recovers the trailer dict."""
+        self.index = {}
+        for m in _OBJ_MARKER.finditer(self.raw):
+            self.index[int(m.group(1))] = ("n", m.start())
+        if "Root" not in self.trailer:
+            for t in re.finditer(rb"trailer", self.raw):
+                try:
+                    td, _ = parse_object(self.raw, t.end())
+                    if isinstance(td, dict) and "Root" in td:
+                        self.trailer.update(td)
+                except Exception:
+                    continue
+            if "Root" not in self.trailer:
+                # xref-stream-only file: find a /Type /Catalog object
+                for num in self.index:
+                    try:
+                        o = self.get_object(num)
+                    except Exception:
+                        continue
+                    if isinstance(o, dict) and o.get("Type") == Name("Catalog"):
+                        self.trailer["Root"] = Ref(num, 0)
+                        break
+
+    # -- object fetch ---------------------------------------------------------
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.get_object(obj.num)
+            depth += 1
+        return obj
+
+    def get_object(self, num: int):
+        if num in self.cache:
+            return self.cache[num]
+        self.cache[num] = None  # cycle guard
+        entry = self.index.get(num)
+        obj = None
+        if entry is None:
+            pass
+        elif entry[0] == "n":
+            obj, _ = self._parse_indirect_at(entry[1], expect=num)
+        elif entry[0] == "c":
+            obj = self._fetch_compressed(entry[1], entry[2], num)
+        self.cache[num] = obj
+        return obj
+
+    def _parse_indirect_at(self, off: int, expect: int | None = None):
+        raw = self.raw
+        m = _OBJ_MARKER.match(raw, _skip_ws(raw, off))
+        if not m or (expect is not None and int(m.group(1)) != expect):
+            # stale offset: fall back to scanning for the object marker
+            if expect is not None:
+                for mm in re.finditer(
+                    rb"(?<![0-9])%d\s+\d+\s+obj\b" % expect, raw
+                ):
+                    m = _OBJ_MARKER.match(raw, mm.start())
+                    break
+            if not m:
+                return None, off
+        pos = m.end()
+        obj, pos = parse_object(raw, pos)
+        pos2 = _skip_ws(raw, pos)
+        if isinstance(obj, dict) and raw.startswith(b"stream", pos2):
+            body_start = pos2 + 6
+            if raw.startswith(b"\r\n", body_start):
+                body_start += 2
+            elif raw[body_start : body_start + 1] in (b"\n", b"\r"):
+                body_start += 1
+            length = self.resolve(obj.get("Length"))
+            body = None
+            if isinstance(length, int) and 0 <= length <= self.MAX_OBJ_SIZE:
+                cand_end = body_start + length
+                after = raw[cand_end : cand_end + 20]
+                if re.match(rb"\s*endstream", after):
+                    body = raw[body_start:cand_end]
+            if body is None:  # broken /Length: scan for endstream
+                e = raw.find(b"endstream", body_start)
+                if e < 0:
+                    e = len(raw)
+                body = raw[body_start:e].rstrip(b"\r\n")
+            return Stream(obj, body), body_start + len(body)
+        return obj, pos
+
+    def _fetch_compressed(self, container: int, idx: int, want: int):
+        items = self._objstm_cache.get(container)
+        if items is None:
+            items = {}
+            stm = self.get_object(container)
+            if isinstance(stm, Stream) and stm.dict.get("Type") == Name("ObjStm"):
+                data = self._decode_stream(stm)
+                n = int(self.resolve(stm.dict.get("N", 0)) or 0)
+                first = int(self.resolve(stm.dict.get("First", 0)) or 0)
+                pos = 0
+                pairs = []
+                for _ in range(n):
+                    m1 = _NUMBER.match(data, _skip_ws(data, pos))
+                    if not m1:
+                        break
+                    m2 = _NUMBER.match(data, _skip_ws(data, m1.end()))
+                    if not m2:
+                        break
+                    pairs.append((int(m1.group(0)), int(m2.group(0))))
+                    pos = m2.end()
+                for onum, ooff in pairs:
+                    try:
+                        o, _ = parse_object(data, first + ooff)
+                        items[onum] = o
+                    except Exception:
+                        continue
+            self._objstm_cache[container] = items
+        return items.get(want)
+
+    # -- stream decoding ------------------------------------------------------
+
+    def _decode_stream(self, stm: Stream) -> bytes:
+        filters = self.resolve(stm.dict.get("Filter"))
+        parms = self.resolve(stm.dict.get("DecodeParms"))
+        if filters is None:
+            return stm.raw
+        if not isinstance(filters, list):
+            filters, parms = [filters], [parms]
+        elif not isinstance(parms, list):
+            parms = [parms] + [None] * (len(filters) - 1)
+        data = stm.raw
+        for f, pr in zip(filters, parms):
+            fname = str(self.resolve(f))
+            pr = self.resolve(pr) or {}
+            if fname in ("FlateDecode", "Fl"):
+                data = _flate(data)
+            elif fname in ("LZWDecode", "LZW"):
+                data = _lzw_decode(data)
+            elif fname in ("ASCIIHexDecode", "AHx"):
+                data = bytes.fromhex(
+                    re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0]).decode()
+                )
+            elif fname in ("ASCII85Decode", "A85"):
+                data = _ascii85_decode(data)
+            elif fname in ("RunLengthDecode", "RL"):
+                data = _rle_decode(data)
+            else:  # image codecs (DCT/CCITT/JBIG2/JPX): opaque, not text
+                return data
+            pred = int(self.resolve(pr.get("Predictor", 1)) or 1)
+            if pred >= 10:
+                data = _png_unpredict(
+                    data,
+                    int(self.resolve(pr.get("Columns", 1)) or 1),
+                    int(self.resolve(pr.get("Colors", 1)) or 1),
+                    int(self.resolve(pr.get("BitsPerComponent", 8)) or 8),
+                )
+            elif pred == 2:
+                pass  # TIFF predictor: not seen in text streams
+        return data
+
+    def decoded(self, ref_or_stream) -> bytes:
+        s = self.resolve(ref_or_stream)
+        if isinstance(s, Stream):
+            return self._decode_stream(s)
+        return b""
+
+
+# --------------------------------------------------------------------------
+# fonts: byte -> unicode
+# --------------------------------------------------------------------------
+
+# Adobe Glyph List subset: every name the corpus' /Differences arrays use,
+# plus the standard Latin set. Single-letter names (A-Z a-z) and uniXXXX
+# names are resolved programmatically in _glyph_to_unicode.
+_GLYPHS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # the golden expands f-ligatures to ASCII ("specific", "official")
+    "fi": "fi", "fl": "fl", "ff": "ff", "ffi": "ffi", "ffl": "ffl",
+    "quoteright": "’", "quoteleft": "‘",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "degree": "°", "minus": "−", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "fraction": "⁄",
+    "florin": "ƒ", "perthousand": "‰", "section": "§",
+    "paragraph": "¶", "cent": "¢", "sterling": "£",
+    "yen": "¥", "Euro": "€", "currency": "¤",
+    "exclamdown": "¡", "questiondown": "¿",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "dotlessi": "ı", "dotlessj": "ȷ",
+    "dieresis": "¨", "dotaccent": "˙", "ring": "˚",
+    "cedilla": "¸", "hungarumlaut": "˝", "ogonek": "˛",
+    "caron": "ˇ", "breve": "˘", "macron": "¯",
+    "circumflex": "ˆ", "tilde": "˜", "acute": "´",
+    "Lslash": "Ł", "lslash": "ł", "OE": "Œ", "oe": "œ",
+    "AE": "Æ", "ae": "æ", "Oslash": "Ø", "oslash": "ø",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "Ydieresis": "Ÿ", "ydieresis": "ÿ",
+    "Thorn": "Þ", "thorn": "þ", "Eth": "Ð", "eth": "ð",
+    "germandbls": "ß", "Omega": "Ω", "Delta": "Δ",
+    "pi": "π", "alpha": "α", "beta": "β", "phi": "φ",
+    "mu": "µ", "lambda": "λ", "sigma": "σ",
+    "summation": "∑", "product": "∏", "integral": "∫",
+    "radical": "√", "infinity": "∞", "partialdiff": "∂",
+    "approxequal": "≈", "notequal": "≠", "lessequal": "≤",
+    "greaterequal": "≥", "element": "∈", "arrowright": "→",
+    "arrowleft": "←", "arrowup": "↑", "arrowdown": "↓",
+    "asteriskmath": "∗", "periodcentered": "·",
+    "middot": "·", "nbspace": " ", ".notdef": "",
+}
+# accented Latin: generate names like "eacute" -> é via unicodedata
+_ACCENTS = {
+    "grave": "̀", "acute": "́", "circumflex": "̂",
+    "tilde": "̃", "dieresis": "̈", "ring": "̊",
+    "cedilla": "̧", "caron": "̌", "breve": "̆",
+    "macron": "̄", "hungarumlaut": "̋", "ogonek": "̨",
+    "dotaccent": "̇", "slash": "̸",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if len(name) == 1:
+        return name
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return ""
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    # compose "eacute"-style names
+    import unicodedata
+
+    for acc, comb in _ACCENTS.items():
+        if name.endswith(acc) and 1 <= len(name) - len(acc) <= 1:
+            base = name[: -len(acc)]
+            return unicodedata.normalize("NFC", base + comb)
+    return ""
+
+
+# StandardEncoding deltas from latin-1 in the printable range (spec D.2)
+_STANDARD_DELTAS = {
+    0x27: "’", 0x60: "‘", 0xA4: "⁄", 0xA6: "ƒ",
+    0xA8: "¤", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
+    0xAD: "›", 0xAE: "fi", 0xAF: "fl", 0xB1: "–",
+    0xB2: "†", 0xB3: "‡", 0xB4: "·", 0xB7: "•",
+    0xB8: "‚", 0xB9: "„", 0xBA: "”", 0xBB: "»",
+    0xBC: "…", 0xBD: "‰", 0xD0: "—",
+}
+
+
+def _base_encoding(name: str | None) -> list[str]:
+    table = [""] * 256
+    if name == "WinAnsiEncoding":
+        for i in range(32, 256):
+            try:
+                table[i] = bytes([i]).decode("cp1252")
+            except UnicodeDecodeError:
+                table[i] = ""
+    elif name == "MacRomanEncoding":
+        for i in range(32, 256):
+            table[i] = bytes([i]).decode("mac_roman")
+    else:  # StandardEncoding-ish default
+        for i in range(32, 127):
+            table[i] = chr(i)
+        for code, ch in _STANDARD_DELTAS.items():
+            table[code] = ch
+    return table
+
+
+_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode()).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+class FontMap:
+    """Per-font decoder: code (int) -> unicode str. ``nbytes`` is the code
+    width (2 for Type0/CID fonts, else 1)."""
+
+    __slots__ = ("table", "nbytes")
+
+    def __init__(self, table: dict[int, str], nbytes: int) -> None:
+        self.table, self.nbytes = table, nbytes
+
+    def decode(self, s: bytes) -> str:
+        t = self.table
+        if self.nbytes == 2:
+            return "".join(
+                t.get(int.from_bytes(s[i : i + 2], "big"), "")
+                for i in range(0, len(s) - 1, 2)
+            )
+        return "".join(t.get(c, "") for c in s)
+
+
+def build_font_map(doc: Document, font_obj) -> FontMap:
+    """ToUnicode CMap first (pdf.js PartialEvaluator.readToUnicode), then
+    /Encoding /Differences glyph names over a base encoding table."""
+    font = doc.resolve(font_obj)
+    if not isinstance(font, dict):
+        return FontMap({i: chr(i) if 32 <= i < 127 else "" for i in range(256)}, 1)
+    subtype = str(font.get("Subtype", ""))
+    nbytes = 2 if subtype == "Type0" else 1
+
+    table: dict[int, str] = {}
+    enc = doc.resolve(font.get("Encoding"))
+    base_name = None
+    diffs = None
+    if isinstance(enc, Name):
+        base_name = str(enc)
+    elif isinstance(enc, dict):
+        base_name = str(enc["BaseEncoding"]) if "BaseEncoding" in enc else None
+        diffs = doc.resolve(enc.get("Differences"))
+    if nbytes == 1:
+        base = _base_encoding(base_name)
+        for i, ch in enumerate(base):
+            if ch:
+                table[i] = ch
+        if isinstance(diffs, list):
+            code = 0
+            for item in diffs:
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, Name):
+                    table[code] = _glyph_to_unicode(str(item))
+                    code += 1
+
+    tu = font.get("ToUnicode")
+    if tu is not None:
+        cmap = doc.decoded(tu)
+        if cmap:
+            for sec in _BFCHAR.finditer(cmap):
+                toks = _HEXTOK.findall(sec.group(1))
+                for i in range(0, len(toks) - 1, 2):
+                    src = int(toks[i], 16)
+                    dst = _utf16be(toks[i + 1])
+                    if dst:
+                        table[src] = dst
+                    if len(toks[i]) >= 4:
+                        nbytes = max(nbytes, 2) if subtype == "Type0" else nbytes
+            for sec in _BFRANGE.finditer(cmap):
+                body = sec.group(1)
+                # <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+                for m in re.finditer(
+                    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])",
+                    body,
+                ):
+                    lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+                    dst = m.group(3)
+                    if dst.startswith(b"["):
+                        parts = _HEXTOK.findall(dst)
+                        for off, ph in enumerate(parts):
+                            if lo + off <= hi:
+                                u = _utf16be(ph)
+                                if u:
+                                    table[lo + off] = u
+                    else:
+                        first = _utf16be(dst[1:-1])
+                        if first:
+                            base_cp = ord(first[-1])
+                            prefix = first[:-1]
+                            for off in range(min(hi - lo + 1, 65536)):
+                                table[lo + off] = prefix + chr(base_cp + off)
+    if not table:
+        table = {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}
+    return FontMap(table, nbytes)
+
+
+# --------------------------------------------------------------------------
+# page tree + content interpretation
+# --------------------------------------------------------------------------
+
+
+def _walk_pages(doc: Document, node_ref, pages: list, seen: set, resources) -> None:
+    if len(pages) > 20000:
+        return
+    key = node_ref.num if isinstance(node_ref, Ref) else id(node_ref)
+    if key in seen:
+        return
+    seen.add(key)
+    node = doc.resolve(node_ref)
+    if not isinstance(node, dict):
+        return
+    res = node.get("Resources", resources)
+    typ = str(node.get("Type", ""))
+    kids = doc.resolve(node.get("Kids"))
+    if typ == "Page" or ("Contents" in node and not isinstance(kids, list)):
+        pages.append((node, res))
+        return
+    if isinstance(kids, list):
+        for kid in kids:
+            _walk_pages(doc, kid, pages, seen, res)
+
+
+_OPERATOR = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+class _TextInterp:
+    """Content-stream text interpreter. Recurses into Form XObjects on
+    ``Do`` (figure labels live there; pdf.js PartialEvaluator does the same),
+    with a depth cap and a seen-set against self-referential forms."""
+
+    MAX_DEPTH = 8
+
+    def __init__(self, doc: Document) -> None:
+        self.doc = doc
+        self.out: list[str] = []
+        self.cur_line: list[str] = []
+        self.last_y: float | None = None
+        self._font_maps: dict[int, FontMap] = {}
+
+    def show(self, s: str, ty: float) -> None:
+        if not s:
+            return
+        if self.last_y is not None and abs(ty - self.last_y) > spec.Y_TOLERANCE:
+            self.out.append("".join(self.cur_line))
+            self.cur_line.clear()
+        self.cur_line.append(s)
+        self.last_y = ty
+
+    def text(self) -> str:
+        if self.cur_line:
+            self.out.append("".join(self.cur_line))
+            self.cur_line.clear()
+        return "\n".join(self.out)
+
+    def _font_for(self, fonts_dict, name: str) -> FontMap:
+        ref = (fonts_dict or {}).get(name)
+        key = ref.num if isinstance(ref, Ref) else id(ref)
+        fm = self._font_maps.get(key)
+        if fm is None:
+            fm = build_font_map(self.doc, ref)
+            self._font_maps[key] = fm
+        return fm
+
+    def run(self, data: bytes, resources, depth: int = 0, seen: frozenset = frozenset()) -> None:
+        doc = self.doc
+        res = doc.resolve(resources) or {}
+        fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
+        xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
+        fm = FontMap(
+            {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}, 1
+        )
+        y = 0.0
+        leading = 0.0
+        stack: list = []
+        pos = 0
+        n = len(data)
+        while pos < n:
+            pos = _skip_ws(data, pos)
+            if pos >= n:
+                break
+            c = data[pos]
+            is_operand = (
+                c in b"/(<[" or c == 0x2B or c == 0x2D or c == 0x2E
+                or 0x30 <= c <= 0x39
+            )
+            if is_operand:
+                try:
+                    obj, pos = parse_object(data, pos)
+                except ValueError:
+                    pos += 1
+                    continue
+                stack.append(obj)
+                continue
+            m = _OPERATOR.match(data, pos)
+            if not m:
+                pos += 1
+                continue
+            op = m.group(0)
+            pos = m.end()
+            if op == b"BI":  # inline image: skip binary payload to EI
+                e = re.search(rb"\sEI\b", data[pos:])
+                pos = pos + e.end() if e else n
+                stack.clear()
+                continue
+            try:
+                if op == b"Tf" and len(stack) >= 2:
+                    fm = self._font_for(fonts_dict, str(stack[-2]))
+                elif op == b"Td" and len(stack) >= 2:
+                    y += float(stack[-1])
+                elif op == b"TD" and len(stack) >= 2:
+                    leading = -float(stack[-1])
+                    y += float(stack[-1])
+                elif op == b"Tm" and len(stack) >= 6:
+                    y = float(stack[-1])
+                elif op == b"TL" and stack:
+                    leading = float(stack[-1])
+                elif op == b"T*":
+                    y -= leading
+                elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                    self.show(fm.decode(stack[-1]), y)
+                elif op in (b"'", b'"'):
+                    y -= leading
+                    if stack and isinstance(stack[-1], bytes):
+                        self.show(fm.decode(stack[-1]), y)
+                elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                    buf: list[str] = []
+                    for item in stack[-1]:
+                        if isinstance(item, bytes):
+                            buf.append(fm.decode(item))
+                        elif isinstance(item, (int, float)):
+                            if item < -spec.TJ_SPACE_THRESHOLD:
+                                buf.append(" ")
+                    self.show("".join(buf), y)
+                elif op == b"Do" and stack and depth < self.MAX_DEPTH:
+                    self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
+                elif op == b"BT":
+                    y = 0.0
+                    leading = 0.0
+                # other operators (q/Q, cm, gs, re, colors, paths...) are
+                # no-ops for text extraction
+            except (TypeError, ValueError):
+                pass
+            stack.clear()
+
+    def _do_xobject(self, xobjs, name: str, parent_res, depth: int, seen: frozenset) -> None:
+        doc = self.doc
+        ref = (xobjs or {}).get(name)
+        key = ref.num if isinstance(ref, Ref) else None
+        if key is not None and key in seen:
+            return
+        xo = doc.resolve(ref)
+        if not isinstance(xo, Stream):
+            return
+        if str(xo.dict.get("Subtype", "")) != "Form":
+            return
+        body = doc.decoded(ref)
+        if not body:
+            return
+        # the form draws in its own coordinate space: break line continuity
+        # on entry and exit so its y values never merge with page lines
+        self.last_y = None
+        self.run(
+            body,
+            xo.dict.get("Resources", parent_res),
+            depth + 1,
+            seen | ({key} if key is not None else set()),
+        )
+        self.last_y = None
+
+
+def _page_text(doc: Document, page: dict, resources) -> str:
+    contents = doc.resolve(page.get("Contents"))
+    if contents is None:
+        return ""
+    parts: list[bytes] = []
+    if isinstance(contents, list):
+        for c in contents:
+            parts.append(doc.decoded(c))
+    else:
+        parts.append(doc.decoded(page.get("Contents")))
+    data = b"\n".join(parts)
+    if not data:
+        return ""
+    interp = _TextInterp(doc)
+    interp.run(data, resources)
+    return interp.text()
+
+
+def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
+    """Parse one real binary PDF -> {text, n_pages, n_render, info, error}.
+
+    Output assembly mirrors the reference exactly: each rendered page's text
+    is appended as ``"\\n\\n" + page_text`` (lib/pdf-parse.js:129-135,
+    sequential mode), pages render in page-tree order, a page that fails
+    renders as "" (the .catch -> "" at lib/pdf-parse.js:131-133), and
+    ``info`` carries the trailer /Info dict (lib/pdf-parse.js:91-96).
+    Never raises."""
+    try:
+        doc = Document(raw)
+    except Exception:
+        return {
+            "text": "", "n_pages": 0, "n_render": 0, "info": {},
+            "error": spec.ERR_BAD_XREF,
+        }
+    info: dict[str, str] = {}
+    try:
+        info_obj = doc.resolve(doc.trailer.get("Info"))
+        if isinstance(info_obj, dict):
+            for k, v in info_obj.items():
+                v = doc.resolve(v)
+                if isinstance(v, bytes):
+                    info[k] = decode_pdf_text_string(v)
+                elif isinstance(v, (str, int, float, bool)):
+                    info[k] = str(v)
+    except Exception:
+        pass
+
+    pages: list = []
+    try:
+        root = doc.resolve(doc.trailer.get("Root"))
+        if isinstance(root, dict):
+            _walk_pages(doc, root.get("Pages"), pages, set(), None)
+    except Exception:
+        pages = []
+    tree_ok = bool(pages)
+    if not pages:
+        # no catalog / broken tree: fall back to every /Type /Page object
+        for num in sorted(doc.index):
+            try:
+                o = doc.get_object(num)
+            except Exception:
+                continue
+            if isinstance(o, dict) and str(o.get("Type", "")) == "Page":
+                pages.append((o, o.get("Resources")))
+    if not pages:
+        return {
+            "text": "", "n_pages": 0, "n_render": 0, "info": info,
+            "error": spec.ERR_NO_PAGES,
+        }
+
+    n_render = len(pages) if max_pages <= 0 else min(max_pages, len(pages))
+    texts: list[str] = []
+    error = None
+    for pg, res in pages[:n_render]:
+        try:
+            texts.append(_page_text(doc, pg, res))
+        except Exception:
+            texts.append("")
+            error = error or spec.ERR_FLATE
+    text = "".join("\n\n" + t for t in texts)
+    if not tree_ok and not text.strip():
+        # the catalog's page tree was unreachable AND the salvage scan
+        # yielded nothing: structurally broken (e.g. a truncated incremental
+        # file like the reference's 03-invalid.pdf, startxref 0 + /Prev
+        # beyond EOF) — the reference REJECTS these (test/03-invalid-
+        # default.js asserts the promise rejects), so surface an error row
+        return {
+            "text": "", "n_pages": 0, "n_render": 0, "info": info,
+            "error": spec.ERR_BAD_XREF,
+        }
+    return {
+        "text": text, "n_pages": len(pages), "n_render": n_render,
+        "info": info, "error": error,
+    }
+
+
+def decode_pdf_text_string(b: bytes) -> str:
+    """PDF text string: UTF-16BE with BOM, else PDFDocEncoding (~latin-1)."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")

@@ -128,3 +128,65 @@ def extract_turns(
             yield out
 
     return cols.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------------
+# real binary PDF documents (the reference's own corpus format)
+# --------------------------------------------------------------------------
+
+PDF_DOC_SCHEMA = (
+    "doc_id string, text string, n_pages int, n_render int, "
+    "info string, error string"
+)
+
+
+def extract_pdf_documents(
+    df: DataFrame,
+    payload_col: str = "content",
+    id_col: str = "path",
+    max_pages: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Real binary PDFs (``binary`` column, e.g. from
+    ``spark.read.format("binaryFile")``) -> one row per document with the
+    reference's Result fields: text (pages joined with a leading "\\n\\n"
+    each), numpages/numrender, the /Info dict as a JSON string, error.
+
+    Mirrors lib/pdf-parse.js PDF(): a failing page contributes "" (the
+    .catch at :131-133), a structurally-broken document yields an error ROW
+    — never a task failure. Spark shape: column-pruned scan ->
+    embarrassingly-parallel mapInPandas (no shuffle); at 100 TB the
+    parallelism comes from the file-source split, with ``partitions`` as an
+    explicit rebalance knob for skewed file sizes."""
+    import json
+
+    from pdf_parse_new_spark.kernels import pdfb
+
+    cols = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    if partitions:
+        cols = cols.repartition(partitions, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                r = pdfb.parse_pdf_bytes(bytes(payload or b""), max_pages=max_pages)
+                recs.append(
+                    (
+                        doc_id,
+                        r["text"],
+                        r["n_pages"],
+                        r["n_render"],
+                        json.dumps(r["info"], sort_keys=True),
+                        r["error"],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "text", "n_pages", "n_render", "info", "error"],
+            )
+
+    return cols.mapInPandas(run, PDF_DOC_SCHEMA)

@@ -641,8 +641,33 @@ SQL_CHECKED = {
     "lang_id_expr": (q_lang_id_expr, SQL_LANG_ID_EXPR),
 }
 
+def q_real_pdf_corpus(spark, sf_dir):
+    """Real-dialect binary PDF parsing over the reference's own test corpus
+    (rows-only: the golden outputs come from the reference's pdf.js build —
+    not SQL-expressible; per-doc assertions live in
+    tests/test_real_pdf.py). Reads via the binaryFile source (S1 buffer
+    ingest for real files)."""
+    from pdf_parse_new_spark.operators import extract as ex
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/test/data")
+    )
+    out = ex.extract_pdf_documents(df)
+    return out.select(
+        F.regexp_extract("doc_id", r"([^/]+)\.pdf$", 1).alias("doc"),
+        "n_pages",
+        "n_render",
+        F.length("text").alias("text_len"),
+        "info",
+        "error",
+    ).orderBy("doc")
+
+
 ROWS_ONLY = {
     "extract_turns": q_extract_turns,
+    "real_pdf_corpus": q_real_pdf_corpus,
     "extract_conversations": q_extract_conversations,
     "simhash_buckets": q_simhash_buckets,
     "ann_lsh": q_ann_lsh,
