@@ -119,6 +119,8 @@ def minhash_dedup_pairs(
     bands: int = 16,
     rows: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 200,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs (id1 < id2, exact shingle-Jaccard >= threshold).
 
@@ -126,7 +128,18 @@ def minhash_dedup_pairs(
     plan. Band buckets carry only (id, band, bh) — fixed-width keys; the
     shingle arrays are joined back onto the (deduplicated) candidate pairs
     only, so wide arrays never ride the bucket shuffle.
-    """
+
+    ``max_bucket`` caps in-bucket pair expansion: one degenerate hot bucket
+    (boilerplate-identical docs) would otherwise land every id on one
+    reducer and emit O(n^2) pairs. Capped buckets are DROPPED, not split —
+    standard LSH practice, since a bucket that hot is (near-)identical text
+    better handled by exact dedup first. Never silently: pass a
+    ``pyspark.sql.Observation`` to get ``dropped_buckets`` /
+    ``max_bucket_size`` / ``n_buckets`` piggybacked on the same job (no
+    second action) for the run's lineage manifest. Caveat: if the FINAL
+    result is empty, AQE's empty-relation propagation can prune the observed
+    node and ``Observation.get`` fails — disable AQE for that run or accept
+    metrics only on non-empty outputs."""
     sigs = minhash_signatures_df(df, text_col, id_col, k, shingle_n)
     band_cols = F.array(
         *[
@@ -155,10 +168,20 @@ def minhash_dedup_pairs(
             ),
         )
     )
-    cand = (
+    grouped = (
         banded.groupBy("band", "bh")
         .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
+        .withColumn("n", F.size("ids"))
+    )
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.count_if(F.col("n") > max_bucket).alias("dropped_buckets"),
+            F.max("n").alias("max_bucket_size"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    cand = (
+        grouped.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .dropDuplicates(["id1", "id2"])
@@ -179,26 +202,39 @@ def minhash_dedup_pairs(
 
 def simhash(col: Column, bits: int = 64) -> Column:
     """64-bit SimHash over word tokens, pure JVM: per-bit majority vote of
-    xxhash64(token) bits. Expressed as aggregate over the token array —
-    codegen-friendly, no Python."""
+    xxhash64(token) bits.
+
+    Single ``aggregate`` pass accumulating all 64 bit-counts at once
+    (O(bits*tokens) work, ONE scan of the hash array, small codegen tree) —
+    the previous form ran 64 separate ``filter`` passes over the array per
+    row, a giant expression tree re-scanning tokens per bit."""
     toks = F.array_distinct(F.split(col, " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # for each bit, count tokens with the bit set; bit in simhash iff
-    # count*2 >= n_tokens
     n = F.size(toks)
-
-    def bit_count(b: int) -> Column:
-        # unary lambda on purpose (see _minhash_at note)
-        mask = F.shiftleft(F.lit(1).cast("long"), b)
-        return F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = F.shiftleft(F.lit(1).cast("long"), b)
-        out = out.bitwiseOR(
-            F.when(bit_count(b) * 2 >= n, mask).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    zero = F.transform(idx, lambda _: F.lit(0).cast("long"))
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda a, b: a + F.bit_get(h, b).cast("long")
+        ),
+    )
+    # bit b joins the simhash iff count*2 >= n_tokens; contribute 2^b
+    # (powers of two are exact in double; b=63 is the long sign bit)
+    terms = F.zip_with(
+        counts,
+        idx,
+        lambda c, b: F.when(
+            c * 2 >= n,
+            F.when(b == bits - 1, F.lit(-(2 ** (bits - 1))).cast("long")).otherwise(
+                F.pow(F.lit(2.0), b.cast("double")).cast("long")
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        terms, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x)
+    )
 
 
 def simhash_buckets(df: DataFrame, text_col: str = "text",

@@ -86,6 +86,8 @@ def embedding_dup_pairs(
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int = 200,
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold)
     via multi-table hyperplane LSH: each table buckets independently
@@ -132,10 +134,23 @@ def embedding_dup_pairs(
             ),
         )
     )
-    cand = (
+    # hot-bucket cap: same rationale as dedup.minhash_dedup_pairs (one
+    # degenerate bucket = one reducer + O(n^2) pairs); drops are observable
+    # via the optional Observation, never silent
+    grouped = (
         banded.groupBy("tbl", "bucket")
         .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
+        .withColumn("n", F.size("ids"))
+    )
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.count_if(F.col("n") > max_bucket).alias("dropped_buckets"),
+            F.max("n").alias("max_bucket_size"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    cand = (
+        grouped.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .dropDuplicates(["id1", "id2"])

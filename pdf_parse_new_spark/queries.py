@@ -506,6 +506,27 @@ SELECT doc_id, {_sql_lang_case()} AS pred_lang FROM s
 """
 
 
+def _sql_lang_scores_substr() -> str:
+    """DuckDB twin of the pandas-UDF scoring (textstats.lang_id_udf):
+    non-overlapping padded-substring counts — replace() consumes matches
+    left-to-right exactly like pandas Series.str.count."""
+    parts = []
+    for lang, ws in textstats.LANG_MARKERS.items():
+        terms = [
+            f"(len(pt) - len(replace(pt, ' {w} ', ''))) // {len(w) + 2}"
+            for w in ws
+        ]
+        parts.append("(" + " + ".join(terms) + f") AS s_{lang}")
+    return ", ".join(parts)
+
+
+SQL_LANG_ID = f"""
+WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+s AS (SELECT doc_id, {_sql_lang_scores_substr()} FROM p)
+SELECT doc_id, {_sql_lang_case()} AS pred_lang FROM s
+"""
+
+
 def q_orders_monthly(spark, sf_dir):
     """date_trunc month rollup (temporal functions parity)."""
     o = load(spark, sf_dir, "orders")
@@ -592,6 +613,8 @@ def q_embedding_dups(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
+    """Pandas-UDF language ID — oracle-checked against SQL_LANG_ID (DuckDB
+    replicates the padded-substring marker counts + first-wins argmax)."""
     d = load(spark, sf_dir, "documents")
     return textstats.with_lang_id(d).select("doc_id", "pred_lang")
 
@@ -639,6 +662,7 @@ SQL_CHECKED = {
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "orders_monthly": (q_orders_monthly, SQL_ORDERS_MONTHLY),
     "lang_id_expr": (q_lang_id_expr, SQL_LANG_ID_EXPR),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):
@@ -672,6 +696,5 @@ ROWS_ONLY = {
     "simhash_buckets": q_simhash_buckets,
     "ann_lsh": q_ann_lsh,
     "embedding_dups": q_embedding_dups,
-    "lang_id": q_lang_id,
     "multimodal_features": q_multimodal_features,
 }

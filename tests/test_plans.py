@@ -63,6 +63,17 @@ def test_minhash_no_cartesian(spark):
     assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
 
 
+def test_lsh_bucket_cap_in_plan(spark):
+    # the hot-bucket cap must be a real filter in the optimized plan: bucket
+    # size bounded BEFORE pair expansion (one degenerate bucket at 100 TB
+    # would otherwise be one reducer emitting O(n^2) pairs)
+    from pdf_parse_new_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(dedup.minhash_dedup_pairs(docs, max_bucket=123))
+    assert "123" in plan and "size(ids" in plan
+
+
 def test_dup_groups_partial_agg(spark):
     plan = formatted_plan(q.q_dup_groups(spark, SF))
     # hash-groupBy with map-side partial aggregation: two HashAggregate

@@ -176,3 +176,61 @@ def test_fingerprint_udf_long_doc_linear(spark):
     fps = [r.fp for r in df.select(fp_udf(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1] and len(fps[0]) == 32
     assert time.perf_counter() - t0 < 60
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # 1000 identical docs: every band bucket collects all 1000 ids; uncapped
+    # this is a ~500k-pair quadratic stage on ONE reducer. With the cap the
+    # bucket is dropped (observably) and the job stays tiny.
+    from pyspark.sql import Observation
+
+    rows = [(i, "the same boilerplate text appears everywhere") for i in range(1000)]
+    rows += [(2000, "a genuinely unique document about spark partitioning"),
+             (2001, "a genuinely unique document about spark partitioning!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("lsh")
+    pairs = dedup.minhash_dedup_pairs(
+        df, threshold=0.5, max_bucket=50, observation=obs
+    ).collect()
+    got = obs.get
+    assert got["dropped_buckets"] > 0
+    assert got["max_bucket_size"] == 1000
+    # the unique near-pair still surfaces; no pair from the hot bucket
+    idpairs = {(r.id1, r.id2) for r in pairs}
+    assert (2000, 2001) in idpairs
+    assert all(i1 >= 2000 for i1, _ in idpairs)
+
+
+def test_embedding_dup_bucket_cap(spark):
+    from pyspark.sql import Observation
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(8)
+    rows = [(i, (base + 0.0).tolist()) for i in range(300)]  # identical vecs
+    # plus one near-dup pair in the OPPOSITE half-space so the output is
+    # non-empty (an all-empty result lets AQE prune the observed node —
+    # documented operator caveat)
+    v = (-base).tolist()
+    rows += [(900, v), (901, [x * 1.001 for x in v])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    obs = Observation("emb")
+    out = similarity.embedding_dup_pairs(
+        df, dim=8, threshold=0.9, n_tables=2, n_planes=3,
+        max_bucket=20, observation=obs,
+    ).collect()
+    got = obs.get
+    assert got["max_bucket_size"] == 300 and got["dropped_buckets"] > 0
+    assert {(r.id1, r.id2) for r in out} == {(900, 901)}
+
+
+def test_simhash_bucket_invariant(spark, docs):
+    # value-checked internal invariant for the rows-only driver entry:
+    # bucket must equal the unsigned top-16-bit prefix of the simhash, and
+    # the simhash must be deterministic across runs
+    a = {r.doc_id: (r.simhash, r.bucket) for r in dedup.simhash_buckets(docs).collect()}
+    b = {r.doc_id: (r.simhash, r.bucket) for r in dedup.simhash_buckets(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    for sh, bucket in a.values():
+        assert bucket == (sh & ((1 << 64) - 1)) >> 48
