@@ -21,7 +21,7 @@ from pdf_parse_new_spark import spec
 
 SEED = 42
 # bump when payload generation changes — cached bench corpora key on this
-FIXTURES_VERSION = 6
+FIXTURES_VERSION = 7
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)
@@ -194,6 +194,20 @@ def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False,
             f"<< /Length {len(payload)} /Filter /FlateDecode >>\n"
             f"stream\n{payload}\nendstream",
         ))
+    # ~40% of docs carry a trailer /Info dict (P2: reference Result.info,
+    # lib/pdf-parse.js:91-96); drawn AFTER all page content so
+    # expected_pdf_text's replay stays aligned
+    info_no = None
+    if rng.random() < 0.4:
+        title = " ".join(rng.choice(_WORDS) for _ in range(3))
+        author = rng.choice(_WORDS).title()
+        info_no = next_obj
+        next_obj += 1
+        objects.append((
+            info_no,
+            f"<< /Title ({_esc(title)}) /Author ({_esc(author)}) "
+            f"/Producer (pdf-parse-new-spark) >>",
+        ))
     if obj_stream:
         xref_stream = True
         packed_pages = [(n, b) for n, b in objects if n in set(page_nums)]
@@ -238,7 +252,9 @@ def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False,
         out.append(
             f"{size} 0 obj\n"
             f"<< /Type /XRef /W [1 4 2] /Size {size} /Length {len(payload)} "
-            f"/Filter /FlateDecode /Root 1 0 R >>\n"
+            f"/Filter /FlateDecode /Root 1 0 R"
+            + (f" /Info {info_no} 0 R" if info_no else "")
+            + " >>\n"
             f"stream\n{payload}\nendstream\nendobj\n"
         )
         out.append(f"startxref\n{xref_off}\n%%EOF")
@@ -248,7 +264,11 @@ def build_pdf(rng: random.Random, n_pages: int, break_xref: bool = False,
         off = 0 if break_xref else offsets[num]
         xref.append(f"{off:010d} 00000 n \n")
     out.extend(xref)
-    out.append(f"trailer\n<< /Size {size} /Root 1 0 R >>\nstartxref\n{xref_off}\n%%EOF")
+    info_part = f" /Info {info_no} 0 R" if info_no else ""
+    out.append(
+        f"trailer\n<< /Size {size} /Root 1 0 R{info_part} >>\n"
+        f"startxref\n{xref_off}\n%%EOF"
+    )
     return "".join(out)
 
 

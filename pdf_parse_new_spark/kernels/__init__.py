@@ -19,7 +19,7 @@ import pandas as pd
 from pdf_parse_new_spark import spec
 from pdf_parse_new_spark.kernels import htmlk, pdfk, plaink
 
-OUT_COLS = ["family", "extracted_text", "spans", "error", "n_pages"]
+OUT_COLS = ["family", "extracted_text", "spans", "error", "n_pages", "info"]
 
 
 def extract_batch(texts: pd.Series) -> pd.DataFrame:
@@ -43,10 +43,12 @@ def extract_batch(texts: pd.Series) -> pd.DataFrame:
             "spans": [[] for _ in range(len(texts))],
             "error": None,
             "n_pages": 0,
+            "info": None,
         },
         index=texts.index,
     )
     out["error"] = out["error"].astype(object)
+    out["info"] = out["info"].astype(object)
 
     if is_bin.any():
         out.loc[is_bin, "family"] = spec.FAM_CORRUPT

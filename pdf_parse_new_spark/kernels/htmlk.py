@@ -49,6 +49,7 @@ def extract(texts: pd.Series) -> pd.DataFrame:
             "spans": [[] for _ in range(len(texts))],
             "error": None,
             "n_pages": 1,
+            "info": None,
         },
         index=texts.index,
     )

@@ -17,6 +17,7 @@ error row, never an exception (test/03-invalid-default.js contract).
 from __future__ import annotations
 
 import base64
+import json
 import re
 import unicodedata
 import zlib
@@ -272,11 +273,35 @@ def _expand_objstm(
     return out
 
 
-def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
-    """-> (text, spans, error, n_pages). Never raises."""
+_INFO_REF = re.compile(r"/Info (\d+) 0 R")
+_INFO_FIELD = re.compile(
+    r"/(Title|Author|Producer|Creator|Subject) (\((?:[^()\\]|\\.)*\))"
+)
+
+
+def _doc_info(raw: str, objs: dict) -> str | None:
+    """Trailer /Info -> JSON string of {lowercase field: text}, or None
+    (P2: reference Result.info, lib/pdf-parse.js:91-96 — null-safe)."""
+    im = None
+    for im in _INFO_REF.finditer(raw):
+        pass  # last trailer wins (incremental updates)
+    if im is None:
+        return None
+    entry = objs.get(int(im.group(1)))
+    if entry is None:
+        return None
+    fields = {
+        m.group(1).lower(): _unescape(m.group(2))
+        for m in _INFO_FIELD.finditer(entry[1])
+    }
+    return json.dumps(fields, sort_keys=True) if fields else None
+
+
+def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int, str | None]:
+    """-> (text, spans, error, n_pages, info_json). Never raises."""
     m = _STARTXREF.search(raw)
     if m is None:
-        return "", [], spec.ERR_NO_STARTXREF, 0
+        return "", [], spec.ERR_NO_STARTXREF, 0, None
 
     # classic xref table at the declared offset (following /Prev chains of
     # incremental updates, newest section wins); else try an xref stream
@@ -332,11 +357,12 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
             raw, {int(om.group(1)): om.start() for om in _OBJ.finditer(raw)}
         )
     if not objs:
-        return "", [], spec.ERR_BAD_XREF, 0
+        return "", [], spec.ERR_BAD_XREF, 0, None
 
+    info = _doc_info(raw, objs)
     pages = sorted(num for num, (_, body) in objs.items() if "/Type /Page" in body)
     if not pages:
-        return "", [], spec.ERR_NO_PAGES, 0
+        return "", [], spec.ERR_NO_PAGES, 0, info
 
     texts: list[str] = []
     spans: list[dict] = []
@@ -377,9 +403,9 @@ def _parse_one(raw: str) -> tuple[str, list[dict], str | None, int]:
         spans.append({"start": base + i, "end": base + j, "kind": "page"})
 
     if err is not None and all(t == "" for t in texts):
-        return "", [], err, len(pages)
+        return "", [], err, len(pages), info
     text = unicodedata.normalize("NFKC", spec.PAGE_SEP.join(texts))
-    return text, spans, err, len(pages)
+    return text, spans, err, len(pages), info
 
 
 def extract(texts: pd.Series) -> pd.DataFrame:
@@ -391,6 +417,7 @@ def extract(texts: pd.Series) -> pd.DataFrame:
             "spans": [r[1] for r in recs],
             "error": [r[2] for r in recs],
             "n_pages": [r[3] for r in recs],
+            "info": [r[4] for r in recs],
         },
         index=texts.index,
     )

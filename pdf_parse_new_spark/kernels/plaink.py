@@ -21,6 +21,7 @@ def extract(texts: pd.Series) -> pd.DataFrame:
             "spans": spans,
             "error": None,
             "n_pages": 1,
+            "info": None,
         },
         index=texts.index,
     )

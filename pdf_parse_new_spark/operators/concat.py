@@ -32,11 +32,18 @@ _SEP = spec.PAGE_SEP
 
 def _sorted_structs(max_turns: int) -> Column:
     s = F.array_sort(
-        F.collect_list(F.struct("turn_idx", "extracted_text", "error"))
+        F.collect_list(F.struct("turn_idx", "extracted_text", "error", "info"))
     )
     if max_turns > 0:
         s = F.filter(s, lambda t: t["turn_idx"] < max_turns)
     return s
+
+
+def _first_info(structs: Column) -> Column:
+    """First non-null per-turn /Info (turn order) — the conversation-level
+    analog of the reference Result's doc-level ``info``."""
+    nn = F.filter(structs, lambda t: t["info"].isNotNull())
+    return F.get(nn, 0)["info"]
 
 
 def _join_texts(structs: Column) -> Column:
@@ -67,6 +74,7 @@ def _finish(df: DataFrame, leading_separator: bool) -> DataFrame:
         F.create_map(
             F.lit("families"), F.col("_families"),
             F.lit("n_pages"), F.col("_pages").cast("string"),
+            F.lit("info"), F.coalesce(F.col("_info"), F.lit("")),
         ).alias("meta"),  # ≙ the reference Result's info/metadata
     )
 
@@ -85,6 +93,7 @@ def concat_conversations(
         _err_count(kept).alias("n_errors"),
         F.array_join(F.array_sort(F.collect_set("family")), ",").alias("_families"),
         F.sum("n_pages").alias("_pages"),
+        _first_info(kept).alias("_info"),
     )
     return _finish(out, leading_separator)
 
@@ -109,12 +118,14 @@ def concat_conversations_salted(
             _err_count(kept).alias("perr"),
             F.collect_set("family").alias("pfams"),
             F.sum("n_pages").alias("ppages"),
+            _first_info(kept).alias("pinfo"),
         )
     )
     parts = F.array_sort(
-        F.collect_list(F.struct("salt", "pn_kept", "ptext"))
+        F.collect_list(F.struct("salt", "pn_kept", "ptext", "pinfo"))
     )
     nonempty = F.filter(parts, lambda p: p["pn_kept"] > 0)
+    with_info = F.filter(parts, lambda p: p["pinfo"].isNotNull())
     out = partial.groupBy("conv_id").agg(
         F.sum("pn_all").alias("n_turns"),
         F.sum("pn_kept").alias("n_extracted"),
@@ -127,5 +138,6 @@ def concat_conversations_salted(
             ",",
         ).alias("_families"),
         F.sum("ppages").alias("_pages"),
+        F.get(with_info, 0)["pinfo"].alias("_info"),
     )
     return _finish(out, leading_separator)

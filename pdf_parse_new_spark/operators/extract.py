@@ -28,7 +28,7 @@ EXTRACT_SCHEMA = (
     "conv_id string, turn_idx int, role string, family string, "
     "extracted_text string, "
     "spans array<struct<start:int,end:int,kind:string>>, "
-    "error string, n_pages int"
+    "error string, n_pages int, info string"
 )
 
 # extended schema with per-batch lineage fields (partition-level metrics
@@ -119,6 +119,9 @@ def extract_turns(
                     "spans": res["spans"],
                     "error": res["error"],
                     "n_pages": res["n_pages"],
+                    # P2: per-turn document metadata (/Info JSON or null,
+                    # reference Result.info, lib/pdf-parse.js:91-96)
+                    "info": res["info"],
                 }
             )
             if with_lineage:

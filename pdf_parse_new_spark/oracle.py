@@ -26,6 +26,9 @@ class Extraction:
     spans: list[tuple[int, int, str]] = field(default_factory=list)
     error: str | None = None
     n_pages: int = 0
+    # trailer /Info dict (Title/Author/Producer...), lowercase keys, or None
+    # (reference Result.info, lib/pdf-parse.js:91-96 — null-safe)
+    info: dict | None = None
 
 
 # ----------------------------------------------------------- family detect --
@@ -304,6 +307,29 @@ def _expand_objstm(
     return out
 
 
+_INFO_REF = re.compile(r"/Info (\d+) 0 R")
+_INFO_FIELD = re.compile(r"/(Title|Author|Producer|Creator|Subject) (\((?:[^()\\]|\\.)*\))")
+
+
+def _doc_info(raw: str, objs: dict) -> dict | None:
+    """Trailer /Info dict -> {lowercase field: text} or None (reference
+    Result.info, lib/pdf-parse.js:91-96 — metadata failure is null, never an
+    error)."""
+    im = None
+    for im in _INFO_REF.finditer(raw):
+        pass  # last trailer wins (incremental updates)
+    if im is None:
+        return None
+    entry = objs.get(int(im.group(1)))
+    if entry is None:
+        return None
+    fields = {
+        m.group(1).lower(): _unescape(m.group(2))
+        for m in _INFO_FIELD.finditer(entry[1])
+    }
+    return fields or None
+
+
 def extract_pdf(raw: str) -> Extraction:
     res = Extraction(family=spec.FAM_PDF)
     m = re.search(r"startxref\s+(\d+)\s*%%EOF\s*$", raw)
@@ -362,9 +388,10 @@ def extract_pdf(raw: str) -> Extraction:
     if not objs:
         return Extraction(spec.FAM_PDF, error=spec.ERR_BAD_XREF)
 
+    res.info = _doc_info(raw, objs)
     pages = sorted(n for n, (_, b) in objs.items() if "/Type /Page" in b)
     if not pages:
-        return Extraction(spec.FAM_PDF, error=spec.ERR_NO_PAGES)
+        return Extraction(spec.FAM_PDF, error=spec.ERR_NO_PAGES, info=res.info)
 
     page_texts: list[str] = []
     first_err: str | None = None

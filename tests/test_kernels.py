@@ -4,6 +4,8 @@ test/01-valid-default.js / test/03-invalid-default.js)."""
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 import pytest
 
@@ -26,6 +28,8 @@ def test_kernel_matches_oracle_bytewise():
         assert (k.error if pd.notna(k.error) else None) == ex.error, (r[0], r[1])
         assert k.family == ex.family
         assert k.n_pages == ex.n_pages
+        k_info = json.loads(k["info"]) if k["info"] else None
+        assert k_info == ex.info, (r[0], r[1])
         assert list(k.spans) == [
             {"start": s, "end": e, "kind": kd} for (s, e, kd) in ex.spans
         ]
@@ -213,3 +217,24 @@ def test_families_deterministic(fam):
         a = fixtures.payload_for(cid, t)
         b = fixtures.payload_for(cid, t)
         assert a == b
+
+
+def test_pdf_info_metadata():
+    """P2: trailer /Info -> info dict, null-safe (lib/pdf-parse.js:91-96)."""
+    import random
+
+    with_info = without_info = 0
+    for seed in range(30):
+        rng = random.Random(seed)
+        doc = fixtures.build_pdf(rng, 2)
+        ex = oracle.extract(doc)
+        k = kernels.extract_batch(pd.Series([doc])).iloc[0]
+        if ex.info is not None:
+            with_info += 1
+            assert ex.info["producer"] == "pdf-parse-new-spark"
+            assert set(ex.info) == {"title", "author", "producer"}
+            assert json.loads(k["info"]) == ex.info
+        else:
+            without_info += 1
+            assert k["info"] is None
+    assert with_info > 0 and without_info > 0

@@ -183,3 +183,33 @@ def test_salted_equals_unsalted(spark, smoke_df):
         assert pa[cid].n_extracted == pb[cid].n_extracted
         assert pa[cid].n_errors == pb[cid].n_errors
         assert pa[cid].meta == pb[cid].meta  # families + n_pages map
+
+
+def test_conversation_meta_info(spark):
+    # P2: the concat meta map carries the first non-null per-turn /Info
+    # (reference Result.info); identical in salted and unsalted plans
+    from pdf_parse_new_spark import fixtures, pipeline
+
+    df = fixtures.make_transcripts_df(
+        spark, n_convs=12, median_turns=8, skew_convs=1, skew_turns=40
+    )
+    plain = {
+        r.conv_id: r.meta
+        for r in pipeline.extract_conversations(
+            df, pipeline.Options(salted=False)
+        ).collect()
+    }
+    salted = {
+        r.conv_id: r.meta
+        for r in pipeline.extract_conversations(
+            df, pipeline.Options(salt_block=16)
+        ).collect()
+    }
+    assert plain == salted
+    assert "info" in next(iter(plain.values()))
+    infos = [m["info"] for m in plain.values() if m["info"]]
+    assert infos, "corpus must contain PDFs with /Info"
+    import json
+
+    for i in infos:
+        assert json.loads(i)["producer"] == "pdf-parse-new-spark"
