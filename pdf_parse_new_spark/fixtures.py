@@ -21,7 +21,7 @@ from pdf_parse_new_spark import spec
 
 SEED = 42
 # bump when payload generation changes — cached bench corpora key on this
-FIXTURES_VERSION = 7
+FIXTURES_VERSION = 8
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)
@@ -75,14 +75,31 @@ def _content_stream(rng: random.Random, n_lines: int) -> tuple[str, str]:
                 ops.append("T*")
                 y -= leading
         kind = rng.randint(0, 4)
-        if kind == 0:  # plain Tj; sometimes a large-font "title" line
+        if kind == 0:  # plain Tj; sometimes a large-font "title" line;
+            # string framed as hex <48...>, octal-escaped, or continued
+            # across an escaped EOL (reference Lexer: getHexString +
+            # escape handling, pdf.worker.js:13878,13943)
             s = _line(rng)
+            enc = rng.random()
+            if enc < 0.15 and s.isascii():
+                tok = "<" + s.encode("ascii").hex().upper() + ">"
+            elif enc < 0.30 and s.isascii():
+                i2 = rng.randrange(len(s))
+                tok = (
+                    "(" + _esc(s[:i2]) + f"\\{ord(s[i2]):03o}"
+                    + _esc(s[i2 + 1 :]) + ")"
+                )
+            elif enc < 0.40 and len(s) > 1 and s.isascii():
+                i2 = rng.randrange(1, len(s))
+                tok = "(" + _esc(s[:i2]) + "\\\n" + _esc(s[i2:]) + ")"
+            else:
+                tok = f"({_esc(s)})"
             if rng.random() < 0.25:
                 ops.append("/F1 18 Tf")
-                ops.append(f"({_esc(s)}) Tj")
+                ops.append(f"{tok} Tj")
                 ops.append("/F1 12 Tf")
             else:
-                ops.append(f"({_esc(s)}) Tj")
+                ops.append(f"{tok} Tj")
             expected_lines.append(s)
         elif kind == 1:  # TJ with kerning numbers
             words = [rng.choice(_WORDS) for _ in range(rng.randint(3, 6))]

@@ -32,14 +32,28 @@ _CONTENTS = re.compile(r"/Contents (\d+) 0 R")
 _STARTXREF = re.compile(r"startxref\s+(\d+)\s*%%EOF\s*$")
 _XREF_ROW = re.compile(r"^(\d{10}) (\d{5}) ([nf]) ?$")
 _ESC = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
-_ESC_RE = re.compile(r"\\(.)")
+_ESC_RE = re.compile(r"\\([0-7]{1,3})|\\\n|\\(.)", re.S)
+_HEX_WS = re.compile(r"[^0-9A-Fa-f]")
+
+
+def _esc_sub(m: re.Match) -> str:
+    if m.group(1):  # octal escape \053 (reference Lexer, pdf.worker.js:13878)
+        return chr(int(m.group(1), 8) & 0xFF)
+    if m.group(0) == "\\\n":  # line continuation: escaped EOL vanishes
+        return ""
+    return _ESC.get(m.group(2), m.group(2))
 
 
 def _unescape(lit: str) -> str:
+    if lit[0] == "<":  # hex string: whitespace ignored, odd digit pads 0
+        hexs = _HEX_WS.sub("", lit[1:-1])
+        if len(hexs) % 2:
+            hexs += "0"
+        return bytes.fromhex(hexs).decode("latin-1")
     body = lit[1:-1]
     if "\\" not in body:
         return body
-    return _ESC_RE.sub(lambda m: _ESC.get(m.group(1), m.group(1)), body)
+    return _ESC_RE.sub(_esc_sub, body)
 
 
 _RTL_RUN = re.compile(f"[{spec.RTL_CLASS}]+")
@@ -59,11 +73,15 @@ def _bidi(s: str) -> str:
 # skip alternatives, so tokenization boundaries stay identical to the
 # oracle's token scanner for any stream the generator can emit.
 _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)"
-_STR = r"\((?:\\.|[^\\()])*\)"
+# literal string (octal escapes / line continuations resolved by _unescape)
+# or hex string <4865...> (reference Lexer.getHexString, pdf.worker.js:13943)
+_LIT = r"\((?:\\.|[^\\()])*\)"
+_HEX = r"<[0-9A-Fa-f \t\r\n]*>"
+_STR = rf"(?:{_LIT}|{_HEX})"
 _CLAUSE = re.compile(
     rf"""
       (?P<tj>{_STR})\s+Tj
-    | (?P<arr>\[(?:\\.|{_STR}|[^\]])*\])\s+TJ
+    | (?P<arr>\[(?:\\.|{_LIT}|[^\]])*\])\s+TJ
     | (?P<tdx>{_NUM})\s+(?P<tdy>{_NUM})\s+(?P<tdop>T[dD])
     | {_NUM}\s+{_NUM}\s+{_NUM}\s+{_NUM}\s+{_NUM}\s+(?P<tmy>{_NUM})\s+Tm
     | (?P<tlv>{_NUM})\s+TL

@@ -65,6 +65,7 @@ def bidi_visual(s: str) -> str:
 _TOKEN = re.compile(
     r"""
       (?P<str>\((?:\\.|[^\\()])*\))
+    | (?P<hex><[0-9A-Fa-f \t\r\n]*>)
     | (?P<arr>\[(?:\\.|\((?:\\.|[^\\()])*\)|[^\]])*\])
     | (?P<name>/[A-Za-z0-9]+)
     | (?P<num>[-+]?(?:\d+\.?\d*|\.\d+))
@@ -77,13 +78,28 @@ _ESCAPES = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
 
 
 def _unescape(lit: str) -> str:
-    # lit includes the surrounding parens
+    # lit includes the surrounding delimiters: (literal) or <hex>
+    if lit[0] == "<":  # hex string: whitespace ignored, odd digit pads a 0
+        hexs = re.sub(r"[^0-9A-Fa-f]", "", lit[1:-1])
+        if len(hexs) % 2:
+            hexs += "0"
+        return bytes.fromhex(hexs).decode("latin-1")
     out, i, body = [], 0, lit[1:-1]
     while i < len(body):
         c = body[i]
         if c == "\\" and i + 1 < len(body):
-            out.append(_ESCAPES.get(body[i + 1], body[i + 1]))
-            i += 2
+            nxt = body[i + 1]
+            if nxt in "01234567":  # octal escape, 1-3 digits
+                j = i + 1
+                while j < len(body) and j < i + 4 and body[j] in "01234567":
+                    j += 1
+                out.append(chr(int(body[i + 1 : j], 8) & 0xFF))
+                i = j
+            elif nxt == "\n":  # line continuation: escaped EOL vanishes
+                i += 2
+            else:
+                out.append(_ESCAPES.get(nxt, nxt))
+                i += 2
         else:
             out.append(c)
             i += 1
@@ -110,7 +126,7 @@ def tokenize_content(stream: str) -> list[tuple[str, float]]:
     for m in _TOKEN.finditer(stream):
         kind = m.lastgroup
         tok = m.group()
-        if kind == "str":
+        if kind in ("str", "hex"):
             stack.append(_unescape(tok))
         elif kind == "arr":
             stack.append(tok)
@@ -144,7 +160,7 @@ def tokenize_content(stream: str) -> list[tuple[str, float]]:
                 arr = str(stack[-1])
                 buf: list[str] = []
                 for am in _TOKEN.finditer(arr[1:-1]):
-                    if am.lastgroup == "str":
+                    if am.lastgroup in ("str", "hex"):
                         buf.append(_unescape(am.group()))
                     elif am.lastgroup == "num":
                         if float(am.group()) < -spec.TJ_SPACE_THRESHOLD:
