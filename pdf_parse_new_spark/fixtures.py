@@ -21,7 +21,7 @@ from pdf_parse_new_spark import spec
 
 SEED = 42
 # bump when payload generation changes — cached bench corpora key on this
-FIXTURES_VERSION = 8
+FIXTURES_VERSION = 9
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)
@@ -334,11 +334,30 @@ def build_html(rng: random.Random) -> str:
         + "".join(f"<span>{rng.choice(_WORDS)}</span> " for _ in range(8))
         + "</div>"
     )
+    # article container with nested paragraphs (leaf blocks win, the
+    # container recurses) + numeric character references in the content
+    quoted = (
+        f"{rng.choice(_WORDS)}&#8217;s {rng.choice(_WORDS)} "
+        f"&#x2019;{rng.choice(_WORDS)}"
+    )
+    article = (
+        "<article><p>"
+        + " ".join(rng.choice(_WORDS) for _ in range(rng.randint(7, 12)))
+        + f"</p><p>{quoted} "
+        + " ".join(rng.choice(_WORDS) for _ in range(6))
+        + "</p></article>"
+    )
+    # long standalone list item: a kept candidate block (unlike the sidebar
+    # link-farm li's, dropped by length/link-ratio)
+    li_item = (
+        "<li>" + " ".join(rng.choice(_WORDS) for _ in range(rng.randint(7, 12)))
+        + "</li>"
+    )
     return (
         "<!DOCTYPE html><html><head><title>t</title>"
         "<style>p{color:red}</style></head><body>"
         f"<nav>{nav_links}</nav><ul class='sidebar'>{side}</ul>"
-        f"{widget}{short}{''.join(paras)}{main_div}{linky}"
+        f"{widget}{short}{''.join(paras)}{article}{li_item}{main_div}{linky}"
         f"<footer>{nav_links}</footer></body></html>"
     )
 

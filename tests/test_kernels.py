@@ -238,3 +238,18 @@ def test_pdf_info_metadata():
             without_info += 1
             assert k["info"] is None
     assert with_info > 0 and without_info > 0
+
+
+def test_html_article_li_and_numeric_refs():
+    import random
+
+    raw = fixtures.build_html(random.Random(5))
+    res = oracle.extract(raw)
+    kinds = {k for _, _, k in res.spans}
+    # article recursed into leaf p's; standalone li kept; container absent
+    assert "li" in kinds and "p" in kinds and "article" not in kinds
+    assert "’" in res.text  # &#8217; and &#x2019; decoded
+    assert "&#" not in res.text
+    k = kernels.extract_batch(pd.Series([raw])).iloc[0]
+    assert k.extracted_text == res.text
+    assert [(s["start"], s["end"], s["kind"]) for s in k.spans] == res.spans
