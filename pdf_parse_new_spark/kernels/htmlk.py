@@ -23,21 +23,26 @@ from pdf_parse_new_spark import spec
 _BLOCK = re.compile(r"<(p|div|article|li)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _TAG_RE = r"<[^>]+>"
-_NUMREF_DEC = re.compile(r"&#(\d{1,7});")
-_NUMREF_HEX = re.compile(r"&#[xX]([0-9A-Fa-f]{1,6});")
+# ONE pass for named entities + numeric character references: each source
+# "&...;" token decodes exactly once (no accidental double-unescape of
+# "&amp;#39;"), and the batch takes 1 regex sweep instead of ~8
+_ENT_RE = re.compile(r"&(?:[a-zA-Z]+|#\d{1,7}|#[xX][0-9A-Fa-f]{1,6});")
+
+
+def _ent_sub(m: re.Match) -> str:
+    tok = m.group(0)
+    known = spec.HTML_ENTITIES.get(tok)
+    if known is not None:
+        return known
+    if tok[1] == "#":
+        cp = int(tok[3:-1], 16) if tok[2] in "xX" else int(tok[2:-1])
+        return chr(min(cp, 0x10FFFF))
+    return tok  # unknown named entity: keep literal
 
 
 def _clean(col: pd.Series) -> pd.Series:
     txt = col.str.replace(_TAG_RE, " ", regex=True)
-    for ent, ch in spec.HTML_ENTITIES.items():
-        txt = txt.str.replace(ent, ch, regex=False)
-    # numeric character references (&#8217; / &#x2019;)
-    txt = txt.str.replace(
-        _NUMREF_DEC, lambda m: chr(min(int(m.group(1)), 0x10FFFF)), regex=True
-    )
-    txt = txt.str.replace(
-        _NUMREF_HEX, lambda m: chr(min(int(m.group(1), 16), 0x10FFFF)), regex=True
-    )
+    txt = txt.str.replace(_ENT_RE, _ent_sub, regex=True)
     return txt.str.replace(r"\s+", " ", regex=True).str.strip()
 
 

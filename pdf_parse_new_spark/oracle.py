@@ -331,6 +331,8 @@ def _doc_info(raw: str, objs: dict) -> dict | None:
     """Trailer /Info dict -> {lowercase field: text} or None (reference
     Result.info, lib/pdf-parse.js:91-96 — metadata failure is null, never an
     error)."""
+    if "/Info" not in raw:  # gate: most docs carry no Info
+        return None
     im = None
     for im in _INFO_REF.finditer(raw):
         pass  # last trailer wins (incremental updates)
@@ -442,17 +444,24 @@ _BLOCK = re.compile(r"<(p|div|article|li)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _TAG = re.compile(r"<[^>]+>")
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _WS = re.compile(r"\s+")
-_NUMREF_DEC = re.compile(r"&#(\d{1,7});")
-_NUMREF_HEX = re.compile(r"&#[xX]([0-9A-Fa-f]{1,6});")
+# one decode pass: named entities + numeric refs, no double-unescape
+_ENT_RE = re.compile(r"&(?:[a-zA-Z]+|#\d{1,7}|#[xX][0-9A-Fa-f]{1,6});")
+
+
+def _ent_sub(m: re.Match) -> str:
+    tok = m.group(0)
+    known = spec.HTML_ENTITIES.get(tok)
+    if known is not None:
+        return known
+    if tok[1] == "#":
+        cp = int(tok[3:-1], 16) if tok[2] in "xX" else int(tok[2:-1])
+        return chr(min(cp, 0x10FFFF))
+    return tok  # unknown named entity: keep literal
 
 
 def _html_clean(fragment: str) -> str:
     txt = _TAG.sub(" ", fragment)
-    for ent, ch in spec.HTML_ENTITIES.items():
-        txt = txt.replace(ent, ch)
-    # numeric character references (&#8217; / &#x2019;)
-    txt = _NUMREF_DEC.sub(lambda m: chr(min(int(m.group(1)), 0x10FFFF)), txt)
-    txt = _NUMREF_HEX.sub(lambda m: chr(min(int(m.group(1), 16), 0x10FFFF)), txt)
+    txt = _ENT_RE.sub(_ent_sub, txt)
     return _WS.sub(" ", txt).strip()
 
 

@@ -54,17 +54,29 @@ _cache: dict[tuple, Plan] = {}
 
 
 def probe(df: DataFrame) -> tuple[int, float, float, int]:
-    row = df.agg(
-        F.count("*").alias("n"),
-        F.avg(F.length("text")).alias("avg_len"),
-        F.expr("percentile_approx(length(text), 0.95)").alias("p95_len"),
-    ).collect()[0]
-    biggest = (
-        df.groupBy("conv_id").count().agg(F.max("count")).collect()[0][0] or 0
+    """ONE Spark job: per-conversation pre-agg (count, payload bytes,
+    per-group p95) reduced to global stats. n/avg/max-group are exact; the
+    p95 is the max of per-group p95s — an upper bound on the true global
+    p95, which is the safe direction for its only use (sizing Arrow batches
+    under the memory cap)."""
+    row = (
+        df.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.length("text")).alias("s"),
+            F.percentile_approx(F.length("text"), 0.95).alias("p"),
+        )
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum("s").alias("bytes"),
+            F.max("c").alias("biggest"),
+            F.max("p").alias("p95_len"),
+        )
+        .collect()[0]
     )
-    return int(row["n"] or 0), float(row["avg_len"] or 0.0), float(
-        row["p95_len"] or 0.0
-    ), int(biggest)
+    n = int(row["n"] or 0)
+    avg_len = float(row["bytes"] or 0) / n if n else 0.0
+    return n, avg_len, float(row["p95_len"] or 0.0), int(row["biggest"] or 0)
 
 
 def make_plan(df: DataFrame, cores: int | None = None) -> Plan:
