@@ -23,14 +23,18 @@ from pdf_parse_new_spark import spec
 _BLOCK = re.compile(r"<(p|div|article|li)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _TAG_RE = r"<[^>]+>"
-# ONE pass for named entities + numeric character references: each source
-# "&...;" token decodes exactly once (no accidental double-unescape of
-# "&amp;#39;"), and the batch takes 1 regex sweep instead of ~8
-_ENT_RE = re.compile(r"&(?:[a-zA-Z]+|#\d{1,7}|#[xX][0-9A-Fa-f]{1,6});")
+# tag strip + entity/numeric-ref decode fused into ONE sweep (tags become
+# spaces, each "&...;" decodes exactly once — no double-unescape), then one
+# whitespace collapse: 2 regex passes over the batch instead of ~10
+_STRIP_RE = re.compile(
+    r"<[^>]+>|&(?:[a-zA-Z]+|#\d{1,7}|#[xX][0-9A-Fa-f]{1,6});"
+)
 
 
-def _ent_sub(m: re.Match) -> str:
+def _strip_sub(m: re.Match) -> str:
     tok = m.group(0)
+    if tok[0] == "<":
+        return " "
     known = spec.HTML_ENTITIES.get(tok)
     if known is not None:
         return known
@@ -41,8 +45,7 @@ def _ent_sub(m: re.Match) -> str:
 
 
 def _clean(col: pd.Series) -> pd.Series:
-    txt = col.str.replace(_TAG_RE, " ", regex=True)
-    txt = txt.str.replace(_ENT_RE, _ent_sub, regex=True)
+    txt = col.str.replace(_STRIP_RE, _strip_sub, regex=True)
     return txt.str.replace(r"\s+", " ", regex=True).str.strip()
 
 
@@ -51,7 +54,10 @@ def _collect_blocks(raw: str, base: int, out: list, depth: int = 0) -> None:
     _candidate_blocks twin — same depth cap and same-tag-nesting caveat)."""
     for m in _BLOCK.finditer(raw):
         inner = m.group(2)
-        if depth < 4 and _BLOCK.search(inner):
+        tag0 = m.group(1)[0]
+        # only div/article act as containers (p/li never nest blocks in
+        # this dialect) — skips a failed regex search per leaf block
+        if depth < 4 and (tag0 in "dDaA") and _BLOCK.search(inner):
             _collect_blocks(inner, base + m.start(2), out, depth + 1)
         else:
             out.append(

@@ -785,6 +785,11 @@ def _base_encoding(name: str | None) -> list[str]:
     return table
 
 
+_LIGATURES = {
+    "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
+    "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "st", "ﬆ": "st",
+}
+
 _BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEXTOK = re.compile(rb"<([0-9A-Fa-f]+)>")
@@ -886,6 +891,13 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
                                 table[lo + off] = prefix + chr(base_cp + off)
     if not table:
         table = {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}
+    # expand ligature codepoints the way the reference's text output does
+    # (golden .txt has ASCII "efficiency", not U+FB03): done once per font
+    # table, not per decoded string
+    table = {
+        k: ("".join(_LIGATURES.get(c, c) for c in v) if v else v)
+        for k, v in table.items()
+    }
     return FontMap(table, nbytes)
 
 

@@ -32,18 +32,22 @@ _SEP = spec.PAGE_SEP
 
 def _sorted_structs(max_turns: int) -> Column:
     s = F.array_sort(
-        F.collect_list(F.struct("turn_idx", "extracted_text", "error", "info"))
+        F.collect_list(F.struct("turn_idx", "extracted_text", "error"))
     )
     if max_turns > 0:
         s = F.filter(s, lambda t: t["turn_idx"] < max_turns)
     return s
 
 
-def _first_info(structs: Column) -> Column:
-    """First non-null per-turn /Info (turn order) — the conversation-level
-    analog of the reference Result's doc-level ``info``."""
-    nn = F.filter(structs, lambda t: t["info"].isNotNull())
-    return F.get(nn, 0)["info"]
+def _info_key(max_turns: int) -> Column:
+    """min_by ordering key selecting the FIRST kept turn carrying /Info:
+    null for info-less (or clamped-away) turns — min_by skips null keys, so
+    the info rides two scalar aggregates instead of widening every struct
+    in the ordered collect_list (measurably cheaper at 300k+ turns)."""
+    cond = F.col("info").isNotNull()
+    if max_turns > 0:
+        cond = cond & (F.col("turn_idx") < max_turns)
+    return F.when(cond, F.col("turn_idx"))
 
 
 def _join_texts(structs: Column) -> Column:
@@ -93,7 +97,7 @@ def concat_conversations(
         _err_count(kept).alias("n_errors"),
         F.array_join(F.array_sort(F.collect_set("family")), ",").alias("_families"),
         F.sum("n_pages").alias("_pages"),
-        _first_info(kept).alias("_info"),
+        F.min_by("info", _info_key(max_turns)).alias("_info"),
     )
     return _finish(out, leading_separator)
 
@@ -118,14 +122,14 @@ def concat_conversations_salted(
             _err_count(kept).alias("perr"),
             F.collect_set("family").alias("pfams"),
             F.sum("n_pages").alias("ppages"),
-            _first_info(kept).alias("pinfo"),
+            F.min_by("info", _info_key(max_turns)).alias("pinfo"),
+            F.min(_info_key(max_turns)).alias("pinfo_idx"),
         )
     )
     parts = F.array_sort(
-        F.collect_list(F.struct("salt", "pn_kept", "ptext", "pinfo"))
+        F.collect_list(F.struct("salt", "pn_kept", "ptext"))
     )
     nonempty = F.filter(parts, lambda p: p["pn_kept"] > 0)
-    with_info = F.filter(parts, lambda p: p["pinfo"].isNotNull())
     out = partial.groupBy("conv_id").agg(
         F.sum("pn_all").alias("n_turns"),
         F.sum("pn_kept").alias("n_extracted"),
@@ -138,6 +142,6 @@ def concat_conversations_salted(
             ",",
         ).alias("_families"),
         F.sum("ppages").alias("_pages"),
-        F.get(with_info, 0)["pinfo"].alias("_info"),
+        F.min_by("pinfo", "pinfo_idx").alias("_info"),
     )
     return _finish(out, leading_separator)

@@ -444,12 +444,16 @@ _BLOCK = re.compile(r"<(p|div|article|li)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _TAG = re.compile(r"<[^>]+>")
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _WS = re.compile(r"\s+")
-# one decode pass: named entities + numeric refs, no double-unescape
-_ENT_RE = re.compile(r"&(?:[a-zA-Z]+|#\d{1,7}|#[xX][0-9A-Fa-f]{1,6});")
+# tag strip + entity/numeric-ref decode in ONE sweep, no double-unescape
+_STRIP_RE = re.compile(
+    r"<[^>]+>|&(?:[a-zA-Z]+|#\d{1,7}|#[xX][0-9A-Fa-f]{1,6});"
+)
 
 
-def _ent_sub(m: re.Match) -> str:
+def _strip_sub(m: re.Match) -> str:
     tok = m.group(0)
+    if tok[0] == "<":
+        return " "
     known = spec.HTML_ENTITIES.get(tok)
     if known is not None:
         return known
@@ -460,9 +464,7 @@ def _ent_sub(m: re.Match) -> str:
 
 
 def _html_clean(fragment: str) -> str:
-    txt = _TAG.sub(" ", fragment)
-    txt = _ENT_RE.sub(_ent_sub, txt)
-    return _WS.sub(" ", txt).strip()
+    return _WS.sub(" ", _STRIP_RE.sub(_strip_sub, fragment)).strip()
 
 
 def _candidate_blocks(
@@ -476,7 +478,7 @@ def _candidate_blocks(
     out: list[tuple[int, int, str, str]] = []
     for m in _BLOCK.finditer(raw):
         tag, inner = m.group(1).lower(), m.group(2)
-        if depth < 4 and _BLOCK.search(inner):
+        if depth < 4 and tag[0] in "da" and _BLOCK.search(inner):
             out.extend(_candidate_blocks(inner, base + m.start(2), depth + 1))
         else:
             out.append((base + m.start(), base + m.end(), tag, inner))
