@@ -105,6 +105,35 @@ def main() -> None:
         fn, _ = q.SQL_CHECKED[name]
         bench(name, lambda fn=fn: run(fn(spark, sf_dir)))
 
+    # real binary PDF corpus throughput — the apples-to-apples number vs the
+    # reference's own benchmark (9,924 pages / 4.468 s = 2,221 pages/s on 24
+    # cores, README.md:769): parse the reference's test PDFs replicated
+    # 200x through the binaryFile -> mapInPandas path and report pages/s
+    from pyspark.sql import functions as F
+
+    ref = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/test/data")
+        .select("path", "content")
+    )
+    # big side = range (partitioned across all cores), small side = the 5
+    # docs (broadcast): the expansion happens ON the executors with no
+    # ~1 GB repartition shuffle of replicated payloads
+    big = (
+        spark.range(200, numPartitions=cpus * 2)
+        .crossJoin(F.broadcast(ref))
+        .select(F.concat_ws("#", "path", "id").alias("path"), "content")
+    )
+    n_pages = 0
+
+    def real_pdf():
+        nonlocal n_pages
+        out = extract.extract_pdf_documents(big)
+        n_pages = out.agg(F.sum("n_render")).collect()[0][0]
+
+    bench("real_pdf_parse", real_pdf)
+
     total = round(sum(timings.values()), 3)
     tps = round(n_turns / (timings["extract_turns"] or 1e-9))
     print(
@@ -117,6 +146,10 @@ def main() -> None:
                 "sf": sf,
                 "extract_n_turns": n_turns,
                 "extract_turns_per_sec": tps,
+                "real_pdf_pages": int(n_pages or 0),
+                "real_pdf_pages_per_sec": round(
+                    (n_pages or 0) / (timings["real_pdf_parse"] or 1e-9)
+                ),
                 "cpus": cpus,
             }
         )

@@ -100,11 +100,17 @@ def _skip_ws(data: bytes, pos: int) -> int:
     return pos
 
 
-def parse_object(data: bytes, pos: int):
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+
+def parse_object(data: bytes, pos: int, refs: bool = True):
     """Recursive-descent parse of one PDF object at ``pos``.
 
     Returns (object, next_pos). Raises ValueError on malformed input — the
     caller decides whether that poisons the document or just one object.
+    ``refs=False`` skips the "num gen R" lookahead — content streams cannot
+    contain indirect references (PDF 1.7 §7.8.2), and the lookahead per
+    numeric operand was ~15% of the content interpreter's time.
     """
     pos = _skip_ws(data, pos)
     if pos >= len(data):
@@ -116,10 +122,10 @@ def parse_object(data: bytes, pos: int):
         return _parse_literal_string(data, pos)
     if c == 0x3C:  # << dict >> or <hex>
         if data[pos : pos + 2] == b"<<":
-            return _parse_dict(data, pos)
+            return _parse_dict(data, pos, refs)
         return _parse_hex_string(data, pos)
     if c == 0x5B:  # [ array ]
-        return _parse_array(data, pos)
+        return _parse_array(data, pos, refs)
     if data.startswith(b"true", pos):
         return True, pos + 4
     if data.startswith(b"false", pos):
@@ -128,11 +134,12 @@ def parse_object(data: bytes, pos: int):
         return None, pos + 4
     m = _NUMBER.match(data, pos)
     if m:
-        # lookahead for "num gen R" indirect reference
-        r = re.match(rb"(\d+)\s+(\d+)\s+R\b", data[pos : pos + 32])
-        if r and b"." not in m.group(0):
-            return Ref(int(r.group(1)), int(r.group(2))), pos + r.end()
         tok = m.group(0)
+        if refs and b"." not in tok:
+            # lookahead for "num gen R" indirect reference
+            r = _REF_RE.match(data, pos)
+            if r:
+                return Ref(int(r.group(1)), int(r.group(2))), r.end()
         return (float(tok) if b"." in tok else int(tok)), m.end()
     raise ValueError(f"unexpected byte {c:#x} at {pos}")
 
@@ -211,7 +218,7 @@ def _parse_hex_string(data: bytes, pos: int):
     return bytes.fromhex(hexs.decode("ascii")), end + 1
 
 
-def _parse_array(data: bytes, pos: int):
+def _parse_array(data: bytes, pos: int, refs: bool = True):
     pos += 1
     out = []
     while True:
@@ -220,11 +227,11 @@ def _parse_array(data: bytes, pos: int):
             raise ValueError("unterminated array")
         if data[pos] == 0x5D:
             return out, pos + 1
-        obj, pos = parse_object(data, pos)
+        obj, pos = parse_object(data, pos, refs)
         out.append(obj)
 
 
-def _parse_dict(data: bytes, pos: int):
+def _parse_dict(data: bytes, pos: int, refs: bool = True):
     pos += 2
     out: dict = {}
     while True:
@@ -233,10 +240,10 @@ def _parse_dict(data: bytes, pos: int):
             return out, pos + 2
         if pos >= len(data):
             raise ValueError("unterminated dict")
-        key, pos = parse_object(data, pos)
+        key, pos = parse_object(data, pos, refs)
         if not isinstance(key, Name):
             raise ValueError("dict key is not a name")
-        val, pos = parse_object(data, pos)
+        val, pos = parse_object(data, pos, refs)
         out[str(key)] = val
 
 
@@ -992,7 +999,7 @@ class _TextInterp:
             )
             if is_operand:
                 try:
-                    obj, pos = parse_object(data, pos)
+                    obj, pos = parse_object(data, pos, refs=False)
                 except ValueError:
                     pos += 1
                     continue
