@@ -985,6 +985,7 @@ class _TextInterp:
         )
         y = 0.0
         leading = 0.0
+        rise = 0.0  # Ts text rise (pdf.js folds it into transform[5])
         stack: list = []
         pos = 0
         n = len(data)
@@ -1028,14 +1029,16 @@ class _TextInterp:
                     y = float(stack[-1])
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
+                elif op == b"Ts" and stack:
+                    rise = float(stack[-1])
                 elif op == b"T*":
                     y -= leading
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
-                    self.show(fm.decode(stack[-1]), y)
+                    self.show(fm.decode(stack[-1]), y + rise)
                 elif op in (b"'", b'"'):
                     y -= leading
                     if stack and isinstance(stack[-1], bytes):
-                        self.show(fm.decode(stack[-1]), y)
+                        self.show(fm.decode(stack[-1]), y + rise)
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     buf: list[str] = []
                     for item in stack[-1]:
@@ -1044,12 +1047,13 @@ class _TextInterp:
                         elif isinstance(item, (int, float)):
                             if item < -spec.TJ_SPACE_THRESHOLD:
                                 buf.append(" ")
-                    self.show("".join(buf), y)
+                    self.show("".join(buf), y + rise)
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
                 elif op == b"BT":
                     y = 0.0
                     leading = 0.0
+                    rise = 0.0
                 # other operators (q/Q, cm, gs, re, colors, paths...) are
                 # no-ops for text extraction
             except (TypeError, ValueError):

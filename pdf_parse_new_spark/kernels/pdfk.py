@@ -85,6 +85,7 @@ _CLAUSE = re.compile(
     | (?P<tdx>{_NUM})\s+(?P<tdy>{_NUM})\s+(?P<tdop>T[dD])
     | {_NUM}\s+{_NUM}\s+{_NUM}\s+{_NUM}\s+{_NUM}\s+(?P<tmy>{_NUM})\s+Tm
     | (?P<tlv>{_NUM})\s+TL
+    | (?P<tsv>{_NUM})\s+Ts
     | (?P<tstar>T\*)
     | (?P<q1>{_STR})\s+'
     | {_NUM}\s+{_NUM}\s+(?P<q2>{_STR})\s+"
@@ -101,6 +102,7 @@ _GI = _CLAUSE.groupindex
 _I_TJ, _I_ARR = _GI["tj"], _GI["arr"]
 _I_TDX, _I_TDY, _I_TDOP = _GI["tdx"], _GI["tdy"], _GI["tdop"]
 _I_TMY, _I_TLV, _I_TSTAR = _GI["tmy"], _GI["tlv"], _GI["tstar"]
+_I_TSV = _GI["tsv"]
 _I_Q1, _I_Q2, _I_TFS, _I_BT = _GI["q1"], _GI["q2"], _GI["tfs"], _GI["bt"]
 _I_ASTR = _ARR_TOK.groupindex["str"]
 
@@ -116,6 +118,8 @@ def _tokenize(stream: str) -> tuple[list[str], list[float], list[float]]:
     scales: list[float] = []
     y = leading = 0.0
     scale = 0.0
+    rise = 0.0  # Ts text rise: shifts the item baseline (pdf.js applies it
+    # into transform[5], so super/subscripts land on their own fold-line)
     thresh = -spec.TJ_SPACE_THRESHOLD
     # integer lastindex dispatch (ordered by clause frequency) + local
     # bindings: ~20% less per-match Python overhead than the lastgroup
@@ -127,7 +131,7 @@ def _tokenize(stream: str) -> tuple[list[str], list[float], list[float]]:
         group = m.group
         if li == _I_TJ:
             app_s(_bidi(_unescape(group(_I_TJ))))
-            app_y(y)
+            app_y(y + rise)
             app_sc(scale)
         elif li == _I_ARR:
             buf = []
@@ -137,7 +141,7 @@ def _tokenize(stream: str) -> tuple[list[str], list[float], list[float]]:
                 elif float(am.group()) < thresh:
                     buf.append(" ")
             app_s(_bidi("".join(buf)))
-            app_y(y)
+            app_y(y + rise)
             app_sc(scale)
         elif li == _I_TDOP:
             dy = float(group(_I_TDY))
@@ -151,19 +155,22 @@ def _tokenize(stream: str) -> tuple[list[str], list[float], list[float]]:
         elif li == _I_Q1:
             y -= leading
             app_s(_bidi(_unescape(group(_I_Q1))))
-            app_y(y)
+            app_y(y + rise)
             app_sc(scale)
         elif li == _I_Q2:
             y -= leading
             app_s(_bidi(_unescape(group(_I_Q2))))
-            app_y(y)
+            app_y(y + rise)
             app_sc(scale)
         elif li == _I_TLV:
             leading = float(group(_I_TLV))
+        elif li == _I_TSV:
+            rise = float(group(_I_TSV))
         elif li == _I_TFS:
             scale = float(group(_I_TFS))
         elif li == _I_BT:
             y = 0.0
+            rise = 0.0
     return strs, ys, scales
 
 

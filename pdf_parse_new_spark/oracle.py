@@ -119,9 +119,10 @@ def tokenize_content(stream: str) -> list[tuple[str, float]]:
     stack: list = []
     y = 0.0
     leading = 0.0
+    rise = 0.0  # Ts text rise (pdf.js folds it into transform[5])
 
     def emit(s: str) -> None:
-        items.append((bidi_visual(s), y))
+        items.append((bidi_visual(s), y + rise))
 
     for m in _TOKEN.finditer(stream):
         kind = m.lastgroup
@@ -137,6 +138,7 @@ def tokenize_content(stream: str) -> list[tuple[str, float]]:
         else:  # operator
             if tok == "BT":
                 y = 0.0  # reset text matrix; leading is text state, persists
+                rise = 0.0
             elif tok == "Td" and len(stack) >= 2:
                 y += float(stack[-1])
             elif tok == "TD" and len(stack) >= 2:
@@ -146,6 +148,8 @@ def tokenize_content(stream: str) -> list[tuple[str, float]]:
                 y = float(stack[-1])
             elif tok == "TL" and len(stack) >= 1:
                 leading = float(stack[-1])
+            elif tok == "Ts" and len(stack) >= 1:
+                rise = float(stack[-1])
             elif tok == "T*":
                 y -= leading
             elif tok == "Tj" and stack:

@@ -253,3 +253,19 @@ def test_html_article_li_and_numeric_refs():
     k = kernels.extract_batch(pd.Series([raw])).iloc[0]
     assert k.extracted_text == res.text
     assert [(s["start"], s["end"], s["kind"]) for s in k.spans] == res.spans
+
+
+def test_text_rise_ts_breaks_line():
+    """Ts rise shifts the item baseline (pdf.js folds rise into
+    transform[5]): a >tolerance superscript lands on its own fold-line in
+    both the oracle and the vectorized kernel; sub-tolerance rise does not."""
+    from pdf_parse_new_spark.kernels import pdfk
+
+    st = "BT 1 0 0 1 72 700 Tm (base) Tj 3 Ts (sup) Tj 0 Ts (back) Tj ET"
+    items = oracle.tokenize_content(st)
+    assert oracle.fold_lines(items) == "base\nsup\nback"
+    s, y, _ = pdfk._tokenize(st)
+    assert list(zip(s, y)) == items
+    # sub-tolerance rise stays on the line; BT resets rise
+    st2 = "BT (a) Tj 0.5 Ts (b) Tj ET BT (c) Tj ET"
+    assert oracle.fold_lines(oracle.tokenize_content(st2)) == "abc"
