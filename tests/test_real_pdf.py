@@ -139,3 +139,151 @@ def test_object_parser_primitives():
     assert isinstance(r, pdfb.Ref) and r.num == 12
     d, _ = po(b"<< /A [1 2 (x)] /B << /C 3.5 >> >>", 0)
     assert d["A"] == [1, 2, b"x"] and d["B"]["C"] == 3.5
+
+
+def _assemble(objects: dict[int, bytes], trailer_extra: bytes = b"") -> bytes:
+    """Serialize numbered objects + classic xref + trailer (binary,
+    \\r\\n-free framing kept simple)."""
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_off = len(out)
+    size = max(objects) + 1
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R %s>>\nstartxref\n%d\n%%%%EOF"
+        % (size, trailer_extra, xref_off)
+    )
+    return bytes(out)
+
+
+def _page_scaffold(content_obj: bytes, font_objs: dict[int, bytes] | None = None,
+                   font_ref: int | None = None) -> bytes:
+    res = b""
+    if font_ref:
+        res = b" /Resources << /Font << /F1 %d 0 R >> >>" % font_ref
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R%s >>" % res,
+        4: content_obj,
+    }
+    objs.update(font_objs or {})
+    return _assemble(objs)
+
+
+def test_asciihex_and_filter_chains():
+    import binascii
+    import zlib as z
+
+    from pdf_parse_new_spark.kernels import pdfb
+
+    ops = b"BT 1 0 0 1 72 700 Tm (hex filter works fine) Tj ET"
+    # single ASCIIHexDecode
+    hx = binascii.hexlify(ops) + b">"
+    doc = _page_scaffold(
+        b"<< /Length %d /Filter /ASCIIHexDecode >>\nstream\n%s\nendstream"
+        % (len(hx), hx)
+    )
+    r = pdfb.parse_pdf_bytes(doc)
+    assert r["text"].strip() == "hex filter works fine" and r["error"] is None
+
+    # chain: raw -> Flate -> ASCII85 (decode order [A85, Fl])
+    import base64
+
+    body = base64.a85encode(z.compress(ops)) + b"~>"
+    doc2 = _page_scaffold(
+        b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n%s\nendstream"
+        % (len(body), body)
+    )
+    r2 = pdfb.parse_pdf_bytes(doc2)
+    assert r2["text"].strip() == "hex filter works fine"
+
+    # RunLengthDecode (literal runs)
+    enc = bytearray()
+    for i in range(0, len(ops), 100):
+        chunk = ops[i : i + 100]
+        enc += bytes([len(chunk) - 1]) + chunk
+    enc.append(128)
+    doc3 = _page_scaffold(
+        b"<< /Length %d /Filter /RunLengthDecode >>\nstream\n%s\nendstream"
+        % (len(enc), bytes(enc))
+    )
+    r3 = pdfb.parse_pdf_bytes(doc3)
+    assert r3["text"].strip() == "hex filter works fine"
+
+
+def test_type0_two_byte_font_decode():
+    import zlib as z
+
+    from pdf_parse_new_spark.kernels import pdfb
+
+    # identity-ish ToUnicode via bfchar pairs for "Hi!" in 2-byte codes
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"3 beginbfchar\n<0048> <0048>\n<0069> <0069>\n<0021> <0021>\nendbfchar\n"
+        b"endcmap end"
+    )
+    comp = z.compress(cmap)
+    font_objs = {
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+           b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        6: b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+           % (len(comp), comp),
+    }
+    ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <004800690021> Tj ET"
+    content = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
+    doc = _page_scaffold(content, font_objs, font_ref=5)
+    r = pdfb.parse_pdf_bytes(doc)
+    assert r["text"].strip() == "Hi!"
+
+
+def test_xref_stream_with_png_predictor():
+    import zlib as z
+
+    from pdf_parse_new_spark.kernels import pdfb
+
+    ops = b"BT 1 0 0 1 72 700 Tm (predictor path) Tj ET"
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + bodies[num] + b"\nendobj\n"
+    # xref STREAM object (num 5) with /W [1 4 2], PNG Up predictor
+    rows = [bytes([0]) + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")]
+    for num in range(1, 5):
+        rows.append(bytes([1]) + offsets[num].to_bytes(4, "big") + b"\x00\x00")
+    xref_off = len(out)
+    rows.append(bytes([1]) + xref_off.to_bytes(4, "big") + b"\x00\x00")
+    # PNG Up encoding: stored = row - prev (mod 256), filter byte 2
+    enc = bytearray()
+    prev = bytes(7)
+    for row in rows:
+        enc.append(2)
+        enc += bytes((b - p) & 0xFF for b, p in zip(row, prev))
+        prev = row
+    comp = z.compress(bytes(enc))
+    out += (
+        b"5 0 obj\n<< /Type /XRef /W [1 4 2] /Size 6 /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n" % (len(comp), comp)
+    )
+    out += b"startxref\n%d\n%%%%EOF" % xref_off
+    r = pdfb.parse_pdf_bytes(bytes(out))
+    assert r["text"].strip() == "predictor path" and r["n_pages"] == 1
