@@ -556,7 +556,12 @@ FROM orders GROUP BY 1
 
 def q_extract_turns(spark, sf_dir):
     """Flagship kernel: per-turn extraction over the synthetic transcript
-    corpus (deterministic, generated on executors)."""
+    corpus (deterministic, generated on executors).
+
+    rows-only justification: the kernel parses PDF/HTML byte streams —
+    not expressible in DuckDB SQL. Value correctness is covered instead by
+    the bytewise kernel==oracle pytest suite + hypothesis property parity
+    (tests/test_kernels.py, tests/test_property_parity.py)."""
     from pdf_parse_new_spark import fixtures
 
     df = fixtures.make_transcripts_df_dist(
@@ -567,6 +572,10 @@ def q_extract_turns(spark, sf_dir):
 
 
 def q_extract_conversations(spark, sf_dir):
+    """rows-only justification: extraction kernel + ordered concat over
+    executor-generated payloads (no DuckDB twin for the kernel); the concat
+    semantics themselves ARE oracle-checked via conv_concat, and
+    salted==unsalted + golden-concat pytest cover this exact pipeline."""
     from pdf_parse_new_spark import fixtures, pipeline
 
     df = fixtures.make_transcripts_df_dist(
@@ -580,6 +589,11 @@ def q_extract_conversations(spark, sf_dir):
 
 
 def q_simhash_buckets(spark, sf_dir):
+    """rows-only justification: simhash is built on Spark's xxhash64, which
+    DuckDB does not implement, so no value oracle is possible; internal
+    invariants (bucket == unsigned simhash >> 48, determinism across runs)
+    are value-checked in tests/test_training_ops.py, and near-dup hamming
+    ordering is unit-tested."""
     d = load(spark, sf_dir, "documents")
     return dedup.simhash_buckets(d)
 
@@ -589,6 +603,9 @@ def q_ann_lsh(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # rows-only justification: ANN is probabilistic by design (bucket-pruned
+    # recall < 1); the exact-cosine twin knn_cosine IS oracle-checked, and a
+    # subset/ordering pytest covers this path.
     # 5 planes -> 32 buckets: sized for the sf-scale corpora; at 100 TB the
     # plane count grows with log(n/target_bucket_size)
     return similarity.ann_topk_lsh(
