@@ -811,12 +811,22 @@ def _utf16be(hexs: bytes) -> str:
 
 class FontMap:
     """Per-font decoder: code (int) -> unicode str. ``nbytes`` is the code
-    width (2 for Type0/CID fonts, else 1)."""
+    width (2 for Type0/CID fonts, else 1). ``widths`` maps code -> glyph
+    width in 1/1000 em (/Widths + /FirstChar; default 500) — used by the
+    interpreter's x-advance to detect inter-item word gaps."""
 
-    __slots__ = ("table", "nbytes")
+    __slots__ = ("table", "nbytes", "widths", "default_width")
 
-    def __init__(self, table: dict[int, str], nbytes: int) -> None:
+    def __init__(
+        self,
+        table: dict[int, str],
+        nbytes: int,
+        widths: dict[int, float] | None = None,
+        default_width: float = 500.0,
+    ) -> None:
         self.table, self.nbytes = table, nbytes
+        self.widths = widths or {}
+        self.default_width = default_width
 
     def decode(self, s: bytes) -> str:
         t = self.table
@@ -827,6 +837,16 @@ class FontMap:
             )
         return "".join(t.get(c, "") for c in s)
 
+    def advance(self, s: bytes) -> float:
+        """Total glyph width of the string in 1/1000 em."""
+        w, dw = self.widths, self.default_width
+        if self.nbytes == 2:
+            return sum(
+                w.get(int.from_bytes(s[i : i + 2], "big"), dw)
+                for i in range(0, len(s) - 1, 2)
+            )
+        return sum(w.get(c, dw) for c in s)
+
 
 def build_font_map(doc: Document, font_obj) -> FontMap:
     """ToUnicode CMap first (pdf.js PartialEvaluator.readToUnicode), then
@@ -836,6 +856,15 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
         return FontMap({i: chr(i) if 32 <= i < 127 else "" for i in range(256)}, 1)
     subtype = str(font.get("Subtype", ""))
     nbytes = 2 if subtype == "Type0" else 1
+
+    widths: dict[int, float] = {}
+    warr = doc.resolve(font.get("Widths"))
+    first = doc.resolve(font.get("FirstChar"))
+    if isinstance(warr, list) and isinstance(first, int):
+        for off, wv in enumerate(warr):
+            wv = doc.resolve(wv)
+            if isinstance(wv, (int, float)):
+                widths[first + off] = float(wv)
 
     table: dict[int, str] = {}
     enc = doc.resolve(font.get("Encoding"))
@@ -905,7 +934,7 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
         k: ("".join(_LIGATURES.get(c, c) for c in v) if v else v)
         for k, v in table.items()
     }
-    return FontMap(table, nbytes)
+    return FontMap(table, nbytes, widths)
 
 
 # --------------------------------------------------------------------------
@@ -949,14 +978,32 @@ class _TextInterp:
         self.out: list[str] = []
         self.cur_line: list[str] = []
         self.last_y: float | None = None
+        self.last_end_x: float | None = None
         self._font_maps: dict[int, FontMap] = {}
 
-    def show(self, s: str, ty: float) -> None:
+    # fraction of the font size an inter-item x-gap must exceed to count as
+    # a word break (pdf.js combineTextItems inserts a space on such gaps —
+    # the golden text has "in Fig", not "inFig", even though the items abut)
+    GAP_FRACTION = 0.18
+
+    def show(self, s: str, ty: float, tx: float | None = None,
+             size: float = 0.0) -> None:
         if not s:
             return
         if self.last_y is not None and abs(ty - self.last_y) > spec.Y_TOLERANCE:
             self.out.append("".join(self.cur_line))
             self.cur_line.clear()
+            self.last_end_x = None
+        elif (
+            tx is not None
+            and self.last_end_x is not None
+            and size > 0
+            and tx - self.last_end_x > self.GAP_FRACTION * size
+            and self.cur_line
+            and not self.cur_line[-1].endswith(" ")
+            and not s.startswith(" ")
+        ):
+            self.cur_line.append(" ")
         self.cur_line.append(s)
         self.last_y = ty
 
@@ -986,9 +1033,19 @@ class _TextInterp:
         y = 0.0
         leading = 0.0
         rise = 0.0  # Ts text rise (pdf.js folds it into transform[5])
+        # x tracking for inter-item word gaps: line_x = line-matrix origin,
+        # cur_x = draw position (advances by /Widths glyph widths); sx =
+        # the Tm x-scale so advances stay in text-space units
+        line_x = 0.0
+        cur_x = 0.0
+        size = 0.0
+        sx = 1.0
         stack: list = []
         pos = 0
         n = len(data)
+
+        def advance(item: bytes) -> float:
+            return fm.advance(item) / 1000.0 * size * sx
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
@@ -1020,40 +1077,62 @@ class _TextInterp:
             try:
                 if op == b"Tf" and len(stack) >= 2:
                     fm = self._font_for(fonts_dict, str(stack[-2]))
+                    size = float(stack[-1])
                 elif op == b"Td" and len(stack) >= 2:
                     y += float(stack[-1])
+                    line_x += float(stack[-2])
+                    cur_x = line_x
                 elif op == b"TD" and len(stack) >= 2:
                     leading = -float(stack[-1])
                     y += float(stack[-1])
+                    line_x += float(stack[-2])
+                    cur_x = line_x
                 elif op == b"Tm" and len(stack) >= 6:
                     y = float(stack[-1])
+                    line_x = float(stack[-2])
+                    cur_x = line_x
+                    sx = float(stack[-6]) or 1.0
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
                 elif op == b"Ts" and stack:
                     rise = float(stack[-1])
                 elif op == b"T*":
                     y -= leading
+                    cur_x = line_x
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
-                    self.show(fm.decode(stack[-1]), y + rise)
+                    item = stack[-1]
+                    self.show(fm.decode(item), y + rise, cur_x, size * sx)
+                    cur_x += advance(item)
+                    self.last_end_x = cur_x
                 elif op in (b"'", b'"'):
                     y -= leading
+                    cur_x = line_x
                     if stack and isinstance(stack[-1], bytes):
-                        self.show(fm.decode(stack[-1]), y + rise)
+                        item = stack[-1]
+                        self.show(fm.decode(item), y + rise, cur_x, size * sx)
+                        cur_x += advance(item)
+                        self.last_end_x = cur_x
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     buf: list[str] = []
+                    start_x = cur_x
                     for item in stack[-1]:
                         if isinstance(item, bytes):
                             buf.append(fm.decode(item))
+                            cur_x += advance(item)
                         elif isinstance(item, (int, float)):
+                            cur_x -= item / 1000.0 * size * sx
                             if item < -spec.TJ_SPACE_THRESHOLD:
                                 buf.append(" ")
-                    self.show("".join(buf), y + rise)
+                    self.show("".join(buf), y + rise, start_x, size * sx)
+                    self.last_end_x = cur_x
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
                 elif op == b"BT":
                     y = 0.0
                     leading = 0.0
                     rise = 0.0
+                    line_x = cur_x = 0.0
+                    sx = 1.0
                 # other operators (q/Q, cm, gs, re, colors, paths...) are
                 # no-ops for text extraction
             except (TypeError, ValueError):
@@ -1077,6 +1156,7 @@ class _TextInterp:
         # the form draws in its own coordinate space: break line continuity
         # on entry and exit so its y values never merge with page lines
         self.last_y = None
+        self.last_end_x = None
         self.run(
             body,
             xo.dict.get("Resources", parent_res),
@@ -1084,6 +1164,7 @@ class _TextInterp:
             seen | ({key} if key is not None else set()),
         )
         self.last_y = None
+        self.last_end_x = None
 
 
 def _page_text(doc: Document, page: dict, resources) -> str:

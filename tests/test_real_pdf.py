@@ -29,13 +29,13 @@ CASES = [
         "01-valid", 14,
         "Because traces are in SSA form and have no join points",
         "not be interpreted as necessarily representing the official views",
-        0.95,
+        0.98,
     ),
     (
         "02-valid", 5,
         "According to literature, solar cells",
         "royal Institute of Technology, Stockholm",
-        0.95,
+        0.97,
     ),
     (
         "04-valid", 5,
