@@ -87,6 +87,13 @@ _XREF_ROW = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
 
 
 def _skip_ws(data: bytes, pos: int) -> int:
+    # fast path: already at a token (most callers sit right on one)
+    try:
+        c = data[pos]
+    except IndexError:
+        return pos
+    if c not in _WS and c != 0x25:
+        return pos
     n = len(data)
     while pos < n:
         c = data[pos]
@@ -126,11 +133,13 @@ def parse_object(data: bytes, pos: int, refs: bool = True):
         return _parse_hex_string(data, pos)
     if c == 0x5B:  # [ array ]
         return _parse_array(data, pos, refs)
-    if data.startswith(b"true", pos):
+    # keyword checks gated on the first byte (numbers are the hot path —
+    # three unconditional startswith calls per numeric operand add up)
+    if c == 0x74 and data.startswith(b"true", pos):
         return True, pos + 4
-    if data.startswith(b"false", pos):
+    if c == 0x66 and data.startswith(b"false", pos):
         return False, pos + 5
-    if data.startswith(b"null", pos):
+    if c == 0x6E and data.startswith(b"null", pos):
         return None, pos + 4
     m = _NUMBER.match(data, pos)
     if m:
