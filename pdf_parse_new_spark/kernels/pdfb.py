@@ -1195,7 +1195,13 @@ def _page_text(doc: Document, page: dict, resources) -> str:
 
 
 def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
-    """Parse one real binary PDF -> {text, n_pages, n_render, info, error}.
+    """Parse one real binary PDF -> {text, n_pages, n_render, info, error,
+    page_spans}.
+
+    ``page_spans``: per rendered page, the [start, end) offsets of that
+    page's text inside the returned ``text`` (the north rule's "extracted
+    text + span offsets"; each span starts after the page's leading
+    separator).
 
     Output assembly mirrors the reference exactly: each rendered page's text
     is appended as ``"\\n\\n" + page_text`` (lib/pdf-parse.js:129-135,
@@ -1208,7 +1214,7 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
     except Exception:
         return {
             "text": "", "n_pages": 0, "n_render": 0, "info": {},
-            "error": spec.ERR_BAD_XREF,
+            "error": spec.ERR_BAD_XREF, "page_spans": [],
         }
     info: dict[str, str] = {}
     try:
@@ -1243,7 +1249,7 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
     if not pages:
         return {
             "text": "", "n_pages": 0, "n_render": 0, "info": info,
-            "error": spec.ERR_NO_PAGES,
+            "error": spec.ERR_NO_PAGES, "page_spans": [],
         }
 
     n_render = len(pages) if max_pages <= 0 else min(max_pages, len(pages))
@@ -1255,7 +1261,16 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
         except Exception:
             texts.append("")
             error = error or spec.ERR_FLATE
-    text = "".join("\n\n" + t for t in texts)
+    text_parts: list[str] = []
+    page_spans: list[tuple[int, int, int]] = []  # (page_no, start, end)
+    off = 0
+    for i, t in enumerate(texts):
+        off += 2  # leading "\n\n" per page (lib/pdf-parse.js:134)
+        page_spans.append((i + 1, off, off + len(t)))
+        text_parts.append("\n\n")
+        text_parts.append(t)
+        off += len(t)
+    text = "".join(text_parts)
     if not tree_ok and not text.strip():
         # the catalog's page tree was unreachable AND the salvage scan
         # yielded nothing: structurally broken (e.g. a truncated incremental
@@ -1264,11 +1279,11 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
         # default.js asserts the promise rejects), so surface an error row
         return {
             "text": "", "n_pages": 0, "n_render": 0, "info": info,
-            "error": spec.ERR_BAD_XREF,
+            "error": spec.ERR_BAD_XREF, "page_spans": [],
         }
     return {
         "text": text, "n_pages": len(pages), "n_render": n_render,
-        "info": info, "error": error,
+        "info": info, "error": error, "page_spans": page_spans,
     }
 
 

@@ -139,7 +139,8 @@ def extract_turns(
 
 PDF_DOC_SCHEMA = (
     "doc_id string, text string, n_pages int, n_render int, "
-    "info string, error string"
+    "info string, error string, "
+    "page_spans array<struct<page:int,start:int,end:int>>"
 )
 
 
@@ -185,11 +186,18 @@ def extract_pdf_documents(
                         r["n_render"],
                         json.dumps(r["info"], sort_keys=True),
                         r["error"],
+                        [
+                            {"page": p, "start": st, "end": en}
+                            for p, st, en in r["page_spans"]
+                        ],
                     )
                 )
             yield pd.DataFrame(
                 recs,
-                columns=["doc_id", "text", "n_pages", "n_render", "info", "error"],
+                columns=[
+                    "doc_id", "text", "n_pages", "n_render", "info", "error",
+                    "page_spans",
+                ],
             )
 
     return cols.mapInPandas(run, PDF_DOC_SCHEMA)

@@ -287,3 +287,25 @@ def test_xref_stream_with_png_predictor():
     out += b"startxref\n%d\n%%%%EOF" % xref_off
     r = pdfb.parse_pdf_bytes(bytes(out))
     assert r["text"].strip() == "predictor path" and r["n_pages"] == 1
+
+
+def test_page_spans_offsets():
+    # north rule: "extracted text + span offsets" — each rendered page's
+    # span must slice exactly that page's text out of the full result
+    raw = open(f"{DATA}/01-valid.pdf", "rb").read()
+    r = pdfb.parse_pdf_bytes(raw)
+    spans = r["page_spans"]
+    assert len(spans) == 14 and [p for p, _, _ in spans] == list(range(1, 15))
+    text = r["text"]
+    prev_end = 0
+    for pno, s, e in spans:
+        assert text[s - 2 : s] == "\n\n" and s - 2 == prev_end
+        prev_end = e
+    assert prev_end == len(text)
+    # the known substrings live inside their page's span slice
+    i = text.find("Because traces are in SSA form")
+    pg = next(p for p, s, e in spans if s <= i < e)
+    assert text[spans[pg - 1][1] : spans[pg - 1][2]].count("Because traces") >= 1
+    # error docs carry no spans
+    bad = pdfb.parse_pdf_bytes(open(f"{DATA}/03-invalid.pdf", "rb").read())
+    assert bad["page_spans"] == []
