@@ -1216,6 +1216,13 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
             "text": "", "n_pages": 0, "n_render": 0, "info": {},
             "error": spec.ERR_BAD_XREF, "page_spans": [],
         }
+    # encrypted documents: the reference rejects them (pdf.js raises
+    # PasswordException during load); our distributed semantics = error row
+    if "Encrypt" in doc.trailer:
+        return {
+            "text": "", "n_pages": 0, "n_render": 0, "info": {},
+            "error": spec.ERR_ENCRYPTED, "page_spans": [],
+        }
     info: dict[str, str] = {}
     try:
         info_obj = doc.resolve(doc.trailer.get("Info"))

@@ -82,6 +82,7 @@ ERR_NO_PAGES = "pdf:no-pages"
 ERR_BAD_B64 = "pdf:bad-b64"
 ERR_BAD_CMF = "pdf:bad-cmf"
 ERR_FLATE = "pdf:flate"
+ERR_ENCRYPTED = "pdf:encrypted"  # reference: pdf.js PasswordException -> reject
 
 # payload family tags
 FAM_PDF = "pdfstream"

@@ -309,3 +309,16 @@ def test_page_spans_offsets():
     # error docs carry no spans
     bad = pdfb.parse_pdf_bytes(open(f"{DATA}/03-invalid.pdf", "rb").read())
     assert bad["page_spans"] == []
+
+
+def test_encrypted_pdf_rejects_as_error_row():
+    # an /Encrypt trailer entry means pdf.js would raise PasswordException
+    # and the reference's promise rejects -> error row here
+    doc = _page_scaffold(
+        b"<< /Length 2 >>\nstream\nBT\nendstream",
+        font_objs={9: b"<< /Filter /Standard /V 1 /R 2 /O (x) /U (y) /P -44 >>"},
+    )
+    doc = doc.replace(b"/Root 1 0 R ", b"/Root 1 0 R /Encrypt 9 0 R ")
+    r = pdfb.parse_pdf_bytes(doc)
+    assert r["error"] == "pdf:encrypted"
+    assert r["text"] == "" and r["n_pages"] == 0
