@@ -20,7 +20,7 @@ import pandas as pd
 
 from pdf_parse_new_spark import spec
 
-_BLOCK = re.compile(r"<(p|div|article|li)\b[^>]*>(.*?)</\1>", re.S | re.I)
+_BLOCK = re.compile(r"<(p|div|article|li|section|main|blockquote)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _TAG_RE = r"<[^>]+>"
 # tag strip + entity/numeric-ref decode fused into ONE sweep (tags become
@@ -55,9 +55,9 @@ def _collect_blocks(raw: str, base: int, out: list, depth: int = 0) -> None:
     for m in _BLOCK.finditer(raw):
         inner = m.group(2)
         tag0 = m.group(1)[0]
-        # only div/article act as containers (p/li never nest blocks in
-        # this dialect) — skips a failed regex search per leaf block
-        if depth < 4 and (tag0 in "dDaA") and _BLOCK.search(inner):
+        # p/li are always leaves in this dialect; the rest
+        # (div/article/section/main/blockquote) may contain nested blocks
+        if depth < 4 and (tag0 not in "pPlL") and _BLOCK.search(inner):
             _collect_blocks(inner, base + m.start(2), out, depth + 1)
         else:
             out.append(

@@ -444,7 +444,7 @@ def extract_pdf(raw: str) -> Extraction:
 
 # ------------------------------------------------------------------- HTML ---
 
-_BLOCK = re.compile(r"<(p|div|article|li)\b[^>]*>(.*?)</\1>", re.S | re.I)
+_BLOCK = re.compile(r"<(p|div|article|li|section|main|blockquote)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _TAG = re.compile(r"<[^>]+>")
 _LINK = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _WS = re.compile(r"\s+")
@@ -482,7 +482,7 @@ def _candidate_blocks(
     out: list[tuple[int, int, str, str]] = []
     for m in _BLOCK.finditer(raw):
         tag, inner = m.group(1).lower(), m.group(2)
-        if depth < 4 and tag[0] in "da" and _BLOCK.search(inner):
+        if depth < 4 and tag[0] not in "pl" and _BLOCK.search(inner):
             out.extend(_candidate_blocks(inner, base + m.start(2), depth + 1))
         else:
             out.append((base + m.start(), base + m.end(), tag, inner))

@@ -82,3 +82,23 @@ def test_lang_id_expr_matches_udf(spark):
     # the UDF counts substring hits, the expression counts exact tokens —
     # they agree on this corpus (single-space separated words)
     assert agree == len(both)
+
+
+def test_sql_pdf_functions(spark):
+    from pdf_parse_new_spark.functions import register_all
+
+    register_all(spark)
+    (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/test/data")
+        .createOrReplaceTempView("raw_pdfs")
+    )
+    rows = spark.sql(
+        "SELECT path, pdf_numpages(content) AS np, pdf_text(content) AS t "
+        "FROM raw_pdfs"
+    ).collect()
+    by = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    assert by["01-valid.pdf"].np == 14
+    assert "Because traces are in SSA form" in by["01-valid.pdf"].t
+    assert by["03-invalid.pdf"].t is None  # rejected doc -> NULL

@@ -269,3 +269,19 @@ def test_text_rise_ts_breaks_line():
     # sub-tolerance rise stays on the line; BT resets rise
     st2 = "BT (a) Tj 0.5 Ts (b) Tj ET BT (c) Tj ET"
     assert oracle.fold_lines(oracle.tokenize_content(st2)) == "abc"
+
+
+def test_html_section_main_blockquote_candidates():
+    html = (
+        "<!DOCTYPE html><html><body>"
+        "<main><section><p>a long paragraph inside nested containers here</p>"
+        "</section></main>"
+        "<blockquote>a quoted passage long enough to clear the length floor"
+        "</blockquote></body></html>"
+    )
+    res = oracle.extract(html)
+    kinds = [k for _, _, k in res.spans]
+    assert kinds == ["p", "blockquote"]  # containers recursed, leaves kept
+    assert "quoted passage" in res.text and "nested containers" in res.text
+    k = kernels.extract_batch(pd.Series([html])).iloc[0]
+    assert k.extracted_text == res.text
