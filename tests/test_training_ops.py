@@ -234,3 +234,52 @@ def test_simhash_bucket_invariant(spark, docs):
     assert a == b and len(a) == docs.count()
     for sh, bucket in a.values():
         assert bucket == (sh & ((1 << 64) - 1)) >> 48
+
+
+def test_multimodal_real_ppm_decode(spark):
+    # uncompressed P6 image decodes for REAL: header + numpy grid feature
+    import numpy as np
+
+    w, h = 32, 16
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[:, : w // 2] = 255  # left half white, right half black
+    payload = b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    df = spark.createDataFrame(
+        [("img1", "image", bytearray(payload), {"fmt": "ppm"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.extract_features(df).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (32, 16, 1)
+    f = np.array(r.feature).reshape(4, 4)
+    # left two grid columns are white (1.0), right two are black (0.0)
+    assert np.allclose(f[:, :2], 1.0, atol=1e-3)
+    assert np.allclose(f[:, 2:], 0.0, atol=1e-3)
+
+
+def test_multimodal_real_wav_decode(spark):
+    import struct
+
+    import numpy as np
+
+    rate, n = 8000, 8000
+    t = np.arange(n) / rate
+    samples = (np.sin(2 * np.pi * 440 * t) * 0.5 * 32767).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [("aud1", "audio", bytearray(payload), {"fmt": "wav"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.extract_features(df).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (8000, 1, 8000)
+    # constant-amplitude sine: every RMS window ~ 0.5/sqrt(2)
+    import math
+
+    want = 0.5 / math.sqrt(2)
+    for v in r.feature:
+        assert abs(v - want) < 0.02
