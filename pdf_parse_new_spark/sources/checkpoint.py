@@ -61,7 +61,12 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame | None:
     paths = committed_data_paths(out_dir)
     if not paths:
         return None
-    return spark.read.parquet(*paths)
+    # mergeSchema: snapshots may span ENGINE versions (e.g. the per-turn
+    # `info` column landed in round 2) — without it Spark samples one file's
+    # footer for the schema and resumes nondeterministically fail/succeed
+    # depending on which snapshot it sampled (Iceberg gets this from table
+    # metadata; plain parquet needs the explicit merge)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def run_incremental(

@@ -65,3 +65,38 @@ def test_planner_probe_and_tiers(spark, smoke_df):
     assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == str(
         plan.arrow_batch
     )
+
+
+def test_resume_across_engine_schema_versions(spark, tmp_path):
+    """A checkpoint written by an OLDER engine (no per-turn `info` column)
+    must still resume under the new engine: read_committed merges schemas
+    and old rows surface info=null."""
+    out = str(tmp_path / "evo")
+    full = fixtures.make_transcripts_df(spark, n_convs=6, median_turns=4)
+    first = full.filter("conv_id < 'conv-000003'")
+    rest = full.filter("conv_id >= 'conv-000003'")
+
+    c1 = checkpoint.run_incremental(spark, first, out)
+    assert c1["n_rows"] > 0
+    # simulate the round-1 engine's snapshot: rewrite the first commit's
+    # data files without the info column
+    import pyspark.sql.functions as F  # noqa: F401
+
+    d1 = c1["data_dirs"][0]
+    old = spark.read.parquet(d1).drop("info")
+    tmp_dir = d1 + ".old"
+    old.write.mode("overwrite").parquet(tmp_dir)
+    import shutil
+
+    shutil.rmtree(d1)
+    shutil.move(tmp_dir, d1)
+
+    c2 = checkpoint.run_incremental(spark, full, out)
+    assert c2["n_rows"] > 0  # only the remaining conversations re-ran
+    assert c2["n_convs"] == rest.select("conv_id").distinct().count()
+    merged = checkpoint.read_committed(spark, out)
+    assert "info" in merged.columns
+    assert merged.count() == full.count()
+    # old-snapshot rows read as info=null, new rows keep theirs
+    old_rows = merged.join(first.select("conv_id").distinct(), "conv_id")
+    assert old_rows.filter("info is not null").count() == 0

@@ -322,3 +322,20 @@ def test_encrypted_pdf_rejects_as_error_row():
     r = pdfb.parse_pdf_bytes(doc)
     assert r["error"] == "pdf:encrypted"
     assert r["text"] == "" and r["n_pages"] == 0
+
+
+def test_pdf_documents_parallelism_equivalence(spark):
+    # U3 analog for the real-PDF path: identical results at different
+    # partitionings (per-document parse is deterministic and shuffle-free)
+    from pdf_parse_new_spark.operators import extract as ex
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(DATA)
+    )
+    a = {r.doc_id: (r.text, r.n_pages, r.info, r.error)
+         for r in ex.extract_pdf_documents(df).collect()}
+    b = {r.doc_id: (r.text, r.n_pages, r.info, r.error)
+         for r in ex.extract_pdf_documents(df, partitions=7).collect()}
+    assert a == b and len(a) == 5
