@@ -150,6 +150,7 @@ def extract_pdf_documents(
     id_col: str = "path",
     max_pages: int = 0,
     partitions: int | None = None,
+    max_payload_bytes: int | None = 512 << 20,
 ) -> DataFrame:
     """Real binary PDFs (``binary`` column, e.g. from
     ``spark.read.format("binaryFile")``) -> one row per document with the
@@ -177,7 +178,16 @@ def extract_pdf_documents(
         for pdf in batches:
             recs = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                r = pdfb.parse_pdf_bytes(bytes(payload or b""), max_pages=max_pages)
+                raw = bytes(payload or b"")
+                if max_payload_bytes is not None and len(raw) > max_payload_bytes:
+                    # same guard philosophy as extract_turns: one
+                    # pathological input becomes an error row, never an
+                    # executor OOM (default 512 MB, far above any sane PDF)
+                    recs.append(
+                        (doc_id, "", 0, 0, "{}", "payload-too-large", [])
+                    )
+                    continue
+                r = pdfb.parse_pdf_bytes(raw, max_pages=max_pages)
                 recs.append(
                     (
                         doc_id,

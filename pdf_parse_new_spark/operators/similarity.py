@@ -172,17 +172,29 @@ def ann_topk_lsh(
     n_planes: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probes: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: prune to the query's LSH bucket, exact cosine
-    within. At scale the bucket column is a partition/cluster key, so this
-    becomes partition-pruned scan + local top-k."""
+    """Approximate top-k: MULTI-PROBE hyperplane LSH — scan the query's
+    bucket plus its Hamming-1 neighbors (flip each plane bit once), exact
+    cosine within. Single-probe recall measured 0.20 on the synthetic
+    embeddings; probing the n_planes+1 nearest buckets lifts it several-fold
+    for (1 + n_planes)/2^n_planes of the data scanned (Lv et al.,
+    "Multi-Probe LSH", VLDB 2007). At scale the bucket column is a
+    partition/cluster key, so this stays a partition-pruned scan + local
+    top-k; ``n_probes`` caps the probed buckets (default: all Hamming-1)."""
     dim = len(query)
     planes = _planes(dim, n_planes)
-    qsig = int(
-        ((np.asarray(query) @ planes) > 0).astype(np.int64)
-        @ (1 << np.arange(n_planes)).astype(np.int64)
-    )
+    margins = np.asarray(query) @ planes
+    qsig = int((margins > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
+    # probe order: flip the planes the query is CLOSEST to first (smallest
+    # |margin| = most likely to have split true neighbors away)
+    flip_order = np.argsort(np.abs(margins))
+    if n_probes is None:
+        n_probes = n_planes + 1
+    probes = [qsig] + [
+        qsig ^ (1 << int(b)) for b in flip_order[: max(0, n_probes - 1)]
+    ]
     bucketed = lsh_buckets(df, dim, n_planes, vec_col)
     return cosine_topk(
-        bucketed.filter(F.col("bucket") == qsig), query, k, vec_col, id_col
+        bucketed.filter(F.col("bucket").isin(probes)), query, k, vec_col, id_col
     )

@@ -339,3 +339,44 @@ def test_pdf_documents_parallelism_equivalence(spark):
     b = {r.doc_id: (r.text, r.n_pages, r.info, r.error)
          for r in ex.extract_pdf_documents(df, partitions=7).collect()}
     assert a == b and len(a) == 5
+
+
+def test_parser_survives_mutations():
+    """Web-scale hygiene: deterministic corruption sweep over a real PDF —
+    truncations, byte flips, and splices must yield a result dict (possibly
+    an error row), never an exception."""
+    raw = open(f"{DATA}/01-valid.pdf", "rb").read()
+    n = len(raw)
+    cases = []
+    for frac in (0.001, 0.01, 0.3, 0.7, 0.99):
+        cases.append(raw[: int(n * frac)])                      # truncation
+    for off in (100, 5069, 58223, n // 2, n - 100):
+        b = bytearray(raw)
+        for i in range(off, min(off + 64, n)):
+            b[i] ^= 0x5A                                        # byte flips
+        cases.append(bytes(b))
+    cases.append(raw[: n // 2] + raw[: n // 2])                 # splice
+    cases.append(b"%PDF-1.4\n" + b"\x00" * 1000)                # garbage
+    cases.append(b"")                                           # empty
+    for i, payload in enumerate(cases):
+        r = pdfb.parse_pdf_bytes(payload)
+        assert isinstance(r["text"], str), i
+        assert r["error"] is None or isinstance(r["error"], str), i
+
+
+def test_pdf_documents_payload_guard(spark):
+    from pdf_parse_new_spark.operators import extract as ex
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(DATA)
+    )
+    rows = ex.extract_pdf_documents(df, max_payload_bytes=100_000).collect()
+    guarded = {r.doc_id.rsplit("/", 1)[-1] for r in rows
+               if r.error == "payload-too-large"}
+    # 01 (1 MB), 02 (3.5 MB), 05 (186 KB) exceed 100 KB; 03/04 are under
+    assert guarded == {"01-valid.pdf", "02-valid.pdf", "05-versions-space.pdf"}
+    for r in rows:
+        if r.error == "payload-too-large":
+            assert r.text == "" and r.n_pages == 0 and list(r.page_spans) == []

@@ -283,3 +283,22 @@ def test_multimodal_real_wav_decode(spark):
     want = 0.5 / math.sqrt(2)
     for v in r.feature:
         assert abs(v - want) < 0.02
+
+
+def test_ann_recall_vs_exact(spark, emb):
+    # quantify ANN recall over 10 query vectors (fixed seed => stable):
+    # single-probe measured 0.20 on these near-uniform synthetic embeddings
+    # (top cosines ~0.5 — adversarial for hyperplane LSH); Hamming-1
+    # multi-probe lifts it to 0.42 while scanning ~31% of the buckets at
+    # n_planes=4. The floor pins the multi-probe behavior.
+    ids = [r.vec_id for r in emb.select("vec_id").limit(10).collect()]
+    hits = total = 0
+    for qid in ids:
+        q = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        rest = emb.filter(F.col("vec_id") != qid)
+        exact = {r.vec_id for r in similarity.cosine_topk(rest, q, k=5).collect()}
+        approx = {r.vec_id for r in similarity.ann_topk_lsh(rest, q, k=5, n_planes=4).collect()}
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.4, f"ANN multi-probe recall {recall:.2f} below floor"
