@@ -1049,12 +1049,19 @@ class _TextInterp:
         cur_x = 0.0
         size = 0.0
         sx = 1.0
+        tc = 0.0  # Tc char spacing (text-space units, added per glyph)
+        tw = 0.0  # Tw word spacing (added per 0x20 byte, 1-byte fonts)
+        tz = 1.0  # Tz horizontal scaling (percent / 100, scales advances)
         stack: list = []
         pos = 0
         n = len(data)
 
         def advance(item: bytes) -> float:
-            return fm.advance(item) / 1000.0 * size * sx
+            glyphs = len(item) // fm.nbytes
+            spaces = item.count(0x20) if fm.nbytes == 1 else 0
+            return (
+                fm.advance(item) / 1000.0 * size + glyphs * tc + spaces * tw
+            ) * sx * tz
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
@@ -1105,6 +1112,12 @@ class _TextInterp:
                     leading = float(stack[-1])
                 elif op == b"Ts" and stack:
                     rise = float(stack[-1])
+                elif op == b"Tc" and stack:
+                    tc = float(stack[-1])
+                elif op == b"Tw" and stack:
+                    tw = float(stack[-1])
+                elif op == b"Tz" and stack:
+                    tz = (float(stack[-1]) or 100.0) / 100.0
                 elif op == b"T*":
                     y -= leading
                     cur_x = line_x
@@ -1116,6 +1129,9 @@ class _TextInterp:
                 elif op in (b"'", b'"'):
                     y -= leading
                     cur_x = line_x
+                    if op == b'"' and len(stack) >= 3:
+                        tw = float(stack[-3])
+                        tc = float(stack[-2])
                     if stack and isinstance(stack[-1], bytes):
                         item = stack[-1]
                         self.show(fm.decode(item), y + rise, cur_x, size * sx)
@@ -1138,10 +1154,11 @@ class _TextInterp:
                     self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
                 elif op == b"BT":
                     y = 0.0
-                    leading = 0.0
                     rise = 0.0
                     line_x = cur_x = 0.0
                     sx = 1.0
+                    # leading/Tc/Tw/Tz are TEXT STATE (persist across BT;
+                    # spec table 103) — only the matrices reset
                 # other operators (q/Q, cm, gs, re, colors, paths...) are
                 # no-ops for text extraction
             except (TypeError, ValueError):

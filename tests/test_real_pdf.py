@@ -380,3 +380,33 @@ def test_pdf_documents_payload_guard(spark):
     for r in rows:
         if r.error == "payload-too-large":
             assert r.text == "" and r.n_pages == 0 and list(r.page_spans) == []
+
+
+def test_char_word_spacing_in_gap_model():
+    """Tc/Tw/Tz change glyph advances: with wide char spacing two abutting
+    Tj items develop a real x-gap... unless the advance model accounts for
+    the spacing. Build both variants and check the word gap appears exactly
+    when the geometry says so."""
+    # font with 500/1000-em widths for all chars via /Widths
+    widths = b"[" + b" ".join(b"500" for _ in range(95)) + b"]"
+    font_objs = {
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /F "
+           b"/FirstChar 32 /LastChar 126 /Widths 6 0 R >>",
+        6: widths,
+    }
+    # "ab" at 10pt = 2 glyphs * 0.5em * 10 = 10 units wide; second item at
+    # x=72+10 -> NO gap; at x=72+14 (gap 4 > 0.18*10) -> space
+    tight = (b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (ab) Tj "
+             b"1 0 0 1 82 700 Tm (cd) Tj ET")
+    gapped = (b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (ab) Tj "
+              b"1 0 0 1 86 700 Tm (cd) Tj ET")
+    # with Tc=2: "ab" advance = 10 + 2*2 = 14 -> the 86 start abuts
+    charsp = (b"BT /F1 10 Tf 2 Tc 1 0 0 1 72 700 Tm (ab) Tj "
+              b"1 0 0 1 86 700 Tm (cd) Tj ET")
+    for ops, want in ((tight, "abcd"), (gapped, "ab cd"), (charsp, "abcd")):
+        doc = _page_scaffold(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops),
+            font_objs, font_ref=5,
+        )
+        r = pdfb.parse_pdf_bytes(doc)
+        assert r["text"].strip() == want, (ops, r["text"])
