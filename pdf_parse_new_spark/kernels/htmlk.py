@@ -40,7 +40,12 @@ def _strip_sub(m: re.Match) -> str:
         return known
     if tok[1] == "#":
         cp = int(tok[3:-1], 16) if tok[2] in "xX" else int(tok[2:-1])
-        return chr(min(cp, 0x10FFFF))
+        # WHATWG charref rules (html.unescape parity): NUL, out-of-range and
+        # surrogate codepoints decode to U+FFFD — a lone surrogate would be
+        # un-UTF-8-encodable and fail the Arrow task
+        if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            return "�"
+        return chr(cp)
     return tok  # unknown named entity: keep literal
 
 

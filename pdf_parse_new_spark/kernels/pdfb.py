@@ -500,10 +500,13 @@ class Document:
                 if p + rw > len(data):
                     break
                 fields = []
-                for width in w:
-                    fields.append(
-                        int.from_bytes(data[p : p + width], "big") if width else 1
-                    )
+                for fi, width in enumerate(w):
+                    if width:
+                        fields.append(int.from_bytes(data[p : p + width], "big"))
+                    else:
+                        # spec 7.5.8.2: a zero-width FIRST field defaults to
+                        # type 1; later zero-width fields default to 0
+                        fields.append(1 if fi == 0 else 0)
                     p += width
                 num = first + k
                 if num in entries:
@@ -515,7 +518,14 @@ class Document:
                     entries[num] = ("c", fields[1], fields[2])
                 else:
                     entries[num] = ("f", fields[1])
-        return {k: v for k, v in d.items() if k in ("Root", "Info", "Prev", "Size", "ID")}
+        # "Encrypt" must survive: modern files keep the whole trailer in the
+        # xref stream, and dropping it would parse encrypted bytes as
+        # plaintext instead of taking the decrypt/reject path below
+        return {
+            k: v
+            for k, v in d.items()
+            if k in ("Root", "Info", "Prev", "Size", "ID", "Encrypt")
+        }
 
     def _recovery_scan(self) -> None:
         """Brute-force re-index of every ``N G obj`` marker (last marker wins
@@ -652,9 +662,10 @@ class Document:
             elif fname in ("LZWDecode", "LZW"):
                 data = _lzw_decode(data)
             elif fname in ("ASCIIHexDecode", "AHx"):
-                data = bytes.fromhex(
-                    re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0]).decode()
-                )
+                hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+                if len(hexs) % 2:
+                    hexs += b"0"  # odd count: final digit implies 0 (7.4.2)
+                data = bytes.fromhex(hexs.decode())
             elif fname in ("ASCII85Decode", "A85"):
                 data = _ascii85_decode(data)
             elif fname in ("RunLengthDecode", "RL"):

@@ -32,14 +32,14 @@ _CONTENTS = re.compile(r"/Contents (\d+) 0 R")
 _STARTXREF = re.compile(r"startxref\s+(\d+)\s*%%EOF\s*$")
 _XREF_ROW = re.compile(r"^(\d{10}) (\d{5}) ([nf]) ?$")
 _ESC = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
-_ESC_RE = re.compile(r"\\([0-7]{1,3})|\\\n|\\(.)", re.S)
+_ESC_RE = re.compile(r"\\([0-7]{1,3})|\\(?:\r\n|\r|\n)|\\(.)", re.S)
 _HEX_WS = re.compile(r"[^0-9A-Fa-f]")
 
 
 def _esc_sub(m: re.Match) -> str:
     if m.group(1):  # octal escape \053 (reference Lexer, pdf.worker.js:13878)
         return chr(int(m.group(1), 8) & 0xFF)
-    if m.group(0) == "\\\n":  # line continuation: escaped EOL vanishes
+    if m.group(2) is None:  # line continuation (\LF, \CR, \CRLF) vanishes
         return ""
     return _ESC.get(m.group(2), m.group(2))
 

@@ -32,8 +32,10 @@ EXTRACT_SCHEMA = (
 )
 
 # extended schema with per-batch lineage fields (partition-level metrics
-# aggregate from these; X2 progress-callback analog)
-EXTRACT_SCHEMA_LINEAGE = EXTRACT_SCHEMA + ", kernel_ms double"
+# aggregate from these; X2 progress-callback analog). ``batch_seq`` is a
+# per-task monotonic batch id: two batches with identical float timings stay
+# distinct when the manifest sums per-batch kernel time.
+EXTRACT_SCHEMA_LINEAGE = EXTRACT_SCHEMA + ", kernel_ms double, batch_seq long"
 
 KernelFn = Callable[[pd.Series], pd.DataFrame]
 
@@ -89,7 +91,7 @@ def extract_turns(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = resolve_kernel(kernel_ref)
-        for pdf in batches:
+        for batch_seq, pdf in enumerate(batches):
             t0 = time.perf_counter()
             texts = pdf["text"]
             oversize = None
@@ -126,6 +128,7 @@ def extract_turns(
             )
             if with_lineage:
                 out["kernel_ms"] = (time.perf_counter() - t0) * 1e3
+                out["batch_seq"] = batch_seq
             for name in passthrough:
                 out[name] = pdf[name]
             yield out

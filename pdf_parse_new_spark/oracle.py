@@ -95,8 +95,10 @@ def _unescape(lit: str) -> str:
                     j += 1
                 out.append(chr(int(body[i + 1 : j], 8) & 0xFF))
                 i = j
-            elif nxt == "\n":  # line continuation: escaped EOL vanishes
+            elif nxt in "\r\n":  # line continuation (\LF, \CR, \CRLF) vanishes
                 i += 2
+                if nxt == "\r" and i < len(body) and body[i] == "\n":
+                    i += 1
             else:
                 out.append(_ESCAPES.get(nxt, nxt))
                 i += 2
@@ -463,7 +465,10 @@ def _strip_sub(m: re.Match) -> str:
         return known
     if tok[1] == "#":
         cp = int(tok[3:-1], 16) if tok[2] in "xX" else int(tok[2:-1])
-        return chr(min(cp, 0x10FFFF))
+        # WHATWG charref rules: NUL / out-of-range / surrogates -> U+FFFD
+        if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            return "�"
+        return chr(cp)
     return tok  # unknown named entity: keep literal
 
 

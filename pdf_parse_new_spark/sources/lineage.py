@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 def partition_manifest(extracted: DataFrame) -> list[dict]:
     has_kernel_ms = "kernel_ms" in extracted.columns
+    has_batch_seq = "batch_seq" in extracted.columns
     aggs = [
         F.count("*").alias("n_rows"),
         F.count("error").alias("n_errors"),
@@ -24,9 +25,27 @@ def partition_manifest(extracted: DataFrame) -> list[dict]:
         F.max("conv_id").alias("max_conv_id"),
         F.countDistinct("conv_id").alias("n_convs"),
     ]
+    if has_kernel_ms and has_batch_seq:
+        # kernel_ms is per Arrow batch (replicated across the batch's rows);
+        # batch_seq is the per-task monotonic batch id, so summing one
+        # (batch_seq, kernel_ms) pair per batch is EXACT even when two
+        # batches time out to the identical float
+        base = extracted.withColumn("partition_id", F.spark_partition_id())
+        per_batch = base.groupBy("partition_id", "batch_seq").agg(
+            F.first("kernel_ms").alias("batch_ms")
+        )
+        kern = per_batch.groupBy("partition_id").agg(
+            F.round(F.sum("batch_ms"), 1).alias("kernel_ms")
+        )
+        main = base.groupBy("partition_id").agg(*aggs)
+        rows = (
+            main.join(kern, "partition_id", "left")
+            .orderBy("partition_id")
+            .collect()
+        )
+        return [r.asDict() for r in rows]
     if has_kernel_ms:
-        # kernel_ms is per Arrow batch (replicated across the batch's rows):
-        # sum of per-batch distinct values approximates partition kernel time
+        # legacy shape without batch ids: distinct-sum approximation
         aggs.append(F.round(F.sum_distinct("kernel_ms"), 1).alias("kernel_ms"))
     rows = (
         extracted.groupBy(F.spark_partition_id().alias("partition_id"))

@@ -53,6 +53,28 @@ def test_lineage_manifest_totals(spark, smoke_df):
     assert stats["plain"].n_errors == 0
 
 
+def test_lineage_identical_timing_batches_sum_exact(spark):
+    """Two Arrow batches that time out to the IDENTICAL float must both count
+    toward partition kernel time (batch_seq disambiguates; the old
+    sum_distinct approximation collapsed them)."""
+    rows = [
+        # partition irrelevant (single partition): two batches, same 7.5 ms
+        ("c1", 0, "user", "plain", "a", None, 0, 7.5, 0),
+        ("c1", 1, "user", "plain", "b", None, 0, 7.5, 0),
+        ("c2", 0, "user", "plain", "c", None, 0, 7.5, 1),
+        ("c2", 1, "user", "plain", "d", None, 0, 7.5, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, family string, "
+        "extracted_text string, error string, n_pages int, "
+        "kernel_ms double, batch_seq long",
+    ).coalesce(1)
+    manifest = lineage.partition_manifest(df)
+    assert sum(m["n_rows"] for m in manifest) == 4
+    assert abs(sum(m["kernel_ms"] for m in manifest) - 15.0) < 1e-6
+
+
 def test_planner_probe_and_tiers(spark, smoke_df):
     plan = planner.make_plan(smoke_df, cores=8)
     assert plan.n_rows == smoke_df.count()

@@ -285,3 +285,33 @@ def test_html_section_main_blockquote_candidates():
     assert "quoted passage" in res.text and "nested containers" in res.text
     k = kernels.extract_batch(pd.Series([html])).iloc[0]
     assert k.extracted_text == res.text
+
+
+def test_surrogate_charref_replaced():
+    """WHATWG charref rules (ADVICE r2): &#xD800; / &#0; decode to U+FFFD,
+    never a lone surrogate that breaks UTF-8/Arrow serialization."""
+    html = (
+        "<!DOCTYPE html><html><body>"
+        "<p>bad &#xD800; ref and &#0; plus ok &#x2019; padded out to clear "
+        "the minimum text length floor for keeping this paragraph</p>"
+        "</body></html>"
+    )
+    res = oracle.extract(html)
+    assert "�" in res.text and "’" in res.text
+    res.text.encode("utf-8")  # must not raise
+    k = kernels.extract_batch(pd.Series([html])).iloc[0]
+    assert k.extracted_text == res.text
+    k.extracted_text.encode("utf-8")
+
+
+def test_cr_line_continuation_all_eols():
+    """\\CR, \\CRLF and \\LF line continuations all vanish, in the synthetic
+    kernel, the oracle, and the binary parser (ADVICE r2: \\CR kept a stray
+    carriage return)."""
+    from pdf_parse_new_spark.kernels import pdfb, pdfk
+
+    for eol in ("\n", "\r", "\r\n"):
+        lit = f"(li\\{eol}ne)"
+        assert pdfk._unescape(lit) == "line", repr(eol)
+        assert oracle._unescape(lit) == "line", repr(eol)
+        assert pdfb.parse_object(lit.encode("latin-1"), 0)[0] == b"line"

@@ -410,3 +410,94 @@ def test_char_word_spacing_in_gap_model():
         )
         r = pdfb.parse_pdf_bytes(doc)
         assert r["text"].strip() == want, (ops, r["text"])
+
+
+def test_asciihex_odd_digit_stream():
+    """Odd digit count in ASCIIHexDecode is legal (spec 7.4.2: final digit
+    implies a trailing 0) — must decode, not drop the page (ADVICE r2)."""
+    import binascii
+
+    ops = b"BT 1 0 0 1 72 700 Tm (odd hex ok) Tj ET "  # ends 0x20 -> "20"
+    hx = binascii.hexlify(ops)
+    assert hx.endswith(b"0")
+    hx = hx[:-1] + b">"  # drop the final '0': odd count, same meaning
+    doc = _page_scaffold(
+        b"<< /Length %d /Filter /ASCIIHexDecode >>\nstream\n%s\nendstream"
+        % (len(hx), hx)
+    )
+    r = pdfb.parse_pdf_bytes(doc)
+    assert r["text"].strip() == "odd hex ok" and r["error"] is None
+
+
+def test_xref_stream_zero_width_field():
+    """/W with a zero-width third column: field 3 defaults to 0 (spec
+    7.5.8.2), not 1 (ADVICE r2 — only the first field defaults to 1)."""
+    import zlib as z
+
+    ops = b"BT 1 0 0 1 72 700 Tm (zero width) Tj ET"
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + bodies[num] + b"\nendobj\n"
+    # /W [1 4 0]: rows are 5 bytes, generation implied 0
+    rows = [bytes([0]) + (0).to_bytes(4, "big")]
+    for num in range(1, 5):
+        rows.append(bytes([1]) + offsets[num].to_bytes(4, "big"))
+    xref_off = len(out)
+    rows.append(bytes([1]) + xref_off.to_bytes(4, "big"))
+    comp = z.compress(b"".join(rows))
+    out += (
+        b"5 0 obj\n<< /Type /XRef /W [1 4 0] /Size 6 /Root 1 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(comp), comp)
+    )
+    out += b"startxref\n%d\n%%%%EOF" % xref_off
+    r = pdfb.parse_pdf_bytes(bytes(out))
+    assert r["text"].strip() == "zero width" and r["n_pages"] == 1
+
+
+def test_encrypted_trailer_in_xref_stream_detected():
+    """Modern layout: the whole trailer lives in the xref STREAM dict. The
+    /Encrypt entry must survive the trailer whitelist so the encrypted path
+    triggers (ADVICE r2: it was silently dropped -> garbage plaintext)."""
+    import zlib as z
+
+    ops = b"BT 1 0 0 1 72 700 Tm (secret) Tj ET"
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops),
+        # bogus O/U: not an empty-password document -> must reject
+        6: b"<< /Filter /Standard /V 1 /R 2 /O <"
+           + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> /P -44 >>",
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + bodies[num] + b"\nendobj\n"
+    rows = [bytes([0]) + (0).to_bytes(4, "big")]
+    for num in range(1, 5):
+        rows.append(bytes([1]) + offsets[num].to_bytes(4, "big"))
+    xref_off_placeholder = len(out)
+    rows.append(bytes([1]) + xref_off_placeholder.to_bytes(4, "big"))
+    rows.append(bytes([1]) + offsets[6].to_bytes(4, "big"))
+    comp = z.compress(b"".join(rows))
+    out += (
+        b"5 0 obj\n<< /Type /XRef /W [1 4 0] /Size 7 /Root 1 0 R "
+        b"/Encrypt 6 0 R /ID [<aa> <aa>] "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(comp), comp)
+    )
+    out += b"startxref\n%d\n%%%%EOF" % xref_off_placeholder
+    r = pdfb.parse_pdf_bytes(bytes(out))
+    assert r["error"] == "pdf:encrypted"
+    assert r["text"] == "" and r["n_pages"] == 0
