@@ -39,6 +39,7 @@ import re
 import zlib
 
 from pdf_parse_new_spark import spec
+from pdf_parse_new_spark.kernels import crypt
 
 # --------------------------------------------------------------------------
 # object model
@@ -406,7 +407,50 @@ class Document:
         # num -> ("n", offset) | ("c", container_num, idx); free entries drop
         self.index: dict[int, tuple] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self.handler: crypt.StandardSecurityHandler | None = None
+        self._encrypt_num = -1
         self._load_index()
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            self._install_decryption(enc_ref)
+
+    def _install_decryption(self, enc_ref) -> None:
+        """Try the EMPTY user password the way the reference does (pdf.js
+        passes "" by default; CipherTransformFactory only raises
+        PasswordException when that fails). Success installs transparent
+        string/stream decryption; failure -> pdf:encrypted error row."""
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfError(spec.ERR_ENCRYPTED)
+        ids = self.trailer.get("ID")
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        try:
+            handler = crypt.StandardSecurityHandler.authenticate(enc, id0)
+        except Exception:  # malformed Encrypt dict (fuzzed input): reject
+            handler = None
+        if handler is None:
+            raise PdfError(spec.ERR_ENCRYPTED)
+        # objects cached during the xref walk were stored un-decrypted
+        self.cache.clear()
+        self._objstm_cache.clear()
+        self.handler = handler
+
+    def _decrypt_tree(self, obj, num: int, gen: int):
+        """Decrypt every string in a parsed object tree with this indirect
+        object's (num, gen) key. Streams' raw bytes are handled separately;
+        objects inside ObjStm containers are never re-decrypted (the
+        container stream was)."""
+        if isinstance(obj, bytes):
+            return self.handler.decrypt(obj, num, gen, is_string=True)
+        if isinstance(obj, list):
+            return [self._decrypt_tree(x, num, gen) for x in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_tree(v, num, gen) for k, v in obj.items()}
+        return obj
 
     # -- xref ---------------------------------------------------------------
 
@@ -591,6 +635,8 @@ class Document:
                 return None, off
         pos = m.end()
         obj, pos = parse_object(raw, pos)
+        num, gen = int(m.group(1)), int(m.group(2))
+        decrypt = self.handler is not None and num != self._encrypt_num
         pos2 = _skip_ws(raw, pos)
         if isinstance(obj, dict) and raw.startswith(b"stream", pos2):
             body_start = pos2 + 6
@@ -610,7 +656,14 @@ class Document:
                 if e < 0:
                     e = len(raw)
                 body = raw[body_start:e].rstrip(b"\r\n")
-            return Stream(obj, body), body_start + len(body)
+            end = body_start + len(body)
+            if decrypt and str(obj.get("Type", "")) != "XRef":
+                # xref streams are NEVER encrypted (spec 7.5.8.2)
+                body = self.handler.decrypt(body, num, gen, is_string=False)
+                obj = self._decrypt_tree(obj, num, gen)
+            return Stream(obj, body), end
+        if decrypt:
+            obj = self._decrypt_tree(obj, num, gen)
         return obj, pos
 
     def _fetch_compressed(self, container: int, idx: int, want: int):
@@ -1239,17 +1292,19 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
     Never raises."""
     try:
         doc = Document(raw)
+    except PdfError as e:
+        # includes pdf:encrypted — docs whose (non-empty) password we don't
+        # have are rejected exactly like the reference (pdf.js
+        # PasswordException -> promise rejection); EMPTY-user-password
+        # documents authenticate in _install_decryption and parse normally
+        return {
+            "text": "", "n_pages": 0, "n_render": 0, "info": {},
+            "error": e.code, "page_spans": [],
+        }
     except Exception:
         return {
             "text": "", "n_pages": 0, "n_render": 0, "info": {},
             "error": spec.ERR_BAD_XREF, "page_spans": [],
-        }
-    # encrypted documents: the reference rejects them (pdf.js raises
-    # PasswordException during load); our distributed semantics = error row
-    if "Encrypt" in doc.trailer:
-        return {
-            "text": "", "n_pages": 0, "n_render": 0, "info": {},
-            "error": spec.ERR_ENCRYPTED, "page_spans": [],
         }
     info: dict[str, str] = {}
     try:
