@@ -873,6 +873,70 @@ _LIGATURES = {
 _BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEXTOK = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_CIDRANGE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDROW = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\d+)")
+_CIDCHAR_ROW = re.compile(rb"<([0-9A-Fa-f]+)>\s*(\d+)")
+
+
+def _parse_codespace(cmap: bytes) -> list[tuple[int, int, int]]:
+    """codespacerange sections -> [(byte_width, lo, hi)], narrowest first
+    (CMap mapping walks codespaces by increasing code length, spec
+    9.7.6.2)."""
+    ranges: list[tuple[int, int, int]] = []
+    for sec in _CODESPACE.finditer(cmap):
+        toks = _HEXTOK.findall(sec.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            lo_h, hi_h = toks[i], toks[i + 1]
+            width = (len(lo_h) + 1) // 2
+            ranges.append((width, int(lo_h, 16), int(hi_h, 16)))
+    ranges.sort(key=lambda r: r[0])
+    return ranges
+
+
+def _parse_cid_sections(cmap: bytes) -> list[tuple[int, int, int]]:
+    """cidchar/cidrange sections -> [(lo, hi, first_cid)]."""
+    out: list[tuple[int, int, int]] = []
+    for sec in _CIDRANGE.finditer(cmap):
+        for m in _CIDROW.finditer(sec.group(1)):
+            out.append((int(m.group(1), 16), int(m.group(2), 16),
+                        int(m.group(3))))
+    for sec in _CIDCHAR.finditer(cmap):
+        for m in _CIDCHAR_ROW.finditer(sec.group(1)):
+            code = int(m.group(1), 16)
+            out.append((code, code, int(m.group(2))))
+    return out
+
+
+def _parse_cid_widths(doc: "Document", desc: dict) -> tuple[dict, float]:
+    """Descendant CIDFont /W array + /DW default -> CID-keyed widths
+    (spec 9.7.4.3: [cFirst [w...] | cFirst cLast w]*)."""
+    widths: dict[int, float] = {}
+    dw = doc.resolve(desc.get("DW"))
+    default = float(dw) if isinstance(dw, (int, float)) else 1000.0
+    warr = doc.resolve(desc.get("W"))
+    if isinstance(warr, list):
+        i = 0
+        while i < len(warr) - 1:
+            first = doc.resolve(warr[i])
+            second = doc.resolve(warr[i + 1])
+            if isinstance(second, list):
+                for off, wv in enumerate(second):
+                    if isinstance(wv, (int, float)):
+                        widths[int(first) + off] = float(wv)
+                i += 2
+            elif i + 2 < len(warr):
+                wv = doc.resolve(warr[i + 2])
+                if isinstance(wv, (int, float)):
+                    for c in range(int(first), int(second) + 1):
+                        if c - int(first) > 65535:
+                            break
+                        widths[c] = float(wv)
+                i += 3
+            else:
+                break
+    return widths, default
 
 
 def _utf16be(hexs: bytes) -> str:
@@ -885,10 +949,28 @@ def _utf16be(hexs: bytes) -> str:
 class FontMap:
     """Per-font decoder: code (int) -> unicode str. ``nbytes`` is the code
     width (2 for Type0/CID fonts, else 1). ``widths`` maps code -> glyph
-    width in 1/1000 em (/Widths + /FirstChar; default 500) — used by the
-    interpreter's x-advance to detect inter-item word gaps."""
+    width in 1/1000 em (/Widths + /FirstChar, or the descendant font's /W
+    for CID fonts; default 500) — used by the interpreter's x-advance to
+    detect inter-item word gaps.
 
-    __slots__ = ("table", "nbytes", "widths", "default_width")
+    CID-font tail (pdf.js CMapFactory / IdentityToUnicodeMap parity):
+
+    - ``identity``: Type0 with a predefined Identity CMap and NO /ToUnicode
+      decodes code -> chr(code) (pdf.js builds an IdentityToUnicodeMap,
+      pdf.worker.js PartialEvaluator.buildToUnicode fallback).
+    - ``cid_ranges``: code -> CID deltas from an embedded /Encoding CMap's
+      cidchar/cidrange sections; CIDs feed the width table and the identity
+      fallback.
+    - ``var_ranges``: variable-width codespace ranges [(nbytes, lo, hi)];
+      when the codespace mixes widths, decode walks bytes greedily against
+      the ranges (narrowest first, spec 9.7.6.2 CMap mapping rules) instead
+      of a fixed stride.
+    """
+
+    __slots__ = (
+        "table", "nbytes", "widths", "default_width", "identity",
+        "cid_ranges", "var_ranges",
+    )
 
     def __init__(
         self,
@@ -896,12 +978,59 @@ class FontMap:
         nbytes: int,
         widths: dict[int, float] | None = None,
         default_width: float = 500.0,
+        identity: bool = False,
+        cid_ranges: list[tuple[int, int, int]] | None = None,
+        var_ranges: list[tuple[int, int, int]] | None = None,
     ) -> None:
         self.table, self.nbytes = table, nbytes
         self.widths = widths or {}
         self.default_width = default_width
+        self.identity = identity
+        self.cid_ranges = cid_ranges or []
+        self.var_ranges = var_ranges or []
+
+    def _cid(self, code: int) -> int:
+        for lo, hi, dst in self.cid_ranges:
+            if lo <= code <= hi:
+                return dst + (code - lo)
+        return code
+
+    def _one(self, code: int) -> str:
+        u = self.table.get(code)
+        if u is not None:
+            return u
+        if self.identity:
+            cid = self._cid(code)
+            # control chars would corrupt the line model; NUL pads are
+            # common in Identity-H strings
+            return chr(cid) if cid >= 32 else ""
+        return ""
+
+    def _codes(self, s: bytes) -> list[int]:
+        if self.var_ranges:
+            out = []
+            i, n = 0, len(s)
+            while i < n:
+                for w, lo, hi in self.var_ranges:
+                    if i + w <= n:
+                        code = int.from_bytes(s[i : i + w], "big")
+                        if lo <= code <= hi:
+                            out.append(code)
+                            i += w
+                            break
+                else:
+                    i += 1  # outside every codespace: resync on next byte
+            return out
+        if self.nbytes == 2:
+            return [
+                int.from_bytes(s[i : i + 2], "big")
+                for i in range(0, len(s) - 1, 2)
+            ]
+        return list(s)
 
     def decode(self, s: bytes) -> str:
+        if self.identity or self.var_ranges:
+            return "".join(self._one(c) for c in self._codes(s))
         t = self.table
         if self.nbytes == 2:
             return "".join(
@@ -913,6 +1042,8 @@ class FontMap:
     def advance(self, s: bytes) -> float:
         """Total glyph width of the string in 1/1000 em."""
         w, dw = self.widths, self.default_width
+        if self.identity or self.var_ranges:
+            return sum(w.get(self._cid(c), dw) for c in self._codes(s))
         if self.nbytes == 2:
             return sum(
                 w.get(int.from_bytes(s[i : i + 2], "big"), dw)
@@ -931,6 +1062,7 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
     nbytes = 2 if subtype == "Type0" else 1
 
     widths: dict[int, float] = {}
+    default_width = 500.0
     warr = doc.resolve(font.get("Widths"))
     first = doc.resolve(font.get("FirstChar"))
     if isinstance(warr, list) and isinstance(first, int):
@@ -938,13 +1070,34 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
             wv = doc.resolve(wv)
             if isinstance(wv, (int, float)):
                 widths[first + off] = float(wv)
+    if subtype == "Type0":
+        # CID fonts carry widths in the descendant font's /W + /DW
+        dfs = doc.resolve(font.get("DescendantFonts"))
+        if isinstance(dfs, list) and dfs:
+            d0 = doc.resolve(dfs[0])
+            if isinstance(d0, dict):
+                cw, default_width = _parse_cid_widths(doc, d0)
+                widths.update(cw)
 
     table: dict[int, str] = {}
     enc = doc.resolve(font.get("Encoding"))
     base_name = None
     diffs = None
+    cid_ranges: list[tuple[int, int, int]] = []
+    var_ranges: list[tuple[int, int, int]] = []
     if isinstance(enc, Name):
         base_name = str(enc)
+    elif isinstance(enc, Stream):
+        # embedded CMap stream: codespace widths + code->CID mapping
+        # (pdf.js CMapFactory.parseCMap on the /Encoding stream)
+        emb = doc._decode_stream(enc)
+        cs = _parse_codespace(emb)
+        if cs:
+            widths_seen = {w for w, _, _ in cs}
+            if len(widths_seen) > 1:
+                var_ranges = cs
+            nbytes = max(widths_seen)
+        cid_ranges = _parse_cid_sections(emb)
     elif isinstance(enc, dict):
         base_name = str(enc["BaseEncoding"]) if "BaseEncoding" in enc else None
         diffs = doc.resolve(enc.get("Differences"))
@@ -966,6 +1119,12 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
     if tu is not None:
         cmap = doc.decoded(tu)
         if cmap:
+            if not var_ranges:
+                cs = _parse_codespace(cmap)
+                ws = {w for w, _, _ in cs}
+                if len(ws) > 1:  # mixed-width codespace: ranged decode
+                    var_ranges = cs
+                    nbytes = max(ws)
             for sec in _BFCHAR.finditer(cmap):
                 toks = _HEXTOK.findall(sec.group(1))
                 for i in range(0, len(toks) - 1, 2):
@@ -998,8 +1157,15 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
                             prefix = first[:-1]
                             for off in range(min(hi - lo + 1, 65536)):
                                 table[lo + off] = prefix + chr(base_cp + off)
+    identity = False
     if not table:
-        table = {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}
+        if subtype == "Type0":
+            # Identity-H/V (or an embedded CMap) with no /ToUnicode:
+            # pdf.js falls back to an IdentityToUnicodeMap —
+            # code -> CID -> chr(cid) (PartialEvaluator.buildToUnicode)
+            identity = True
+        else:
+            table = {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}
     # expand ligature codepoints the way the reference's text output does
     # (golden .txt has ASCII "efficiency", not U+FB03): done once per font
     # table, not per decoded string
@@ -1007,7 +1173,10 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
         k: ("".join(_LIGATURES.get(c, c) for c in v) if v else v)
         for k, v in table.items()
     }
-    return FontMap(table, nbytes, widths)
+    return FontMap(
+        table, nbytes, widths, default_width,
+        identity=identity, cid_ranges=cid_ranges, var_ranges=var_ranges,
+    )
 
 
 # --------------------------------------------------------------------------

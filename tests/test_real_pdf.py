@@ -501,3 +501,74 @@ def test_encrypted_trailer_in_xref_stream_detected():
     r = pdfb.parse_pdf_bytes(bytes(out))
     assert r["error"] == "pdf:encrypted"
     assert r["text"] == "" and r["n_pages"] == 0
+
+
+def test_identity_h_without_tounicode_decodes():
+    """Type0 /Identity-H with NO /ToUnicode: pdf.js builds an
+    IdentityToUnicodeMap (code -> chr(code)); wild CID fonts relying on it
+    previously decoded to empty (VERDICT r2 missing #3)."""
+    font_objs = {
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /NoMap-Identity-H "
+           b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        6: b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NoMap "
+           b"/DW 600 /W [72 [550 550] 105 107 480] /CIDToGIDMap /Identity >>",
+    }
+    # 2-byte codes for "Hi!" (identity: code == CID == codepoint)
+    ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <004800690021> Tj ET"
+    content = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
+    doc = _page_scaffold(content, font_objs, font_ref=5)
+    r = pdfb.parse_pdf_bytes(doc)
+    assert r["text"].strip() == "Hi!"
+
+
+def test_cid_descendant_widths_drive_gap_model():
+    """/W + /DW from the descendant font feed the x-advance geometry: a
+    744-unit CID advance must register, detecting the inter-item word gap."""
+    from pdf_parse_new_spark.kernels.pdfb import Document, build_font_map
+
+    font_objs = {
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /W-Identity-H "
+           b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        6: b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /W "
+           b"/DW 600 /W [72 [744] 100 102 500] >>",
+    }
+    ops = b"BT (x) Tj ET"
+    content = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
+    raw = _page_scaffold(content, font_objs, font_ref=5)
+    doc = Document(raw)
+    fm = build_font_map(doc, doc.get_object(5))
+    assert fm.advance(b"\x00\x48") == 744.0          # /W list form: CID 72
+    assert fm.advance(b"\x00\x65") == 500.0          # range form: CID 101
+    assert fm.advance(b"\x01\x00") == 600.0          # /DW default
+    assert fm.decode(b"\x00\x48") == "H"             # identity fallback
+
+
+def test_embedded_cmap_ranged_codespace():
+    """Embedded /Encoding CMap with a MIXED-width codespace (1-byte and
+    2-byte ranges) plus cidrange mapping: the decoder must walk codes at
+    variable width (spec 9.7.6.2), not a fixed stride."""
+    import zlib as z
+
+    cmap = (
+        b"%!PS-Adobe-3.0 Resource-CMap\n"
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"2 begincodespacerange\n<00> <7F>\n<8140> <9FFC>\nendcodespacerange\n"
+        b"2 begincidrange\n<41> <5A> 65\n<8140> <8150> 12353\nendcidrange\n"
+        b"endcmap end"
+    )
+    comp = z.compress(cmap)
+    font_objs = {
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /Ranged "
+           b"/Encoding 7 0 R /DescendantFonts [6 0 R] >>",
+        6: b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Ranged >>",
+        7: b"<< /Length %d /Filter /FlateDecode /Type /CMap >>"
+           b"\nstream\n%s\nendstream" % (len(comp), comp),
+    }
+    # bytes: 'A'(1-byte, CID 65 -> "A"), then 0x81 0x41 (2-byte code 0x8141,
+    # CID 12353+1 = 12354 -> hiragana 'あ' U+3042), then 'B'
+    ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <41814142> Tj ET"
+    content = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
+    doc = _page_scaffold(content, font_objs, font_ref=5)
+    r = pdfb.parse_pdf_bytes(doc)
+    assert r["text"].strip() == "AあB", repr(r["text"])
