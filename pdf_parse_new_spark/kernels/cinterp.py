@@ -1,0 +1,81 @@
+"""ctypes loader for the C content-stream lexer (``_ctext.c``).
+
+The C source ships with the package; it is compiled ONCE per machine with
+the system C compiler into a content-hash-keyed shared object under the
+temp dir (override with ``PDF_PARSE_CTEXT_CACHE``), then loaded via
+ctypes. Concurrent executors race safely: each compiles to a private temp
+file and ``os.replace``s it into place (atomic on POSIX).
+
+When no compiler is available — or ``PDF_PARSE_DISABLE_CTEXT=1`` —
+``AVAILABLE`` is False and callers fall back to the pure-Python
+interpreter, which remains the reference implementation. At cluster scale
+the .c file rides in the same ``--py-files`` archive as the package and
+each executor pays one ~0.2 s compile at first use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "_ctext.c")
+
+# mirrors struct Ev in _ctext.c (48 bytes)
+EV_DTYPE = np.dtype(
+    [
+        ("kind", "<i4"), ("flag", "<i4"),
+        ("a", "<i8"), ("b", "<i8"),
+        ("f0", "<f8"), ("f1", "<f8"), ("f2", "<f8"), ("f3", "<f8"),
+    ]
+)
+
+K_ANCHOR, K_FONT, K_STATE, K_STR = 1, 2, 3, 4
+K_TJSTART, K_TJSTR, K_TJNUM, K_TJEND, K_XOBJ = 5, 6, 7, 8, 9
+
+_lib = None
+AVAILABLE = False
+
+
+def _build() -> ctypes.CDLL:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    h = hashlib.sha1(src).hexdigest()[:16]
+    cache = os.environ.get("PDF_PARSE_CTEXT_CACHE", tempfile.gettempdir())
+    so = os.path.join(cache, f"pdf_parse_ctext_{h}.so")
+    if not os.path.exists(so):
+        tmp = f"{so}.tmp.{os.getpid()}"
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, so)
+    lib = ctypes.CDLL(so)
+    lib.pdftext_interpret.restype = ctypes.c_long
+    lib.pdftext_interpret.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
+    return lib
+
+
+if os.environ.get("PDF_PARSE_DISABLE_CTEXT", "") != "1":
+    try:
+        _lib = _build()
+        AVAILABLE = True
+    except Exception:
+        AVAILABLE = False
+
+
+def interpret(data: bytes) -> np.ndarray:
+    """Run the C lexer/state machine; returns the event record array."""
+    cap = max(256, len(data) // 2 + 64)
+    while True:
+        buf = np.empty(cap, dtype=EV_DTYPE)
+        n = _lib.pdftext_interpret(data, len(data), buf.ctypes.data, cap)
+        if n >= 0:
+            return buf[:n]
+        cap *= 2

@@ -39,7 +39,7 @@ import re
 import zlib
 
 from pdf_parse_new_spark import spec
-from pdf_parse_new_spark.kernels import crypt
+from pdf_parse_new_spark.kernels import cinterp, crypt
 
 # --------------------------------------------------------------------------
 # object model
@@ -407,6 +407,9 @@ class Document:
         # num -> ("n", offset) | ("c", container_num, idx); free entries drop
         self.index: dict[int, tuple] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        # font maps are immutable per font object: cache at DOCUMENT scope
+        # so multi-page docs build each map once, not once per page
+        self.font_map_cache: dict[int, "FontMap"] = {}
         self.handler: crypt.StandardSecurityHandler | None = None
         self._encrypt_num = -1
         self._load_index()
@@ -969,7 +972,7 @@ class FontMap:
 
     __slots__ = (
         "table", "nbytes", "widths", "default_width", "identity",
-        "cid_ranges", "var_ranges",
+        "cid_ranges", "var_ranges", "_trans", "_warr",
     )
 
     def __init__(
@@ -988,6 +991,20 @@ class FontMap:
         self.identity = identity
         self.cid_ranges = cid_ranges or []
         self.var_ranges = var_ranges or []
+        # 1-byte fast path: one C-speed str.translate per show string
+        # (None deletes — same as the per-byte t.get(c, "") fallback)
+        self._trans = (
+            {i: (table.get(i) or None) for i in range(256)}
+            if nbytes == 1 and not identity and not self.var_ranges
+            else None
+        )
+        # 1-byte advance fast path: sum(map(list.__getitem__, bytes)) runs
+        # the whole per-glyph width lookup in C
+        self._warr = (
+            [self.widths.get(i, default_width) for i in range(256)]
+            if self._trans is not None
+            else None
+        )
 
     def _cid(self, code: int) -> int:
         for lo, hi, dst in self.cid_ranges:
@@ -1029,6 +1046,8 @@ class FontMap:
         return list(s)
 
     def decode(self, s: bytes) -> str:
+        if self._trans is not None:
+            return s.decode("latin-1").translate(self._trans)
         if self.identity or self.var_ranges:
             return "".join(self._one(c) for c in self._codes(s))
         t = self.table
@@ -1041,6 +1060,8 @@ class FontMap:
 
     def advance(self, s: bytes) -> float:
         """Total glyph width of the string in 1/1000 em."""
+        if self._warr is not None:
+            return sum(map(self._warr.__getitem__, s))
         w, dw = self.widths, self.default_width
         if self.identity or self.var_ranges:
             return sum(w.get(self._cid(c), dw) for c in self._codes(s))
@@ -1207,6 +1228,20 @@ def _walk_pages(doc: Document, node_ref, pages: list, seen: set, resources) -> N
 
 _OPERATOR = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
+# shared fallback font map (immutable — FontMap never mutates its table)
+_ASCII_FM = FontMap(
+    {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}, 1
+)
+
+
+def _span_name(data: bytes, a: int, b: int) -> str:
+    """Decode a /Name token span (C lexer hands raw spans; #xx unescaped
+    here to match _parse_name)."""
+    raw = data[a:b]
+    if b"#" in raw:
+        raw = _NAME_HEX.sub(lambda m: bytes([int(m.group(1), 16)]), raw)
+    return raw.decode("latin-1")
+
 
 class _TextInterp:
     """Content-stream text interpreter. Recurses into Form XObjects on
@@ -1221,7 +1256,6 @@ class _TextInterp:
         self.cur_line: list[str] = []
         self.last_y: float | None = None
         self.last_end_x: float | None = None
-        self._font_maps: dict[int, FontMap] = {}
 
     # fraction of the font size an inter-item x-gap must exceed to count as
     # a word break (pdf.js combineTextItems inserts a space on such gaps —
@@ -1257,21 +1291,94 @@ class _TextInterp:
 
     def _font_for(self, fonts_dict, name: str) -> FontMap:
         ref = (fonts_dict or {}).get(name)
-        key = ref.num if isinstance(ref, Ref) else id(ref)
-        fm = self._font_maps.get(key)
+        if not isinstance(ref, Ref):  # inline font dict: id() keys are not
+            return build_font_map(self.doc, ref)  # stable across gc — no cache
+        fm = self.doc.font_map_cache.get(ref.num)
         if fm is None:
             fm = build_font_map(self.doc, ref)
-            self._font_maps[key] = fm
+            self.doc.font_map_cache[ref.num] = fm
         return fm
 
     def run(self, data: bytes, resources, depth: int = 0, seen: frozenset = frozenset()) -> None:
+        """Interpret one content stream. Dispatches to the C lexer + event
+        replay when the compiled extension is available; the pure-Python
+        interpreter below is the reference implementation and the fallback
+        (equivalence asserted by tests/test_ctext.py)."""
+        if cinterp.AVAILABLE:
+            return self._run_events(data, resources, depth, seen)
+        return self._run_py(data, resources, depth, seen)
+
+    def _run_events(self, data: bytes, resources, depth: int,
+                    seen: frozenset) -> None:
         doc = self.doc
         res = doc.resolve(resources) or {}
         fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
         xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
-        fm = FontMap(
-            {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}, 1
-        )
+        fm = _ASCII_FM
+        y = rise = 0.0
+        cur_x = 0.0
+        size = 0.0
+        sx = 1.0
+        tc = tw = 0.0
+        tz = 1.0
+        tj_buf: list[str] = []
+        tj_start_x = 0.0
+        show = self.show
+        lit, hexs = _parse_literal_string, _parse_hex_string
+        for kind, flag, a, b, f0, f1, f2, f3 in cinterp.interpret(data).tolist():
+            if kind == 6 or kind == 4:  # TJSTR / STR (show text)
+                # flag: 0 = escape-free literal (slice), 1 = hex,
+                #       2 = literal needing full unescape
+                if flag == 0:
+                    item = data[a + 1 : b - 1]
+                elif flag == 1:
+                    item = hexs(data, a)[0]
+                else:
+                    item = lit(data, a)[0]
+                glyphs = len(item) // fm.nbytes
+                spaces = item.count(0x20) if fm.nbytes == 1 else 0
+                adv = (
+                    fm.advance(item) / 1000.0 * size + glyphs * tc
+                    + spaces * tw
+                ) * sx * tz
+                if kind == 6:
+                    tj_buf.append(fm.decode(item))
+                    cur_x += adv
+                else:
+                    show(fm.decode(item), y + rise, cur_x, size * sx)
+                    cur_x += adv
+                    self.last_end_x = cur_x
+            elif kind == 7:  # TJNUM kern
+                cur_x -= f0 / 1000.0 * size * sx
+                if f0 < -spec.TJ_SPACE_THRESHOLD:
+                    tj_buf.append(" ")
+            elif kind == 1:  # ANCHOR: new line origin
+                cur_x = f0
+                y = f1
+                sx = f2
+            elif kind == 5:  # TJSTART
+                tj_buf = []
+                tj_start_x = cur_x
+            elif kind == 8:  # TJEND
+                show("".join(tj_buf), y + rise, tj_start_x, size * sx)
+                self.last_end_x = cur_x
+            elif kind == 2:  # FONT
+                fm = self._font_for(fonts_dict, _span_name(data, a, b))
+                size = f0
+            elif kind == 3:  # STATE
+                tc, tw, tz, rise = f0, f1, f2, f3
+            elif kind == 9:  # XOBJ (Do)
+                if depth < self.MAX_DEPTH:
+                    self._do_xobject(
+                        xobjs, _span_name(data, a, b), res, depth, seen
+                    )
+
+    def _run_py(self, data: bytes, resources, depth: int = 0, seen: frozenset = frozenset()) -> None:
+        doc = self.doc
+        res = doc.resolve(resources) or {}
+        fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
+        xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
+        fm = _ASCII_FM
         y = 0.0
         leading = 0.0
         rise = 0.0  # Ts text rise (pdf.js folds it into transform[5])

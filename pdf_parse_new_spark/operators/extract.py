@@ -163,10 +163,14 @@ def extract_pdf_documents(
     Mirrors lib/pdf-parse.js PDF(): a failing page contributes "" (the
     .catch at :131-133), a structurally-broken document yields an error ROW
     — never a task failure. Spark shape: column-pruned scan ->
-    embarrassingly-parallel mapInPandas (no shuffle); at 100 TB the
-    parallelism comes from the file-source split, with ``partitions`` as an
-    explicit rebalance knob for skewed file sizes."""
+    embarrassingly-parallel ``mapInArrow`` (no shuffle, and no
+    Arrow->pandas conversion of megabyte binary cells — payloads are read
+    straight off the Arrow buffers); at 100 TB the parallelism comes from
+    the file-source split, with ``partitions`` as an explicit rebalance
+    knob for skewed file sizes."""
     import json
+
+    import pyarrow as pa
 
     from pdf_parse_new_spark.kernels import pdfb
 
@@ -177,40 +181,62 @@ def extract_pdf_documents(
     if partitions:
         cols = cols.repartition(partitions, "doc_id")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload or b"")
+    span_t = pa.list_(
+        pa.struct(
+            [("page", pa.int32()), ("start", pa.int32()), ("end", pa.int32())]
+        )
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()), ("text", pa.string()),
+            ("n_pages", pa.int32()), ("n_render", pa.int32()),
+            ("info", pa.string()), ("error", pa.string()),
+            ("page_spans", span_t),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1)
+            texts, npg, nrd, infos, errs, spans = [], [], [], [], [], []
+            for i in range(len(ids)):
+                v = payloads[i]
+                raw = v.as_py() if v.is_valid else b""
                 if max_payload_bytes is not None and len(raw) > max_payload_bytes:
                     # same guard philosophy as extract_turns: one
                     # pathological input becomes an error row, never an
                     # executor OOM (default 512 MB, far above any sane PDF)
-                    recs.append(
-                        (doc_id, "", 0, 0, "{}", "payload-too-large", [])
-                    )
+                    texts.append("")
+                    npg.append(0)
+                    nrd.append(0)
+                    infos.append("{}")
+                    errs.append("payload-too-large")
+                    spans.append([])
                     continue
                 r = pdfb.parse_pdf_bytes(raw, max_pages=max_pages)
-                recs.append(
-                    (
-                        doc_id,
-                        r["text"],
-                        r["n_pages"],
-                        r["n_render"],
-                        json.dumps(r["info"], sort_keys=True),
-                        r["error"],
-                        [
-                            {"page": p, "start": st, "end": en}
-                            for p, st, en in r["page_spans"]
-                        ],
-                    )
+                texts.append(r["text"])
+                npg.append(r["n_pages"])
+                nrd.append(r["n_render"])
+                infos.append(json.dumps(r["info"], sort_keys=True))
+                errs.append(r["error"])
+                spans.append(
+                    [
+                        {"page": p, "start": st, "end": en}
+                        for p, st, en in r["page_spans"]
+                    ]
                 )
-            yield pd.DataFrame(
-                recs,
-                columns=[
-                    "doc_id", "text", "n_pages", "n_render", "info", "error",
-                    "page_spans",
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(texts, pa.string()),
+                    pa.array(npg, pa.int32()),
+                    pa.array(nrd, pa.int32()),
+                    pa.array(infos, pa.string()),
+                    pa.array(errs, pa.string()),
+                    pa.array(spans, span_t),
                 ],
+                schema=out_schema,
             )
 
-    return cols.mapInPandas(run, PDF_DOC_SCHEMA)
+    return cols.mapInArrow(run, PDF_DOC_SCHEMA)

@@ -1,0 +1,139 @@
+"""C lexer path vs pure-Python interpreter: byte-identical output.
+
+The compiled ``_ctext.c`` event machine is a performance port of
+``_TextInterp._run_py``; the Python interpreter remains the reference.
+Every document here is parsed through BOTH paths and the extracted text,
+spans, info and error fields must match exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parse_new_spark.kernels import cinterp, pdfb
+
+DATA = "/root/reference/test/data"
+
+pytestmark = pytest.mark.skipif(
+    not cinterp.AVAILABLE, reason="no C compiler in this environment"
+)
+
+
+def _both(raw: bytes) -> tuple[dict, dict]:
+    c = pdfb.parse_pdf_bytes(raw)
+    cinterp.AVAILABLE = False
+    try:
+        py = pdfb.parse_pdf_bytes(raw)
+    finally:
+        cinterp.AVAILABLE = True
+    return c, py
+
+
+def _assert_same(raw: bytes) -> None:
+    c, py = _both(raw)
+    assert c["text"] == py["text"]
+    assert c["page_spans"] == py["page_spans"]
+    assert c["info"] == py["info"]
+    assert c["error"] == py["error"]
+    assert c["n_pages"] == py["n_pages"]
+
+
+@pytest.mark.parametrize(
+    "name", ["01-valid", "02-valid", "03-invalid", "04-valid",
+             "05-versions-space"]
+)
+def test_reference_corpus_paths_identical(name):
+    _assert_same(open(f"{DATA}/{name}.pdf", "rb").read())
+
+
+def _scaffold(ops: bytes, font_objs=None, font_ref=None) -> bytes:
+    from tests.test_real_pdf import _page_scaffold
+
+    content = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
+    return _page_scaffold(content, font_objs, font_ref)
+
+
+EDGE_STREAMS = [
+    # dash array before a paint op must NOT be mistaken for a TJ operand
+    b"q [2 4] 0 d 0 0 100 100 re S Q BT 1 0 0 1 72 700 Tm (after dash) Tj ET",
+    # TJ with kerns, hex elements, escapes, nested parens
+    rb"BT /F9 9 Tf 2 Tc 1.5 Tw 1 0 0 1 10 700 Tm "
+    rb"[(a\(nest\)b) -300 <4869> 12 (c\\d)] TJ ET",
+    # ' and " operators with leading; Ts rise; T*
+    b"BT 14 TL 1 0 0 1 72 700 Tm (l1) Tj T* (l2) Tj "
+    b"(l3) ' 1.5 2.5 (l4) \" 3 Ts (sup) Tj ET",
+    # inline image skip, comments, Tz scaling
+    b"BT 80 Tz 1 0 0 1 0 700 Tm (pre) Tj ET % comment\n"
+    b"BI /W 2 /H 2 /BPC 8 ID \x00\xffEInope EI q Q "
+    b"BT 1 0 0 1 0 650 Tm (post) Tj ET",
+    # inline dict (BDC), unknown ops, stray brackets
+    b"/OC /MC0 BDC BT 1 0 0 1 5 700 Tm (marked) Tj ET EMC ] } > "
+    b"BT 1 0 0 1 5 650 Tm (tail) Tj ET",
+    # line continuations + octal escapes + CRLF EOLs inside strings
+    b"BT 1 0 0 1 5 700 Tm (con\\\r\ntinued \\101\\102) Tj ET",
+    # number formats: signs, bare dots, degenerate tokens
+    b"BT +1 0 0 -1.0 .5 700.0 Tm (nums) Tj - . + (after) Tj ET",
+    # empty TJ array, empty strings, zero-size font
+    b"BT /F1 0 Tf [] TJ () Tj 1 0 0 1 9 9 Tm (x) Tj ET",
+]
+
+
+@pytest.mark.parametrize("ops", EDGE_STREAMS)
+def test_edge_streams_paths_identical(ops):
+    _assert_same(_scaffold(ops))
+
+
+def test_widths_and_gap_model_paths_identical():
+    widths = b"[" + b" ".join(b"500" for _ in range(95)) + b"]"
+    font_objs = {
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /F "
+           b"/FirstChar 32 /LastChar 126 /Widths 6 0 R >>",
+        6: widths,
+    }
+    ops = (b"BT /F1 10 Tf 2 Tc 1 0 0 1 72 700 Tm (ab) Tj "
+           b"1 0 0 1 86 700 Tm (cd) Tj 0 Tc "
+           b"1 0 0 1 120 700 Tm [(ef) -400 (gh)] TJ ET")
+    _assert_same(_scaffold(ops, font_objs, font_ref=5))
+
+
+def test_form_xobject_recursion_paths_identical():
+    import zlib as z
+
+    inner = b"BT 1 0 0 1 5 5 Tm (inside form) Tj ET"
+    comp = z.compress(inner)
+    font_objs = {
+        5: b"<< /Type /XObject /Subtype /Form /Resources << >> "
+           b"/Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+           % (len(comp), comp),
+    }
+    from tests.test_real_pdf import _assemble
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /XObject << /Fm1 5 0 R >> >> >>",
+        4: b"<< /Length 58 >>\nstream\n"
+           b"BT 1 0 0 1 72 700 Tm (before) Tj ET /Fm1 Do "
+           b"BT (after) Tj ET\nendstream",
+    }
+    objs.update(font_objs)
+    _assert_same(_assemble(objs))
+
+
+def test_encrypted_fixture_paths_identical():
+    from tests.test_encrypted_pdf import _build_rc4_doc
+
+    _assert_same(_build_rc4_doc(r=3, v=2, key_bits=128))
+
+
+def test_mutation_sweep_never_crashes_c_path():
+    raw = open(f"{DATA}/01-valid.pdf", "rb").read()
+    n = len(raw)
+    for frac in (0.01, 0.3, 0.7, 0.99):
+        r = pdfb.parse_pdf_bytes(raw[: int(n * frac)])
+        assert isinstance(r["text"], str)
+    b = bytearray(raw)
+    for i in range(5069, 5133):
+        b[i] ^= 0x5A
+    assert isinstance(pdfb.parse_pdf_bytes(bytes(b))["text"], str)
