@@ -7,10 +7,11 @@ per-source conversation) and runs per-conversation main-content extraction
 conversation.
 
 ``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
-22 DuckDB-checked queries covering SURVEY §2 operator families plus the
+23 DuckDB-checked queries covering SURVEY §2 operator families plus the
 training-data extensions, and 8 rows-only entries for the non-SQL
 extraction/LSH kernels (incl. real_pdf_corpus: the reference's own binary
-PDF test corpus through the real-dialect parser).
+PDF test corpus through the real-dialect parser, and real_pdf_chunked: the
+page-range intra-document parallelism operator).
 """
 
 from __future__ import annotations

@@ -520,3 +520,72 @@ def make_transcripts_df_dist(spark, n_convs=5000, median_turns=40,
             yield out
 
     return seed_df.mapInPandas(gen, TRANSCRIPT_SCHEMA)
+
+
+def build_big_binary_pdf(
+    n_pages: int, seed: int = 7, lines: tuple[int, int] = (4, 9)
+) -> bytes:
+    """A deterministic multi-thousand-page BINARY-dialect PDF (classic xref,
+    Flate content streams, shared font) for the intra-document chunking
+    operator and its bench — the analog of the reference's huge-doc
+    benchmark scenario (9,924 pages in one file, README.md:769).
+
+    Not part of the transcript corpus: FIXTURES_VERSION does not cover it.
+    """
+    import zlib
+
+    rng = random.Random(seed)
+    words = [
+        "traces", "chunk", "ordered", "page", "range", "fanout", "salted",
+        "broadcast", "kernel", "arrow", "stream", "xref", "catalog",
+    ]
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+    }
+    kid_refs = []
+    next_obj = 3
+    page_objs = []
+    for p in range(n_pages):
+        page_lines = []
+        yy = 760
+        for li in range(rng.randint(*lines)):
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(5, 11)))
+            page_lines.append(
+                b"1 0 0 1 72 %d Tm (%s p%d l%d) Tj"
+                % (yy, text.encode(), p + 1, li)
+            )
+            yy -= 14
+        ops = b"BT " + b" ".join(page_lines) + b" ET"
+        comp = zlib.compress(ops)
+        content_num = next_obj
+        page_num = next_obj + 1
+        next_obj += 2
+        objects[content_num] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(comp), comp)
+        )
+        objects[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % content_num
+        )
+        kid_refs.append(b"%d 0 R" % page_num)
+        page_objs.append(page_num)
+    objects[2] = (
+        b"<< /Type /Pages /Kids [%s] /Count %d >>"
+        % (b" ".join(kid_refs), n_pages)
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_off = len(out)
+    size = max(objects) + 1
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (size, xref_off)
+    )
+    return bytes(out)

@@ -1205,6 +1205,67 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
 # --------------------------------------------------------------------------
 
 
+class _CountMismatch(Exception):
+    """Range walk found /Count bookkeeping inconsistent with the tree."""
+
+
+def _walk_pages_range(
+    doc: Document, node_ref, lo: int, hi: int, pages: list, seen: set,
+    resources, pos: int = 0, depth: int = 0,
+) -> int:
+    """Count-guided page-tree walk: collect only pages [lo, hi), skipping
+    whole subtrees via /Count (pdf.js pageIndex lookup does the same) —
+    a chunk task touches O(range + depth) nodes, not O(total pages).
+    Returns the subtree's page count (from /Count when skipping, else by
+    walking). Callers validate ``len(pages)`` and fall back to the full
+    walk on inconsistent /Count bookkeeping."""
+    if depth > 64:
+        return 0
+    key = node_ref.num if isinstance(node_ref, Ref) else id(node_ref)
+    if key in seen:
+        return 0
+    seen.add(key)
+    node = doc.resolve(node_ref)
+    if not isinstance(node, dict):
+        return 0
+    res = node.get("Resources", resources)
+    typ = str(node.get("Type", ""))
+    kids = doc.resolve(node.get("Kids"))
+    if typ == "Page" or ("Contents" in node and not isinstance(kids, list)):
+        if lo <= pos < hi:
+            pages.append((node, res))
+        return 1
+    if not isinstance(kids, list):
+        return 0
+    count = doc.resolve(node.get("Count"))
+    if (
+        isinstance(count, int)
+        and count >= 0
+        and (pos + count <= lo or pos >= hi)
+    ):
+        return count  # disjoint subtree: trust /Count and skip it wholesale
+    if isinstance(count, int) and count == len(kids):
+        # flat node (/Count == #kids => every kid is a single page): only
+        # the kids inside [lo, hi) need resolving at all. A kid that turns
+        # out NOT to be one page breaks position bookkeeping — signal the
+        # caller to redo the full walk.
+        for i, kid in enumerate(kids):
+            p = pos + i
+            if lo <= p < hi:
+                got = _walk_pages_range(
+                    doc, kid, lo, hi, pages, seen, res, p, depth + 1
+                )
+                if got != 1:
+                    raise _CountMismatch()
+        return count
+    consumed = 0
+    for kid in kids:
+        consumed += _walk_pages_range(
+            doc, kid, lo, hi, pages, seen, res, pos + consumed, depth + 1
+        )
+    return consumed
+
+
 def _walk_pages(doc: Document, node_ref, pages: list, seen: set, resources) -> None:
     if len(pages) > 20000:
         return
@@ -1551,9 +1612,20 @@ def _page_text(doc: Document, page: dict, resources) -> str:
     return interp.text()
 
 
-def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
+def parse_pdf_bytes(
+    raw: bytes, max_pages: int = 0,
+    page_range: tuple[int, int] | None = None,
+) -> dict:
     """Parse one real binary PDF -> {text, n_pages, n_render, info, error,
     page_spans}.
+
+    ``page_range=(start, end)``: render only pages [start, end) (0-based,
+    after the max_pages clamp) — the chunk operator's unit of work (the
+    reference fans exactly such {start,end,index} ranges to worker
+    processes, lib/pdf-parse-processes.js:92-99 / lib/pdf-child.js:83-97).
+    ``page_spans`` keep GLOBAL page numbers, and offsets are relative to
+    this chunk's text so the reassembly can shift them by the cumulative
+    length of preceding chunks.
 
     ``page_spans``: per rendered page, the [start, end) offsets of that
     page's text inside the returned ``text`` (the north rule's "extracted
@@ -1595,33 +1667,68 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
     except Exception:
         pass
 
-    pages: list = []
-    try:
-        root = doc.resolve(doc.trailer.get("Root"))
-        if isinstance(root, dict):
-            _walk_pages(doc, root.get("Pages"), pages, set(), None)
-    except Exception:
-        pages = []
-    tree_ok = bool(pages)
-    if not pages:
-        # no catalog / broken tree: fall back to every /Type /Page object
-        for num in sorted(doc.index):
-            try:
-                o = doc.get_object(num)
-            except Exception:
-                continue
-            if isinstance(o, dict) and str(o.get("Type", "")) == "Page":
-                pages.append((o, o.get("Resources")))
-    if not pages:
-        return {
-            "text": "", "n_pages": 0, "n_render": 0, "info": info,
-            "error": spec.ERR_NO_PAGES, "page_spans": [],
-        }
-
-    n_render = len(pages) if max_pages <= 0 else min(max_pages, len(pages))
+    sel: list | None = None
+    first_page = 0
+    n_pages_total = 0
+    tree_ok = True
+    if page_range is not None and page_range[1] > page_range[0]:
+        # chunk fast path: count-guided walk touches only this range's
+        # subtrees; validated against /Count bookkeeping, falls through to
+        # the full walk on any inconsistency
+        lo = max(0, int(page_range[0]))
+        hi = int(page_range[1])
+        if max_pages > 0:
+            hi = min(hi, max_pages)
+        try:
+            root = doc.resolve(doc.trailer.get("Root"))
+            if isinstance(root, dict):
+                sl: list = []
+                total = _walk_pages_range(
+                    doc, root.get("Pages"), lo, hi, sl, set(), None
+                )
+                if total > 0 and len(sl) == max(0, min(hi, total) - lo):
+                    sel = sl
+                    first_page = lo
+                    n_pages_total = total
+        except Exception:
+            sel = None
+    if sel is None:
+        pages: list = []
+        try:
+            root = doc.resolve(doc.trailer.get("Root"))
+            if isinstance(root, dict):
+                _walk_pages(doc, root.get("Pages"), pages, set(), None)
+        except Exception:
+            pages = []
+        tree_ok = bool(pages)
+        if not pages:
+            # no catalog / broken tree: fall back to every /Type /Page object
+            for num in sorted(doc.index):
+                try:
+                    o = doc.get_object(num)
+                except Exception:
+                    continue
+                if isinstance(o, dict) and str(o.get("Type", "")) == "Page":
+                    pages.append((o, o.get("Resources")))
+        if not pages:
+            return {
+                "text": "", "n_pages": 0, "n_render": 0, "info": info,
+                "error": spec.ERR_NO_PAGES, "page_spans": [],
+            }
+        n_pages_total = len(pages)
+        n_render = len(pages) if max_pages <= 0 else min(max_pages, len(pages))
+        sel = pages[:n_render]
+        if page_range is not None:
+            first_page = max(0, int(page_range[0]))
+            sel = pages[first_page : min(n_render, int(page_range[1]))]
+    else:
+        n_render = (
+            n_pages_total if max_pages <= 0
+            else min(max_pages, n_pages_total)
+        )
     texts: list[str] = []
     error = None
-    for pg, res in pages[:n_render]:
+    for pg, res in sel:
         try:
             texts.append(_page_text(doc, pg, res))
         except Exception:
@@ -1632,7 +1739,7 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
     off = 0
     for i, t in enumerate(texts):
         off += 2  # leading "\n\n" per page (lib/pdf-parse.js:134)
-        page_spans.append((i + 1, off, off + len(t)))
+        page_spans.append((first_page + i + 1, off, off + len(t)))
         text_parts.append("\n\n")
         text_parts.append(t)
         off += len(t)
@@ -1648,7 +1755,9 @@ def parse_pdf_bytes(raw: bytes, max_pages: int = 0) -> dict:
             "error": spec.ERR_BAD_XREF, "page_spans": [],
         }
     return {
-        "text": text, "n_pages": len(pages), "n_render": n_render,
+        "text": text, "n_pages": n_pages_total,
+        # chunked calls report the pages THIS range rendered
+        "n_render": n_render if page_range is None else len(texts),
         "info": info, "error": error, "page_spans": page_spans,
     }
 

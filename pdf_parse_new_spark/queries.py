@@ -706,9 +706,35 @@ def q_real_pdf_corpus(spark, sf_dir):
     ).orderBy("doc")
 
 
+def q_real_pdf_chunked(spark, sf_dir):
+    """Intra-document parallelism (the reference's page-range process
+    strategy, lib/pdf-parse-processes.js:92-99): one multi-thousand-page
+    synthetic binary PDF fanned across range tasks via broadcast + chunk
+    rows, reassembled in order. Rows-only: binary PDF parsing is not
+    SQL-expressible; byte-identity with the single-task path is asserted by
+    tests/test_pdf_chunking.py. Deterministic fixture (seed-pinned)."""
+    from pdf_parse_new_spark import fixtures
+    from pdf_parse_new_spark.operators import extract as ex
+
+    raw = fixtures.build_big_binary_pdf(600, seed=11)
+    df = spark.createDataFrame(
+        [("huge-0", bytearray(raw))], "path string, content binary"
+    )
+    out = ex.extract_pdf_documents_chunked(
+        df, pages_per_chunk=75, big_doc_bytes=10_000
+    )
+    return out.select(
+        "doc_id", "n_pages", "n_render",
+        F.length("text").alias("text_len"),
+        F.size("page_spans").alias("n_spans"),
+        "error",
+    )
+
+
 ROWS_ONLY = {
     "extract_turns": q_extract_turns,
     "real_pdf_corpus": q_real_pdf_corpus,
+    "real_pdf_chunked": q_real_pdf_chunked,
     "extract_conversations": q_extract_conversations,
     "simhash_buckets": q_simhash_buckets,
     "ann_lsh": q_ann_lsh,
