@@ -40,6 +40,7 @@ import zlib
 
 from pdf_parse_new_spark import spec
 from pdf_parse_new_spark.kernels import cinterp, crypt
+from pdf_parse_new_spark.kernels.pdfk import _bidi as pdfk_bidi
 
 # --------------------------------------------------------------------------
 # object model
@@ -1327,6 +1328,9 @@ class _TextInterp:
              size: float = 0.0) -> None:
         if not s:
             return
+        # UAX#9-lite logical->visual reorder (pdf.js runBidiTransform runs
+        # on every text item; same rule as the synthetic dialect, spec.py)
+        s = pdfk_bidi(s)
         if self.last_y is not None and abs(ty - self.last_y) > spec.Y_TOLERANCE:
             self.out.append("".join(self.cur_line))
             self.cur_line.clear()

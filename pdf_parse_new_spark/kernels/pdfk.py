@@ -57,14 +57,22 @@ def _unescape(lit: str) -> str:
 
 
 _RTL_RUN = re.compile(f"[{spec.RTL_CLASS}]+")
+# UAX#9-lite segment: RTL runs plus neutrals strictly BETWEEN RTL runs
+_RTL_SEG = re.compile(
+    f"[{spec.RTL_CLASS}]+"
+    f"(?:[{spec.BIDI_NEUTRAL_CLASS}]+[{spec.RTL_CLASS}]+)*"
+)
 
 
 def _bidi(s: str) -> str:
-    # simplified logical->visual reorder per show-text item (spec.py;
-    # reference runBidiTransform, pdf.worker.js:36495-36510)
+    # UAX#9-lite logical->visual reorder per show-text item (spec.py;
+    # reference runBidiTransform, pdf.worker.js:36495-36510): the whole
+    # R(N+R)* segment reverses as one unit, brackets inside it mirror
     if _RTL_RUN.search(s) is None:
         return s
-    return _RTL_RUN.sub(lambda m: m.group()[::-1], s)
+    return _RTL_SEG.sub(
+        lambda m: m.group()[::-1].translate(spec.BIDI_MIRROR), s
+    )
 
 
 # Clause-level scanner: one regex match per *well-formed operator clause*

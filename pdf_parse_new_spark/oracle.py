@@ -51,13 +51,48 @@ def _nfkc(s: str) -> str:
 _RTL_RUN = re.compile(f"[{spec.RTL_CLASS}]+")
 
 
+def _is_rtl(c: str) -> bool:
+    return any(a <= c <= b for a, b in spec.RTL_RANGES)
+
+
+def _is_neutral(c: str) -> bool:
+    o = ord(c)
+    return (
+        c in " \t«»"
+        or 0x21 <= o <= 0x2F
+        or 0x3A <= o <= 0x40
+        or 0x5B <= o <= 0x60
+        or 0x7B <= o <= 0x7E
+        or 0x2010 <= o <= 0x201F
+    )
+
+
 def bidi_visual(s: str) -> str:
-    """Simplified logical->visual reorder: reverse each maximal RTL run in
-    place (spec.py; subset of the reference's runBidiTransform,
-    pdf.worker.js:36495-36510). Applied per PDF show-text item."""
+    """UAX#9-lite logical->visual reorder (spec.py; subset of the
+    reference's runBidiTransform, pdf.worker.js:36495-36510): a maximal
+    R(N+R)* segment — RTL runs plus neutrals strictly between them —
+    reverses as one visual unit, and paired brackets inside it mirror.
+    Char-loop implementation, deliberately independent of the kernel's
+    regex form (the property suite pins them to byte equality)."""
     if _RTL_RUN.search(s) is None:
         return s
-    return _RTL_RUN.sub(lambda m: m.group()[::-1], s)
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if _is_rtl(s[i]):
+            j = i
+            last_r = i
+            while j < n and (_is_rtl(s[j]) or _is_neutral(s[j])):
+                if _is_rtl(s[j]):
+                    last_r = j
+                j += 1
+            seg = s[i : last_r + 1]
+            out.append(seg[::-1].translate(spec.BIDI_MIRROR))
+            i = last_r + 1
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 
 
 # ------------------------------------------------------- content tokenizer --

@@ -50,18 +50,30 @@ TJ_SPACE_THRESHOLD = 180.0
 # --- page/turn join separator (reference lib/pdf-parse.js:126,134) ---
 PAGE_SEP = "\n\n"
 
-# --- simplified bidi (reference runBidiTransform, pdf.worker.js:36495) ---
+# --- UAX#9-lite bidi (reference runBidiTransform, pdf.worker.js:36495) ---
 # PDF show-text items store RTL scripts in logical order; extraction output
-# is visual order. Our simplified rule (both oracle and kernel): within each
-# text item, every maximal run of RTL-range characters is reversed in place;
-# LTR text, digits, spaces and punctuation keep their positions. This is a
-# deliberate subset of UAX#9 (no nesting/mirroring), documented as such.
+# is visual order. The lite rule (oracle and kernels implement it
+# INDEPENDENTLY and must agree byte-for-byte):
+#   1. a maximal segment R(N+R)* \u2014 RTL runs plus any NEUTRAL characters
+#      strictly BETWEEN two RTL runs \u2014 reverses as ONE visual segment
+#      (UAX#9 rule N1: neutrals between equal strong types take that type);
+#   2. paired brackets inside a reversed segment MIRROR (rule L4);
+#   3. neutrals at a segment edge (between L and R) keep their position
+#      with the LTR side (rule N2 under an LTR base direction).
+# Still out of scope, documented: explicit embeddings/overrides
+# (LRE/RLE/PDF/LRI...), the BD16 bracket-PAIR algorithm, and R2L base
+# direction \u2014 the reference's full runBidiTransform handles those.
 RTL_RANGES = (
     ("\u0590", "\u08ff"),  # Hebrew, Arabic, Syriac, Thaana, ...
     ("\ufb1d", "\ufdff"),  # presentation forms A
     ("\ufe70", "\ufeff"),  # presentation forms B
 )
 RTL_CLASS = "".join(f"{a}-{b}" for a, b in RTL_RANGES)
+# neutrals: whitespace + ASCII punctuation + guillemets + general dash/quote
+# block (as a regex character-class body)
+BIDI_NEUTRAL_CLASS = r" \t!-/:-@\[-`{-~\u00ab\u00bb\u2010-\u201f"
+# paired-bracket mirroring inside reversed segments (UAX#9 L4 subset)
+BIDI_MIRROR = str.maketrans("()[]{}<>\u00ab\u00bb\u2039\u203a", ")(][}{><\u00bb\u00ab\u203a\u2039")
 
 # --- HTML boilerplate-strip thresholds (north-rule axis B) ---
 # Candidate blocks are non-overlapping <p> or <div> elements scanned

@@ -92,3 +92,84 @@ def test_content_stream_tokenizer(seed, n_lines):
     assert oracle.fold_lines(oracle.tokenize_content(stream)) == expected
     strs, ys, _scales = pdfk._tokenize(stream)
     assert pdfk._fold(strs, ys) == expected
+
+
+# ---------------------------------------------------------------- bidi lite --
+
+_RTL_CHARS = "אבגדהוזחטיךכלםמןנסעףפץצקרשת" + "ابتثجحخدذرزسشصضطظعغفقكلمنهوي"
+_NEUTRALS = " -.,:;!?()[]{}«»'\""
+_LTR_WORDS = ["abc", "xyz", "Q3", "2024", "latin", ""]
+
+
+@st.composite
+def _mixed_bidi_text(draw):
+    parts = []
+    for _ in range(draw(st.integers(1, 8))):
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            parts.append(draw(st.sampled_from(_LTR_WORDS)))
+        elif kind == 1:
+            parts.append(
+                "".join(
+                    draw(
+                        st.lists(st.sampled_from(_RTL_CHARS), min_size=1,
+                                 max_size=6)
+                    )
+                )
+            )
+        else:
+            parts.append(
+                "".join(
+                    draw(
+                        st.lists(st.sampled_from(_NEUTRALS), min_size=1,
+                                 max_size=3)
+                    )
+                )
+            )
+    return "".join(parts)
+
+
+@_settings
+@given(_mixed_bidi_text())
+def test_bidi_kernel_matches_oracle(s):
+    """UAX#9-lite: the kernel's regex form and the oracle's independent
+    char-loop must agree byte-for-byte on arbitrary LTR/RTL/neutral mixes."""
+    from pdf_parse_new_spark.kernels import pdfk
+
+    k = pdfk._bidi(s)
+    o = oracle.bidi_visual(s)
+    assert k == o
+    # reverse+mirror is an involution: applying twice restores the logical
+    # order (mirror of a neutral is a neutral, segments map to themselves)
+    assert pdfk._bidi(k) == s
+    assert len(k) == len(s)
+
+
+def test_bidi_neutrals_join_rtl_runs_and_brackets_mirror():
+    from pdf_parse_new_spark.kernels import pdfk
+
+    # neutrals BETWEEN two RTL runs reverse with them (UAX#9 N1)
+    assert pdfk._bidi("אב - גד") == "דג - בא"
+    # brackets inside a reversed segment mirror (L4); edge bracket with no
+    # RTL after it stays put (BD16 pair analysis is documented out of scope)
+    assert pdfk._bidi("אב (גד) הו") == "וה (דג) בא"
+    # LTR-adjacent neutrals keep their position with the LTR side (N2)
+    assert pdfk._bidi("abc, אבג!") == "abc, גבא!"
+    # pure LTR untouched
+    assert pdfk._bidi("plain (text)") == "plain (text)"
+
+
+def test_bidi_in_binary_dialect_show_path():
+    """The binary parser applies the same reorder per show item (pdf.js
+    runBidiTransform runs on every text item). Drive the interpreter's
+    show() directly — Hebrew through a real font map is covered by the
+    decode tests; here the question is only that show() reorders."""
+    from pdf_parse_new_spark.kernels import pdfb
+
+    interp = pdfb._TextInterp.__new__(pdfb._TextInterp)
+    interp.out, interp.cur_line = [], []
+    interp.last_y, interp.last_end_x = None, None
+    interp.show("hello שלום עולם world", 0.0)
+    # the space between the two Hebrew words is a neutral BETWEEN RTL runs:
+    # the whole segment reverses as one unit (UAX#9 N1)
+    assert interp.text() == "hello " + "שלום עולם"[::-1] + " world"
