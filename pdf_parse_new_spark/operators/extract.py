@@ -321,7 +321,10 @@ def extract_pdf_documents_chunked(
 
     spark = df.sparkSession
     sc = spark.sparkContext
-    payload_len = F.length(F.col(payload_col))
+    # coalesce: length(NULL) is NULL, which is false in BOTH branch filters
+    # — a null-payload row must still reach the per-document path (it
+    # becomes an error row there, never silently dropped)
+    payload_len = F.coalesce(F.length(F.col(payload_col)), F.lit(0))
     small_df = df.filter(payload_len <= big_doc_bytes)
     big_df = df.filter(payload_len > big_doc_bytes).select(
         F.col(id_col).cast("string").alias("doc_id"),

@@ -70,3 +70,30 @@ def run_stream_to_checkpointed_table(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    key: str = "fingerprint",
+) -> DataFrame:
+    """Streaming exact-dedup within the watermark horizon: emit each
+    document fingerprint's FIRST arrival, drop re-arrivals while state for
+    that key is retained (Spark ``dropDuplicates`` + event-time watermark
+    bounds the dedup state — without the watermark, state grows without
+    bound at 100 TB/day ingest).
+
+    The key defaults to the extraction fingerprint of the turn text (the
+    same strided min-hash the batch dedup family uses), so batch and
+    streaming share one notion of "same document". Web-scale shape: state
+    lives in the streaming state store partitioned by key; re-partitioning
+    is Spark-managed, no driver state."""
+    from pdf_parse_new_spark.operators import textstats
+
+    extracted = extract.extract_turns(stream_df, passthrough=("ts",))
+    keyed = (
+        extracted.filter(F.col("error").isNull())
+        .withColumn(key, textstats.fingerprint(F.col("extracted_text")))
+        .filter(F.col(key).isNotNull())
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicates([key])

@@ -165,8 +165,13 @@ its scaling sink — every child re-parses the full document — does not exist
 here because payloads are per-row.
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md is hand-curated (run history + honest-read notes):
+    # write the raw result to a sidecar and fold it in manually
+    with open("BENCH/SCALING_LATEST.md", "w") as f:
         f.write(md)
+    with open("BENCH/scaling_latest.json", "w") as f:
+        json.dump({"results": {str(k): v for k, v in results.items()},
+                   "efficiency": round(eff, 3)}, f, indent=1)
     print(md)
 
 

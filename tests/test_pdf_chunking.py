@@ -137,3 +137,17 @@ def test_chunked_speedup_over_single_task(spark, tmp_path):
     run_chunked()
     t_chunked = time.perf_counter() - t0
     assert t_chunked < t_single / 1.5, (t_single, t_chunked)
+
+
+def test_chunked_null_payload_becomes_error_row(spark):
+    # length(NULL) is NULL -> false in both size filters; the row must not
+    # silently vanish — it takes the per-document path and errors there
+    df = spark.createDataFrame(
+        [("null-doc", None), ("tiny", bytearray(b"not a pdf"))],
+        "path string, content binary",
+    )
+    rows = {r.doc_id: r for r in
+            ex.extract_pdf_documents_chunked(df).collect()}
+    assert set(rows) == {"null-doc", "tiny"}
+    assert rows["null-doc"].error is not None
+    assert rows["tiny"].error is not None

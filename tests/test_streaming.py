@@ -195,3 +195,51 @@ def test_stateful_progress_v2_transform_with_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_dedup_stream_drops_rearrivals(spark, tmp_path):
+    """Streaming exact-dedup within the watermark: identical document text
+    arriving twice (same or later micro-batch) emits once; distinct texts
+    all pass. State is bounded by the event-time watermark."""
+    import pandas as pd
+
+    src = str(tmp_path / "dsrc")
+    rows1 = [
+        ("c1", 0, "user", "unique document alpha " * 4, "", "2024-01-01 00:00:00"),
+        ("c1", 1, "user", "unique document beta " * 4, "", "2024-01-01 00:01:00"),
+        ("c2", 0, "user", "unique document alpha " * 4, "", "2024-01-01 00:02:00"),
+    ]
+    rows2 = [
+        ("c3", 0, "user", "unique document beta " * 4, "", "2024-01-01 00:03:00"),
+        ("c3", 1, "user", "unique document gamma " * 4, "", "2024-01-01 00:04:00"),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def write_batch(rows, name):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    write_batch(rows1, "b1")
+    write_batch(rows2, "b2")
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = (
+        sx.dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("select conv_id, turn_idx from dedup_t").collect()
+    emitted = {(r.conv_id, r.turn_idx) for r in out}
+    # alpha appears once (c1#0 or c2#0 — first arrival), beta once, gamma once
+    assert len(emitted) == 3
+    texts = {r1[3] for r1 in rows1} | {r2[3] for r2 in rows2}
+    assert len(texts) == 3  # sanity: exactly 3 distinct documents existed
