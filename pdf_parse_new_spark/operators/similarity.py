@@ -165,6 +165,100 @@ def embedding_dup_pairs(
     )
 
 
+def _ivf_assign_udf(centroids: np.ndarray):
+    """list_id = argmax cosine(vector, centroid) — one matmul per Arrow
+    batch against the (n_lists, dim) centroid matrix."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        return pd.Series(
+            np.argmax(mat @ cn.T, axis=1).astype(np.int32), index=vecs.index
+        )
+
+    return assign
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic spherical k-means for the IVF coarse quantizer.
+
+    Init = the ``n_lists`` vectors with the smallest xxhash64(id) (a seeded
+    pseudo-random but reproducible sample); each Lloyd iteration is ONE
+    Spark job: vectorized assignment UDF -> groupBy list_id -> per-dimension
+    ``avg`` (pure JVM agg; dim columns). Centroids live on the driver
+    (n_lists x dim floats — tiny). At 100 TB: train on a sample (this
+    function over df.sample(...)), assignment stays a single pass."""
+    init = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_lists)
+        .collect()
+    )
+    cents = np.array([list(r[0]) for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assign = _ivf_assign_udf(cents)
+        rows = (
+            df.select(assign(F.col(vec_col)).alias("list_id"), vec_col)
+            .groupBy("list_id")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in rows:  # empty lists keep their previous centroid
+            cents[r["list_id"]] = [r[f"c{i}"] for i in range(dim)]
+    return cents
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize vectors into ``n_lists``
+    inverted lists (spherical k-means), then scan only the ``n_probes``
+    lists whose centroids are most cosine-similar to the query — exact
+    cosine within. Scans ~n_probes/n_lists of the data; unlike hyperplane
+    LSH the partitioning ADAPTS to the data distribution, which is what
+    lifts recall on clustered embeddings (the classic FAISS IVF-flat
+    shape). At 100 TB ``list_id`` is the partition/cluster key, training
+    runs on a sample, and the probe is a partition-pruned scan + local
+    top-k."""
+    dim = len(query)
+    if centroids is None:
+        centroids = train_ivf_centroids(df, dim, n_lists, iters, vec_col, id_col)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    q = np.asarray(query, dtype=np.float64)
+    sims = cn @ (q / max(np.linalg.norm(q), 1e-12))
+    probes = [int(i) for i in np.argsort(-sims)[:n_probes]]
+    assigned = df.withColumn(
+        "list_id", _ivf_assign_udf(centroids)(F.col(vec_col))
+    )
+    return cosine_topk(
+        assigned.filter(F.col("list_id").isin(probes)), query, k, vec_col,
+        id_col,
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: list[float],

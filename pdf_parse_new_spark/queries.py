@@ -613,6 +613,21 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors (the FAISS IVF-flat shape): train
+    a spherical-k-means coarse quantizer, probe the query's nearest lists,
+    exact cosine within. Rows-only justification: ANN is probabilistic by
+    design; the exact twin knn_cosine IS oracle-checked, and the recall
+    floor vs exact is pinned by pytest (test_training_ops)."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_topk_ivf(
+        e.filter(F.col("vec_id") != 0), query, k=10, n_lists=16, n_probes=4
+    )
+
+
 def q_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (LSH multi-table, rows-only check:
     recall is probabilistic by design; threshold low enough to find pairs
@@ -738,6 +753,7 @@ ROWS_ONLY = {
     "extract_conversations": q_extract_conversations,
     "simhash_buckets": q_simhash_buckets,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_dups": q_embedding_dups,
     "multimodal_features": q_multimodal_features,
 }

@@ -302,3 +302,31 @@ def test_ann_recall_vs_exact(spark, emb):
         total += len(exact)
     recall = hits / total
     assert recall >= 0.4, f"ANN multi-probe recall {recall:.2f} below floor"
+
+
+def test_ann_ivf_recall_vs_exact(spark, emb):
+    """IVF-flat recall over 5 query vectors, scanning n_probes/n_lists =
+    4/16 = 25% of the data. The quantizer adapts to the embedding
+    distribution (unlike data-oblivious hyperplanes), so the floor sits
+    higher than the LSH path's 0.4. Deterministic: xxhash-seeded init."""
+    e = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = similarity.train_ivf_centroids(e, dim=64, n_lists=16, iters=3)
+    assert cents.shape == (16, 64)
+    ids = [r.vec_id for r in e.select("vec_id").limit(5).collect()]
+    hits = total = 0
+    for qid in ids:
+        q = [float(x) for x in e.filter(F.col("vec_id") == qid).first()["embedding"]]
+        rest = e.filter(F.col("vec_id") != qid)
+        exact = {r.vec_id for r in similarity.cosine_topk(rest, q, k=5).collect()}
+        approx = {
+            r.vec_id
+            for r in similarity.ann_topk_ivf(
+                rest, q, k=5, n_lists=16, n_probes=4, centroids=cents
+            ).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
