@@ -39,7 +39,8 @@ enum {
     K_TJSTR = 6,  /* like K_STR, element of a TJ array */
     K_TJNUM = 7,  /* f0 = kern value */
     K_TJEND = 8,
-    K_XOBJ = 9    /* a,b = /Name span (without slash) : Do operator */
+    K_XOBJ = 9,   /* a,b = /Name span (without slash) : Do operator */
+    K_SETY = 10   /* f0 = y : partial Td/TD/Tm (later operand failed) */
 };
 
 /* operand kinds on the small typed stack */
@@ -47,9 +48,11 @@ enum { OP_NUM = 1, OP_STR = 2, OP_NAME = 3, OP_OTHER = 4 };
 
 typedef struct {
     int kind;
-    int flag;     /* for OP_STR: 1 = hex */
+    int flag;     /* for OP_STR: 1 = hex, 2 = complex literal */
     int64_t a, b; /* span */
     double v;
+    int conv;     /* float(operand) succeeds in the fallback */
+    double cv;    /* its value when conv */
 } Operand;
 
 #define MAXOPS 64
@@ -156,17 +159,28 @@ static int is_num_start(unsigned char c)
 }
 
 /* returns end position, or `pos` unchanged when no digit was present
- * (bare +/-/. is not a number — mirrors the fallback's _NUMBER regex) */
+ * (bare +/-/. is not a number). Mirrors the fallback's _NUMBER regex
+ * [+-]?(\d+\.?\d*|\.\d+) exactly — including stopping at a SECOND dot,
+ * so "1.2.3" lexes as 1.2 then .3 on both paths. */
 static long scan_number(const unsigned char *d, long pos, long n, double *out)
 {
     char buf[64];
-    long i = 0, start = pos, digits = 0;
+    long i = 0, start = pos, digits = 0, dots = 0;
     if (d[pos] == '+' || d[pos] == '-')
         buf[i++] = d[pos++];
-    while (pos < n && i < 62 &&
-           ((d[pos] >= '0' && d[pos] <= '9') || d[pos] == '.')) {
-        if (d[pos] != '.')
+    while (pos < n && i < 62) {
+        unsigned char c = d[pos];
+        if (c >= '0' && c <= '9') {
             digits++;
+        } else if (c == '.') {
+            if (dots)
+                break;
+            /* a dot AFTER digits ends the token unless digits follow is
+             * fine either way for the regex; a second dot always stops */
+            dots++;
+        } else {
+            break;
+        }
         buf[i++] = d[pos++];
     }
     if (!digits)
@@ -174,6 +188,96 @@ static long scan_number(const unsigned char *d, long pos, long n, double *out)
     buf[i] = 0;
     *out = atof(buf);
     return pos;
+}
+
+/* does the fallback's float(str(Name)) succeed? strtod over the raw span
+ * (full consumption required) — covers plain/signed/exponent/inf/nan
+ * forms; exotic Python-only spellings (underscores, #xx-escaped digits)
+ * are documented misses. */
+static int name_float(const unsigned char *d, long a, long b, double *out)
+{
+    char buf[64];
+    long len = b - a;
+    if (len <= 0 || len > 62)
+        return 0;
+    memcpy(buf, d + a, len);
+    buf[len] = 0;
+    char *endp = NULL;
+    double v = strtod(buf, &endp);
+    if (endp != buf + len)
+        return 0;
+    *out = v;
+    return 1;
+}
+
+/* Recursive validation mirroring the fallback's parse_object grammar: an
+ * object that would raise ValueError there returns -1 here, so both paths
+ * salvage malformed input from the SAME byte (one past the failed start).
+ * Depth-capped — past the cap we treat the object as invalid, which maps
+ * to the fallback's RecursionError -> page-error behavior closely enough
+ * for garbage input (documented approximation). */
+static long validate_object(const unsigned char *d, long pos, long n,
+                            int depth)
+{
+    if (depth > 200)
+        return -1;
+    pos = skip_ws(d, pos, n);
+    if (pos >= n)
+        return -1;
+    unsigned char c = d[pos];
+    if (c == '/')
+        return scan_name(d, pos, n);
+    if (c == '(') {
+        int cx;
+        return scan_literal(d, pos, n, &cx); /* EOF-tolerant, can't fail */
+    }
+    if (c == '<') {
+        if (pos + 1 < n && d[pos + 1] == '<') {
+            pos += 2;
+            for (;;) {
+                pos = skip_ws(d, pos, n);
+                if (pos + 1 < n && d[pos] == '>' && d[pos + 1] == '>')
+                    return pos + 2;
+                if (pos >= n)
+                    return -1; /* unterminated dict */
+                if (d[pos] != '/')
+                    return -1; /* dict key must be a name */
+                pos = scan_name(d, pos, n);
+                pos = validate_object(d, pos, n, depth + 1);
+                if (pos < 0)
+                    return -1;
+            }
+        }
+        long end = scan_hex(d, pos, n);
+        if (end >= n && (n == 0 || d[n - 1] != '>'))
+            return -1; /* unterminated hex string raises in the fallback */
+        return end;
+    }
+    if (c == '[') {
+        pos++;
+        for (;;) {
+            pos = skip_ws(d, pos, n);
+            if (pos >= n)
+                return -1; /* unterminated array */
+            if (d[pos] == ']')
+                return pos + 1;
+            pos = validate_object(d, pos, n, depth + 1);
+            if (pos < 0)
+                return -1;
+        }
+    }
+    if (c == 't' && pos + 4 <= n && memcmp(d + pos, "true", 4) == 0)
+        return pos + 4;
+    if (c == 'f' && pos + 5 <= n && memcmp(d + pos, "false", 5) == 0)
+        return pos + 5;
+    if (c == 'n' && pos + 4 <= n && memcmp(d + pos, "null", 4) == 0)
+        return pos + 4;
+    if (is_num_start(c)) {
+        double v;
+        long end = scan_number(d, pos, n, &v);
+        return end == pos ? -1 : end;
+    }
+    return -1;
 }
 
 static int is_op_start(unsigned char c)
@@ -251,6 +355,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 st[nst].kind = OP_NAME;
                 st[nst].a = pos + 1;
                 st[nst].b = end;
+                /* the fallback's float(str(Name)) can SUCCEED for numeric
+                 * names — "/12 /34 Td" moves the pen there; mirror it */
+                st[nst].conv = name_float(d, pos + 1, end, &st[nst].cv);
                 nst++;
             }
             pos = end;
@@ -264,6 +371,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 st[nst].flag = cx ? 2 : 0; /* 2 = needs full re-parse */
                 st[nst].a = pos;
                 st[nst].b = end;
+                st[nst].conv = 0;
                 nst++;
             }
             pos = end;
@@ -271,26 +379,44 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
         }
         if (c == '<') {
             if (pos + 1 < n && d[pos + 1] == '<') {
-                long end = scan_dict(d, pos, n);
+                long end = validate_object(d, pos, n, 0);
+                if (end < 0) {
+                    /* malformed dict: the fallback's parse raises and
+                     * re-lexes from the next byte — mirror it */
+                    pos++;
+                    continue;
+                }
                 if (nst < MAXOPS) {
                     st[nst].kind = OP_OTHER;
+                    st[nst].conv = 0;
                     nst++;
                 }
                 pos = end;
                 continue;
             }
             long end = scan_hex(d, pos, n);
+            if (end >= n && (n == 0 || d[n - 1] != '>')) {
+                pos++; /* unterminated hex raises in the fallback */
+                continue;
+            }
             if (nst < MAXOPS) {
                 st[nst].kind = OP_STR;
                 st[nst].flag = 1;
                 st[nst].a = pos;
                 st[nst].b = end;
+                st[nst].conv = 0;
                 nst++;
             }
             pos = end;
             continue;
         }
         if (c == '[') { /* array: buffer as potential TJ operand */
+            /* single-pass emit for the hot path (strings + kern numbers);
+             * nested containers are validated recursively, and ANY element
+             * the fallback's parse_object would raise on aborts the whole
+             * array — both paths then re-lex from '['+1 */
+            long array_start = pos;
+            int bad = 0;
             if (tj_start >= 0)
                 nev = tj_start; /* a newer array supersedes the old one */
             tj_start = nev;
@@ -306,23 +432,66 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     long end = scan_literal(d, pos, n, &cx);
                     EMIT(K_TJSTR, cx ? 2 : 0, pos, end, 0, 0, 0, 0);
                     pos = end;
+                } else if (e == '<' && pos + 1 < n && d[pos + 1] == '<') {
+                    long end = validate_object(d, pos, n, 1);
+                    if (end < 0) {
+                        bad = 1;
+                        break;
+                    }
+                    pos = end; /* dict element: valid, not text */
                 } else if (e == '<') {
                     long end = scan_hex(d, pos, n);
+                    if (end >= n && (n == 0 || d[n - 1] != '>')) {
+                        bad = 1; /* unterminated hex raises there */
+                        break;
+                    }
                     EMIT(K_TJSTR, 1, pos, end, 0, 0, 0, 0);
                     pos = end;
+                } else if (e == '/') {
+                    pos = scan_name(d, pos, n); /* valid elem, not text */
+                } else if (e == '[') {
+                    long end = validate_object(d, pos, n, 1);
+                    if (end < 0) {
+                        bad = 1;
+                        break;
+                    }
+                    pos = end; /* nested array: valid, TJ ignores lists */
                 } else if (is_num_start(e)) {
                     double v;
-                    pos = scan_number(d, pos, n, &v);
+                    long nend = scan_number(d, pos, n, &v);
+                    if (nend == pos) {
+                        bad = 1; /* bare +/-/. raises there */
+                        break;
+                    }
+                    pos = nend;
                     EMIT(K_TJNUM, 0, 0, 0, v, 0, 0, 0);
+                } else if (e == 't' && pos + 4 <= n &&
+                           memcmp(d + pos, "true", 4) == 0) {
+                    pos += 4;
+                } else if (e == 'f' && pos + 5 <= n &&
+                           memcmp(d + pos, "false", 5) == 0) {
+                    pos += 5;
+                } else if (e == 'n' && pos + 4 <= n &&
+                           memcmp(d + pos, "null", 4) == 0) {
+                    pos += 4;
                 } else {
-                    pos++; /* names / nested arrays: not text, skip a byte */
+                    bad = 1; /* stray delimiter / alpha token */
+                    break;
                 }
             }
-            if (pos < n)
-                pos++; /* ']' */
+            if (!bad && (pos >= n || d[pos] != ']'))
+                bad = 1; /* unterminated array raises there too */
+            if (bad) {
+                nev = tj_start;
+                tj_start = -1;
+                pos = array_start + 1;
+                continue;
+            }
+            pos++; /* ']' */
             EMIT(K_TJEND, 0, 0, 0, 0, 0, 0, 0);
             if (nst < MAXOPS) {
                 st[nst].kind = OP_OTHER;
+                st[nst].conv = 0;
                 nst++;
             }
             continue;
@@ -337,6 +506,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
             if (nst < MAXOPS) {
                 st[nst].kind = OP_NUM;
                 st[nst].v = v;
+                st[nst].conv = 1;
+                st[nst].cv = v;
                 nst++;
             }
             pos = end;
@@ -354,65 +525,91 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 nev = tj_start; /* array wasn't a TJ operand: discard */
 
             if (oplen == 2 && op[0] == 'T') {
+                /* Partial-application mirroring: the fallback converts
+                 * operands with float() IN ORDER and a failure aborts the
+                 * op mid-way, KEEPING earlier assignments. `conv`/`cv`
+                 * model float()'s behavior (numbers and numeric names
+                 * convert; strings/dicts/arrays raise). */
                 switch (op[1]) {
-                case 'f': /* name size Tf */
-                    if (nst >= 2 && st[nst - 2].kind == OP_NAME &&
-                        st[nst - 1].kind == OP_NUM)
-                        EMIT(K_FONT, 0, st[nst - 2].a, st[nst - 2].b,
-                             st[nst - 1].v, 0, 0, 0);
-                    break;
-                case 'd': /* tx ty Td */
-                    if (nst >= 2 && st[nst - 1].kind == OP_NUM &&
-                        st[nst - 2].kind == OP_NUM) {
-                        line_x += st[nst - 2].v;
-                        y += st[nst - 1].v;
-                        EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                case 'f': /* name size Tf : the fallback sets the font from
+                           * str(operand) BEFORE converting the size, so
+                           * the font updates even when the size operand is
+                           * junk (flag=1 -> replay keeps the old size) */
+                    if (nst >= 2) {
+                        long na = 0, nb = 0;
+                        if (st[nst - 2].kind == OP_NAME) {
+                            na = st[nst - 2].a;
+                            nb = st[nst - 2].b;
+                        }
+                        if (st[nst - 1].conv)
+                            EMIT(K_FONT, 0, na, nb, st[nst - 1].cv, 0, 0, 0);
+                        else
+                            EMIT(K_FONT, 1, na, nb, 0, 0, 0, 0);
                     }
                     break;
-                case 'D': /* tx ty TD */
-                    if (nst >= 2 && st[nst - 1].kind == OP_NUM &&
-                        st[nst - 2].kind == OP_NUM) {
-                        leading = -st[nst - 1].v;
-                        line_x += st[nst - 2].v;
-                        y += st[nst - 1].v;
-                        EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                case 'd': /* tx ty Td : y converts first, then line_x */
+                    if (nst >= 2 && st[nst - 1].conv) {
+                        y += st[nst - 1].cv;
+                        if (st[nst - 2].conv) {
+                            line_x += st[nst - 2].cv;
+                            EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                        } else {
+                            EMIT(K_SETY, 0, 0, 0, y, 0, 0, 0);
+                        }
                     }
                     break;
-                case 'm': /* a b c d e f Tm */
-                    if (nst >= 6 && st[nst - 1].kind == OP_NUM &&
-                        st[nst - 2].kind == OP_NUM &&
-                        st[nst - 6].kind == OP_NUM) {
-                        y = st[nst - 1].v;
-                        line_x = st[nst - 2].v;
-                        sx = st[nst - 6].v != 0.0 ? st[nst - 6].v : 1.0;
-                        EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                case 'D': /* tx ty TD : leading+y first, then line_x */
+                    if (nst >= 2 && st[nst - 1].conv) {
+                        leading = -st[nst - 1].cv;
+                        y += st[nst - 1].cv;
+                        if (st[nst - 2].conv) {
+                            line_x += st[nst - 2].cv;
+                            EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                        } else {
+                            EMIT(K_SETY, 0, 0, 0, y, 0, 0, 0);
+                        }
+                    }
+                    break;
+                case 'm': /* a b c d e f Tm : y, then line_x, then sx */
+                    if (nst >= 6 && st[nst - 1].conv) {
+                        y = st[nst - 1].cv;
+                        if (!st[nst - 2].conv) {
+                            EMIT(K_SETY, 0, 0, 0, y, 0, 0, 0);
+                        } else {
+                            line_x = st[nst - 2].cv;
+                            if (st[nst - 6].conv)
+                                sx = st[nst - 6].cv != 0.0 ? st[nst - 6].cv
+                                                           : 1.0;
+                            EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                        }
                     }
                     break;
                 case 'L':
-                    if (nst >= 1 && st[nst - 1].kind == OP_NUM)
-                        leading = st[nst - 1].v;
+                    if (nst >= 1 && st[nst - 1].conv)
+                        leading = st[nst - 1].cv;
                     break;
                 case 's':
-                    if (nst >= 1 && st[nst - 1].kind == OP_NUM) {
-                        rise = st[nst - 1].v;
+                    if (nst >= 1 && st[nst - 1].conv) {
+                        rise = st[nst - 1].cv;
                         EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
                     }
                     break;
                 case 'c':
-                    if (nst >= 1 && st[nst - 1].kind == OP_NUM) {
-                        tc = st[nst - 1].v;
+                    if (nst >= 1 && st[nst - 1].conv) {
+                        tc = st[nst - 1].cv;
                         EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
                     }
                     break;
                 case 'w':
-                    if (nst >= 1 && st[nst - 1].kind == OP_NUM) {
-                        tw = st[nst - 1].v;
+                    if (nst >= 1 && st[nst - 1].conv) {
+                        tw = st[nst - 1].cv;
                         EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
                     }
                     break;
                 case 'z':
-                    if (nst >= 1 && st[nst - 1].kind == OP_NUM) {
-                        tz = (st[nst - 1].v != 0.0 ? st[nst - 1].v : 100.0) /
+                    if (nst >= 1 && st[nst - 1].conv) {
+                        tz = (st[nst - 1].cv != 0.0 ? st[nst - 1].cv
+                                                    : 100.0) /
                              100.0;
                         EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
                     }
@@ -435,14 +632,17 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 y -= leading;
                 EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
                 if (op[0] == '"' && nst >= 3) {
-                    if (st[nst - 3].kind == OP_NUM &&
-                        st[nst - 2].kind == OP_NUM) {
-                        tw = st[nst - 3].v;
-                        tc = st[nst - 2].v;
+                    /* fallback order: tw converts first (kept on partial
+                     * failure of tc), a failure skips the show */
+                    if (st[nst - 3].conv) {
+                        tw = st[nst - 3].cv;
+                        if (st[nst - 2].conv) {
+                            tc = st[nst - 2].cv;
+                        } else {
+                            abort_show = 1;
+                        }
                         EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
                     } else {
-                        /* the fallback raises mid-op here and skips the
-                         * show while keeping the leading subtraction */
                         abort_show = 1;
                     }
                 }

@@ -1428,10 +1428,16 @@ class _TextInterp:
                 show("".join(tj_buf), y + rise, tj_start_x, size * sx)
                 self.last_end_x = cur_x
             elif kind == 2:  # FONT
+                # flag=1: the size operand failed float() in the fallback —
+                # the font still changes (it converts FIRST there), size
+                # keeps its previous value
                 fm = self._font_for(fonts_dict, _span_name(data, a, b))
-                size = f0
+                if flag == 0:
+                    size = f0
             elif kind == 3:  # STATE
                 tc, tw, tz, rise = f0, f1, f2, f3
+            elif kind == 10:  # SETY: partial Td/TD/Tm — y moved, cur_x stays
+                y = f0
             elif kind == 9:  # XOBJ (Do)
                 if depth < self.MAX_DEPTH:
                     self._do_xobject(

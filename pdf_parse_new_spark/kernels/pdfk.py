@@ -67,8 +67,10 @@ _RTL_SEG = re.compile(
 def _bidi(s: str) -> str:
     # UAX#9-lite logical->visual reorder per show-text item (spec.py;
     # reference runBidiTransform, pdf.worker.js:36495-36510): the whole
-    # R(N+R)* segment reverses as one unit, brackets inside it mirror
-    if _RTL_RUN.search(s) is None:
+    # R(N+R)* segment reverses as one unit, brackets inside it mirror.
+    # isascii() short-circuits the hot path (C-speed flag check — the
+    # regex probe alone cost ~10% of real-PDF parse throughput)
+    if s.isascii() or _RTL_RUN.search(s) is None:
         return s
     return _RTL_SEG.sub(
         lambda m: m.group()[::-1].translate(spec.BIDI_MIRROR), s

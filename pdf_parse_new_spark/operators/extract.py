@@ -435,40 +435,46 @@ def extract_pdf_documents_chunked(
             )
 
     chunked = range_df.mapInPandas(run_chunks, _CHUNK_SCHEMA)
-    c = F.expr(
-        "sort_array(collect_list(struct(chunk_idx, text, n_pages, info, "
-        "error, page_spans)))"
-    )
-    assembled = (
-        chunked.groupBy("doc_id")
-        .agg(c.alias("c"), F.sum("n_render").cast("int").alias("n_render"))
-        .select(
-            "doc_id",
-            F.expr("array_join(transform(c, x -> x.text), '')").alias("text"),
-            F.expr("c[0].n_pages").alias("n_pages"),
-            "n_render",
-            F.expr("c[0].info").alias("info"),
-            F.expr(
-                "try_element_at(filter(transform(c, x -> x.error), "
-                "e -> e is not null), 1)"
-            ).alias("error"),
-            F.expr(
-                "aggregate(c, "
-                " struct(cast(0 as int) as off, "
-                "        cast(array() as "
-                "          array<struct<page:int,start:int,end:int>>) as out),"
-                " (acc, x) -> struct("
-                "   cast(acc.off + length(x.text) as int) as off, "
-                "   concat(acc.out, transform(x.page_spans, s -> struct("
-                "     s.page as page, "
-                "     cast(s.start + acc.off as int) as start, "
-                "     cast(s.end + acc.off as int) as end)))  as out), "
-                " acc -> acc.out)"
-            ).alias("page_spans"),
+
+    def reassemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-doc ordered concat: a few chunk rows per group, so the state
+        # is bounded; Python string join is a memcpy (the JVM higher-order
+        # expression version measured ~15 MB/s on 40 MB of page text)
+        pdf = pdf.sort_values("chunk_idx")
+        text = "".join(pdf["text"])
+        err = None
+        for e in pdf["error"]:
+            if e is not None and not (isinstance(e, float) and pd.isna(e)):
+                err = e
+                break
+        spans: list[dict] = []
+        off = 0
+        for t, sl in zip(pdf["text"], pdf["page_spans"]):
+            for s in sl:
+                spans.append(
+                    {
+                        "page": int(s["page"]),
+                        "start": int(s["start"]) + off,
+                        "end": int(s["end"]) + off,
+                    }
+                )
+            off += len(t)
+        row0 = pdf.iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "doc_id": key[0],
+                    "text": text,
+                    "n_pages": int(row0["n_pages"]),
+                    "n_render": int(pdf["n_render"].sum()),
+                    "info": row0["info"],
+                    "error": err,
+                    "page_spans": spans,
+                }
+            ]
         )
-        .select(
-            "doc_id", "text", "n_pages", "n_render", "info", "error",
-            "page_spans",
-        )
+
+    assembled = chunked.groupBy("doc_id").applyInPandas(
+        reassemble, PDF_DOC_SCHEMA
     )
     return small_out.unionByName(assembled)

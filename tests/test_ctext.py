@@ -137,3 +137,51 @@ def test_mutation_sweep_never_crashes_c_path():
     for i in range(5069, 5133):
         b[i] ^= 0x5A
     assert isinstance(pdfb.parse_pdf_bytes(bytes(b))["text"], str)
+
+
+MALFORMED_ARRAYS = [
+    # bare signs / dots inside TJ arrays abort the array in both paths
+    b"BT [( - a) - . + (b)] TJ 1 0 0 1 5 700 Tm (after) Tj ET",
+    # double-dot numbers lex the same ("1.2" then ".3")
+    b"BT [(x) 1.2.3 (y)] TJ ET",
+    # names / keywords / dicts are VALID array elements TJ ignores
+    b"BT [(x) /Nm true null false 5 (y)] TJ ET",
+    b"BT [(x) << /K (v) >> (y)] TJ ET",
+    b"BT [(x) [(nested) 3] (y)] TJ ET",
+    # stray alpha / delimiter aborts; unterminated array aborts
+    b"BT [(x) foo (y)] TJ ET",
+    b"BT [(unterminated) 5 ET",
+    b"BT [(x) ) (y)] TJ ET",
+    b"BT [ ] TJ (solo) Tj ET",
+    b"BT [(a)] TJ [(b) -400 (c)] TJ ET",
+]
+
+
+@pytest.mark.parametrize("ops", MALFORMED_ARRAYS)
+def test_malformed_arrays_paths_identical(ops):
+    _assert_same(_scaffold(ops))
+
+
+def test_random_token_soup_paths_identical():
+    """Deterministic fuzz: random sequences over the full content-stream
+    token alphabet (strings with escapes, hex, numbers incl. pathological
+    dots/signs, names, arrays, dicts, operators, comments, garbage bytes)
+    must extract IDENTICALLY through the C lexer and the pure-Python
+    interpreter — and never hang (the ciphertext-garbage infinite loop
+    regression lives here)."""
+    import random
+
+    rng = random.Random(1337)
+    toks = [
+        "(plain)", "(es\\(c\\))", "(oct\\101)", "<4869>", "<48 6>",
+        "5", "-3.5", "+.5", "1.2.3", "-", ".", "+", "/F1", "/Nm#20x",
+        "[", "]", "<<", ">>", "true", "false", "null", "foo", "%c\n",
+        "Tj", "TJ", "Td", "TD", "Tm", "TL", "T*", "Tf", "Tc", "Tw",
+        "Tz", "Ts", "'", '"', "BT", "ET", "q", "Q", "Do", ")", "}", "{",
+        "12", "700", "0", "1",
+    ]
+    for trial in range(60):
+        ops = " ".join(rng.choice(toks) for _ in range(rng.randint(5, 60)))
+        doc = _scaffold(ops.encode("latin-1"))
+        c, py = _both(doc)
+        assert c["text"] == py["text"], (trial, ops)

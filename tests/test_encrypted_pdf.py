@@ -226,3 +226,28 @@ def test_encrypted_doc_through_spark_operator(spark, tmp_path):
     assert rows["enc.pdf"].error is None
     assert "decrypted page text" in rows["enc.pdf"].text
     assert rows["locked.pdf"].error == "pdf:encrypted"
+
+
+def test_encrypted_doc_mutations_never_crash():
+    """Corruption sweep over an encrypted fixture: truncations and byte
+    flips (including inside /Encrypt, O/U strings, and ciphertext) must
+    yield a result dict — decrypted, error row, or garbage text — never an
+    exception (the malformed-input-never-fails-a-task contract)."""
+    raw = _build_rc4_doc(r=3, v=2, key_bits=128)
+    n = len(raw)
+    cases = [raw[: int(n * f)] for f in (0.05, 0.4, 0.9, 0.99)]
+    for off in (0, n // 4, n // 2, 3 * n // 4, n - 64):
+        b = bytearray(raw)
+        for i in range(off, min(off + 48, n)):
+            b[i] ^= 0xA5
+        cases.append(bytes(b))
+    r6 = _build_r6_doc(b"")
+    cases.append(r6[: len(r6) // 2])
+    b = bytearray(r6)
+    for i in range(len(b) // 3, len(b) // 3 + 64):
+        b[i] ^= 0x3C
+    cases.append(bytes(b))
+    for i, payload in enumerate(cases):
+        r = pdfb.parse_pdf_bytes(payload)
+        assert isinstance(r["text"], str), i
+        assert r["error"] is None or isinstance(r["error"], str), i
