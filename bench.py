@@ -140,6 +140,25 @@ def main() -> None:
 
     bench("real_pdf_parse", real_pdf)
 
+    # file-based variant: only PATH strings flow through the plan; tasks
+    # read bytes themselves (what the reference's own benchmark does —
+    # getDocument(file) from disk). Removes the JVM->Python Arrow copy of
+    # replicated payloads, so this is the apples-to-apples pages/s number.
+    paths = ref.select("path")
+    big_paths = (
+        spark.range(200, numPartitions=cpus * 2)
+        .crossJoin(F.broadcast(paths))
+        .select(F.concat_ws("#", "path", "id").alias("doc_id"), "path")
+    )
+    n_pages_files = 0
+
+    def real_pdf_files():
+        nonlocal n_pages_files
+        out = extract.extract_pdf_files(big_paths, id_col="doc_id")
+        n_pages_files = out.agg(F.sum("n_render")).collect()[0][0]
+
+    bench("real_pdf_files", real_pdf_files)
+
     # huge-single-document scenario (the reference's own headline: 9,924
     # pages in ONE file, README.md:769): without intra-document chunking
     # this serializes onto one task; the chunked operator fans page ranges
@@ -189,6 +208,10 @@ def main() -> None:
                 "real_pdf_pages": int(n_pages or 0),
                 "real_pdf_pages_per_sec": round(
                     (n_pages or 0) / (timings["real_pdf_parse"] or 1e-9)
+                ),
+                "real_pdf_files_pages_per_sec": round(
+                    (n_pages_files or 0)
+                    / (timings["real_pdf_files"] or 1e-9)
                 ),
                 "huge_pdf_pages": 10_000,
                 "huge_pdf_chunked_speedup": round(

@@ -677,3 +677,309 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
         nev = tj_start;
     return nev;
 }
+
+/* ------------------------------------------------------------------ *
+ * pdftext_replay — event replay at C speed.
+ *
+ * Consumes the event array produced by pdftext_interpret and performs
+ * what _TextInterp._run_events does in Python: font decode through
+ * per-font byte->UTF-8 translate tables, x-advance accumulation
+ * (widths + Tc/Tw/Tz), and the show()/line-fold model (y-tolerance
+ * breaks, gap-fraction word spaces), writing final UTF-8 text into
+ * `out`. Returns at K_XOBJ events (index returned; the caller recurses
+ * into the Form XObject in Python, then resumes at index+1) — by
+ * construction no K_XOBJ can occur between K_TJSTART and K_TJEND, so
+ * no TJ scratch crosses a segment boundary. Fonts must all be simple
+ * (1-byte, non-identity, no RTL-capable table entries); the Python
+ * caller prescans K_FONT events and falls back to the Python replay
+ * otherwise.
+ *
+ * state: 24 doubles, in-out (written back only on success):
+ *   0 y  1 cur_x  2 size  3 sx  4 tc  5 tw  6 tz  7 rise
+ *   8 last_y  9 have_last_y  10 last_end_x  11 have_last_end_x
+ *   12 line_open  13 last_char(byte)  14 cur_font
+ * Returns: nev when done, the K_XOBJ event index to hand to Python,
+ * or -1 when `out` is full (caller grows and retries; state intact).
+ */
+
+#include <math.h>
+
+#define RP_Y_TOL 1.0
+#define RP_GAP_FRACTION 0.18
+#define RP_TJ_SPACE_THRESHOLD 180.0
+
+typedef struct {
+    double y, cur_x, size, sx, tc, tw, tz, rise;
+    double last_y, last_end_x;
+    int have_last_y, have_last_end_x, line_open;
+    unsigned char last_char;
+    long cur_font;
+} RState;
+
+/* decode ONE string item (span a..b, flag as in K_STR) through the
+ * current font: appends UTF-8 at out+*olen, accumulates raw glyph
+ * count, 0x20 count and width sum. Returns 0, or -1 on overflow. */
+static int rp_decode(const unsigned char *d, long n, int flag, long a,
+                     long b, const unsigned char *tb, const int32_t *to,
+                     const double *w, unsigned char *out, long *olen,
+                     long ocap, long *glyphs, long *spaces, double *wsum)
+{
+    long o = *olen;
+#define PUTCODE(C)                                                           \
+    do {                                                                     \
+        unsigned char cc_ = (unsigned char)(C);                              \
+        *wsum += w[cc_];                                                     \
+        if (cc_ == 0x20)                                                     \
+            (*spaces)++;                                                     \
+        (*glyphs)++;                                                         \
+        long ta_ = to[cc_], tl_ = to[cc_ + 1] - ta_;                         \
+        if (o + tl_ > ocap)                                                  \
+            return -1;                                                       \
+        memcpy(out + o, tb + ta_, tl_);                                      \
+        o += tl_;                                                            \
+    } while (0)
+
+    if (flag == 0) { /* escape-free literal: raw slice between delims */
+        for (long i = a + 1; i < b - 1; i++)
+            PUTCODE(d[i]);
+    } else if (flag == 1) { /* hex string: digits between < and > */
+        int hi = -1;
+        for (long i = a + 1; i < b - 1; i++) {
+            unsigned char c = d[i];
+            int v;
+            if (c >= '0' && c <= '9')
+                v = c - '0';
+            else if (c >= 'A' && c <= 'F')
+                v = c - 'A' + 10;
+            else if (c >= 'a' && c <= 'f')
+                v = c - 'a' + 10;
+            else
+                continue; /* mirrors re.sub(rb"[^0-9A-Fa-f]", b"") */
+            if (hi < 0) {
+                hi = v;
+            } else {
+                PUTCODE((hi << 4) | v);
+                hi = -1;
+            }
+        }
+        if (hi >= 0)
+            PUTCODE(hi << 4); /* odd digit count: pad with 0 */
+    } else { /* complex literal: full unescape (_parse_literal_string) */
+        long pos = a + 1, depth = 1;
+        while (pos < n) {
+            unsigned char c = d[pos];
+            if (c == '\\') {
+                pos++;
+                if (pos >= n)
+                    break;
+                unsigned char e = d[pos];
+                if (e == 'n') {
+                    PUTCODE('\n');
+                    pos++;
+                } else if (e == 'r') {
+                    PUTCODE('\r');
+                    pos++;
+                } else if (e == 't') {
+                    PUTCODE('\t');
+                    pos++;
+                } else if (e == 'b') {
+                    PUTCODE('\b');
+                    pos++;
+                } else if (e == 'f') {
+                    PUTCODE('\f');
+                    pos++;
+                } else if (e == '(' || e == ')' || e == '\\') {
+                    PUTCODE(e);
+                    pos++;
+                } else if (e >= '0' && e <= '7') { /* octal, 1-3 digits */
+                    int v = e - '0', k = 1;
+                    pos++;
+                    while (pos < n && k < 3 && d[pos] >= '0' &&
+                           d[pos] <= '7') {
+                        v = v * 8 + (d[pos] - '0');
+                        k++;
+                        pos++;
+                    }
+                    PUTCODE(v & 0xFF);
+                } else if (e == '\r' || e == '\n') { /* line continuation */
+                    pos++;
+                    if (e == '\r' && pos < n && d[pos] == '\n')
+                        pos++;
+                } else { /* unknown escape: char stands for itself */
+                    PUTCODE(e);
+                    pos++;
+                }
+            } else if (c == '(') {
+                depth++;
+                PUTCODE(c);
+                pos++;
+            } else if (c == ')') {
+                depth--;
+                if (depth == 0)
+                    break;
+                PUTCODE(c);
+                pos++;
+            } else {
+                PUTCODE(c);
+                pos++;
+            }
+        }
+    }
+#undef PUTCODE
+    *olen = o;
+    return 0;
+}
+
+/* the show() line model over the staged region [mark, *olen): insert a
+ * line break or word-gap space BEFORE it when the rules fire. */
+static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
+                   long mark, double ty, double tx, double size)
+{
+    long o = *olen, m = o - mark;
+    if (m == 0)
+        return 0;
+    if (st->have_last_y && fabs(ty - st->last_y) > RP_Y_TOL) {
+        if (o + 1 > ocap)
+            return -1;
+        memmove(out + mark + 1, out + mark, m);
+        out[mark] = '\n';
+        o++;
+        st->line_open = 0;
+        st->last_char = 0;
+        st->have_last_end_x = 0;
+    } else if (st->have_last_end_x && size > 0.0 &&
+               tx - st->last_end_x > RP_GAP_FRACTION * size &&
+               st->line_open && st->last_char != ' ' && out[mark] != ' ') {
+        if (o + 1 > ocap)
+            return -1;
+        memmove(out + mark + 1, out + mark, m);
+        out[mark] = ' ';
+        o++;
+    }
+    st->last_char = out[o - 1];
+    st->line_open = 1;
+    st->last_y = ty;
+    st->have_last_y = 1;
+    *olen = o;
+    return 0;
+}
+
+long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
+                    long start, const int32_t *font_idx,
+                    const unsigned char *tbytes, const int32_t *toff,
+                    const double *widths, double *state, unsigned char *out,
+                    long ocap, long *out_len)
+{
+    RState st;
+    st.y = state[0];
+    st.cur_x = state[1];
+    st.size = state[2];
+    st.sx = state[3];
+    st.tc = state[4];
+    st.tw = state[5];
+    st.tz = state[6];
+    st.rise = state[7];
+    st.last_y = state[8];
+    st.have_last_y = state[9] != 0.0;
+    st.last_end_x = state[10];
+    st.have_last_end_x = state[11] != 0.0;
+    st.line_open = state[12] != 0.0;
+    st.last_char = (unsigned char)state[13];
+    st.cur_font = (long)state[14];
+
+    long olen = 0, tjmark = -1;
+    double tj_start_x = 0.0;
+    long ret = nev;
+
+    for (long i = start; i < nev; i++) {
+        const Ev *e = &ev[i];
+        switch (e->kind) {
+        case K_STR:
+        case K_TJSTR: {
+            long glyphs = 0, spaces = 0, mark = olen;
+            double wsum = 0.0;
+            const int32_t *to = toff + st.cur_font * 257;
+            const double *w = widths + st.cur_font * 256;
+            if (rp_decode(d, n, e->flag, e->a, e->b, tbytes, to, w, out,
+                          &olen, ocap, &glyphs, &spaces, &wsum) < 0)
+                return -1;
+            double adv = (wsum / 1000.0 * st.size +
+                          (double)glyphs * st.tc +
+                          (double)spaces * st.tw) *
+                         st.sx * st.tz;
+            if (e->kind == K_TJSTR) {
+                st.cur_x += adv; /* stays staged until K_TJEND */
+            } else {
+                if (rp_show(&st, out, &olen, ocap, mark,
+                            st.y + st.rise, st.cur_x,
+                            st.size * st.sx) < 0)
+                    return -1;
+                st.cur_x += adv;
+                st.last_end_x = st.cur_x;
+                st.have_last_end_x = 1;
+            }
+            break;
+        }
+        case K_TJNUM:
+            st.cur_x -= e->f0 / 1000.0 * st.size * st.sx;
+            if (e->f0 < -RP_TJ_SPACE_THRESHOLD) {
+                if (olen + 1 > ocap)
+                    return -1;
+                out[olen++] = ' ';
+            }
+            break;
+        case K_ANCHOR:
+            st.cur_x = e->f0;
+            st.y = e->f1;
+            st.sx = e->f2;
+            break;
+        case K_TJSTART:
+            tjmark = olen;
+            tj_start_x = st.cur_x;
+            break;
+        case K_TJEND:
+            if (rp_show(&st, out, &olen, ocap, tjmark < 0 ? olen : tjmark,
+                        st.y + st.rise, tj_start_x, st.size * st.sx) < 0)
+                return -1;
+            st.last_end_x = st.cur_x;
+            st.have_last_end_x = 1;
+            tjmark = -1;
+            break;
+        case K_FONT:
+            st.cur_font = font_idx[i];
+            if (e->flag == 0)
+                st.size = e->f0;
+            break;
+        case K_STATE:
+            st.tc = e->f0;
+            st.tw = e->f1;
+            st.tz = e->f2;
+            st.rise = e->f3;
+            break;
+        case K_SETY:
+            st.y = e->f0;
+            break;
+        case K_XOBJ:
+            ret = i;
+            goto done;
+        }
+    }
+done:
+    state[0] = st.y;
+    state[1] = st.cur_x;
+    state[2] = st.size;
+    state[3] = st.sx;
+    state[4] = st.tc;
+    state[5] = st.tw;
+    state[6] = st.tz;
+    state[7] = st.rise;
+    state[8] = st.last_y;
+    state[9] = st.have_last_y ? 1.0 : 0.0;
+    state[10] = st.last_end_x;
+    state[11] = st.have_last_end_x ? 1.0 : 0.0;
+    state[12] = st.line_open ? 1.0 : 0.0;
+    state[13] = (double)st.last_char;
+    state[14] = (double)st.cur_font;
+    *out_len = olen;
+    return ret;
+}

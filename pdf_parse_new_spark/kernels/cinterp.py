@@ -59,6 +59,17 @@ def _build() -> ctypes.CDLL:
     lib.pdftext_interpret.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
     ]
+    lib.pdftext_replay.restype = ctypes.c_long
+    lib.pdftext_replay.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,              # data, n
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long,  # ev, nev, start
+        ctypes.c_void_p,                             # font_idx int32[nev]
+        ctypes.c_char_p, ctypes.c_void_p,            # tbytes, toff int32
+        ctypes.c_void_p,                             # widths double
+        ctypes.c_void_p,                             # state double[24]
+        ctypes.c_void_p, ctypes.c_long,              # out, ocap
+        ctypes.c_void_p,                             # out_len long*
+    ]
     return lib
 
 
@@ -79,3 +90,36 @@ def interpret(data: bytes) -> np.ndarray:
         if n >= 0:
             return buf[:n]
         cap *= 2
+
+
+# the full-C replay (decode + line fold in pdftext_replay) can be turned
+# off independently of the lexer to exercise the Python event loop
+REPLAY = os.environ.get("PDF_PARSE_DISABLE_CREPLAY", "") != "1"
+
+
+def replay(
+    data: bytes,
+    ev: np.ndarray,
+    start: int,
+    font_idx: np.ndarray,
+    tbytes: bytes,
+    toff: np.ndarray,
+    widths: np.ndarray,
+    state: np.ndarray,
+    out: np.ndarray,
+) -> tuple[int, int]:
+    """One replay segment. Returns (next_event_index, out_len); the index
+    is len(ev) when the stream is done, the K_XOBJ event index when the
+    caller must recurse, or -1 when ``out`` was too small (state is
+    untouched — grow and retry)."""
+    out_len = ctypes.c_long(0)
+    ret = _lib.pdftext_replay(
+        data, len(data),
+        ev.ctypes.data, len(ev), start,
+        font_idx.ctypes.data,
+        tbytes, toff.ctypes.data, widths.ctypes.data,
+        state.ctypes.data,
+        out.ctypes.data, len(out),
+        ctypes.byref(out_len),
+    )
+    return int(ret), out_len.value

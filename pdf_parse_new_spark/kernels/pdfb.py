@@ -39,8 +39,10 @@ import re
 import zlib
 
 from pdf_parse_new_spark import spec
-from pdf_parse_new_spark.kernels import cinterp, crypt
-from pdf_parse_new_spark.kernels.pdfk import _bidi as pdfk_bidi
+from pdf_parse_new_spark.kernels import cinterp, cobj, crypt
+from pdf_parse_new_spark.kernels.pdfk import _RTL_RUN, _bidi as pdfk_bidi
+
+import numpy as _np
 
 # --------------------------------------------------------------------------
 # object model
@@ -227,6 +229,16 @@ def _parse_hex_string(data: bytes, pos: int):
     if len(hexs) % 2:
         hexs += b"0"  # odd count: final digit padded with 0 (spec 7.3.4.3)
     return bytes.fromhex(hexs.decode("ascii")), end + 1
+
+
+# the pure-Python parser above is the reference implementation; when the
+# C extension compiled (kernels/_cobj.c — same grammar, builds the same
+# Python objects through the C API), every call site below uses it via
+# this module-global rebind. tests/test_cobj.py asserts equivalence.
+_parse_object_py = parse_object
+if cobj.AVAILABLE:
+    cobj.configure(Name, Ref)
+    parse_object = cobj.parse_object
 
 
 def _parse_array(data: bytes, pos: int, refs: bool = True):
@@ -973,7 +985,7 @@ class FontMap:
 
     __slots__ = (
         "table", "nbytes", "widths", "default_width", "identity",
-        "cid_ranges", "var_ranges", "_trans", "_warr",
+        "cid_ranges", "var_ranges", "_trans", "_warr", "_cspec",
     )
 
     def __init__(
@@ -1006,6 +1018,31 @@ class FontMap:
             if self._trans is not None
             else None
         )
+        self._cspec: tuple | None | bool = False  # False = not built yet
+
+    def cspec(self) -> tuple | None:
+        """Tables for the full-C replay (``pdftext_replay``):
+        ``(trans_utf8_blob, offsets int32[257], widths float64[256])``, or
+        None when this font can't take the C path — multi-byte/identity/
+        variable-codespace fonts, or a table entry containing an RTL
+        character (``_bidi`` would reorder the shown string; the C replay
+        doesn't implement UAX#9, so those streams fall back to Python)."""
+        sp = self._cspec
+        if sp is False:
+            sp = None
+            if self._trans is not None:
+                entries = [self.table.get(i) or "" for i in range(256)]
+                if _RTL_RUN.search("".join(entries)) is None:
+                    blobs = [e.encode("utf-8") for e in entries]
+                    off = _np.zeros(257, _np.int32)
+                    _np.cumsum([len(x) for x in blobs], out=off[1:])
+                    sp = (
+                        b"".join(blobs),
+                        off,
+                        _np.array(self._warr, _np.float64),
+                    )
+            self._cspec = sp
+        return sp
 
     def _cid(self, code: int) -> int:
         for lo, hi, dst in self.cid_ranges:
@@ -1314,8 +1351,14 @@ class _TextInterp:
 
     def __init__(self, doc: Document) -> None:
         self.doc = doc
-        self.out: list[str] = []
-        self.cur_line: list[str] = []
+        # eager line model: breaks and word-gap spaces are emitted inline
+        # into `pieces` ("\n".join(lines) == "".join(pieces) — the same
+        # output as the old out/cur_line form, and the representation the
+        # C replay appends to directly). line_open tracks "anything on the
+        # current line"; last_char is the last emitted char of that line.
+        self.pieces: list[str] = []
+        self.line_open = False
+        self.last_char = ""
         self.last_y: float | None = None
         self.last_end_x: float | None = None
 
@@ -1332,27 +1375,27 @@ class _TextInterp:
         # on every text item; same rule as the synthetic dialect, spec.py)
         s = pdfk_bidi(s)
         if self.last_y is not None and abs(ty - self.last_y) > spec.Y_TOLERANCE:
-            self.out.append("".join(self.cur_line))
-            self.cur_line.clear()
+            self.pieces.append("\n")
+            self.line_open = False
+            self.last_char = ""
             self.last_end_x = None
         elif (
             tx is not None
             and self.last_end_x is not None
             and size > 0
             and tx - self.last_end_x > self.GAP_FRACTION * size
-            and self.cur_line
-            and not self.cur_line[-1].endswith(" ")
+            and self.line_open
+            and self.last_char != " "
             and not s.startswith(" ")
         ):
-            self.cur_line.append(" ")
-        self.cur_line.append(s)
+            self.pieces.append(" ")
+        self.pieces.append(s)
+        self.line_open = True
+        self.last_char = s[-1]
         self.last_y = ty
 
     def text(self) -> str:
-        if self.cur_line:
-            self.out.append("".join(self.cur_line))
-            self.cur_line.clear()
-        return "\n".join(self.out)
+        return "".join(self.pieces)
 
     def _font_for(self, fonts_dict, name: str) -> FontMap:
         ref = (fonts_dict or {}).get(name)
@@ -1373,12 +1416,100 @@ class _TextInterp:
             return self._run_events(data, resources, depth, seen)
         return self._run_py(data, resources, depth, seen)
 
+    def _c_plan(self, ev, data: bytes, fonts_dict):
+        """Per-stream tables for the full-C replay: a global translate
+        blob + offsets/widths per font index, and a per-event font index
+        for every K_FONT event. None when any font used by the stream
+        can't take the C path (multi-byte, RTL-capable, failed build) —
+        the caller then replays the events in Python."""
+        if not cinterp.REPLAY:
+            return None
+        font_idx = _np.full(len(ev), -1, _np.int32)
+        specs = [_ASCII_FM.cspec()]
+        fpos = _np.nonzero(ev["kind"] == cinterp.K_FONT)[0]
+        if len(fpos):
+            a_arr, b_arr = ev["a"], ev["b"]
+            by_span: dict[bytes, int] = {}
+            for i in fpos.tolist():
+                raw = data[a_arr[i]:b_arr[i]]
+                idx = by_span.get(raw)
+                if idx is None:
+                    try:
+                        fm = self._font_for(
+                            fonts_dict, _span_name(data, a_arr[i], b_arr[i])
+                        )
+                        sp = fm.cspec()
+                    except Exception:
+                        sp = None
+                    if sp is None:
+                        return None
+                    specs.append(sp)
+                    idx = len(specs) - 1
+                    by_span[raw] = idx
+                font_idx[i] = idx
+        tbytes = b"".join(sp[0] for sp in specs)
+        toff = _np.empty(257 * len(specs), _np.int32)
+        widths = _np.empty(256 * len(specs), _np.float64)
+        base = 0
+        for j, sp in enumerate(specs):
+            toff[j * 257 : (j + 1) * 257] = sp[1] + base
+            base += len(sp[0])
+            widths[j * 256 : (j + 1) * 256] = sp[2]
+        return tbytes, toff, widths, font_idx
+
+    def _replay_c(self, data: bytes, ev, plan, xobjs, resources,
+                  depth: int, seen: frozenset) -> None:
+        """Drive ``pdftext_replay`` over the event array, recursing into
+        Form XObjects between C segments. Line-model state round-trips
+        through the state vector so C segments and Python recursion
+        compose (a Form may itself fall back to the Python replay)."""
+        tbytes, toff, widths, font_idx = plan
+        st = _np.zeros(24, _np.float64)
+        st[3] = 1.0  # sx
+        st[6] = 1.0  # tz
+        out = _np.empty(max(1024, 4 * len(data)), _np.uint8)
+        i, nev = 0, len(ev)
+        while True:
+            st[8] = 0.0 if self.last_y is None else self.last_y
+            st[9] = 0.0 if self.last_y is None else 1.0
+            st[10] = 0.0 if self.last_end_x is None else self.last_end_x
+            st[11] = 0.0 if self.last_end_x is None else 1.0
+            st[12] = 1.0 if self.line_open else 0.0
+            st[13] = float(ord(self.last_char)) if self.last_char else 0.0
+            while True:
+                ret, olen = cinterp.replay(
+                    data, ev, i, font_idx, tbytes, toff, widths, st, out
+                )
+                if ret >= 0:
+                    break
+                out = _np.empty(len(out) * 2, _np.uint8)
+            if olen:
+                self.pieces.append(out[:olen].tobytes().decode("utf-8"))
+            self.last_y = st[8] if st[9] else None
+            self.last_end_x = st[10] if st[11] else None
+            self.line_open = bool(st[12])
+            lc = int(st[13])
+            self.last_char = chr(lc) if lc else ""
+            if ret >= nev:
+                return
+            if depth < self.MAX_DEPTH:
+                self._do_xobject(
+                    xobjs,
+                    _span_name(data, int(ev["a"][ret]), int(ev["b"][ret])),
+                    resources, depth, seen,
+                )
+            i = ret + 1
+
     def _run_events(self, data: bytes, resources, depth: int,
                     seen: frozenset) -> None:
         doc = self.doc
         res = doc.resolve(resources) or {}
         fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
         xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
+        ev = cinterp.interpret(data)
+        plan = self._c_plan(ev, data, fonts_dict)
+        if plan is not None:
+            return self._replay_c(data, ev, plan, xobjs, res, depth, seen)
         fm = _ASCII_FM
         y = rise = 0.0
         cur_x = 0.0
@@ -1390,7 +1521,7 @@ class _TextInterp:
         tj_start_x = 0.0
         show = self.show
         lit, hexs = _parse_literal_string, _parse_hex_string
-        for kind, flag, a, b, f0, f1, f2, f3 in cinterp.interpret(data).tolist():
+        for kind, flag, a, b, f0, f1, f2, f3 in ev.tolist():
             if kind == 6 or kind == 4:  # TJSTR / STR (show text)
                 # flag: 0 = escape-free literal (slice), 1 = hex,
                 #       2 = literal needing full unescape

@@ -242,6 +242,126 @@ def extract_pdf_documents(
     return cols.mapInArrow(run, PDF_DOC_SCHEMA)
 
 
+def extract_pdf_files(
+    df: DataFrame,
+    path_col: str = "path",
+    id_col: str | None = None,
+    max_pages: int = 0,
+    partitions: int | None = None,
+    max_payload_bytes: int | None = 512 << 20,
+) -> DataFrame:
+    """Like :func:`extract_pdf_documents`, but rows carry file PATHS and
+    each task reads the bytes itself (``fsspec`` when importable — s3/gcs/
+    hdfs URLs — else ``open``). The reference benchmark reads files from
+    disk (lib/pdf-parse.js getDocument(url)); this is its Spark analog and
+    the preferred shape for binary-heavy corpora at scale: PDF payloads
+    never enter the JVM at all, so there is no JVM heap double-buffering
+    and no executor->Python Arrow copy of megabyte cells — only path
+    strings flow through the plan. An unreadable file becomes an error row
+    (``io:<ExceptionName>``), never a task failure.
+
+    ``id_col`` defaults to the path itself. Dedupe of repeated paths is
+    deliberate non-behavior: each row parses independently (replicated
+    benchmark corpora rely on it)."""
+    import json
+
+    import pyarrow as pa
+
+    from pdf_parse_new_spark.kernels import pdfb
+
+    cols = df.select(
+        F.col(id_col if id_col else path_col).cast("string").alias("doc_id"),
+        F.col(path_col).cast("string").alias("path"),
+    )
+    if partitions:
+        cols = cols.repartition(partitions, "doc_id")
+
+    span_t = pa.list_(
+        pa.struct(
+            [("page", pa.int32()), ("start", pa.int32()), ("end", pa.int32())]
+        )
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()), ("text", pa.string()),
+            ("n_pages", pa.int32()), ("n_render", pa.int32()),
+            ("info", pa.string()), ("error", pa.string()),
+            ("page_spans", span_t),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        try:
+            import fsspec  # cloud URL support when the env ships it
+        except Exception:
+            fsspec = None
+        # per-task byte cache: replicated corpora re-read the same path
+        # many times within one batch; page cache already makes reads
+        # cheap, this removes even the syscalls for the common repeat case
+        blob_cache: dict[str, bytes] = {}
+
+        def fetch(path: str) -> bytes:
+            raw = blob_cache.get(path)
+            if raw is None:
+                if fsspec is not None and "://" in path:
+                    with fsspec.open(path, "rb") as f:
+                        raw = f.read()
+                else:
+                    with open(path.removeprefix("file:"), "rb") as f:
+                        raw = f.read()
+                if len(blob_cache) < 64:
+                    blob_cache[path] = raw
+            return raw
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            paths = batch.column(1).to_pylist()
+            texts, npg, nrd, infos, errs, spans = [], [], [], [], [], []
+            for i in range(len(ids)):
+                err = None
+                try:
+                    raw = fetch(paths[i]) if paths[i] is not None else b""
+                except Exception as e:  # noqa: BLE001 — error row, not task
+                    raw, err = b"", f"io:{type(e).__name__}"
+                if err is None and max_payload_bytes is not None \
+                        and len(raw) > max_payload_bytes:
+                    err = "payload-too-large"
+                if err is not None:
+                    texts.append("")
+                    npg.append(0)
+                    nrd.append(0)
+                    infos.append("{}")
+                    errs.append(err)
+                    spans.append([])
+                    continue
+                r = pdfb.parse_pdf_bytes(raw, max_pages=max_pages)
+                texts.append(r["text"])
+                npg.append(r["n_pages"])
+                nrd.append(r["n_render"])
+                infos.append(json.dumps(r["info"], sort_keys=True))
+                errs.append(r["error"])
+                spans.append(
+                    [
+                        {"page": p, "start": st, "end": en}
+                        for p, st, en in r["page_spans"]
+                    ]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(texts, pa.string()),
+                    pa.array(npg, pa.int32()),
+                    pa.array(nrd, pa.int32()),
+                    pa.array(infos, pa.string()),
+                    pa.array(errs, pa.string()),
+                    pa.array(spans, span_t),
+                ],
+                schema=out_schema,
+            )
+
+    return cols.mapInArrow(run, PDF_DOC_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # intra-document parallelism: page-range chunking for huge PDFs
 # --------------------------------------------------------------------------

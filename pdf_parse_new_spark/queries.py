@@ -721,6 +721,32 @@ def q_real_pdf_corpus(spark, sf_dir):
     ).orderBy("doc")
 
 
+def q_real_pdf_files(spark, sf_dir):
+    """S2 URL/file ingest: rows carry file: URLs, each task fetches the
+    bytes itself (fsspec when present — s3/gcs/http —, plain open
+    otherwise; the reference's getDocument(url) analog,
+    lib/pdf-parse.js:74-83). Rows-only: binary PDF parsing has no SQL
+    twin; byte-identity with the buffer-ingest operator is asserted by
+    tests/test_real_pdf.py::test_pdf_files_equals_documents_operator."""
+    from pdf_parse_new_spark.operators import extract as ex
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load("/root/reference/test/data")
+        .select("path")
+    )
+    out = ex.extract_pdf_files(df)
+    return out.select(
+        F.regexp_extract("doc_id", r"([^/]+)\.pdf$", 1).alias("doc"),
+        "n_pages",
+        "n_render",
+        F.length("text").alias("text_len"),
+        "info",
+        "error",
+    ).orderBy("doc")
+
+
 def q_real_pdf_chunked(spark, sf_dir):
     """Intra-document parallelism (the reference's page-range process
     strategy, lib/pdf-parse-processes.js:92-99): one multi-thousand-page
@@ -749,6 +775,7 @@ def q_real_pdf_chunked(spark, sf_dir):
 ROWS_ONLY = {
     "extract_turns": q_extract_turns,
     "real_pdf_corpus": q_real_pdf_corpus,
+    "real_pdf_files": q_real_pdf_files,
     "real_pdf_chunked": q_real_pdf_chunked,
     "extract_conversations": q_extract_conversations,
     "simhash_buckets": q_simhash_buckets,

@@ -167,7 +167,7 @@ def test_bidi_in_binary_dialect_show_path():
     from pdf_parse_new_spark.kernels import pdfb
 
     interp = pdfb._TextInterp.__new__(pdfb._TextInterp)
-    interp.out, interp.cur_line = [], []
+    interp.pieces, interp.line_open, interp.last_char = [], False, ""
     interp.last_y, interp.last_end_x = None, None
     interp.show("hello שלום עולם world", 0.0)
     # the space between the two Hebrew words is a neutral BETWEEN RTL runs:

@@ -341,6 +341,40 @@ def test_pdf_documents_parallelism_equivalence(spark):
     assert a == b and len(a) == 5
 
 
+def test_pdf_files_equals_documents_operator(spark):
+    """extract_pdf_files (paths through the plan, bytes read task-side —
+    the reference benchmark's own I/O shape) must produce byte-identical
+    rows to extract_pdf_documents (payloads through Arrow)."""
+    from pdf_parse_new_spark.operators import extract as ex
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(DATA)
+    )
+    a = {r.doc_id: (r.text, r.n_pages, r.info, r.error, r.page_spans)
+         for r in ex.extract_pdf_documents(df).collect()}
+    b = {r.doc_id: (r.text, r.n_pages, r.info, r.error, r.page_spans)
+         for r in ex.extract_pdf_files(df.select("path")).collect()}
+    assert a == b and len(a) == 5
+
+
+def test_pdf_files_io_error_row(spark):
+    from pdf_parse_new_spark.operators import extract as ex
+
+    df = spark.createDataFrame(
+        [("/nonexistent/nope.pdf",), (f"{DATA}/04-valid.pdf",), (None,)],
+        "path string",
+    )
+    rows = {r.doc_id: r for r in ex.extract_pdf_files(df).collect()}
+    assert rows["/nonexistent/nope.pdf"].error == "io:FileNotFoundError"
+    assert rows[f"{DATA}/04-valid.pdf"].error is None
+    assert rows[f"{DATA}/04-valid.pdf"].n_pages == 5
+    # a NULL path parses as empty bytes -> structural error row
+    null_row = rows[None]
+    assert null_row.error is not None and null_row.text == ""
+
+
 def test_parser_survives_mutations():
     """Web-scale hygiene: deterministic corruption sweep over a real PDF —
     truncations, byte flips, and splices must yield a result dict (possibly
