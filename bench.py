@@ -164,30 +164,39 @@ def main() -> None:
     # this serializes onto one task; the chunked operator fans page ranges
     # (broadcast payload + range rows). Report both so the speedup is
     # visible per round.
-    huge_dir = "/tmp/spark_graft_bench/huge_pdf_v1"
+    # 20k pages: after the C replay + C object parser a 10k-page doc
+    # parses in ~2.5 s on ONE task (faster than the reference's whole
+    # 24-core farm on its 9,924-page headline), which put the chunk
+    # fan-out's ~1.2 s fixed cost at break-even; 20k pages sits past the
+    # measured crossover so the intra-document speedup is visible again
+    # (see BENCH/BASELINE.md "Huge-single-document scenario").
+    HUGE_PAGES = 20_000
+    huge_dir = "/tmp/spark_graft_bench/huge_pdf_v2"
     huge_file = os.path.join(huge_dir, "huge.pdf")
     if not os.path.exists(huge_file):
         os.makedirs(huge_dir, exist_ok=True)
         tmp = huge_file + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
-            f.write(fixtures.build_big_binary_pdf(10_000, lines=(120, 160)))
+            f.write(
+                fixtures.build_big_binary_pdf(HUGE_PAGES, lines=(120, 160))
+            )
         os.replace(tmp, huge_file)
-    hdf = (
-        spark.read.format("binaryFile").load(huge_dir)
-        .select("path", "content")
-    ).cache()
-    hdf.count()
+    # file-based operators on both sides (the scale design: nothing but
+    # the path and range rows move; the payload-column chunked variant's
+    # driver collect + broadcast scale with document size and belong to
+    # DataFrames that already hold payloads)
+    hdf = spark.createDataFrame([(huge_file,)], "path string")
     bench(
         "huge_pdf_single",
-        lambda: run(extract.extract_pdf_documents(hdf)),
+        lambda: run(extract.extract_pdf_files(hdf)),
         runs=2,
     )
-    chunk = max(1, (10_000 + cpus - 1) // cpus)
+    chunk = max(1, (HUGE_PAGES + cpus - 1) // cpus)
     bench(
         "huge_pdf_chunked",
         lambda: run(
-            extract.extract_pdf_documents_chunked(
-                hdf, pages_per_chunk=chunk, big_doc_bytes=1 << 20
+            extract.extract_pdf_files_chunked(
+                hdf, pages_per_chunk=chunk, big_file_bytes=1 << 20
             )
         ),
         runs=2,
@@ -213,7 +222,7 @@ def main() -> None:
                     (n_pages_files or 0)
                     / (timings["real_pdf_files"] or 1e-9)
                 ),
-                "huge_pdf_pages": 10_000,
+                "huge_pdf_pages": HUGE_PAGES,
                 "huge_pdf_chunked_speedup": round(
                     timings["huge_pdf_single"]
                     / (timings["huge_pdf_chunked"] or 1e-9),

@@ -555,46 +555,235 @@ def extract_pdf_documents_chunked(
             )
 
     chunked = range_df.mapInPandas(run_chunks, _CHUNK_SCHEMA)
+    return small_out.unionByName(_assemble_chunks(chunked))
 
-    def reassemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        # per-doc ordered concat: a few chunk rows per group, so the state
-        # is bounded; Python string join is a memcpy (the JVM higher-order
-        # expression version measured ~15 MB/s on 40 MB of page text)
-        pdf = pdf.sort_values("chunk_idx")
-        text = "".join(pdf["text"])
-        err = None
-        for e in pdf["error"]:
-            if e is not None and not (isinstance(e, float) and pd.isna(e)):
-                err = e
-                break
-        spans: list[dict] = []
-        off = 0
-        for t, sl in zip(pdf["text"], pdf["page_spans"]):
-            for s in sl:
-                spans.append(
-                    {
-                        "page": int(s["page"]),
-                        "start": int(s["start"]) + off,
-                        "end": int(s["end"]) + off,
-                    }
-                )
-            off += len(t)
-        row0 = pdf.iloc[0]
-        return pd.DataFrame(
-            [
+
+def _reassemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    # per-doc ordered concat: a few chunk rows per group, so the state
+    # is bounded; Python string join is a memcpy (the JVM higher-order
+    # expression version measured ~15 MB/s on 40 MB of page text)
+    pdf = pdf.sort_values("chunk_idx")
+    text = "".join(pdf["text"])
+    err = None
+    for e in pdf["error"]:
+        if e is not None and not (isinstance(e, float) and pd.isna(e)):
+            err = e
+            break
+    spans: list[dict] = []
+    off = 0
+    for t, sl in zip(pdf["text"], pdf["page_spans"]):
+        for s in sl:
+            spans.append(
                 {
-                    "doc_id": key[0],
-                    "text": text,
-                    "n_pages": int(row0["n_pages"]),
-                    "n_render": int(pdf["n_render"].sum()),
-                    "info": row0["info"],
-                    "error": err,
-                    "page_spans": spans,
+                    "page": int(s["page"]),
+                    "start": int(s["start"]) + off,
+                    "end": int(s["end"]) + off,
                 }
-            ]
-        )
-
-    assembled = chunked.groupBy("doc_id").applyInPandas(
-        reassemble, PDF_DOC_SCHEMA
+            )
+        off += len(t)
+    row0 = pdf.iloc[0]
+    return pd.DataFrame(
+        [
+            {
+                "doc_id": key[0],
+                "text": text,
+                "n_pages": int(row0["n_pages"]),
+                "n_render": int(pdf["n_render"].sum()),
+                "info": row0["info"],
+                "error": err,
+                "page_spans": spans,
+            }
+        ]
     )
-    return small_out.unionByName(assembled)
+
+
+def _assemble_chunks(chunked: DataFrame) -> DataFrame:
+    return chunked.groupBy("doc_id").applyInPandas(
+        _reassemble, PDF_DOC_SCHEMA
+    )
+
+
+def _make_fetcher():
+    """Task-local path->bytes reader: fsspec for URL schemes when present,
+    plain open otherwise, with a small per-task blob cache for replicated
+    corpora."""
+    try:
+        import fsspec
+    except Exception:
+        fsspec = None
+    cache: dict[str, bytes] = {}
+
+    def fetch(path: str) -> bytes:
+        raw = cache.get(path)
+        if raw is None:
+            if fsspec is not None and "://" in path:
+                with fsspec.open(path, "rb") as f:
+                    raw = f.read()
+            else:
+                with open(path.removeprefix("file:"), "rb") as f:
+                    raw = f.read()
+            if len(cache) < 64:
+                cache[path] = raw
+        return raw
+
+    return fetch
+
+
+def extract_pdf_files_chunked(
+    df: DataFrame,
+    path_col: str = "path",
+    id_col: str | None = None,
+    pages_per_chunk: int = 200,
+    max_pages: int = 0,
+    big_file_bytes: int = 8 << 20,
+) -> DataFrame:
+    """Intra-document parallelism for huge PDFs addressed by PATH — the
+    closest Spark analog of the reference's process strategy, where each
+    child opens the FILE and extracts only its ``{start, end}`` page range
+    (lib/pdf-parse-processes.js:92-99, lib/pdf-child.js:83-97).
+
+    Unlike :func:`extract_pdf_documents_chunked` (payload column ->
+    driver collect + broadcast, costs that scale with document size), here
+    NOTHING but path strings and tiny range rows ever moves: a distributed
+    stat sizes the files, a one-task-per-file probe page-counts the big
+    ones, chunk tasks read the file themselves (page cache / object store)
+    and parse only their range, and the ordered reassembly shuffles just
+    the extracted text. Driver-side work is two small collects regardless
+    of file size. Small files take the plain :func:`extract_pdf_files`
+    path. Output is row-identical to ``extract_pdf_files``."""
+    from pdf_parse_new_spark.kernels import pdfb
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    cols = df.select(
+        F.col(id_col if id_col else path_col).cast("string").alias("doc_id"),
+        F.col(path_col).cast("string").alias("path"),
+    )
+
+    def stat_sizes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        try:
+            import fsspec
+        except Exception:
+            fsspec = None
+        for pdf in batches:
+            sizes = []
+            for p in pdf["path"]:
+                try:
+                    if p is None:
+                        sizes.append(-1)
+                    elif fsspec is not None and "://" in p:
+                        sizes.append(int(fsspec.open(p).fs.size(p)))
+                    else:
+                        sizes.append(
+                            int(_os.stat(p.removeprefix("file:")).st_size)
+                        )
+                except Exception:
+                    sizes.append(-1)  # unreadable: error row downstream
+            out = pdf[["doc_id", "path"]].copy()
+            out["sz"] = sizes
+            yield out
+
+    stats = cols.mapInPandas(
+        stat_sizes, "doc_id string, path string, sz long"
+    ).collect()
+    big = [(r.doc_id, r.path) for r in stats if r.sz > big_file_bytes]
+    big_ids = {d for d, _ in big}
+
+    small_out = extract_pdf_files(
+        # coalesce: NULL doc_id (null path) must keep its error row — a
+        # bare ~isin() is NULL for NULL and would silently drop it
+        cols.filter(
+            F.coalesce(~F.col("doc_id").isin(list(big_ids)), F.lit(True))
+            if big_ids else F.lit(True)
+        ),
+        path_col="path", id_col="doc_id",
+        max_pages=max_pages,
+    )
+    if not big:
+        return small_out
+
+    # distributed structure probe: one task per big file learns n_pages
+    # (page_range=(0,0) renders nothing — xref + page tree only)
+    def probe_part(it):
+        fetch = _make_fetcher()
+        for doc_id, path in it:
+            try:
+                r = pdfb.parse_pdf_bytes(
+                    fetch(path), max_pages=max_pages, page_range=(0, 0)
+                )
+                n = (r["n_pages"] if max_pages <= 0
+                     else min(max_pages, r["n_pages"]))
+                yield (doc_id, path, n, r["error"])
+            except Exception as e:  # noqa: BLE001
+                yield (doc_id, path, 0, f"io:{type(e).__name__}")
+
+    probes = sc.parallelize(big, len(big)).mapPartitions(probe_part).collect()
+    ranges: list[tuple[str, str, int, int, int]] = []
+    fallback_ids: list[str] = []
+    for doc_id, path, n_render, err in probes:
+        if err is not None or n_render <= 0:
+            fallback_ids.append(doc_id)  # error row via the plain path
+            continue
+        for idx, start in enumerate(range(0, n_render, pages_per_chunk)):
+            ranges.append(
+                (doc_id, path, idx, start,
+                 min(start + pages_per_chunk, n_render))
+            )
+    if fallback_ids:
+        small_out = small_out.unionByName(
+            extract_pdf_files(
+                cols.filter(F.col("doc_id").isin(fallback_ids)),
+                path_col="path", id_col="doc_id", max_pages=max_pages,
+            )
+        )
+    if not ranges:
+        return small_out
+
+    range_df = spark.createDataFrame(
+        sc.parallelize(ranges, len(ranges)),
+        "doc_id string, path string, chunk_idx int, start int, end int",
+    )
+
+    def run_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        fetch = _make_fetcher()
+        for pdf in batches:
+            recs = []
+            for doc_id, path, idx, start, end in zip(
+                pdf["doc_id"], pdf["path"], pdf["chunk_idx"], pdf["start"],
+                pdf["end"],
+            ):
+                try:
+                    raw = fetch(path)
+                except Exception as e:  # noqa: BLE001
+                    recs.append((doc_id, int(idx), "", 0, 0, "{}",
+                                 f"io:{type(e).__name__}", []))
+                    continue
+                r = pdfb.parse_pdf_bytes(
+                    raw, max_pages=max_pages,
+                    page_range=(int(start), int(end)),
+                )
+                recs.append(
+                    (
+                        doc_id, int(idx), r["text"], r["n_pages"],
+                        r["n_render"],
+                        json.dumps(r["info"], sort_keys=True), r["error"],
+                        [
+                            {"page": p, "start": s, "end": e}
+                            for p, s, e in r["page_spans"]
+                        ],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "chunk_idx", "text", "n_pages", "n_render",
+                    "info", "error", "page_spans",
+                ],
+            )
+
+    chunked = range_df.mapInPandas(run_chunks, _CHUNK_SCHEMA)
+    return small_out.unionByName(_assemble_chunks(chunked))

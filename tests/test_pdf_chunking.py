@@ -147,6 +147,54 @@ def test_chunked_speedup_over_single_task(spark, tmp_path):
     assert min(fanned) < min(serial) / 1.4, (serial, fanned)
 
 
+def test_files_chunked_equals_files_single(spark, big_pdf, tmp_path):
+    """The path-addressed chunk operator (tasks read the FILE and parse
+    only their range — the reference's pdf-child shape) must be
+    row-identical to plain extract_pdf_files over a mixed corpus, with
+    unreadable and NULL paths surviving as error rows."""
+    (tmp_path / "huge.pdf").write_bytes(big_pdf)
+    import shutil
+
+    for n in ("01-valid", "03-invalid"):
+        shutil.copy(f"/root/reference/test/data/{n}.pdf", tmp_path / f"{n}.pdf")
+    paths = [str(tmp_path / p) for p in
+             ("huge.pdf", "01-valid.pdf", "03-invalid.pdf")]
+    paths += [str(tmp_path / "missing.pdf"), None]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    single = _rows_by_id(ex.extract_pdf_files(df))
+    chunked = _rows_by_id(ex.extract_pdf_files_chunked(
+        df, pages_per_chunk=250, big_file_bytes=100_000
+    ))
+    assert set(single) == set(chunked)
+    for doc_id, a in single.items():
+        b = chunked[doc_id]
+        assert a.text == b.text, doc_id
+        assert a.n_pages == b.n_pages and a.n_render == b.n_render, doc_id
+        assert a.info == b.info and a.error == b.error, doc_id
+        assert [tuple(s) for s in a.page_spans] == [
+            tuple(s) for s in b.page_spans
+        ], doc_id
+    huge_id = str(tmp_path / "huge.pdf")
+    assert chunked[huge_id].n_pages == N_PAGES
+    assert chunked[str(tmp_path / "missing.pdf")].error == \
+        "io:FileNotFoundError"
+    assert chunked[None].error is not None
+
+
+def test_files_chunked_max_pages_clamps(spark, big_pdf, tmp_path):
+    (tmp_path / "huge.pdf").write_bytes(big_pdf)
+    df = spark.createDataFrame(
+        [(str(tmp_path / "huge.pdf"),)], "path string"
+    )
+    rows = ex.extract_pdf_files_chunked(
+        df, pages_per_chunk=100, max_pages=330, big_file_bytes=100_000
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_render == 330 and r.n_pages == N_PAGES
+    assert [s.page for s in r.page_spans] == list(range(1, 331))
+
+
 def test_chunked_null_payload_becomes_error_row(spark):
     # length(NULL) is NULL -> false in both size filters; the row must not
     # silently vanish — it takes the per-document path and errors there
