@@ -550,6 +550,63 @@ FROM orders GROUP BY 1
 """
 
 
+def q_user_retention(spark, sf_dir):
+    """Cohort retention via explicit SEMI and ANTI joins (SURVEY §2.7 set
+    ops: the engine-level membership/difference primitives). Week-1
+    (event_type, user) cohorts; retained = LEFT SEMI against the week-2
+    user set, churned = LEFT ANTI against the same set. The week-2
+    distinct-user side is tiny after dedup, so it broadcasts — both
+    membership probes are shuffle-free map-side hash lookups; at 100 TB
+    the same plan holds whenever the probe side fits an executor, and
+    degrades to a shuffled semi/anti join (never a cartesian) when not."""
+    ev = load(spark, sf_dir, "events")
+    cut = "2024-01-08"
+    w1u = (
+        ev.filter(F.col("ts") < cut)
+        .select("event_type", "user_id").distinct()
+    )
+    w2u = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+    sem = (
+        w1u.join(F.broadcast(w2u), "user_id", "left_semi")
+        .groupBy("event_type").agg(F.count("*").alias("retained"))
+    )
+    ant = (
+        w1u.join(F.broadcast(w2u), "user_id", "left_anti")
+        .groupBy("event_type").agg(F.count("*").alias("churned"))
+    )
+    coh = w1u.groupBy("event_type").agg(F.count("*").alias("cohort"))
+    return (
+        coh.join(sem, "event_type", "left")
+        .join(ant, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained"),
+            F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
+            "cohort",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_USER_RETENTION = """
+WITH w1u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-08'
+), w2u AS (
+  SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-08'
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE EXISTS (
+            SELECT 1 FROM w2u WHERE w2u.user_id = w1u.user_id
+       )) AS BIGINT) AS retained,
+       CAST(count(*) FILTER (WHERE NOT EXISTS (
+            SELECT 1 FROM w2u WHERE w2u.user_id = w1u.user_id
+       )) AS BIGINT) AS churned,
+       CAST(count(*) AS BIGINT) AS cohort
+FROM w1u GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: extraction kernels, LSH ANN, ...)
 # --------------------------------------------------------------------------
@@ -695,6 +752,7 @@ SQL_CHECKED = {
     "orders_monthly": (q_orders_monthly, SQL_ORDERS_MONTHLY),
     "lang_id_expr": (q_lang_id_expr, SQL_LANG_ID_EXPR),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "user_retention": (q_user_retention, SQL_USER_RETENTION),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

@@ -35,6 +35,18 @@ def test_broadcast_join_and_topk(spark):
     )
 
 
+def test_retention_semi_anti_broadcast(spark):
+    # §2.7 set ops: both membership probes must be broadcast hash
+    # semi/anti joins — map-side lookups, no shuffle of the cohort side
+    plan = formatted_plan(q.q_user_retention(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert_plan(
+        q.q_user_retention(spark, SF),
+        "BroadcastHashJoin",
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
 def test_multi_dim_joins_all_broadcast(spark):
     assert_plan(
         q.q_nation_orders(spark, SF),
