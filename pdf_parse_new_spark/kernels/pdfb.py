@@ -40,7 +40,8 @@ import zlib
 
 from pdf_parse_new_spark import spec
 from pdf_parse_new_spark.kernels import cinterp, cobj, crypt
-from pdf_parse_new_spark.kernels.pdfk import _RTL_RUN, _bidi as pdfk_bidi
+from pdf_parse_new_spark.kernels import bidi as _bidi_mod
+from pdf_parse_new_spark.kernels.pdfk import _RTL_RUN
 
 import numpy as _np
 
@@ -1025,7 +1026,7 @@ class FontMap:
         ``(trans_utf8_blob, offsets int32[257], widths float64[256])``, or
         None when this font can't take the C path — multi-byte/identity/
         variable-codespace fonts, or a table entry containing an RTL
-        character (``_bidi`` would reorder the shown string; the C replay
+        character (``bidi.visual`` would reorder the shown string; the C replay
         doesn't implement UAX#9, so those streams fall back to Python)."""
         sp = self._cspec
         if sp is False:
@@ -1371,9 +1372,10 @@ class _TextInterp:
              size: float = 0.0) -> None:
         if not s:
             return
-        # UAX#9-lite logical->visual reorder (pdf.js runBidiTransform runs
-        # on every text item; same rule as the synthetic dialect, spec.py)
-        s = pdfk_bidi(s)
+        # reference-faithful bidi reorder (pdf.js bidi() runs on every
+        # text chunk, pdf.worker.js:32557/36500; pinned to its output by
+        # tests/test_bidi_reference.py over node-generated goldens)
+        s = _bidi_mod.visual(s)
         if self.last_y is not None and abs(ty - self.last_y) > spec.Y_TOLERANCE:
             self.pieces.append("\n")
             self.line_open = False

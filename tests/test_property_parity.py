@@ -160,16 +160,16 @@ def test_bidi_neutrals_join_rtl_runs_and_brackets_mirror():
 
 
 def test_bidi_in_binary_dialect_show_path():
-    """The binary parser applies the same reorder per show item (pdf.js
-    runBidiTransform runs on every text item). Drive the interpreter's
-    show() directly — Hebrew through a real font map is covered by the
-    decode tests; here the question is only that show() reorders."""
+    """The binary parser reorders per show item with the
+    REFERENCE-faithful algorithm (kernels/bidi.py — pdf.js bidi(), pinned
+    by tests/test_bidi_reference.py), NOT the synthetic dialect's
+    UAX#9-lite rule: at 9/21 RTL characters the reference's ratio
+    heuristic picks an RTL base, so the LTR words land in reversed visual
+    order too."""
     from pdf_parse_new_spark.kernels import pdfb
 
     interp = pdfb._TextInterp.__new__(pdfb._TextInterp)
     interp.pieces, interp.line_open, interp.last_char = [], False, ""
     interp.last_y, interp.last_end_x = None, None
     interp.show("hello שלום עולם world", 0.0)
-    # the space between the two Hebrew words is a neutral BETWEEN RTL runs:
-    # the whole segment reverses as one unit (UAX#9 N1)
-    assert interp.text() == "hello " + "שלום עולם"[::-1] + " world"
+    assert interp.text() == "world " + "שלום עולם"[::-1] + " hello"
