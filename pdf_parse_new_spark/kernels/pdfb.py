@@ -424,12 +424,23 @@ class Document:
         # font maps are immutable per font object: cache at DOCUMENT scope
         # so multi-page docs build each map once, not once per page
         self.font_map_cache: dict[int, "FontMap"] = {}
+        self._ckey: bytes | None = None
         self.handler: crypt.StandardSecurityHandler | None = None
         self._encrypt_num = -1
         self._load_index()
         enc_ref = self.trailer.get("Encrypt")
         if enc_ref is not None:
             self._install_decryption(enc_ref)
+
+    def content_key(self) -> bytes:
+        """sha1 of the full payload, computed once per Document — the
+        cross-document font-map cache key component."""
+        k = self._ckey
+        if k is None:
+            import hashlib
+
+            k = self._ckey = hashlib.sha1(self.raw).digest()
+        return k
 
     def _install_decryption(self, enc_ref) -> None:
         """Try the EMPTY user password the way the reference does (pdf.js
@@ -1328,6 +1339,11 @@ def _walk_pages(doc: Document, node_ref, pages: list, seen: set, resources) -> N
 
 _OPERATOR = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
+# cross-document font-map cache: (payload sha1, obj num, gen) -> FontMap.
+# Insertion-ordered dict as LRU-ish (overwrite-evict oldest); per Python
+# worker process, so chunk tasks / replicated corpora reuse built maps.
+_FONT_MAP_LRU: dict = {}
+
 # shared fallback font map (immutable — FontMap never mutates its table)
 _ASCII_FM = FontMap(
     {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}, 1
@@ -1403,10 +1419,24 @@ class _TextInterp:
         ref = (fonts_dict or {}).get(name)
         if not isinstance(ref, Ref):  # inline font dict: id() keys are not
             return build_font_map(self.doc, ref)  # stable across gc — no cache
-        fm = self.doc.font_map_cache.get(ref.num)
+        doc = self.doc
+        fm = doc.font_map_cache.get(ref.num)
         if fm is None:
-            fm = build_font_map(self.doc, ref)
-            self.doc.font_map_cache[ref.num] = fm
+            # second level: (document content digest, object number) —
+            # FontMap is immutable, so identical bytes parsed again (the
+            # chunk operator's per-range tasks, retries, replicated or
+            # templated corpora — enterprise PDFs are mostly a handful of
+            # generators re-emitting the same fonts) reuse the built map
+            # instead of re-parsing ToUnicode/Differences/widths. Keyed
+            # on the FULL payload hash: no false sharing possible.
+            gkey = (doc.content_key(), ref.num, ref.gen)
+            fm = _FONT_MAP_LRU.get(gkey)
+            if fm is None:
+                fm = build_font_map(doc, ref)
+                _FONT_MAP_LRU[gkey] = fm
+                while len(_FONT_MAP_LRU) > 512:
+                    _FONT_MAP_LRU.pop(next(iter(_FONT_MAP_LRU)))
+            doc.font_map_cache[ref.num] = fm
         return fm
 
     def run(self, data: bytes, resources, depth: int = 0, seen: frozenset = frozenset()) -> None:
