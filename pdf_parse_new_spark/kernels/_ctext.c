@@ -164,11 +164,16 @@ static int is_num_start(unsigned char c)
  * so "1.2.3" lexes as 1.2 then .3 on both paths. */
 static long scan_number(const unsigned char *d, long pos, long n, double *out)
 {
-    char buf[64];
+    /* buffer sized so any numeral with a finite double value fits (a
+     * >380-digit integer is inf either way); tokens longer than the
+     * buffer are still CONSUMED in full so the token boundary matches
+     * the fallback regex exactly — only excess digits stop being
+     * significant, same as IEEE rounding there */
+    char buf[384];
     long i = 0, start = pos, digits = 0, dots = 0;
     if (d[pos] == '+' || d[pos] == '-')
         buf[i++] = d[pos++];
-    while (pos < n && i < 62) {
+    while (pos < n) {
         unsigned char c = d[pos];
         if (c >= '0' && c <= '9') {
             digits++;
@@ -181,7 +186,9 @@ static long scan_number(const unsigned char *d, long pos, long n, double *out)
         } else {
             break;
         }
-        buf[i++] = d[pos++];
+        if (i < (long)sizeof(buf) - 2)
+            buf[i++] = c;
+        pos++;
     }
     if (!digits)
         return start;
@@ -196,9 +203,9 @@ static long scan_number(const unsigned char *d, long pos, long n, double *out)
  * are documented misses. */
 static int name_float(const unsigned char *d, long a, long b, double *out)
 {
-    char buf[64];
+    char buf[384];
     long len = b - a;
-    if (len <= 0 || len > 62)
+    if (len <= 0 || len > (long)sizeof(buf) - 2)
         return 0;
     memcpy(buf, d + a, len);
     buf[len] = 0;

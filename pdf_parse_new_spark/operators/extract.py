@@ -518,7 +518,7 @@ def extract_pdf_documents_chunked(
     # (measured: one task got 5 chunks -> 5x serial parse). parallelize with
     # numSlices=len(ranges) is deterministic 1:1.
     range_df = spark.createDataFrame(
-        sc.parallelize(ranges, len(ranges)),
+        sc.parallelize(ranges, min(len(ranges), 8192)),
         "doc_id string, chunk_idx int, start int, end int",
     )
 
@@ -719,7 +719,12 @@ def extract_pdf_files_chunked(
             except Exception as e:  # noqa: BLE001
                 yield (doc_id, path, 0, f"io:{type(e).__name__}")
 
-    probes = sc.parallelize(big, len(big)).mapPartitions(probe_part).collect()
+    # one probe task per file up to a scheduler-sane cap (beyond it,
+    # multiple files share a probe task — still fully distributed)
+    probes = (
+        sc.parallelize(big, min(len(big), 4096))
+        .mapPartitions(probe_part).collect()
+    )
     ranges: list[tuple[str, str, int, int, int]] = []
     fallback_ids: list[str] = []
     for doc_id, path, n_render, err in probes:
@@ -742,7 +747,7 @@ def extract_pdf_files_chunked(
         return small_out
 
     range_df = spark.createDataFrame(
-        sc.parallelize(ranges, len(ranges)),
+        sc.parallelize(ranges, min(len(ranges), 8192)),
         "doc_id string, path string, chunk_idx int, start int, end int",
     )
 

@@ -154,6 +154,12 @@ MALFORMED_ARRAYS = [
     b"BT [(x) ) (y)] TJ ET",
     b"BT [ ] TJ (solo) Tj ET",
     b"BT [(a)] TJ [(b) -400 (c)] TJ ET",
+    # >62-digit numerals must lex as ONE token on both paths (the C
+    # scanner used to stop at 62 chars, splitting the token and shifting
+    # every later operand)
+    b"BT 1 0 0 1 " + b"9" * 80 + b" 700 Tm (bignum) Tj "
+    b"1 0 0 1 5 650 Tm (after) Tj ET",
+    b"BT [(x) " + b"1" * 100 + b" (y)] TJ ET",
 ]
 
 
