@@ -97,3 +97,93 @@ def dedup_stream(
         .filter(F.col(key).isNotNull())
     )
     return keyed.withWatermark("ts", watermark).dropDuplicates([key])
+
+
+def near_dedup_stream(
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-dup suppression: the batch MinHash machinery's
+    signature as the dedup key, state bounded by the watermark via
+    ``dropDuplicatesWithinWatermark`` (the state-store-backed API — unlike
+    ``dropDuplicates``, expired keys are evicted even though the key is
+    not the event-time column).
+
+    Semantics: two documents collapse when their FULL k-hash MinHash
+    signatures are equal — for k=16 that concentrates around Jaccard
+    ~> 0.9 (P[all k agree] = J^k), i.e. near-identical boilerplate
+    re-arrivals (the dominant streaming-ingest case: the same article
+    re-crawled with a tracking-parameter tweak hashes to the same
+    shingle set). Banded OR-semantics (any band collision, the batch
+    ``minhash_dedup_pairs`` rule) needs a second stateful operator over
+    the first's output; chain :func:`band_collision_stream` after this
+    when candidate FLAGGING rather than suppression is wanted.
+
+    Web-scale shape: signature computed JVM-side from the same
+    ``dedup.minhash_signature`` expressions as the batch path (one
+    notion of "near-same" across both), state partitioned by signature
+    in the streaming state store, no driver state."""
+    from pdf_parse_new_spark.operators import dedup
+
+    extracted = extract.extract_turns(stream_df, passthrough=("ts",))
+    keyed = (
+        extracted.filter(F.col("error").isNull())
+        .filter(F.length("extracted_text") > 0)
+        .withColumn(
+            "minhash_sig",
+            F.array_join(
+                dedup.minhash_signature(
+                    F.col("extracted_text"), k=k, shingle_n=shingle_n
+                ).cast("array<string>"),
+                "-",
+            ),
+        )
+        .filter(F.col("minhash_sig").isNotNull())
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["minhash_sig"]
+    )
+
+
+def band_collision_stream(
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    k: int = 16,
+    bands: int = 4,
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Banded near-dup candidate METRICS over a stream: explode each
+    document's LSH band keys, keep first arrival per (band_idx, key)
+    within the watermark, then window-count surviving bands per event-time
+    window — two chained stateful operators (dedup -> windowed agg),
+    supported in append mode on Spark 4. A window where
+    ``n_first_seen_bands`` is much lower than ``bands *
+    n_docs`` is ingesting mostly near-duplicates; the batch
+    ``minhash_dedup_pairs`` then owns exact pair extraction. Emits on
+    watermark expiry (append mode)."""
+    from pdf_parse_new_spark.operators import dedup
+
+    extracted = extract.extract_turns(stream_df, passthrough=("ts",))
+    rows = max(1, k // bands)
+    banded = (
+        extracted.filter(F.col("error").isNull())
+        .filter(F.length("extracted_text") > 0)
+        .select(
+            "ts",
+            F.explode(
+                dedup.minhash_bands(
+                    dedup.minhash_signature(F.col("extracted_text"), k=k),
+                    bands=bands, rows=rows,
+                )
+            ).alias("band_key"),  # struct<band:int, bh:bigint>
+        )
+    )
+    first_seen = banded.withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark(["band_key"])
+    return (
+        first_seen.groupBy(F.window("ts", window))
+        .agg(F.count("*").alias("n_first_seen_bands"))
+    )

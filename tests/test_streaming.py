@@ -243,3 +243,102 @@ def test_dedup_stream_drops_rearrivals(spark, tmp_path):
     assert len(emitted) == 3
     texts = {r1[3] for r1 in rows1} | {r2[3] for r2 in rows2}
     assert len(texts) == 3  # sanity: exactly 3 distinct documents existed
+
+
+def _write_rows(spark, rows, path):
+    import pandas as pd
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(path)
+    return schema
+
+
+def test_near_dedup_stream_signature_equality(spark, tmp_path):
+    """MinHash-signature near-dup suppression in-stream: identical content
+    under different conv ids collapses to the first arrival (the key is
+    content-derived, not identity-derived); distinct documents all pass.
+    Uses dropDuplicatesWithinWatermark so expired signatures leave the
+    state store."""
+    src = str(tmp_path / "ndsrc")
+    doc_a = "alpha content words repeated for shingles " * 3
+    doc_b = "totally different beta document text here " * 3
+    rows1 = [
+        ("c1", 0, "user", doc_a, "", "2024-01-01 00:00:00"),
+        ("c2", 0, "user", doc_b, "", "2024-01-01 00:01:00"),
+    ]
+    rows2 = [
+        ("c3", 0, "user", doc_a, "", "2024-01-01 00:02:00"),  # re-arrival
+        ("c4", 0, "user", doc_b + " extra", "", "2024-01-01 00:03:00"),
+    ]
+    schema = _write_rows(spark, rows1, src + "/b1")
+    _write_rows(spark, rows2, src + "/b2")
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = (
+        sx.near_dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("neardedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("select conv_id from neardedup_t").collect()
+    convs = {r.conv_id for r in out}
+    # c1/c3 carry byte-identical content: exactly ONE survives (which one
+    # is arbitrary when availableNow folds both files into one batch).
+    # c4 appends a word (different shingle set -> different signature): kept.
+    assert len(convs & {"c1", "c3"}) == 1, convs
+    assert {"c2", "c4"} <= convs
+    assert len(convs) == 3
+
+
+def test_band_collision_stream_counts_first_seen_bands(spark, tmp_path):
+    """Chained stateful operators (band dedup -> windowed count): three
+    docs where two are identical should register 2 * bands first-seen band
+    keys, not 3 * bands; the count emits when a later batch advances the
+    watermark past the window."""
+    src = str(tmp_path / "bcsrc")
+    doc_a = "alpha content words repeated for shingles " * 3
+    doc_b = "totally different beta document text here " * 3
+    rows1 = [
+        ("c1", 0, "user", doc_a, "", "2024-01-01 00:00:00"),
+        ("c2", 0, "user", doc_b, "", "2024-01-01 00:01:00"),
+        ("c3", 0, "user", doc_a, "", "2024-01-01 00:02:00"),
+    ]
+    # far-future row closes the first window (watermark 10 min << 2 h gap)
+    rows2 = [("c9", 0, "user", doc_b, "", "2024-01-01 02:30:00")]
+    schema = _write_rows(spark, rows1, src + "/b1")
+    _write_rows(spark, rows2, src + "/b2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        sx.band_collision_stream(
+            stream, watermark="10 minutes", bands=4, window="5 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("bands_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql(
+        "select window.start as ws, n_first_seen_bands from bands_t "
+        "order by ws"
+    ).collect()
+    counts = {str(r.ws): r.n_first_seen_bands for r in rows}
+    total_first_seen = sum(r.n_first_seen_bands for r in rows)
+    # 2 distinct docs x 4 bands = 8 first-seen band keys across the early
+    # windows (c3's bands all collide with c1's); the far-future row may or
+    # may not have flushed its own window yet
+    early = sum(v for k, v in counts.items() if k.startswith("2024-01-01 00:"))
+    assert early == 8, counts
+    assert total_first_seen in (8, 12), counts
