@@ -102,18 +102,16 @@ def concat_conversations(
     return _finish(out, leading_separator)
 
 
-def concat_conversations_salted(
-    extracted: DataFrame,
-    block: int = 1024,
-    leading_separator: bool = False,
-    max_turns: int = 0,
+def _block_partials(
+    extracted: DataFrame, block: int, max_turns: int
 ) -> DataFrame:
-    """Two-level skew-proof concat: partial per (conv_id, turn_idx // block)
-    then final per conv_id — two exchanges, each with bounded per-group
-    state, so a 10^6-turn conversation never lands on one reducer."""
+    """Level-1 partial ordered concat per (conv_id, turn_idx // block) —
+    map-side combinable, bounded per-group state."""
     kept = _sorted_structs(max_turns)
-    partial = (
-        extracted.withColumn("salt", (F.col("turn_idx") / F.lit(block)).cast("long"))
+    return (
+        extracted.withColumn(
+            "salt", (F.col("turn_idx") / F.lit(block)).cast("long")
+        )
         .groupBy("conv_id", "salt")
         .agg(
             F.count("*").alias("pn_all"),
@@ -126,22 +124,81 @@ def concat_conversations_salted(
             F.min(_info_key(max_turns)).alias("pinfo_idx"),
         )
     )
+
+
+def _merge_partials(
+    partial: DataFrame, group: list[str], order_col: str
+) -> DataFrame:
+    """Merge ordered partials one tree level up. Every field is
+    associative under ordered merge ("\\n\\n" joins BETWEEN nonempty
+    pieces, sums, set unions, min_by over the first-info index), so any
+    nesting of merges equals the direct fold."""
     parts = F.array_sort(
-        F.collect_list(F.struct("salt", "pn_kept", "ptext"))
+        F.collect_list(F.struct(F.col(order_col).alias("o"), "pn_kept", "ptext"))
     )
     nonempty = F.filter(parts, lambda p: p["pn_kept"] > 0)
-    out = partial.groupBy("conv_id").agg(
-        F.sum("pn_all").alias("n_turns"),
-        F.sum("pn_kept").alias("n_extracted"),
+    return partial.groupBy(*group).agg(
+        F.sum("pn_all").alias("pn_all"),
+        F.sum("pn_kept").alias("pn_kept"),
         F.array_join(F.transform(nonempty, lambda p: p["ptext"]), _SEP).alias(
-            "full_text"
+            "ptext"
         ),
-        F.sum("perr").alias("n_errors"),
-        F.array_join(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("pfams")))),
-            ",",
-        ).alias("_families"),
-        F.sum("ppages").alias("_pages"),
-        F.min_by("pinfo", "pinfo_idx").alias("_info"),
+        F.sum("perr").alias("perr"),
+        F.array_distinct(F.flatten(F.collect_list("pfams"))).alias("pfams"),
+        F.sum("ppages").alias("ppages"),
+        F.min_by("pinfo", "pinfo_idx").alias("pinfo"),
+        F.min("pinfo_idx").alias("pinfo_idx"),
+    )
+
+
+def _finalize_partials(merged: DataFrame, leading_separator: bool) -> DataFrame:
+    out = merged.select(
+        "conv_id",
+        F.col("pn_all").alias("n_turns"),
+        F.col("pn_kept").alias("n_extracted"),
+        F.col("ptext").alias("full_text"),
+        F.col("perr").alias("n_errors"),
+        F.array_join(F.array_sort("pfams"), ",").alias("_families"),
+        F.col("ppages").alias("_pages"),
+        F.col("pinfo").alias("_info"),
     )
     return _finish(out, leading_separator)
+
+
+def concat_conversations_salted(
+    extracted: DataFrame,
+    block: int = 1024,
+    leading_separator: bool = False,
+    max_turns: int = 0,
+) -> DataFrame:
+    """Two-level skew-proof concat: partial per (conv_id, turn_idx // block)
+    then final per conv_id — two exchanges, each with bounded per-group
+    state, so a 10^6-turn conversation never lands on one reducer."""
+    partial = _block_partials(extracted, block, max_turns)
+    merged = _merge_partials(partial, ["conv_id"], "salt")
+    return _finalize_partials(merged, leading_separator)
+
+
+def concat_conversations_tree(
+    extracted: DataFrame,
+    block: int = 1024,
+    fanout: int = 64,
+    leading_separator: bool = False,
+    max_turns: int = 0,
+) -> DataFrame:
+    """Three-level concat for PATHOLOGICAL conversations (>10^7 turns):
+    block partials -> superblocks of ``fanout`` blocks -> final. The
+    two-level variant's final reducer holds one partial per block — at
+    10^7 turns / 1024-block that is ~10k text pieces in one collect_list;
+    here the final group sees only ``ceil(n_blocks / fanout)`` superblock
+    rows (~153 at 10^7 turns), so reducer state stays flat no matter how
+    long one conversation grows. Same output as the other variants
+    (ordered-merge associativity; asserted by tests)."""
+    partial = _block_partials(extracted, block, max_turns).withColumn(
+        "salt2", (F.col("salt") / F.lit(fanout)).cast("long")
+    )
+    mid = _merge_partials(
+        partial, ["conv_id", "salt2"], "salt"
+    ).withColumnRenamed("salt2", "o2")
+    merged = _merge_partials(mid, ["conv_id"], "o2")
+    return _finalize_partials(merged, leading_separator)

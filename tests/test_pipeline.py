@@ -185,6 +185,43 @@ def test_salted_equals_unsalted(spark, smoke_df):
         assert pa[cid].meta == pb[cid].meta  # families + n_pages map
 
 
+def test_tree_equals_salted_equals_plain(spark, smoke_df):
+    """Three-level tree concat (block -> superblock -> final) must equal
+    the one- and two-level plans exactly — tiny block/fanout so every
+    level actually merges multiple pieces, plus a max_turns clamp."""
+    ex = extract.extract_turns(smoke_df)
+    for max_turns in (0, 3):
+        a = {r.conv_id: r for r in concat.concat_conversations(
+            ex, max_turns=max_turns).collect()}
+        t = {r.conv_id: r for r in concat.concat_conversations_tree(
+            ex, block=3, fanout=2, max_turns=max_turns).collect()}
+        assert set(a) == set(t)
+        for cid in a:
+            assert a[cid].full_text == t[cid].full_text, (max_turns, cid)
+            assert a[cid].n_turns == t[cid].n_turns
+            assert a[cid].n_extracted == t[cid].n_extracted
+            assert a[cid].n_errors == t[cid].n_errors
+            assert a[cid].meta == t[cid].meta
+
+
+def test_tree_concat_leading_separator_and_sparse_idx(spark):
+    # non-dense turn_idx across superblock boundaries + sequential-mode
+    # leading separator
+    rows = [("c", i * 37, "user", f"t{i} text content", "", None)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    ex = extract.extract_turns(df)
+    a = concat.concat_conversations(ex, leading_separator=True).collect()[0]
+    t = concat.concat_conversations_tree(
+        ex, block=2, fanout=3, leading_separator=True
+    ).collect()[0]
+    assert a.full_text == t.full_text and a.full_text.startswith("\n\n")
+    assert a.n_turns == t.n_turns == 20
+
+
 def test_conversation_meta_info(spark):
     # P2: the concat meta map carries the first non-null per-turn /Info
     # (reference Result.info); identical in salted and unsalted plans
