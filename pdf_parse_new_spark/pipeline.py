@@ -25,6 +25,10 @@ class Options:
     leading_separator: bool = False    # sequential (True) vs parallel join
     salted: bool = True                # two-level skew-proof concat
     salt_block: int = 1024
+    # >0: three-level tree concat (block -> fanout-sized superblocks ->
+    # final) for pathological conversations where even one-partial-per-
+    # block overwhelms the final reducer (see planner.TREE_FANOUT_AT)
+    tree_fanout: int = 0
     partitions: int | None = None      # extraction-stage repartition
 
 
@@ -40,6 +44,14 @@ def extract_conversations(
 ) -> DataFrame:
     opt = options or Options()
     turns = extract_turns(df, opt)
+    if opt.tree_fanout > 0:
+        return concat.concat_conversations_tree(
+            turns,
+            block=opt.salt_block,
+            fanout=opt.tree_fanout,
+            leading_separator=opt.leading_separator,
+            max_turns=opt.max_turns,
+        )
     if opt.salted:
         return concat.concat_conversations_salted(
             turns,

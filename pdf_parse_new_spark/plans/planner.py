@@ -35,6 +35,13 @@ TIERS = (
 )
 
 
+# a conversation spanning more than this many block partials upgrades the
+# concat to the three-level tree (final reducer sees superblocks, not one
+# row per block)
+TREE_FANOUT_AT = 4096
+TREE_FANOUT = 64
+
+
 @dataclass(frozen=True)
 class Plan:
     n_rows: int
@@ -45,6 +52,7 @@ class Plan:
     partitions: int
     salt_block: int
     arrow_batch: int
+    tree_fanout: int = 0  # >0: use concat_conversations_tree
 
     def asdict(self) -> dict:
         return asdict(self)
@@ -106,6 +114,11 @@ def make_plan(df: DataFrame, cores: int | None = None) -> Plan:
         partitions=max(cores, min(cores * mult, max(1, n // 1000))),
         salt_block=salt_block,
         arrow_batch=arrow_batch,
+        tree_fanout=(
+            TREE_FANOUT
+            if salt_block > 0 and biggest // max(salt_block, 1) > TREE_FANOUT_AT
+            else 0
+        ),
     )
     _cache[key] = plan
     return plan

@@ -87,6 +87,20 @@ def test_planner_probe_and_tiers(spark, smoke_df):
     assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == str(
         plan.arrow_batch
     )
+    # tree upgrade only fires when ONE conversation spans more block
+    # partials than the final reducer should collect
+    assert plan.tree_fanout == 0
+    base = dict(
+        n_rows=plan.n_rows, avg_len=plan.avg_len, p95_len=plan.p95_len,
+        cores=plan.cores, partitions=plan.partitions,
+        arrow_batch=plan.arrow_batch,
+    )
+    assert planner.Plan(
+        **base, max_conv_turns=20_000_000, salt_block=1024, tree_fanout=(
+            planner.TREE_FANOUT
+            if 20_000_000 // 1024 > planner.TREE_FANOUT_AT else 0
+        ),
+    ).tree_fanout == planner.TREE_FANOUT
 
 
 def test_resume_across_engine_schema_versions(spark, tmp_path):
