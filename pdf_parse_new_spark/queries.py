@@ -664,9 +664,12 @@ def q_ann_lsh(spark, sf_dir):
     # recall < 1); the exact-cosine twin knn_cosine IS oracle-checked, and a
     # subset/ordering pytest covers this path.
     # 5 planes -> 32 buckets: sized for the sf-scale corpora; at 100 TB the
-    # plane count grows with log(n/target_bucket_size)
+    # plane count grows with log(n/target_bucket_size). n_probes reaches
+    # into the ordered Hamming-2 pairs (recall 0.36-0.42 -> 0.82 measured,
+    # test_ann_hamming2_probes_lift_recall) for ~13/32 buckets probed here
+    # — at production plane counts that is still <1% of the data.
     return similarity.ann_topk_lsh(
-        e.filter(F.col("vec_id") != 0), query, k=10, n_planes=5
+        e.filter(F.col("vec_id") != 0), query, k=10, n_planes=5, n_probes=13
     )
 
 
