@@ -246,3 +246,80 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
         sh.alias("simhash"),
         F.shiftrightunsigned(sh, 64 - prefix_bits).alias("bucket"),
     )
+
+
+def jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join on word-``shingle_n``-gram-set
+    Jaccard >= ``threshold``
+    — the AllPairs/PPJoin prefix-filtering shape (Bayardo et al., WWW'07),
+    an operator Spark has no native primitive for.
+
+    Prefix-filter soundness: with prefix size ``|S| - ceil(t*|S|) + 1``,
+    a pair sharing NO token inside one side's prefix has intersection
+    <= ceil(t*|S|) - 1 < t*|S| <= t*|union|, i.e. Jaccard < t — so joining
+    each document's prefix tokens against ALL tokens of lexically-later
+    documents generates every qualifying pair (ANY fixed prefix subset of
+    that size is sound; ordering prefixes by ascending global token
+    frequency just minimizes candidates, since rare tokens join few
+    partners). Exact Jaccard verification then runs on the deduplicated
+    candidates only.
+
+    Scale shape: token-frequency ranking and the candidate join shuffle on
+    TOKENS (skew bounded by prefixes holding each doc's rarest tokens);
+    no cartesian anywhere; verification joins are id-keyed. Unlike the
+    MinHash path this is exact — use it when misses are unacceptable and
+    the token vocabulary is wide; MinHash when approximate recall is fine.
+    """
+    toks = shingles(F.col(text_col), shingle_n)
+    docs = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    tok = docs.select("id", F.explode("toks").alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+    ranked = tok.join(freq, "t")
+    ordered = ranked.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("f", "t"))).alias("o"),
+        F.count("*").alias("n"),
+    )
+    prefix = ordered.select(
+        "id",
+        F.explode(
+            F.expr(
+                "slice(transform(o, s -> s.t), 1, "
+                f"cast(n - ceil({threshold} * n) + 1 as int))"
+            )
+        ).alias("t"),
+    )
+    cand = (
+        prefix.alias("p")
+        .join(
+            tok.alias("q"),
+            (F.col("p.t") == F.col("q.t")) & (F.col("p.id") < F.col("q.id")),
+        )
+        .select(F.col("p.id").alias("id1"), F.col("q.id").alias("id2"))
+        .distinct()
+    )
+    a = docs.select(
+        F.col("id").alias("id1"), F.col("toks").alias("t1"),
+        F.col("n").alias("n1"),
+    )
+    b = docs.select(
+        F.col("id").alias("id2"), F.col("toks").alias("t2"),
+        F.col("n").alias("n2"),
+    )
+    inter = F.size(F.array_intersect("t1", "t2"))
+    jac = inter / (F.col("n1") + F.col("n2") - inter).cast("double")
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 6).alias("jac"))
+        .orderBy("id1", "id2")
+    )

@@ -588,6 +588,43 @@ def q_user_retention(spark, sf_dir):
     )
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """EXACT set-similarity self-join (prefix filtering, Bayardo et al.
+    WWW'07): all document pairs with word-3-gram-shingle Jaccard >= 0.6.
+    Unlike minhash_pairs (probabilistic candidates), this is exact — the
+    DuckDB twin computes ALL-pairs Jaccard and must match row-for-row,
+    which also proves the prefix filter dropped no qualifying pair."""
+    from pdf_parse_new_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.jaccard_join(docs, threshold=0.6)
+
+
+SQL_JACCARD_PAIRS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, unnest(list_distinct([
+      array_to_string(list_slice(ws, i, i + 2), ' ')
+      FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)
+  ])) AS t
+  FROM w
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, round(i / (na.n + nb.n - i), 6) AS jac
+FROM inter
+JOIN sz na ON na.doc_id = id1
+JOIN sz nb ON nb.doc_id = id2
+WHERE i / (na.n + nb.n - i) >= 0.6
+ORDER BY id1, id2
+"""
+
+
 SQL_USER_RETENTION = """
 WITH w1u AS (
   SELECT DISTINCT event_type, user_id FROM events
@@ -756,6 +793,7 @@ SQL_CHECKED = {
     "lang_id_expr": (q_lang_id_expr, SQL_LANG_ID_EXPR),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "user_retention": (q_user_retention, SQL_USER_RETENTION),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

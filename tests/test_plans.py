@@ -35,6 +35,15 @@ def test_broadcast_join_and_topk(spark):
     )
 
 
+def test_jaccard_join_no_cartesian(spark):
+    # the exact set-similarity join must candidate via the token join —
+    # never a cartesian/NLJ over document pairs
+    assert_plan(
+        q.q_jaccard_pairs(spark, SF),
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
 def test_retention_semi_anti_broadcast(spark):
     # §2.7 set ops: both membership probes must be broadcast hash
     # semi/anti joins — map-side lookups, no shuffle of the cohort side

@@ -355,3 +355,43 @@ def test_ann_ivf_recall_vs_exact(spark, emb):
         total += len(exact)
     recall = hits / total
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_jaccard_join_exact_vs_bruteforce(spark):
+    """Prefix-filtered exact Jaccard join == brute-force all-pairs on a
+    corpus engineered with borderline pairs (J just above/below 0.6) and
+    multi-doc duplicate groups."""
+    import itertools
+
+    base = "the quick brown fox jumps over a lazy dog near the old river"
+    docs = {
+        0: base,
+        1: base,                                    # exact dup of 0
+        2: base + " bank",                          # near dup
+        3: base.replace("quick", "slow"),           # near dup, interior edit
+        4: "completely different text about training data pipelines",
+        5: "completely different text about training data pipelines",
+        6: "unrelated short doc",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {(r.id1, r.id2): r.jac for r in dedup.jaccard_join(df).collect()}
+
+    def sh(t):
+        ws = t.split(" ")
+        return {
+            " ".join(ws[i:i + 3])
+            for i in range(max(len(ws) - 2, 1))
+        }
+
+    want = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = sh(docs[a]), sh(docs[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.6:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0   # exact dup pair
+    assert (4, 5) in got                          # second dup group
+    assert all(k[0] < k[1] for k in got)
