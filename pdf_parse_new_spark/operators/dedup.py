@@ -323,3 +323,66 @@ def jaccard_join(
         .select("id1", "id2", F.round(jac, 6).alias("jac"))
         .orderBy("id1", "id2")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT directional containment self-join: ordered pairs (id1, id2)
+    with ``|S1 ∩ S2| / |S1| >= threshold`` over word-shingle sets — "id1's
+    content is (mostly) contained in id2": boilerplate/quote/subset
+    detection, the asymmetric cousin of :func:`jaccard_join`.
+
+    Same prefix-filter argument, one-sided: if S1 shares no token within
+    its ``|S1| - ceil(t*|S1|) + 1`` rarest shingles, the intersection is
+    at most ``ceil(t*|S1|) - 1 < t*|S1|``, so containment < t. Candidates
+    therefore join prefix(S1) against ALL tokens of every other document
+    (both directions — containment is not symmetric); exact verification
+    on deduplicated candidates; no cartesian."""
+    toks = shingles(F.col(text_col), shingle_n)
+    docs = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    tok = docs.select("id", F.explode("toks").alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+    ordered = tok.join(freq, "t").groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("f", "t"))).alias("o"),
+        F.count("*").alias("n"),
+    )
+    prefix = ordered.select(
+        "id",
+        F.explode(
+            F.expr(
+                "slice(transform(o, s -> s.t), 1, "
+                f"cast(n - ceil({threshold} * n) + 1 as int))"
+            )
+        ).alias("t"),
+    )
+    cand = (
+        prefix.alias("p")
+        .join(
+            tok.alias("q"),
+            (F.col("p.t") == F.col("q.t")) & (F.col("p.id") != F.col("q.id")),
+        )
+        .select(F.col("p.id").alias("id1"), F.col("q.id").alias("id2"))
+        .distinct()
+    )
+    a = docs.select(
+        F.col("id").alias("id1"), F.col("toks").alias("t1"),
+        F.col("n").alias("n1"),
+    )
+    b = docs.select(F.col("id").alias("id2"), F.col("toks").alias("t2"))
+    inter = F.size(F.array_intersect("t1", "t2"))
+    cont = inter / F.col("n1").cast("double")
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .filter(cont >= threshold)
+        .select("id1", "id2", F.round(cont, 6).alias("containment"))
+        .orderBy("id1", "id2")
+    )

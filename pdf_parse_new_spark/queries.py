@@ -625,6 +625,41 @@ ORDER BY id1, id2
 """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directional shingle containment |S1 ∩ S2|/|S1| >= 0.8 (quote /
+    boilerplate / subset detection). Exact via one-sided prefix
+    filtering; DuckDB twin is the all-ordered-pairs computation, so a
+    hash match also proves the filter lossless."""
+    from pdf_parse_new_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.containment_join(docs, threshold=0.8)
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, unnest(list_distinct([
+      array_to_string(list_slice(ws, i, i + 2), ' ')
+      FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)
+  ])) AS t
+  FROM w
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, round(i / na.n, 6) AS containment
+FROM inter
+JOIN sz na ON na.doc_id = id1
+WHERE i / na.n >= 0.8
+ORDER BY id1, id2
+"""
+
+
 SQL_USER_RETENTION = """
 WITH w1u AS (
   SELECT DISTINCT event_type, user_id FROM events
@@ -794,6 +829,7 @@ SQL_CHECKED = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "user_retention": (q_user_retention, SQL_USER_RETENTION),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

@@ -395,3 +395,20 @@ def test_jaccard_join_exact_vs_bruteforce(spark):
     assert (0, 1) in got and got[(0, 1)] == 1.0   # exact dup pair
     assert (4, 5) in got                          # second dup group
     assert all(k[0] < k[1] for k in got)
+
+
+def test_containment_join_directional(spark):
+    """Containment is directional: a short doc fully inside a long one
+    qualifies short->long but not long->short."""
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    short = "delta epsilon zeta eta theta iota kappa lambda"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, "unrelated words entirely different")],
+        "doc_id long, text string",
+    )
+    got = {(r.id1, r.id2): r.containment
+           for r in dedup.containment_join(df, threshold=0.8).collect()}
+    assert (2, 1) in got and got[(2, 1)] == 1.0
+    assert (1, 2) not in got
+    assert all(3 not in k for k in got)
