@@ -1433,9 +1433,13 @@ class _TextInterp:
             fm = _FONT_MAP_LRU.get(gkey)
             if fm is None:
                 fm = build_font_map(doc, ref)
-                _FONT_MAP_LRU[gkey] = fm
-                while len(_FONT_MAP_LRU) > 512:
-                    _FONT_MAP_LRU.pop(next(iter(_FONT_MAP_LRU)))
+                # giant CID tables (bfrange up to 64k entries, ~MBs each)
+                # stay document-scoped only — the worker-global cache is
+                # bounded by entry count AND per-entry size
+                if len(fm.table) <= 20_000:
+                    _FONT_MAP_LRU[gkey] = fm
+                    while len(_FONT_MAP_LRU) > 256:
+                        _FONT_MAP_LRU.pop(next(iter(_FONT_MAP_LRU)))
             doc.font_map_cache[ref.num] = fm
         return fm
 

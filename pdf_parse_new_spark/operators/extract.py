@@ -291,27 +291,7 @@ def extract_pdf_files(
     )
 
     def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        try:
-            import fsspec  # cloud URL support when the env ships it
-        except Exception:
-            fsspec = None
-        # per-task byte cache: replicated corpora re-read the same path
-        # many times within one batch; page cache already makes reads
-        # cheap, this removes even the syscalls for the common repeat case
-        blob_cache: dict[str, bytes] = {}
-
-        def fetch(path: str) -> bytes:
-            raw = blob_cache.get(path)
-            if raw is None:
-                if fsspec is not None and "://" in path:
-                    with fsspec.open(path, "rb") as f:
-                        raw = f.read()
-                else:
-                    with open(path.removeprefix("file:"), "rb") as f:
-                        raw = f.read()
-                if len(blob_cache) < 64:
-                    blob_cache[path] = raw
-            return raw
+        fetch = _make_fetcher()
 
         for batch in batches:
             ids = batch.column(0).to_pylist()
@@ -612,6 +592,8 @@ def _make_fetcher():
     except Exception:
         fsspec = None
     cache: dict[str, bytes] = {}
+    budget = [256 << 20]  # total cached bytes per task — NOT per entry:
+    # 64 arbitrary-size entries could pin tens of GB on a wide corpus
 
     def fetch(path: str) -> bytes:
         raw = cache.get(path)
@@ -622,8 +604,9 @@ def _make_fetcher():
             else:
                 with open(path.removeprefix("file:"), "rb") as f:
                     raw = f.read()
-            if len(cache) < 64:
+            if len(cache) < 64 and len(raw) <= budget[0]:
                 cache[path] = raw
+                budget[0] -= len(raw)
         return raw
 
     return fetch
