@@ -346,8 +346,30 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
      * following operator is not TJ — dash arrays "[2 4] 0 d" etc.) */
     long tj_start = -1; /* index into out of the K_TJSTART placeholder */
 
-    double y = 0.0, line_x = 0.0, sx = 1.0, leading = 0.0, rise = 0.0;
+    /* full text LINE MATRIX (Tm sets it; Td/TD/T* compose translations
+     * INTO it, so offsets expressed in unscaled text units move by the
+     * matrix scale — "/F1 1 Tf + 8.3 0 0 8 x y Tm" documents put the
+     * real font size in the matrix and Td deltas stay unit-scaled) */
+    double tm_a = 1.0, tm_b = 0.0, tm_c = 0.0, tm_d = 1.0;
+    double tm_e = 0.0, tm_f = 0.0;
+    double leading = 0.0, rise = 0.0;
+#define LM_TRANSLATE(TXV, TYV)                                               \
+    do {                                                                     \
+        tm_e += (TXV) * tm_a + (TYV) * tm_c;                                 \
+        tm_f += (TXV) * tm_b + (TYV) * tm_d;                                 \
+    } while (0)
     double tc = 0.0, tw = 0.0, tz = 1.0;
+    /* graphics-state CTM (q/Q/cm): positions, x-scale and rise are
+     * emitted TRANSFORMED, so the replay's line model compares absolute
+     * coordinates the way the reference compares item.transform[5]
+     * (text matrix x CTM). The emitted x-scale uses the ctm 'a'
+     * coefficient — a documented translate+scale approximation (rotated
+     * text keeps extracting, without word-gap geometry). */
+    double cm_a = 1, cm_b = 0, cm_c = 0, cm_d = 1, cm_e = 0, cm_f = 0;
+    double qs[64][6];
+    int qn = 0;
+#define TX_X(LX, YY) (cm_a * (LX) + cm_c * (YY) + cm_e)
+#define TX_Y(LX, YY) (cm_b * (LX) + cm_d * (YY) + cm_f)
 
     long pos = 0;
     while (pos < n) {
@@ -554,40 +576,46 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                             EMIT(K_FONT, 1, na, nb, 0, 0, 0, 0);
                     }
                     break;
-                case 'd': /* tx ty Td : y converts first, then line_x */
+                case 'd': /* tx ty Td : y converts first, then x */
                     if (nst >= 2 && st[nst - 1].conv) {
-                        y += st[nst - 1].cv;
+                        LM_TRANSLATE(0.0, st[nst - 1].cv);
                         if (st[nst - 2].conv) {
-                            line_x += st[nst - 2].cv;
-                            EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                            LM_TRANSLATE(st[nst - 2].cv, 0.0);
+                            EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
                         } else {
-                            EMIT(K_SETY, 0, 0, 0, y, 0, 0, 0);
+                            EMIT(K_SETY, 0, 0, 0, TX_Y(tm_e, tm_f), 0, 0, 0);
                         }
                     }
                     break;
-                case 'D': /* tx ty TD : leading+y first, then line_x */
+                case 'D': /* tx ty TD : leading+y first, then x */
                     if (nst >= 2 && st[nst - 1].conv) {
                         leading = -st[nst - 1].cv;
-                        y += st[nst - 1].cv;
+                        LM_TRANSLATE(0.0, st[nst - 1].cv);
                         if (st[nst - 2].conv) {
-                            line_x += st[nst - 2].cv;
-                            EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                            LM_TRANSLATE(st[nst - 2].cv, 0.0);
+                            EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
                         } else {
-                            EMIT(K_SETY, 0, 0, 0, y, 0, 0, 0);
+                            EMIT(K_SETY, 0, 0, 0, TX_Y(tm_e, tm_f), 0, 0, 0);
                         }
                     }
                     break;
-                case 'm': /* a b c d e f Tm : y, then line_x, then sx */
+                case 'm': /* a b c d e f Tm : f, then e, then a-d */
                     if (nst >= 6 && st[nst - 1].conv) {
-                        y = st[nst - 1].cv;
+                        tm_f = st[nst - 1].cv;
                         if (!st[nst - 2].conv) {
-                            EMIT(K_SETY, 0, 0, 0, y, 0, 0, 0);
+                            EMIT(K_SETY, 0, 0, 0, TX_Y(tm_e, tm_f), 0, 0, 0);
                         } else {
-                            line_x = st[nst - 2].cv;
-                            if (st[nst - 6].conv)
-                                sx = st[nst - 6].cv != 0.0 ? st[nst - 6].cv
-                                                           : 1.0;
-                            EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                            tm_e = st[nst - 2].cv;
+                            if (st[nst - 6].conv && st[nst - 5].conv &&
+                                st[nst - 4].conv && st[nst - 3].conv) {
+                                tm_a = st[nst - 6].cv != 0.0
+                                           ? st[nst - 6].cv : 1.0;
+                                tm_b = st[nst - 5].cv;
+                                tm_c = st[nst - 4].cv;
+                                tm_d = st[nst - 3].cv != 0.0
+                                           ? st[nst - 3].cv : 1.0;
+                            }
+                            EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
                         }
                     }
                     break;
@@ -598,19 +626,19 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 case 's':
                     if (nst >= 1 && st[nst - 1].conv) {
                         rise = st[nst - 1].cv;
-                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
+                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
                     }
                     break;
                 case 'c':
                     if (nst >= 1 && st[nst - 1].conv) {
                         tc = st[nst - 1].cv;
-                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
+                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
                     }
                     break;
                 case 'w':
                     if (nst >= 1 && st[nst - 1].conv) {
                         tw = st[nst - 1].cv;
-                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
+                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
                     }
                     break;
                 case 'z':
@@ -618,12 +646,12 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                         tz = (st[nst - 1].cv != 0.0 ? st[nst - 1].cv
                                                     : 100.0) /
                              100.0;
-                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
+                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
                     }
                     break;
                 case '*':
-                    y -= leading;
-                    EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                    LM_TRANSLATE(0.0, -leading);
+                    EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
                     break;
                 case 'j': /* Tj */
                     if (nst >= 1 && st[nst - 1].kind == OP_STR)
@@ -636,8 +664,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 }
             } else if (oplen == 1 && (op[0] == '\'' || op[0] == '"')) {
                 int abort_show = 0;
-                y -= leading;
-                EMIT(K_ANCHOR, 0, 0, 0, line_x, y, sx, 0);
+                LM_TRANSLATE(0.0, -leading);
+                EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
                 if (op[0] == '"' && nst >= 3) {
                     /* fallback order: tw converts first (kept on partial
                      * failure of tc), a failure skips the show */
@@ -648,7 +676,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                         } else {
                             abort_show = 1;
                         }
-                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
+                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
                     } else {
                         abort_show = 1;
                     }
@@ -659,14 +687,59 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
             } else if (oplen == 2 && op[0] == 'D' && op[1] == 'o') {
                 if (nst >= 1 && st[nst - 1].kind == OP_NAME)
                     EMIT(K_XOBJ, 0, st[nst - 1].a, st[nst - 1].b, 0, 0, 0, 0);
+            } else if (oplen == 1 && op[0] == 'q') {
+                if (qn < 64) {
+                    qs[qn][0] = cm_a;
+                    qs[qn][1] = cm_b;
+                    qs[qn][2] = cm_c;
+                    qs[qn][3] = cm_d;
+                    qs[qn][4] = cm_e;
+                    qs[qn][5] = cm_f;
+                    qn++;
+                }
+            } else if (oplen == 1 && op[0] == 'Q') {
+                if (qn > 0) {
+                    qn--;
+                    cm_a = qs[qn][0];
+                    cm_b = qs[qn][1];
+                    cm_c = qs[qn][2];
+                    cm_d = qs[qn][3];
+                    cm_e = qs[qn][4];
+                    cm_f = qs[qn][5];
+                }
+            } else if (oplen == 2 && op[0] == 'c' && op[1] == 'm') {
+                /* CTM' = m x CTM; applied only when all six operands
+                 * convert (mirrored by the Python fallback) */
+                if (nst >= 6 && st[nst - 6].conv && st[nst - 5].conv &&
+                    st[nst - 4].conv && st[nst - 3].conv &&
+                    st[nst - 2].conv && st[nst - 1].conv) {
+                    double ma = st[nst - 6].cv, mb = st[nst - 5].cv;
+                    double mc = st[nst - 4].cv, md = st[nst - 3].cv;
+                    double me = st[nst - 2].cv, mf = st[nst - 1].cv;
+                    double na = ma * cm_a + mb * cm_c;
+                    double nb = ma * cm_b + mb * cm_d;
+                    double nc = mc * cm_a + md * cm_c;
+                    double nd = mc * cm_b + md * cm_d;
+                    double ne = me * cm_a + mf * cm_c + cm_e;
+                    double nf = me * cm_b + mf * cm_d + cm_f;
+                    cm_a = na;
+                    cm_b = nb;
+                    cm_c = nc;
+                    cm_d = nd;
+                    cm_e = ne;
+                    cm_f = nf;
+                }
             } else if (oplen == 2 && op[0] == 'B' && op[1] == 'T') {
-                y = 0.0;
-                line_x = 0.0;
-                sx = 1.0;
+                tm_a = 1.0;
+                tm_b = 0.0;
+                tm_c = 0.0;
+                tm_d = 1.0;
+                tm_e = 0.0;
+                tm_f = 0.0;
                 rise = 0.0;
                 /* leading/Tc/Tw/Tz persist across BT (spec table 103) */
-                EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise);
-                EMIT(K_ANCHOR, 0, 0, 0, 0.0, 0.0, 1.0, 0);
+                EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
+                EMIT(K_ANCHOR, 0, 0, 0, TX_X(0.0, 0.0), TX_Y(0.0, 0.0), cm_a, 0);
             } else if (oplen == 2 && op[0] == 'B' && op[1] == 'I') {
                 pos = skip_inline_image(d, pos, n);
             }
@@ -683,6 +756,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
     if (tj_start >= 0)
         nev = tj_start;
     return nev;
+#undef TX_X
+#undef TX_Y
+#undef LM_TRANSLATE
 }
 
 /* ------------------------------------------------------------------ *
@@ -712,7 +788,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
 #include <math.h>
 
 #define RP_Y_TOL 1.0
-#define RP_GAP_FRACTION 0.18
+#define RP_GAP_FRACTION 0.102
 #define RP_TJ_SPACE_THRESHOLD 180.0
 
 typedef struct {

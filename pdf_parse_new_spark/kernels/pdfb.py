@@ -36,6 +36,7 @@ Pure-Python + zlib; designed to run inside Arrow-batched ``mapInPandas``
 from __future__ import annotations
 
 import re
+import unicodedata
 import zlib
 
 from pdf_parse_new_spark import spec
@@ -893,6 +894,27 @@ def _base_encoding(name: str | None) -> list[str]:
     return table
 
 
+# JS regex \s (the class pdf.js's getCharUnicodeCategory tests first)
+_JS_WS = frozenset(
+    "\t\n\x0b\f\r \u00a0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+
+def _normalize_glyph(v: str) -> str:
+    """pdf.js glyph-category normalization (pdf.worker.js:20976,36686-36704):
+    whitespace-class glyphs read as one plain space, invisible format
+    marks vanish. The category regex tests ^(\\s) first and (\\p{Cf})$
+    second — mirrored here including the first/last-char anchoring."""
+    if not v or v == " ":
+        return v
+    if v[0] in _JS_WS:
+        return " "
+    if unicodedata.category(v[-1]) == "Cf":
+        return ""
+    return v
+
+
 _LIGATURES = {
     "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
     "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "st", "ﬆ": "st",
@@ -1070,7 +1092,9 @@ class FontMap:
             cid = self._cid(code)
             # control chars would corrupt the line model; NUL pads are
             # common in Identity-H strings
-            return chr(cid) if cid >= 32 else ""
+            if cid < 32:
+                return ""
+            return _normalize_glyph(chr(cid))
         return ""
 
     def _codes(self, s: bytes) -> list[int]:
@@ -1239,9 +1263,17 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
             table = {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}
     # expand ligature codepoints the way the reference's text output does
     # (golden .txt has ASCII "efficiency", not U+FB03): done once per font
-    # table, not per decoded string
+    # table, not per decoded string. Then normalize per pdf.js glyph
+    # categories (getCharUnicodeCategory + the show loop,
+    # pdf.worker.js:20976/36693): a whitespace-class glyph — JS \s, which
+    # includes NBSP, U+2028/2029 (Office PDFs map the paragraph-mark
+    # glyph there), ideographic space — contributes a PLAIN SPACE to the
+    # text; invisible format marks (Cf: ZWSP, soft hyphen's cousins,
+    # directional marks) are skipped entirely.
     table = {
-        k: ("".join(_LIGATURES.get(c, c) for c in v) if v else v)
+        k: _normalize_glyph(
+            "".join(_LIGATURES.get(c, c) for c in v) if v else v
+        )
         for k, v in table.items()
     }
     return FontMap(
@@ -1379,10 +1411,11 @@ class _TextInterp:
         self.last_y: float | None = None
         self.last_end_x: float | None = None
 
-    # fraction of the font size an inter-item x-gap must exceed to count as
-    # a word break (pdf.js combineTextItems inserts a space on such gaps —
-    # the golden text has "in Fig", not "inFig", even though the items abut)
-    GAP_FRACTION = 0.18
+    # fraction of the font size an inter-item x-gap must exceed to count
+    # as a word break — the reference's TRACKING_SPACE_FACTOR /
+    # SPACE_IN_FLOW_MIN_FACTOR (pdf.worker.js:36387,36390): gaps past
+    # 0.102 x fontSize read as spaces ("in Fig", not "inFig")
+    GAP_FRACTION = 0.102
 
     def show(self, s: str, ty: float, tx: float | None = None,
              size: float = 0.0) -> None:
@@ -1617,19 +1650,27 @@ class _TextInterp:
         fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
         xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
         fm = _ASCII_FM
-        y = 0.0
         leading = 0.0
         rise = 0.0  # Ts text rise (pdf.js folds it into transform[5])
-        # x tracking for inter-item word gaps: line_x = line-matrix origin,
-        # cur_x = draw position (advances by /Widths glyph widths); sx =
-        # the Tm x-scale so advances stay in text-space units
-        line_x = 0.0
+        # full text LINE MATRIX (Tm sets it, Td/TD/T* compose translations
+        # into it — offsets are unscaled text units the matrix multiplies)
+        tm_a, tm_b, tm_c, tm_d, tm_e, tm_f = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
         cur_x = 0.0
         size = 0.0
-        sx = 1.0
         tc = 0.0  # Tc char spacing (text-space units, added per glyph)
         tw = 0.0  # Tw word spacing (added per 0x20 byte, 1-byte fonts)
         tz = 1.0  # Tz horizontal scaling (percent / 100, scales advances)
+        # graphics-state CTM (q/Q/cm): the working coordinates ay/ax/asx
+        # that shows see are TRANSFORMED at anchor points, mirroring the
+        # C lexer's emit-time transform — absolute positions like the
+        # reference's item.transform[5]. arise = rise pre-scaled by the
+        # CTM d coefficient at Ts time (same staleness window as C).
+        cm_a, cm_b, cm_c, cm_d, cm_e, cm_f = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
+        qstack: list[tuple] = []
+        ax = 0.0
+        ay = 0.0
+        asx = 1.0
+        arise = 0.0
         stack: list = []
         pos = 0
         n = len(data)
@@ -1639,7 +1680,7 @@ class _TextInterp:
             spaces = item.count(0x20) if fm.nbytes == 1 else 0
             return (
                 fm.advance(item) / 1000.0 * size + glyphs * tc + spaces * tw
-            ) * sx * tz
+            ) * asx * tz
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
@@ -1673,23 +1714,55 @@ class _TextInterp:
                     fm = self._font_for(fonts_dict, str(stack[-2]))
                     size = float(stack[-1])
                 elif op == b"Td" and len(stack) >= 2:
-                    y += float(stack[-1])
-                    line_x += float(stack[-2])
-                    cur_x = line_x
+                    ty = float(stack[-1])
+                    # y leg first (C K_SETY): visible even if the x
+                    # operand fails to convert below
+                    tm_e += ty * tm_c
+                    tm_f += ty * tm_d
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    tx_ = float(stack[-2])
+                    tm_e += tx_ * tm_a
+                    tm_f += tx_ * tm_b
+                    ax = cm_a * tm_e + cm_c * tm_f + cm_e
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    cur_x = ax
                 elif op == b"TD" and len(stack) >= 2:
-                    leading = -float(stack[-1])
-                    y += float(stack[-1])
-                    line_x += float(stack[-2])
-                    cur_x = line_x
+                    ty = float(stack[-1])
+                    leading = -ty
+                    tm_e += ty * tm_c
+                    tm_f += ty * tm_d
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    tx_ = float(stack[-2])
+                    tm_e += tx_ * tm_a
+                    tm_f += tx_ * tm_b
+                    ax = cm_a * tm_e + cm_c * tm_f + cm_e
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    cur_x = ax
                 elif op == b"Tm" and len(stack) >= 6:
-                    y = float(stack[-1])
-                    line_x = float(stack[-2])
-                    cur_x = line_x
-                    sx = float(stack[-6]) or 1.0
+                    tm_f = float(stack[-1])
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    tm_e = float(stack[-2])
+                    try:
+                        va = float(stack[-6])
+                        vb = float(stack[-5])
+                        vc = float(stack[-4])
+                        vd = float(stack[-3])
+                    except (TypeError, ValueError):
+                        pass
+                    else:
+                        tm_a = va or 1.0
+                        tm_b = vb
+                        tm_c = vc
+                        tm_d = vd or 1.0
+                    ax = cm_a * tm_e + cm_c * tm_f + cm_e
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    asx = tm_a * cm_a
+                    cur_x = ax
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
                 elif op == b"Ts" and stack:
                     rise = float(stack[-1])
+                    arise = rise * tm_d * cm_d
                 elif op == b"Tc" and stack:
                     tc = float(stack[-1])
                 elif op == b"Tw" and stack:
@@ -1697,22 +1770,30 @@ class _TextInterp:
                 elif op == b"Tz" and stack:
                     tz = (float(stack[-1]) or 100.0) / 100.0
                 elif op == b"T*":
-                    y -= leading
-                    cur_x = line_x
+                    tm_e += -leading * tm_c
+                    tm_f += -leading * tm_d
+                    ax = cm_a * tm_e + cm_c * tm_f + cm_e
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    asx = tm_a * cm_a
+                    cur_x = ax
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                     item = stack[-1]
-                    self.show(fm.decode(item), y + rise, cur_x, size * sx)
+                    self.show(fm.decode(item), ay + arise, cur_x, size * asx)
                     cur_x += advance(item)
                     self.last_end_x = cur_x
                 elif op in (b"'", b'"'):
-                    y -= leading
-                    cur_x = line_x
+                    tm_e += -leading * tm_c
+                    tm_f += -leading * tm_d
+                    ax = cm_a * tm_e + cm_c * tm_f + cm_e
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    asx = tm_a * cm_a
+                    cur_x = ax
                     if op == b'"' and len(stack) >= 3:
                         tw = float(stack[-3])
                         tc = float(stack[-2])
                     if stack and isinstance(stack[-1], bytes):
                         item = stack[-1]
-                        self.show(fm.decode(item), y + rise, cur_x, size * sx)
+                        self.show(fm.decode(item), ay + arise, cur_x, size * asx)
                         cur_x += advance(item)
                         self.last_end_x = cur_x
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
@@ -1723,22 +1804,45 @@ class _TextInterp:
                             buf.append(fm.decode(item))
                             cur_x += advance(item)
                         elif isinstance(item, (int, float)):
-                            cur_x -= item / 1000.0 * size * sx
+                            cur_x -= item / 1000.0 * size * asx
                             if item < -spec.TJ_SPACE_THRESHOLD:
                                 buf.append(" ")
-                    self.show("".join(buf), y + rise, start_x, size * sx)
+                    self.show("".join(buf), ay + arise, start_x, size * asx)
                     self.last_end_x = cur_x
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
                 elif op == b"BT":
-                    y = 0.0
                     rise = 0.0
-                    line_x = cur_x = 0.0
-                    sx = 1.0
+                    arise = 0.0
+                    tm_a, tm_b, tm_c = 1.0, 0.0, 0.0
+                    tm_d, tm_e, tm_f = 1.0, 0.0, 0.0
+                    ax = cm_e
+                    ay = cm_f
+                    asx = cm_a
+                    cur_x = ax
                     # leading/Tc/Tw/Tz are TEXT STATE (persist across BT;
                     # spec table 103) — only the matrices reset
-                # other operators (q/Q, cm, gs, re, colors, paths...) are
-                # no-ops for text extraction
+                elif op == b"cm" and len(stack) >= 6:
+                    vals = [float(stack[i]) for i in range(-6, 0)]
+                    ma, mb, mc, md, me, mf = vals
+                    (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f) = (
+                        ma * cm_a + mb * cm_c,
+                        ma * cm_b + mb * cm_d,
+                        mc * cm_a + md * cm_c,
+                        mc * cm_b + md * cm_d,
+                        me * cm_a + mf * cm_c + cm_e,
+                        me * cm_b + mf * cm_d + cm_f,
+                    )
+                elif op == b"q":
+                    if len(qstack) < 64:
+                        qstack.append(
+                            (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f)
+                        )
+                elif op == b"Q":
+                    if qstack:
+                        (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f) = qstack.pop()
+                # other operators (gs, re, colors, paths...) are no-ops
+                # for text extraction
             except (TypeError, ValueError):
                 pass
             stack.clear()
@@ -1757,9 +1861,31 @@ class _TextInterp:
         body = doc.decoded(ref)
         if not body:
             return
-        # the form draws in its own coordinate space: break line continuity
-        # on entry and exit so its y values never merge with page lines
-        self.last_y = None
+        # the form's /Matrix maps form space onto the parent space: seed
+        # the nested interpreter's CTM by prepending the equivalent cm
+        # (both the C lexer and the Python fallback consume it the same
+        # way; fixed-point formatting because the content-stream number
+        # grammar has no exponents)
+        mat = doc.resolve(xo.dict.get("Matrix"))
+        if isinstance(mat, list) and len(mat) == 6:
+            try:
+                vals = [float(doc.resolve(v)) for v in mat]
+                if vals != [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]:
+                    body = (
+                        " ".join(f"{v:.8f}" for v in vals) + " cm\n"
+                    ).encode("ascii") + body
+            except (TypeError, ValueError):
+                pass
+        # the form draws in its own coordinate space; the reference sees
+        # ABSOLUTE y positions (text matrix x CTM) so form text virtually
+        # always lands on its own lines. last_y = +inf makes the form's
+        # first show — and, if the form emitted anything, the page's next
+        # show — take the y-jump line break; a form that draws no text
+        # leaves the page's line continuity untouched (reference parity:
+        # no items -> lastY unchanged).
+        prev_y, prev_x = self.last_y, self.last_end_x
+        mark = len(self.pieces)
+        self.last_y = float("inf")
         self.last_end_x = None
         self.run(
             body,
@@ -1767,8 +1893,11 @@ class _TextInterp:
             depth + 1,
             seen | ({key} if key is not None else set()),
         )
-        self.last_y = None
-        self.last_end_x = None
+        if len(self.pieces) == mark:  # nothing emitted: restore continuity
+            self.last_y, self.last_end_x = prev_y, prev_x
+        else:
+            self.last_y = float("inf")
+            self.last_end_x = None
 
 
 def _page_text(doc: Document, page: dict, resources) -> str:

@@ -14,6 +14,7 @@ regressions are caught even when the two probe substrings survive.
 from __future__ import annotations
 
 import json
+import os
 import re
 from collections import Counter
 
@@ -606,3 +607,42 @@ def test_embedded_cmap_ranged_codespace():
     doc = _page_scaffold(content, font_objs, font_ref=5)
     r = pdfb.parse_pdf_bytes(doc)
     assert r["text"].strip() == "AあB", repr(r["text"])
+
+
+# word-recall floors vs the CURRENT reference's output (generated by
+# running lib/pdf-parse.js under node over the same corpus; the shipped
+# .txt goldens predate the reference's Y_TOLERANCE change and keep
+# subscripts on their own lines, so they can never be matched exactly by
+# ANY implementation of the current code — including the reference
+# itself, which scores 0.9922 against its own golden on 01-valid)
+REF_CURRENT_FLOORS = {
+    "01-valid": (0.999, 0.999),
+    "02-valid": (0.990, 0.995),
+    "04-valid": (0.995, 0.993),
+    "05-versions-space": (0.999, 0.999),
+}
+
+
+@pytest.mark.parametrize("name", sorted(REF_CURRENT_FLOORS))
+def test_recall_vs_current_reference_output(name):
+    """Parity against what the reference produces TODAY (node-generated
+    from its own corpus): measured 1.0000/0.9940/0.9984/1.0000 recall
+    after the line-matrix + glyph-category + CTM work."""
+    import collections
+
+    cur = open(
+        f"{os.path.dirname(__file__)}/data/ref_current/{name}.txt",
+        encoding="utf-8",
+    ).read()
+    ours = pdfb.parse_pdf_bytes(open(f"{DATA}/{name}.pdf", "rb").read())["text"]
+
+    def tok(s):
+        return collections.Counter(re.findall(r"[^\W_]+", s, re.UNICODE))
+
+    cc, oc = tok(cur), tok(ours)
+    hit = sum((cc & oc).values())
+    recall = hit / max(1, sum(cc.values()))
+    precision = hit / max(1, sum(oc.values()))
+    r_floor, p_floor = REF_CURRENT_FLOORS[name]
+    assert recall >= r_floor, f"{name} recall {recall:.4f}"
+    assert precision >= p_floor, f"{name} precision {precision:.4f}"
