@@ -160,6 +160,18 @@ MALFORMED_ARRAYS = [
     b"BT 1 0 0 1 " + b"9" * 80 + b" 700 Tm (bignum) Tj "
     b"1 0 0 1 5 650 Tm (after) Tj ET",
     b"BT [(x) " + b"1" * 100 + b" (y)] TJ ET",
+    # CTM parity: cm scales/translates positions and gaps; q/Q nest and
+    # restore; unbalanced Q and junk operands must not diverge the paths
+    b"q 2 0 0 2 10 20 cm BT 1 0 0 1 5 700 Tm (scaled) Tj ET Q "
+    b"BT 1 0 0 1 5 600 Tm (after) Tj ET",
+    b"q 0.5 0 0 0.5 0 0 cm q 1 0 0 1 100 100 cm "
+    b"BT 12 0 0 12 3 50 Tm (nested) Tj ET Q Q BT (outer) Tj ET",
+    b"1 0 0 1 x 20 cm BT (badcm) Tj ET",       # junk operand: cm ignored
+    b"Q Q BT (underflow) Tj ET q q q",          # stack under/overflow safe
+    b"q 8.29 0 0 7.97 32 728 cm BT /F1 1 Tf 0 -1.31 TD (a) Tj "
+    b"0 -1.31 TD (b) Tj ET Q",                  # matrix-scaled leading
+    b"BT 8.3 0 0 8.0 30 700 Tm (m1) Tj 25.4 0 Td (far) Tj "
+    b"0 -1.3 Td (dn) Tj ET",                    # Tm-scaled Td offsets
 ]
 
 
@@ -184,6 +196,7 @@ def test_random_token_soup_paths_identical():
         "[", "]", "<<", ">>", "true", "false", "null", "foo", "%c\n",
         "Tj", "TJ", "Td", "TD", "Tm", "TL", "T*", "Tf", "Tc", "Tw",
         "Tz", "Ts", "'", '"', "BT", "ET", "q", "Q", "Do", ")", "}", "{",
+        "cm", "2 0 0 2 5 5 cm", "0.5 0 0 0.5 0 0 cm",
         "12", "700", "0", "1",
     ]
     for trial in range(60):
