@@ -171,7 +171,7 @@ def main() -> None:
     # measured crossover so the intra-document speedup is visible again
     # (see BENCH/BASELINE.md "Huge-single-document scenario").
     HUGE_PAGES = 20_000
-    huge_dir = "/tmp/spark_graft_bench/huge_pdf_v2"
+    huge_dir = "/tmp/spark_graft_bench/huge_pdf_v3"  # v3: fixture gained /F1 Tf (reference-parity)
     huge_file = os.path.join(huge_dir, "huge.pdf")
     if not os.path.exists(huge_file):
         os.makedirs(huge_dir, exist_ok=True)

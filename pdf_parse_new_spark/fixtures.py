@@ -541,9 +541,14 @@ def build_big_binary_pdf(
     ]
     objects: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # a shared Type1 font: text rendered WITHOUT a Tf is a spec
+        # violation pdf.js refuses to draw (ensureStateFont), so fixtures
+        # must select one to stay comparable with the reference
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     }
+    res = b" /Resources << /Font << /F1 3 0 R >> >>"
     kid_refs = []
-    next_obj = 3
+    next_obj = 4
     page_objs = []
     for p in range(n_pages):
         page_lines = []
@@ -555,7 +560,7 @@ def build_big_binary_pdf(
                 % (yy, text.encode(), p + 1, li)
             )
             yy -= 14
-        ops = b"BT " + b" ".join(page_lines) + b" ET"
+        ops = b"BT /F1 10 Tf " + b" ".join(page_lines) + b" ET"
         comp = zlib.compress(ops)
         content_num = next_obj
         page_num = next_obj + 1
@@ -565,7 +570,8 @@ def build_big_binary_pdf(
             % (len(comp), comp)
         )
         objects[page_num] = (
-            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % content_num
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R%s >>"
+            % (content_num, res)
         )
         kid_refs.append(b"%d 0 R" % page_num)
         page_objs.append(page_num)

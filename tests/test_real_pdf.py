@@ -646,3 +646,21 @@ def test_recall_vs_current_reference_output(name):
     r_floor, p_floor = REF_CURRENT_FLOORS[name]
     assert recall >= r_floor, f"{name} recall {recall:.4f}"
     assert precision >= p_floor, f"{name} precision {precision:.4f}"
+
+
+def test_synthetic_fixture_byte_equals_reference_output():
+    """The chunking-bench fixture generator produces spec-valid PDFs whose
+    extracted text is BYTE-EQUAL to what the reference emits on the same
+    bytes (golden generated by running lib/pdf-parse.js under node on
+    build_big_binary_pdf(50); deterministic seed). Guards both the
+    generator (a missing Tf once made pdf.js drop every page) and the
+    interpreter's line model on the synthetic dialect."""
+    from pdf_parse_new_spark import fixtures
+
+    raw = fixtures.build_big_binary_pdf(50)
+    ours = pdfb.parse_pdf_bytes(raw)["text"]
+    golden = open(
+        f"{os.path.dirname(__file__)}/data/ref_current/synthetic-50p.txt",
+        encoding="utf-8",
+    ).read()
+    assert ours == golden
