@@ -794,7 +794,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
 typedef struct {
     double y, cur_x, size, sx, tc, tw, tz, rise;
     double last_y, last_end_x;
-    int have_last_y, have_last_end_x, line_open;
+    int have_last_y, have_last_end_x, line_open, pending_space;
     unsigned char last_char;
     long cur_font;
 } RState;
@@ -913,15 +913,38 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
     return 0;
 }
 
-/* the show() line model over the staged region [mark, *olen): insert a
- * line break or word-gap space BEFORE it when the rules fire. */
+/* the show() line model over the staged region [mark, *olen): collapse
+ * whitespace runs (the reference's pending-space dedupe), insert a line
+ * break or word-gap/pending space BEFORE the region when the rules
+ * fire, and keep trailing spaces PENDING instead of emitted — they only
+ * materialize before a following non-space glyph on the same line. */
 static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
                    long mark, double ty, double tx, double size)
 {
     long o = *olen, m = o - mark;
     if (m == 0)
         return 0;
+    /* collapse 0x20 runs in place */
+    {
+        long w = mark;
+        for (long r = mark; r < o; r++) {
+            if (out[r] == ' ' && w > mark && out[w - 1] == ' ')
+                continue;
+            out[w++] = out[r];
+        }
+        o = w;
+        m = o - mark;
+    }
     if (st->have_last_y && fabs(ty - st->last_y) > RP_Y_TOL) {
+        /* line break: newline in, line-leading spaces never materialize */
+        long skip = 0;
+        while (skip < m && out[mark + skip] == ' ')
+            skip++;
+        if (skip) {
+            memmove(out + mark, out + mark + skip, m - skip);
+            o -= skip;
+            m -= skip;
+        }
         if (o + 1 > ocap)
             return -1;
         memmove(out + mark + 1, out + mark, m);
@@ -930,17 +953,45 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         st->line_open = 0;
         st->last_char = 0;
         st->have_last_end_x = 0;
-    } else if (st->have_last_end_x && size > 0.0 &&
-               tx - st->last_end_x > RP_GAP_FRACTION * size &&
+        st->pending_space = 0;
+    } else if (((st->have_last_end_x && size > 0.0 &&
+                 tx - st->last_end_x > RP_GAP_FRACTION * size) ||
+                st->pending_space) &&
                st->line_open && st->last_char != ' ' && out[mark] != ' ') {
         if (o + 1 > ocap)
             return -1;
         memmove(out + mark + 1, out + mark, m);
         out[mark] = ' ';
         o++;
+        st->pending_space = 0;
+    } else {
+        st->pending_space = 0;
     }
-    st->last_char = out[o - 1];
-    st->line_open = 1;
+    /* trailing spaces stay pending */
+    {
+        int trail = 0;
+        while (o > mark && out[o - 1] == ' ' &&
+               (o - 1 > mark ? 1 : out[mark] == ' ')) {
+            /* strip trailing run (only glyph spaces live here) */
+            o--;
+            trail = 1;
+        }
+        long body = o - mark;
+        /* skip a leading '\n' we may have just inserted when checking
+         * emptiness of the glyph body */
+        if (body > 0 && out[mark] == '\n')
+            body--;
+        if (body == 0) {
+            st->pending_space = st->line_open ? 1 : 0;
+            st->last_y = ty;
+            st->have_last_y = 1;
+            *olen = o;
+            return 0;
+        }
+        st->last_char = out[o - 1];
+        st->line_open = 1;
+        st->pending_space = trail;
+    }
     st->last_y = ty;
     st->have_last_y = 1;
     *olen = o;
@@ -969,6 +1020,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.line_open = state[12] != 0.0;
     st.last_char = (unsigned char)state[13];
     st.cur_font = (long)state[14];
+    st.pending_space = state[15] != 0.0;
 
     long olen = 0, tjmark = -1;
     double tj_start_x = 0.0;
@@ -1063,6 +1115,7 @@ done:
     state[12] = st.line_open ? 1.0 : 0.0;
     state[13] = (double)st.last_char;
     state[14] = (double)st.cur_font;
+    state[15] = st.pending_space ? 1.0 : 0.0;
     *out_len = olen;
     return ret;
 }

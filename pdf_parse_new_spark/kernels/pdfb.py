@@ -1370,6 +1370,7 @@ def _walk_pages(doc: Document, node_ref, pages: list, seen: set, resources) -> N
 
 
 _OPERATOR = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+_SPACE_RUN = re.compile("  +")
 
 # cross-document font-map cache: (payload sha1, obj num, gen) -> FontMap.
 # Insertion-ordered dict as LRU-ish (overwrite-evict oldest); per Python
@@ -1408,6 +1409,7 @@ class _TextInterp:
         self.pieces: list[str] = []
         self.line_open = False
         self.last_char = ""
+        self.pending_space = False
         self.last_y: float | None = None
         self.last_end_x: float | None = None
 
@@ -1425,24 +1427,52 @@ class _TextInterp:
         # text chunk, pdf.worker.js:32557/36500; pinned to its output by
         # tests/test_bidi_reference.py over node-generated goldens)
         s = _bidi_mod.visual(s)
+        # the reference's pending-space model (saveLastChar/
+        # shouldAddWhitepsace, pdf.worker.js:36373-36385): whitespace
+        # glyphs only MATERIALIZE before a following non-space glyph on
+        # the same line — runs collapse to one space, and spaces never
+        # survive at line edges (its output has no doubles and no
+        # leading-after-newline; our trailing-space handling mirrors the
+        # glyph-borne case)
+        s = _SPACE_RUN.sub(" ", s)
         if self.last_y is not None and abs(ty - self.last_y) > spec.Y_TOLERANCE:
             self.pieces.append("\n")
             self.line_open = False
             self.last_char = ""
             self.last_end_x = None
+            self.pending_space = False
+            s = s.lstrip(" ")
         elif (
-            tx is not None
-            and self.last_end_x is not None
-            and size > 0
-            and tx - self.last_end_x > self.GAP_FRACTION * size
+            (
+                (
+                    tx is not None
+                    and self.last_end_x is not None
+                    and size > 0
+                    and tx - self.last_end_x > self.GAP_FRACTION * size
+                )
+                or self.pending_space
+            )
             and self.line_open
             and self.last_char != " "
             and not s.startswith(" ")
         ):
             self.pieces.append(" ")
+            self.pending_space = False
+        else:
+            self.pending_space = False
+        trail = s.endswith(" ")
+        if trail:
+            s = s.rstrip(" ")
+        if not s:
+            # all-whitespace item: nothing lands; a space stays pending
+            # when a line is open (line-leading whitespace never shows)
+            self.pending_space = self.line_open
+            self.last_y = ty
+            return
         self.pieces.append(s)
         self.line_open = True
         self.last_char = s[-1]
+        self.pending_space = trail
         self.last_y = ty
 
     def text(self) -> str:
@@ -1545,6 +1575,7 @@ class _TextInterp:
             st[11] = 0.0 if self.last_end_x is None else 1.0
             st[12] = 1.0 if self.line_open else 0.0
             st[13] = float(ord(self.last_char)) if self.last_char else 0.0
+            st[15] = 1.0 if self.pending_space else 0.0
             while True:
                 ret, olen = cinterp.replay(
                     data, ev, i, font_idx, tbytes, toff, widths, st, out
@@ -1559,6 +1590,7 @@ class _TextInterp:
             self.line_open = bool(st[12])
             lc = int(st[13])
             self.last_char = chr(lc) if lc else ""
+            self.pending_space = bool(st[15])
             if ret >= nev:
                 return
             if depth < self.MAX_DEPTH:

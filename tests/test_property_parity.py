@@ -171,5 +171,6 @@ def test_bidi_in_binary_dialect_show_path():
     interp = pdfb._TextInterp.__new__(pdfb._TextInterp)
     interp.pieces, interp.line_open, interp.last_char = [], False, ""
     interp.last_y, interp.last_end_x = None, None
+    interp.pending_space = False
     interp.show("hello שלום עולם world", 0.0)
     assert interp.text() == "world " + "שלום עולם"[::-1] + " hello"

@@ -664,3 +664,65 @@ def test_synthetic_fixture_byte_equals_reference_output():
         encoding="utf-8",
     ).read()
     assert ours == golden
+
+
+def test_pending_space_model():
+    """pdf.js's pending-space text assembly (saveLastChar /
+    appendToTextContent, pdf.worker.js:36373-36385): whitespace glyphs
+    only materialize before a following non-space glyph on the SAME line.
+    Runs collapse to one space; trailing/leading spaces never survive at
+    line edges (node-verified: the reference's output for the whole
+    corpus contains zero double spaces, zero trailing spaces, and zero
+    post-newline leading spaces)."""
+    def mk():
+        it = pdfb._TextInterp.__new__(pdfb._TextInterp)
+        it.pieces, it.line_open, it.last_char = [], False, ""
+        it.last_y, it.last_end_x, it.pending_space = None, None, False
+        return it
+
+    # interior runs collapse
+    it = mk()
+    it.show("a  b   c", 0.0)
+    assert it.text() == "a b c"
+
+    # a trailing space stays pending: materializes before the next
+    # same-line item, not at end-of-text
+    it = mk()
+    it.show("word ", 0.0)
+    assert it.text() == "word"
+    it.show("next", 0.0)
+    assert it.text() == "word next"
+
+    # pending space dies at a line break (no trailing space before \n,
+    # no leading space after it)
+    it = mk()
+    it.show("tail ", 0.0)
+    it.show(" head", 10.0)
+    assert it.text() == "tail\nhead"
+
+    # an all-whitespace item holds a pending space across items
+    it = mk()
+    it.show("x", 0.0)
+    it.show("   ", 0.0)
+    it.show("y", 0.0)
+    assert it.text() == "x y"
+
+    # but an all-whitespace item at line start produces nothing
+    it = mk()
+    it.show(" ", 0.0)
+    it.show("z", 0.0)
+    assert it.text() == "z"
+
+
+def test_ref_current_05_byte_equal():
+    """05-versions-space is BYTE-EQUAL to what the live reference emits
+    (node lib/pdf-parse.js over the same bytes) after the pending-space
+    model — the strongest parity pin we hold on a real-world PDF."""
+    golden = open(
+        f"{os.path.dirname(__file__)}/data/ref_current/05-versions-space.txt",
+        encoding="utf-8",
+    ).read()
+    ours = pdfb.parse_pdf_bytes(
+        open(f"{DATA}/05-versions-space.pdf", "rb").read()
+    )["text"]
+    assert ours == golden
