@@ -615,7 +615,11 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                                 tm_d = st[nst - 3].cv != 0.0
                                            ? st[nst - 3].cv : 1.0;
                             }
-                            EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
+                            /* flag=1: Tm anchor — the only op that runs
+                             * updateAdvanceScale (pdf.worker.js:36871),
+                             * so only it can zero an open item's width
+                             * (the textOrientation==0 flush) */
+                            EMIT(K_ANCHOR, 1, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
                         }
                     }
                     break;

@@ -799,7 +799,8 @@ _GLYPHS = {
     "quotesinglbase": "‚", "quotedblbase": "„",
     "endash": "–", "emdash": "—", "bullet": "•",
     "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
-    "copyright": "©", "registered": "®", "trademark": "™",
+    "copyright": "©", "circlecopyrt": "©", "registered": "®",
+    "trademark": "™",
     "degree": "°", "minus": "−", "plusminus": "±",
     "multiply": "×", "divide": "÷", "fraction": "⁄",
     "florin": "ƒ", "perthousand": "‰", "section": "§",
@@ -854,6 +855,30 @@ def _glyph_to_unicode(name: str) -> str:
             return chr(int(name[1:], 16))
         except ValueError:
             return ""
+    # subset-font name heuristics (pdf.worker.js:37266-37296
+    # _simpleFontToUnicode): GXX hex, gXXXX hex, C/cNN decimal-then-hex
+    if name[0] == "G" and len(name) == 3:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    if name[0] == "g" and len(name) == 5:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    if name[0] in "Cc" and 3 <= len(name) <= 4:
+        body = name[1:]
+        try:
+            code = int(body, 10)
+        except ValueError:
+            try:
+                code = int(body, 16)
+            except ValueError:
+                return ""
+        if 0 < code <= 0x10FFFF:
+            return chr(code)
+        return ""
     # compose "eacute"-style names
     import unicodedata
 
@@ -1197,7 +1222,22 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
         base_name = str(enc["BaseEncoding"]) if "BaseEncoding" in enc else None
         diffs = doc.resolve(enc.get("Differences"))
     if nbytes == 1:
-        base = _base_encoding(base_name)
+        symbolic = False
+        fd = doc.resolve(font.get("FontDescriptor"))
+        if isinstance(fd, dict):
+            fl = doc.resolve(fd.get("Flags"))
+            symbolic = isinstance(fl, int) and bool(fl & 4)
+        if base_name is None and symbolic:
+            # symbolic font without /BaseEncoding: pdf.js maps through
+            # the FONT PROGRAM's built-in encoding
+            # (type1FontGlyphMapping, pdf.worker.js:21045-21048) — we
+            # can't read the embedded program, and its glyph names
+            # mostly fail the unicode map anyway, so charcodes pass
+            # through (the chr(code) fill below), matching the
+            # reference's output on subset symbol fonts
+            base = [""] * 256
+        else:
+            base = _base_encoding(base_name)
         for i, ch in enumerate(base):
             if ch:
                 table[i] = ch
@@ -1261,6 +1301,15 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
             identity = True
         else:
             table = {i: chr(i) if 32 <= i < 127 else "" for i in range(256)}
+    if nbytes == 1 and not identity and not var_ranges:
+        # glyph.unicode falls back to the RAW CHARCODE when no mapping
+        # resolves (pdf.worker.js:29772: toUnicode.get(charcode) ||
+        # charcode): subset symbol fonts without usable names pass
+        # their codes through — the reference's output keeps those
+        # untranslated chars, so parity requires emitting them too
+        for i in range(256):
+            if not table.get(i):
+                table[i] = _normalize_glyph(chr(i))
     # expand ligature codepoints the way the reference's text output does
     # (golden .txt has ASCII "efficiency", not U+FB03): done once per font
     # table, not per decoded string. Then normalize per pdf.js glyph
@@ -1410,8 +1459,29 @@ class _TextInterp:
         self.line_open = False
         self.last_char = ""
         self.pending_space = False
+        # two y trackers, mirroring the reference's two-stage assembly:
+        # pdf.js decides flush/EOL/space per glyph against the PREVIOUS
+        # GLYPH position (textContentItem.prevTransform,
+        # pdf.worker.js:36614-36615), while pdf-parse emits "\n" by
+        # comparing successive ITEM anchor y's (item.transform[5] set at
+        # ensureTextContentItem) against Y_TOLERANCE (lib/pdf-parse.js:30).
+        # last_y == the current item's anchor y; glyph_y == the previous
+        # glyph's y. force_flush mirrors flushTextContentItem on font
+        # change / Do / stream end (pdf.worker.js:36841,36950).
         self.last_y: float | None = None
+        self.glyph_y: float | None = None
         self.last_end_x: float | None = None
+        self.force_flush = False
+        # scale_flush: a Tm scale change ran updateAdvanceScale on an
+        # open item, zeroing its width — textOrientation becomes
+        # Math.sign(0) == 0 at the next glyph's compare, forcing the
+        # carriage-return flush (advanceX < 0) or the standalone-space
+        # + flush path (advanceX > 0). item_size: the compare uses the
+        # ITEM-STALE font scale (thresholds captured at
+        # ensureTextContentItem; textAdvanceScale from the last update)
+        # — not the scale of the incoming glyph.
+        self.scale_flush = False
+        self.item_size = 0.0
 
     # fraction of the font size an inter-item x-gap must exceed to count
     # as a word break — the reference's TRACKING_SPACE_FACTOR /
@@ -1427,53 +1497,121 @@ class _TextInterp:
         # text chunk, pdf.worker.js:32557/36500; pinned to its output by
         # tests/test_bidi_reference.py over node-generated goldens)
         s = _bidi_mod.visual(s)
-        # the reference's pending-space model (saveLastChar/
-        # shouldAddWhitepsace, pdf.worker.js:36373-36385): whitespace
-        # glyphs only MATERIALIZE before a following non-space glyph on
-        # the same line — runs collapse to one space, and spaces never
-        # survive at line edges (its output has no doubles and no
-        # leading-after-newline; our trailing-space handling mirrors the
-        # glyph-borne case)
+        # whitespace GLYPHS are never emitted by the reference — pdf.js
+        # skips them (category.isWhitespace, pdf.worker.js:36693-36702),
+        # only advancing position and arming saveLastChar(" "); the
+        # space that appears in output is the fake/pending space decided
+        # at the NEXT glyph. We model that as: collapse runs, convert
+        # edge spaces to a pending flag, and materialize per the rules
+        # below.
         s = _SPACE_RUN.sub(" ", s)
-        if self.last_y is not None and abs(ty - self.last_y) > spec.Y_TOLERANCE:
-            self.pieces.append("\n")
-            self.line_open = False
-            self.last_char = ""
-            self.last_end_x = None
-            self.pending_space = False
-            s = s.lstrip(" ")
-        elif (
-            (
-                (
-                    tx is not None
-                    and self.last_end_x is not None
-                    and size > 0
-                    and tx - self.last_end_x > self.GAP_FRACTION * size
-                )
-                or self.pending_space
-            )
-            and self.line_open
-            and self.last_char != " "
-            and not s.startswith(" ")
-        ):
-            self.pieces.append(" ")
-            self.pending_space = False
-        else:
-            self.pending_space = False
+        if s.startswith(" ") and (self.line_open or self.glyph_y is not None):
+            self.pending_space = True
         trail = s.endswith(" ")
-        if trail:
-            s = s.rstrip(" ")
-        if not s:
-            # all-whitespace item: nothing lands; a space stays pending
-            # when a line is open (line-leading whitespace never shows)
-            self.pending_space = self.line_open
+        core = s.strip(" ")
+        if not core:
+            if self.line_open or self.glyph_y is not None:
+                self.pending_space = True
+            return  # position advances (caller), prev-glyph y does not
+        fs = size if size > 0 else 0.0
+        ifs = self.item_size if self.item_size > 0 else fs
+        dyg = None if self.glyph_y is None else ty - self.glyph_y
+        adv = (
+            tx - self.last_end_x
+            if tx is not None and self.last_end_x is not None
+            else None
+        )
+        space = False
+        standalone = False  # " " as its own item, anchored at glyph_y
+        flush = self.force_flush
+        self.force_flush = False
+        if self.scale_flush:
+            # textOrientation == 0: CR-flush when advanceX < 0,
+            # standalone space + flush when advanceX > 0 (the in-flow
+            # window [0, 0] is empty), EOL when |dy| > height
+            self.scale_flush = False
+            self.pending_space = False
+            flush = True
+            if (
+                adv is not None
+                and adv > 0
+                and not (dyg is not None and ifs > 0 and abs(dyg) > ifs)
+            ):
+                space = True
+                standalone = True
+        elif dyg is None:
+            flush = True  # first glyph on the page opens the first item
+        elif ifs > 0.0 and adv is not None:
+            ady = abs(dyg)
+            if adv < -0.2 * ifs:
+                # carriage return (NEGATIVE_SPACE_FACTOR,
+                # pdf.worker.js:36617-36625): flush, no space
+                self.pending_space = False
+                flush = True
+            elif ady > ifs:
+                # taller than the item height -> appendEOL
+                # (pdf.worker.js:36626-36629)
+                self.pending_space = False
+                flush = True
+            else:
+                # gap space (TRACKING_SPACE/SPACE_IN_FLOW factors,
+                # pdf.worker.js:36633-36651) or a pending whitespace
+                # glyph
+                space = self.pending_space or adv > self.GAP_FRACTION * ifs
+                if self.pending_space and adv <= self.GAP_FRACTION * ifs:
+                    # shouldAddWhitepsace: flush + standalone " "
+                    # (pdf.worker.js:36634-36639)
+                    standalone = True
+                    flush = True
+                elif space:
+                    # in-flow spaces join the OPEN item; a gap past
+                    # 0.6*fs — or no open item (str empty after a
+                    # flush) — pushes a standalone " " at prevTransform
+                    standalone = (
+                        adv > 0.6 * ifs or flush or not self.line_open
+                    )
+                self.pending_space = False
+                if adv > 0.6 * ifs or ady > 0.25 * ifs:
+                    # VERTICAL_SHIFT_RATIO flush (pdf.worker.js:36653)
+                    flush = True
+        else:
+            # degraded info (no size / no x): legacy single-tracker rules
+            if abs(dyg) > spec.Y_TOLERANCE:
+                self.pending_space = False
+                flush = True
+            else:
+                space = self.pending_space and self.line_open
+                self.pending_space = False
+        if dyg is not None and ifs > 0.0 and abs(dyg) > 0.25 * ifs:
+            flush = True  # vertical shift flush applies on every path
+        new_item = flush or not self.line_open
+        # emission = pdf-parse's item join (lib/pdf-parse.js:27-38):
+        # "\n" when successive item ANCHORS differ by > Y_TOLERANCE;
+        # items on the same anchor line concatenate directly
+        if space and self.last_char != " ":
+            if standalone and self.glyph_y is not None:
+                # standalone whitespace item carries prevTransform
+                # (pushWhitespace, pdf.worker.js:36401-36416)
+                if (
+                    self.last_y is not None
+                    and abs(self.glyph_y - self.last_y) > spec.Y_TOLERANCE
+                ):
+                    self.pieces.append("\n")
+                self.last_y = self.glyph_y
+            self.pieces.append(" ")
+        if new_item:
+            if (
+                self.last_y is not None
+                and abs(ty - self.last_y) > spec.Y_TOLERANCE
+            ):
+                self.pieces.append("\n")
             self.last_y = ty
-            return
-        self.pieces.append(s)
+            self.item_size = fs
+        self.pieces.append(core)
         self.line_open = True
-        self.last_char = s[-1]
+        self.last_char = core[-1]
         self.pending_space = trail
-        self.last_y = ty
+        self.glyph_y = ty
 
     def text(self) -> str:
         return "".join(self.pieces)
@@ -1576,6 +1714,9 @@ class _TextInterp:
             st[12] = 1.0 if self.line_open else 0.0
             st[13] = float(ord(self.last_char)) if self.last_char else 0.0
             st[15] = 1.0 if self.pending_space else 0.0
+            st[16] = 0.0 if self.glyph_y is None else self.glyph_y
+            st[17] = 0.0 if self.glyph_y is None else 1.0
+            st[18] = 1.0 if self.force_flush else 0.0
             while True:
                 ret, olen = cinterp.replay(
                     data, ev, i, font_idx, tbytes, toff, widths, st, out
@@ -1591,6 +1732,8 @@ class _TextInterp:
             lc = int(st[13])
             self.last_char = chr(lc) if lc else ""
             self.pending_space = bool(st[15])
+            self.glyph_y = st[16] if st[17] else None
+            self.force_flush = bool(st[18])
             if ret >= nev:
                 return
             if depth < self.MAX_DEPTH:
@@ -1620,6 +1763,7 @@ class _TextInterp:
         tz = 1.0
         tj_buf: list[str] = []
         tj_start_x = 0.0
+        tj_trail = 0.0
         show = self.show
         lit, hexs = _parse_literal_string, _parse_hex_string
         for kind, flag, a, b, f0, f1, f2, f3 in ev.tolist():
@@ -1638,34 +1782,72 @@ class _TextInterp:
                     fm.advance(item) / 1000.0 * size + glyphs * tc
                     + spaces * tw
                 ) * sx * tz
+                dec = fm.decode(item)
+                if size > 0 and tc > self.GAP_FRACTION * size:
+                    # charSpacing > trackingSpaceMin: pdf.js's per-glyph
+                    # compare sees advanceX == tc between every glyph
+                    # pair -> a fake space between each (letter-spaced
+                    # headings, pdf.worker.js:36633-36651)
+                    dec = " ".join(dec)
                 if kind == 6:
-                    tj_buf.append(fm.decode(item))
+                    tj_buf.append(dec)
                     cur_x += adv
+                    tj_trail = tc * sx * tz if glyphs else tj_trail
                 else:
-                    show(fm.decode(item), y + rise, cur_x, size * sx)
+                    show(dec, y + rise, cur_x, size * sx)
                     cur_x += adv
-                    self.last_end_x = cur_x
+                    # prevTransform is set BEFORE the last glyph's
+                    # charSpacing translate (pdf.worker.js:36726,36733)
+                    self.last_end_x = cur_x - (tc * sx * tz if glyphs else 0.0)
             elif kind == 7:  # TJNUM kern
                 cur_x -= f0 / 1000.0 * size * sx
-                if f0 < -spec.TJ_SPACE_THRESHOLD:
-                    tj_buf.append(" ")
+                # a TJ number is extra charSpacing on the preceding
+                # glyph (pdf.worker.js:36687). When that glyph is a
+                # SPACE, the next glyph's advanceX includes the space
+                # width — a kern pulling it to <= notASpace (0.03*fs)
+                # resets the pending space (pdf.worker.js:36630-36631),
+                # so the space never materializes (justified-text
+                # tighten: "(...Calibra ) 567 (tion)" reads
+                # "Calibration" in the reference output)
+                if size > 0:
+                    kern = f0 / 1000.0 * size
+                    if tj_buf and tj_buf[-1].endswith(" "):
+                        w_sp = (
+                            fm.widths.get(32, fm.default_width) / 1000.0 * size
+                            if fm.nbytes == 1
+                            else 0.5 * size
+                        )
+                        if w_sp + tc + tw - kern <= 0.03 * size:
+                            tj_buf[-1] = tj_buf[-1].rstrip(" ")
+                    elif tc - kern > self.GAP_FRACTION * size:
+                        tj_buf.append(" ")
+                    tj_trail -= f0 / 1000.0 * size * sx
             elif kind == 1:  # ANCHOR: new line origin
+                if flag == 1 and f2 != sx and self.line_open:
+                    # Tm scale change on an open item (updateAdvanceScale
+                    # zeroes width): the next glyph flushes
+                    self.scale_flush = True
                 cur_x = f0
                 y = f1
                 sx = f2
             elif kind == 5:  # TJSTART
                 tj_buf = []
                 tj_start_x = cur_x
+                tj_trail = 0.0
             elif kind == 8:  # TJEND
                 show("".join(tj_buf), y + rise, tj_start_x, size * sx)
-                self.last_end_x = cur_x
+                self.last_end_x = cur_x - tj_trail
             elif kind == 2:  # FONT
                 # flag=1: the size operand failed float() in the fallback —
                 # the font still changes (it converts FIRST there), size
                 # keeps its previous value
-                fm = self._font_for(fonts_dict, _span_name(data, a, b))
-                if flag == 0:
-                    size = f0
+                nfm = self._font_for(fonts_dict, _span_name(data, a, b))
+                nsize = f0 if flag == 0 else size
+                if nfm is not fm or nsize != size:
+                    # setFont flushes the open item unless name AND size
+                    # are unchanged (pdf.worker.js:36838-36843)
+                    self.force_flush = True
+                fm, size = nfm, nsize
             elif kind == 3:  # STATE
                 tc, tw, tz, rise = f0, f1, f2, f3
             elif kind == 10:  # SETY: partial Td/TD/Tm — y moved, cur_x stays
@@ -1743,8 +1925,11 @@ class _TextInterp:
                 continue
             try:
                 if op == b"Tf" and len(stack) >= 2:
-                    fm = self._font_for(fonts_dict, str(stack[-2]))
-                    size = float(stack[-1])
+                    nfm = self._font_for(fonts_dict, str(stack[-2]))
+                    nsize = float(stack[-1])
+                    if nfm is not fm or nsize != size:
+                        self.force_flush = True  # setFont flush
+                    fm, size = nfm, nsize
                 elif op == b"Td" and len(stack) >= 2:
                     ty = float(stack[-1])
                     # y leg first (C K_SETY): visible even if the x
@@ -1788,6 +1973,8 @@ class _TextInterp:
                         tm_d = vd or 1.0
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    if tm_a * cm_a != asx and self.line_open:
+                        self.scale_flush = True  # updateAdvanceScale
                     asx = tm_a * cm_a
                     cur_x = ax
                 elif op == b"TL" and stack:
@@ -1810,9 +1997,14 @@ class _TextInterp:
                     cur_x = ax
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                     item = stack[-1]
-                    self.show(fm.decode(item), ay + arise, cur_x, size * asx)
+                    dec = fm.decode(item)
+                    if size > 0 and tc > self.GAP_FRACTION * size:
+                        dec = " ".join(dec)  # letter-spacing fake spaces
+                    self.show(dec, ay + arise, cur_x, size * asx)
                     cur_x += advance(item)
-                    self.last_end_x = cur_x
+                    self.last_end_x = cur_x - (
+                        tc * asx * tz if item else 0.0
+                    )
                 elif op in (b"'", b'"'):
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
@@ -1825,22 +2017,45 @@ class _TextInterp:
                         tc = float(stack[-2])
                     if stack and isinstance(stack[-1], bytes):
                         item = stack[-1]
-                        self.show(fm.decode(item), ay + arise, cur_x, size * asx)
+                        dec = fm.decode(item)
+                        if size > 0 and tc > self.GAP_FRACTION * size:
+                            dec = " ".join(dec)
+                        self.show(dec, ay + arise, cur_x, size * asx)
                         cur_x += advance(item)
-                        self.last_end_x = cur_x
+                        self.last_end_x = cur_x - (
+                            tc * asx * tz if item else 0.0
+                        )
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     buf: list[str] = []
                     start_x = cur_x
+                    trail = 0.0
+                    lgap = size > 0 and tc > self.GAP_FRACTION * size
                     for item in stack[-1]:
                         if isinstance(item, bytes):
-                            buf.append(fm.decode(item))
+                            dec = fm.decode(item)
+                            buf.append(" ".join(dec) if lgap else dec)
                             cur_x += advance(item)
+                            if item:
+                                trail = tc * asx * tz
                         elif isinstance(item, (int, float)):
                             cur_x -= item / 1000.0 * size * asx
-                            if item < -spec.TJ_SPACE_THRESHOLD:
-                                buf.append(" ")
+                            if size > 0:
+                                kern = item / 1000.0 * size
+                                if buf and buf[-1].endswith(" "):
+                                    w_sp = (
+                                        fm.widths.get(
+                                            32, fm.default_width
+                                        ) / 1000.0 * size
+                                        if fm.nbytes == 1
+                                        else 0.5 * size
+                                    )
+                                    if w_sp + tc + tw - kern <= 0.03 * size:
+                                        buf[-1] = buf[-1].rstrip(" ")
+                                elif tc - kern > self.GAP_FRACTION * size:
+                                    buf.append(" ")
+                            trail -= item / 1000.0 * size * asx
                     self.show("".join(buf), ay + arise, start_x, size * asx)
-                    self.last_end_x = cur_x
+                    self.last_end_x = cur_x - trail
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
                 elif op == b"BT":
@@ -1908,28 +2123,30 @@ class _TextInterp:
                     ).encode("ascii") + body
             except (TypeError, ValueError):
                 pass
-        # the form draws in its own coordinate space; the reference sees
-        # ABSOLUTE y positions (text matrix x CTM) so form text virtually
-        # always lands on its own lines. last_y = +inf makes the form's
-        # first show — and, if the form emitted anything, the page's next
-        # show — take the y-jump line break; a form that draws no text
-        # leaves the page's line continuity untouched (reference parity:
-        # no items -> lastY unchanged).
-        prev_y, prev_x = self.last_y, self.last_end_x
-        mark = len(self.pieces)
-        self.last_y = float("inf")
+        # paintXObject flushes the page's item (pdf.worker.js:36950) and
+        # recurses with a FRESH textContentItem closure: the form's first
+        # glyph sees prevTransform == null (no CR/gap vs page text), and
+        # its items join the same sink — pdf-parse's lastY then follows
+        # emission order, so self.last_y (the anchor tracker) needs no
+        # special handling: a form that emits nothing leaves it alone,
+        # one that does advances it to its last item's anchor. After the
+        # form, the page's own closure resumes with its pre-Do glyph
+        # state (prevTransform/twoLastChars persist across next()).
+        prev_gy, prev_x = self.glyph_y, self.last_end_x
+        prev_pending = self.pending_space
+        self.force_flush = True
+        self.glyph_y = None
         self.last_end_x = None
+        self.pending_space = False
         self.run(
             body,
             xo.dict.get("Resources", parent_res),
             depth + 1,
             seen | ({key} if key is not None else set()),
         )
-        if len(self.pieces) == mark:  # nothing emitted: restore continuity
-            self.last_y, self.last_end_x = prev_y, prev_x
-        else:
-            self.last_y = float("inf")
-            self.last_end_x = None
+        self.glyph_y, self.last_end_x = prev_gy, prev_x
+        self.pending_space = prev_pending
+        self.force_flush = True  # form stream end flush (getTextContent tail)
 
 
 def _page_text(doc: Document, page: dict, resources) -> str:

@@ -172,5 +172,7 @@ def test_bidi_in_binary_dialect_show_path():
     interp.pieces, interp.line_open, interp.last_char = [], False, ""
     interp.last_y, interp.last_end_x = None, None
     interp.pending_space = False
+    interp.glyph_y, interp.force_flush = None, False
+    interp.scale_flush, interp.item_size = False, 0.0
     interp.show("hello שלום עולם world", 0.0)
     assert interp.text() == "world " + "שלום עולם"[::-1] + " hello"

@@ -435,10 +435,14 @@ def test_char_word_spacing_in_gap_model():
              b"1 0 0 1 82 700 Tm (cd) Tj ET")
     gapped = (b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (ab) Tj "
               b"1 0 0 1 86 700 Tm (cd) Tj ET")
-    # with Tc=2: "ab" advance = 10 + 2*2 = 14 -> the 86 start abuts
+    # with Tc=2 > 0.102*10 every glyph pair develops a letter-spacing
+    # fake space (pdf.js per-glyph compare sees advanceX == tc), and the
+    # item boundary gap is measured from BEFORE the trailing charSpacing
+    # (prevTransform, pdf.worker.js:36726): node-verified output is
+    # "a b c d"
     charsp = (b"BT /F1 10 Tf 2 Tc 1 0 0 1 72 700 Tm (ab) Tj "
               b"1 0 0 1 86 700 Tm (cd) Tj ET")
-    for ops, want in ((tight, "abcd"), (gapped, "ab cd"), (charsp, "abcd")):
+    for ops, want in ((tight, "abcd"), (gapped, "ab cd"), (charsp, "a b c d")):
         doc = _page_scaffold(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops),
             font_objs, font_ref=5,
@@ -678,6 +682,8 @@ def test_pending_space_model():
         it = pdfb._TextInterp.__new__(pdfb._TextInterp)
         it.pieces, it.line_open, it.last_char = [], False, ""
         it.last_y, it.last_end_x, it.pending_space = None, None, False
+        it.glyph_y, it.force_flush = None, False
+        it.scale_flush, it.item_size = False, 0.0
         return it
 
     # interior runs collapse
