@@ -797,8 +797,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
 
 typedef struct {
     double y, cur_x, size, sx, tc, tw, tz, rise;
-    double last_y, last_end_x;
-    int have_last_y, have_last_end_x, line_open, pending_space;
+    double last_y, last_end_x, glyph_y, item_size;
+    int have_last_y, have_last_end_x, have_glyph_y;
+    int line_open, pending_space, force_flush, scale_flush;
     unsigned char last_char;
     long cur_font;
 } RState;
@@ -809,9 +810,11 @@ typedef struct {
 static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      long b, const unsigned char *tb, const int32_t *to,
                      const double *w, unsigned char *out, long *olen,
-                     long ocap, long *glyphs, long *spaces, double *wsum)
+                     long ocap, long *glyphs, long *spaces, double *wsum,
+                     int lgap)
 {
     long o = *olen;
+    long start_ = o; /* letter-gap spaces only between this item's chars */
 #define PUTCODE(C)                                                           \
     do {                                                                     \
         unsigned char cc_ = (unsigned char)(C);                              \
@@ -820,10 +823,27 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             (*spaces)++;                                                     \
         (*glyphs)++;                                                         \
         long ta_ = to[cc_], tl_ = to[cc_ + 1] - ta_;                         \
-        if (o + tl_ > ocap)                                                  \
-            return -1;                                                       \
-        memcpy(out + o, tb + ta_, tl_);                                      \
-        o += tl_;                                                            \
+        if (lgap) {                                                          \
+            /* charSpacing > trackingSpaceMin: a fake space between     */   \
+            /* every char pair (pdf.worker.js:36633-36651); runs        */   \
+            /* collapse in rp_show                                      */   \
+            for (long bi_ = 0; bi_ < tl_; bi_++) {                           \
+                unsigned char bb_ = tb[ta_ + bi_];                           \
+                if ((bb_ & 0xC0) != 0x80 && o > start_) {                    \
+                    if (o + 1 > ocap)                                        \
+                        return -1;                                           \
+                    out[o++] = ' ';                                          \
+                }                                                            \
+                if (o + 1 > ocap)                                            \
+                    return -1;                                               \
+                out[o++] = bb_;                                              \
+            }                                                                \
+        } else {                                                             \
+            if (o + tl_ > ocap)                                              \
+                return -1;                                                   \
+            memcpy(out + o, tb + ta_, tl_);                                  \
+            o += tl_;                                                        \
+        }                                                                    \
     } while (0)
 
     if (flag == 0) { /* escape-free literal: raw slice between delims */
@@ -917,11 +937,12 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
     return 0;
 }
 
-/* the show() line model over the staged region [mark, *olen): collapse
- * whitespace runs (the reference's pending-space dedupe), insert a line
- * break or word-gap/pending space BEFORE the region when the rules
- * fire, and keep trailing spaces PENDING instead of emitted — they only
- * materialize before a following non-space glyph on the same line. */
+/* the show() assembly over the staged region [mark, *olen): the
+ * faithful two-stage pdf.js model (mirrors _TextInterp.show in
+ * pdfb.py). Flush/EOL/space decisions compare against the previous
+ * GLYPH (glyph_y / last_end_x = prevTransform) with ITEM-STALE
+ * thresholds (item_size); "\n" emission is the pdf-parse anchor join
+ * (last_y = the open item's anchor y). */
 static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
                    long mark, double ty, double tx, double size)
 {
@@ -939,8 +960,12 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         o = w;
         m = o - mark;
     }
-    if (st->have_last_y && fabs(ty - st->last_y) > RP_Y_TOL) {
-        /* line break: newline in, line-leading spaces never materialize */
+    int tracked = st->line_open || st->have_glyph_y;
+    if (out[mark] == ' ' && tracked)
+        st->pending_space = 1;
+    /* leading space glyphs never land (whitespace glyphs are skipped,
+     * pdf.worker.js:36693-36702 — they only arm the pending space) */
+    {
         long skip = 0;
         while (skip < m && out[mark + skip] == ' ')
             skip++;
@@ -949,55 +974,111 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
             o -= skip;
             m -= skip;
         }
-        if (o + 1 > ocap)
-            return -1;
-        memmove(out + mark + 1, out + mark, m);
-        out[mark] = '\n';
-        o++;
-        st->line_open = 0;
-        st->last_char = 0;
-        st->have_last_end_x = 0;
+    }
+    int trail = 0;
+    while (m > 0 && out[o - 1] == ' ') {
+        o--;
+        m--;
+        trail = 1;
+    }
+    if (m == 0) {
+        if (tracked)
+            st->pending_space = 1;
+        *olen = o; /* position advances (caller); glyph_y does not */
+        return 0;
+    }
+    double fs = size > 0.0 ? size : 0.0;
+    double ifs = st->item_size > 0.0 ? st->item_size : fs;
+    int have_dyg = st->have_glyph_y;
+    double dyg = have_dyg ? ty - st->glyph_y : 0.0;
+    int have_adv = st->have_last_end_x;
+    double adv = have_adv ? tx - st->last_end_x : 0.0;
+    int space = 0, standalone = 0;
+    int flush = st->force_flush;
+    st->force_flush = 0;
+    if (st->scale_flush) {
+        /* Tm scale change zeroed the item width: textOrientation ==
+         * sign(0) == 0 forces CR-flush (adv<0) or standalone-space +
+         * flush (adv>0); EOL when |dy| > height */
+        st->scale_flush = 0;
         st->pending_space = 0;
-    } else if (((st->have_last_end_x && size > 0.0 &&
-                 tx - st->last_end_x > RP_GAP_FRACTION * size) ||
-                st->pending_space) &&
-               st->line_open && st->last_char != ' ' && out[mark] != ' ') {
-        if (o + 1 > ocap)
-            return -1;
-        memmove(out + mark + 1, out + mark, m);
-        out[mark] = ' ';
-        o++;
-        st->pending_space = 0;
+        flush = 1;
+        if (have_adv && adv > 0.0 &&
+            !(have_dyg && ifs > 0.0 && fabs(dyg) > ifs)) {
+            space = 1;
+            standalone = 1;
+        }
+    } else if (!have_dyg) {
+        flush = 1; /* first glyph opens the first item */
+    } else if (ifs > 0.0 && have_adv) {
+        double ady = fabs(dyg);
+        if (adv < -0.2 * ifs) {
+            /* carriage return (NEGATIVE_SPACE_FACTOR) */
+            st->pending_space = 0;
+            flush = 1;
+        } else if (ady > ifs) {
+            /* taller than the item height -> appendEOL */
+            st->pending_space = 0;
+            flush = 1;
+        } else {
+            space = st->pending_space || adv > RP_GAP_FRACTION * ifs;
+            if (st->pending_space && adv <= RP_GAP_FRACTION * ifs) {
+                /* shouldAddWhitepsace: flush + standalone " " */
+                standalone = 1;
+                flush = 1;
+            } else if (space) {
+                standalone = adv > 0.6 * ifs || flush || !st->line_open;
+            }
+            st->pending_space = 0;
+            if (adv > 0.6 * ifs || ady > 0.25 * ifs)
+                flush = 1; /* VERTICAL_SHIFT_RATIO / big-gap flush */
+        }
     } else {
-        st->pending_space = 0;
-    }
-    /* trailing spaces stay pending */
-    {
-        int trail = 0;
-        while (o > mark && out[o - 1] == ' ' &&
-               (o - 1 > mark ? 1 : out[mark] == ' ')) {
-            /* strip trailing run (only glyph spaces live here) */
-            o--;
-            trail = 1;
+        /* degraded info: legacy single-tracker rules */
+        if (fabs(dyg) > RP_Y_TOL) {
+            st->pending_space = 0;
+            flush = 1;
+        } else {
+            space = st->pending_space && st->line_open;
+            st->pending_space = 0;
         }
-        long body = o - mark;
-        /* skip a leading '\n' we may have just inserted when checking
-         * emptiness of the glyph body */
-        if (body > 0 && out[mark] == '\n')
-            body--;
-        if (body == 0) {
-            st->pending_space = st->line_open ? 1 : 0;
-            st->last_y = ty;
+    }
+    if (have_dyg && ifs > 0.0 && fabs(dyg) > 0.25 * ifs)
+        flush = 1; /* vertical shift flush applies on every path */
+    int new_item = flush || !st->line_open;
+    /* emission = pdf-parse's item join: prefix of up to "\n \n" */
+    unsigned char pre[3];
+    int np = 0;
+    if (space && st->last_char != ' ') {
+        if (standalone && st->have_glyph_y) {
+            /* standalone whitespace item carries prevTransform */
+            if (st->have_last_y &&
+                fabs(st->glyph_y - st->last_y) > RP_Y_TOL)
+                pre[np++] = '\n';
+            st->last_y = st->glyph_y;
             st->have_last_y = 1;
-            *olen = o;
-            return 0;
         }
-        st->last_char = out[o - 1];
-        st->line_open = 1;
-        st->pending_space = trail;
+        pre[np++] = ' ';
     }
-    st->last_y = ty;
-    st->have_last_y = 1;
+    if (new_item) {
+        if (st->have_last_y && fabs(ty - st->last_y) > RP_Y_TOL)
+            pre[np++] = '\n';
+        st->last_y = ty;
+        st->have_last_y = 1;
+        st->item_size = fs;
+    }
+    if (np) {
+        if (o + np > ocap)
+            return -1;
+        memmove(out + mark + np, out + mark, m);
+        memcpy(out + mark, pre, np);
+        o += np;
+    }
+    st->line_open = 1;
+    st->last_char = out[o - 1];
+    st->pending_space = trail;
+    st->glyph_y = ty;
+    st->have_glyph_y = 1;
     *olen = o;
     return 0;
 }
@@ -1025,9 +1106,14 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.last_char = (unsigned char)state[13];
     st.cur_font = (long)state[14];
     st.pending_space = state[15] != 0.0;
+    st.glyph_y = state[16];
+    st.have_glyph_y = state[17] != 0.0;
+    st.force_flush = state[18] != 0.0;
+    st.scale_flush = state[19] != 0.0;
+    st.item_size = state[20];
 
     long olen = 0, tjmark = -1;
-    double tj_start_x = 0.0;
+    double tj_start_x = 0.0, tj_trail = 0.0;
     long ret = nev;
 
     for (long i = start; i < nev; i++) {
@@ -1039,8 +1125,10 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             double wsum = 0.0;
             const int32_t *to = toff + st.cur_font * 257;
             const double *w = widths + st.cur_font * 256;
+            int lgap = st.size > 0.0 &&
+                       st.tc > RP_GAP_FRACTION * st.size;
             if (rp_decode(d, n, e->flag, e->a, e->b, tbytes, to, w, out,
-                          &olen, ocap, &glyphs, &spaces, &wsum) < 0)
+                          &olen, ocap, &glyphs, &spaces, &wsum, lgap) < 0)
                 return -1;
             double adv = (wsum / 1000.0 * st.size +
                           (double)glyphs * st.tc +
@@ -1048,26 +1136,48 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                          st.sx * st.tz;
             if (e->kind == K_TJSTR) {
                 st.cur_x += adv; /* stays staged until K_TJEND */
+                if (glyphs)
+                    tj_trail = st.tc * st.sx * st.tz;
             } else {
                 if (rp_show(&st, out, &olen, ocap, mark,
                             st.y + st.rise, st.cur_x,
                             st.size * st.sx) < 0)
                     return -1;
                 st.cur_x += adv;
-                st.last_end_x = st.cur_x;
+                /* prevTransform excludes the last glyph's trailing
+                 * charSpacing (pdf.worker.js:36726,36733) */
+                st.last_end_x =
+                    st.cur_x - (glyphs ? st.tc * st.sx * st.tz : 0.0);
                 st.have_last_end_x = 1;
             }
             break;
         }
         case K_TJNUM:
             st.cur_x -= e->f0 / 1000.0 * st.size * st.sx;
-            if (e->f0 < -RP_TJ_SPACE_THRESHOLD) {
-                if (olen + 1 > ocap)
-                    return -1;
-                out[olen++] = ' ';
+            if (st.size > 0.0) {
+                double kern = e->f0 / 1000.0 * st.size;
+                long base = tjmark < 0 ? 0 : tjmark;
+                if (olen > base && out[olen - 1] == ' ') {
+                    /* a kern pulling the next glyph back past a
+                     * trailing space glyph eats the space (notASpace
+                     * reset, pdf.worker.js:36630-36631) */
+                    double w_sp = widths[st.cur_font * 256 + 32] /
+                                  1000.0 * st.size;
+                    if (w_sp + st.tc + st.tw - kern <= 0.03 * st.size) {
+                        while (olen > base && out[olen - 1] == ' ')
+                            olen--;
+                    }
+                } else if (st.tc - kern > RP_GAP_FRACTION * st.size) {
+                    if (olen + 1 > ocap)
+                        return -1;
+                    out[olen++] = ' ';
+                }
             }
+            tj_trail -= e->f0 / 1000.0 * st.size * st.sx;
             break;
         case K_ANCHOR:
+            if (e->flag == 1 && e->f2 != st.sx && st.line_open)
+                st.scale_flush = 1; /* updateAdvanceScale zeroed width */
             st.cur_x = e->f0;
             st.y = e->f1;
             st.sx = e->f2;
@@ -1075,20 +1185,25 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
         case K_TJSTART:
             tjmark = olen;
             tj_start_x = st.cur_x;
+            tj_trail = 0.0;
             break;
         case K_TJEND:
             if (rp_show(&st, out, &olen, ocap, tjmark < 0 ? olen : tjmark,
                         st.y + st.rise, tj_start_x, st.size * st.sx) < 0)
                 return -1;
-            st.last_end_x = st.cur_x;
+            st.last_end_x = st.cur_x - tj_trail;
             st.have_last_end_x = 1;
             tjmark = -1;
             break;
-        case K_FONT:
-            st.cur_font = font_idx[i];
-            if (e->flag == 0)
-                st.size = e->f0;
+        case K_FONT: {
+            long nf = font_idx[i];
+            double nsize = e->flag == 0 ? e->f0 : st.size;
+            if (nf != st.cur_font || nsize != st.size)
+                st.force_flush = 1; /* setFont flush */
+            st.cur_font = nf;
+            st.size = nsize;
             break;
+        }
         case K_STATE:
             st.tc = e->f0;
             st.tw = e->f1;
@@ -1120,6 +1235,11 @@ done:
     state[13] = (double)st.last_char;
     state[14] = (double)st.cur_font;
     state[15] = st.pending_space ? 1.0 : 0.0;
+    state[16] = st.glyph_y;
+    state[17] = st.have_glyph_y ? 1.0 : 0.0;
+    state[18] = st.force_flush ? 1.0 : 0.0;
+    state[19] = st.scale_flush ? 1.0 : 0.0;
+    state[20] = st.item_size;
     *out_len = olen;
     return ret;
 }

@@ -93,15 +93,8 @@ def interpret(data: bytes) -> np.ndarray:
 
 
 # the full-C replay (decode + line fold in pdftext_replay) can be turned
-# off independently of the lexer to exercise the Python event loop.
-# TEMPORARILY off by default: the Python interpreter moved to the
-# faithful two-stage pdf.js assembly model (item chunking + anchor
-# join); the C replay still implements the previous model and is
-# re-enabled once ported (set PDF_PARSE_FORCE_CREPLAY=1 to force).
-REPLAY = (
-    os.environ.get("PDF_PARSE_FORCE_CREPLAY", "") == "1"
-    and os.environ.get("PDF_PARSE_DISABLE_CREPLAY", "") != "1"
-)
+# off independently of the lexer to exercise the Python event loop
+REPLAY = os.environ.get("PDF_PARSE_DISABLE_CREPLAY", "") != "1"
 
 
 def replay(

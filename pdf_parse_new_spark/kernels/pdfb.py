@@ -1717,6 +1717,8 @@ class _TextInterp:
             st[16] = 0.0 if self.glyph_y is None else self.glyph_y
             st[17] = 0.0 if self.glyph_y is None else 1.0
             st[18] = 1.0 if self.force_flush else 0.0
+            st[19] = 1.0 if self.scale_flush else 0.0
+            st[20] = self.item_size
             while True:
                 ret, olen = cinterp.replay(
                     data, ev, i, font_idx, tbytes, toff, widths, st, out
@@ -1734,6 +1736,8 @@ class _TextInterp:
             self.pending_space = bool(st[15])
             self.glyph_y = st[16] if st[17] else None
             self.force_flush = bool(st[18])
+            self.scale_flush = bool(st[19])
+            self.item_size = float(st[20])
             if ret >= nev:
                 return
             if depth < self.MAX_DEPTH:

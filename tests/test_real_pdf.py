@@ -720,15 +720,18 @@ def test_pending_space_model():
     assert it.text() == "z"
 
 
-def test_ref_current_05_byte_equal():
-    """05-versions-space is BYTE-EQUAL to what the live reference emits
-    (node lib/pdf-parse.js over the same bytes) after the pending-space
-    model — the strongest parity pin we hold on a real-world PDF."""
+@pytest.mark.parametrize("name", ["04-valid", "05-versions-space"])
+def test_ref_current_byte_equal(name):
+    """04-valid and 05-versions-space are BYTE-EQUAL to what the live
+    reference emits (node lib/pdf-parse.js over the same bytes) after
+    the faithful two-stage assembly model — the strongest parity pins we
+    hold on real-world PDFs. (01-valid / 02-valid sit at 0.9999+ char
+    similarity; the residue is embedded-font width precision.)"""
     golden = open(
-        f"{os.path.dirname(__file__)}/data/ref_current/05-versions-space.txt",
+        f"{os.path.dirname(__file__)}/data/ref_current/{name}.txt",
         encoding="utf-8",
     ).read()
     ours = pdfb.parse_pdf_bytes(
-        open(f"{DATA}/05-versions-space.pdf", "rb").read()
+        open(f"{DATA}/{name}.pdf", "rb").read()
     )["text"]
     assert ours == golden
