@@ -386,3 +386,67 @@ def containment_join(
         .select("id1", "id2", F.round(cont, 6).alias("containment"))
         .orderBy("id1", "id2")
     )
+
+
+# ------------------------------------------------- connected components -----
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: (node, cluster_id) where cluster_id
+    is the minimum node id reachable through the near-dup edge set — the
+    canonical "keep one document per duplicate cluster" operator a
+    training pipeline runs after pair generation (the reference stops at
+    per-key groups, dedup.py:35; clusters close the transitive gap:
+    A~B, B~C => {A,B,C} even when A~C was never a candidate pair).
+
+    Algorithm: iterative hash-min label propagation. Every round each
+    node takes the minimum label among itself and its neighbours — one
+    shuffle join + one partial-aggregated groupBy per round, converging
+    in <= diameter(component) rounds. Duplicate clusters are
+    near-cliques (diameter 2-3 in practice), so the loop exits after a
+    handful of rounds; ``max_iterations`` bounds adversarial chains.
+
+    100-TB notes: state per round is (node, label) — narrow; the
+    neighbour-min groupBy does map-side partial aggregation; lineage is
+    truncated every round with localCheckpoint so plans stay O(1); the
+    convergence probe is a LIMIT 1 existence check, not a full count.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        upd = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("new_label"),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        labels = upd.select("node", F.col("new_label").alias("label"))
+        if upd.where("changed").limit(1).count() == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -803,6 +803,108 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution over the MinHash near-dup pair set:
+    connected components (iterative hash-min label propagation,
+    operators/dedup.py:connected_components) assign every document the
+    minimum doc_id reachable through >= 0.9-Jaccard edges — the
+    transitive closure a pipeline needs to keep ONE canonical doc per
+    cluster (pairs alone miss A~C when only A~B and B~C were candidate
+    pairs). The DuckDB oracle computes the same closure with a
+    recursive CTE over the exact O(n^2) Jaccard edge set."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.9)
+    return dedup.connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+SQL_DUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1),
+           i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS s
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters (Rae et al. 2021 'C4/
+    MassiveText quality heuristics'): per-document duplicate-word
+    fraction and the share of word bigrams taken by the single most
+    frequent bigram. Both pure-JVM: a bigram explode + two partially
+    aggregated groupBys; at 100 TB the (doc_id, bigram) shuffle key is
+    high-cardinality and unskewed."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    top = (
+        ex.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"), F.sum("count").alias("n_bg"))
+    )
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.col("top_bg") / F.col("n_bg"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(t[i+1:i+2], ' '))) AS bg
+  FROM toks),
+top AS (
+  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       round(1.0 - len(list_distinct(t.t)) * 1.0 / len(t.t), 6)
+         AS dup_word_frac,
+       round(top_bg * 1.0 / n_bg, 6) AS top_bigram_frac
+FROM toks t JOIN top USING (doc_id) ORDER BY doc_id
+"""
+
+
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
     "group_limit": (q_group_limit, SQL_GROUP_LIMIT),
@@ -830,6 +932,8 @@ SQL_CHECKED = {
     "user_retention": (q_user_retention, SQL_USER_RETENTION),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "repetition": (q_repetition, SQL_REPETITION),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

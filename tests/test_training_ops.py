@@ -412,3 +412,65 @@ def test_containment_join_directional(spark):
     assert (2, 1) in got and got[(2, 1)] == 1.0
     assert (1, 2) not in got
     assert all(3 not in k for k in got)
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B and B~C must land A,B,C in ONE cluster even though (A,C) was
+    never an edge — the transitive gap pair-level dedup leaves open.
+    Singletons keep their own id as cluster_id; a chain longer than one
+    hop exercises the iterative propagation (not just the first join)."""
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 0-1-2-3 (diameter 3), pair 4-5, singleton 6
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "id1 long, id2 long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_iteration_cap(spark):
+    """max_iterations bounds the propagation: a path graph longer than
+    the cap yields partially-converged labels rather than running
+    forever (the documented adversarial-chain behavior)."""
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    full = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert set(full.values()) == {0}
+    capped = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            nodes, edges, max_iterations=1
+        ).collect()
+    }
+    assert capped[5] != 0  # one round can't reach the far end
+
+
+def test_repetition_query_extremes(spark, tmp_path):
+    """dup_word_frac and top_bigram_frac hit their analytic extremes on
+    constructed docs: an all-identical-word doc repeats one bigram
+    everywhere; an all-distinct doc repeats nothing."""
+    import pyspark.sql.functions as F
+    from pdf_parse_new_spark import queries as Q
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "spark " * 9 + "spark"),          # 10x same word
+            (1, "a b c d e f g h i j"),           # all distinct
+        ],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.doc_id: r for r in Q.q_repetition(spark, sf).collect()}
+    assert rows[0].dup_word_frac == 0.9
+    assert rows[0].top_bigram_frac == 1.0
+    assert rows[1].dup_word_frac == 0.0
+    assert rows[1].top_bigram_frac == round(1 / 9, 6)
