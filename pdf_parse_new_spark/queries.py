@@ -905,6 +905,58 @@ FROM toks t JOIN top USING (doc_id) ORDER BY doc_id
 """
 
 
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM pipeline
+    step): flag training documents that share any word 8-gram with an
+    evaluation set, so eval answers don't leak into training data. The
+    20 lowest doc_ids stand in for the benchmark table. Scale shape:
+    the eval-gram side is tiny and BROADCAST (eval sets are
+    thousands of rows, training is the 100-TB side); the training side
+    is a map-side explode feeding a broadcast semi-join — the only
+    shuffle is the final per-doc count."""
+    d = load(spark, sf_dir, "documents")
+
+    def grams(col, n=8):
+        toks = F.split(col, " ")
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+
+    ev = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode(grams(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    tr = d.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(grams(F.col("text"))).alias("g")
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated_grams"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len(string_split(text,' ')) - 8, 0) + 1),
+           i -> array_to_string(string_split(text,' ')[i+1:i+8], ' ')))) AS g
+  FROM documents),
+ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
+SELECT doc_id, count(DISTINCT g.g) AS n_contaminated_grams
+FROM g JOIN ev USING (g)
+WHERE doc_id >= 20
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
     "group_limit": (q_group_limit, SQL_GROUP_LIMIT),
@@ -934,6 +986,7 @@ SQL_CHECKED = {
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "repetition": (q_repetition, SQL_REPETITION),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

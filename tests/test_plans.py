@@ -100,3 +100,22 @@ def test_dup_groups_partial_agg(spark):
     # hash-groupBy with map-side partial aggregation: two HashAggregate
     # nodes around one Exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    # the eval-gram side is the small side by design: it must broadcast,
+    # never shuffle the 100-TB training side into a SortMergeJoin
+    assert_plan(
+        q.q_decontaminate(spark, SF),
+        "BroadcastHashJoin",
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_dup_clusters_no_cartesian(spark):
+    # connected components iterates equi-joins on node ids — no
+    # cartesian/NLJ anywhere in the final assembled plan
+    assert_plan(
+        q.q_dup_clusters(spark, SF),
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )

@@ -474,3 +474,20 @@ def test_repetition_query_extremes(spark, tmp_path):
     assert rows[0].top_bigram_frac == 1.0
     assert rows[1].dup_word_frac == 0.0
     assert rows[1].top_bigram_frac == round(1 / 9, 6)
+
+
+def test_decontaminate_flags_exact_ngram_leak(spark, tmp_path):
+    """A training doc containing a verbatim 8-gram from an eval doc is
+    flagged with the right overlap count; disjoint docs are not."""
+    from pdf_parse_new_spark import queries as Q
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leak = "x y " + "beta gamma delta epsilon zeta eta theta iota" + " z w"
+    clean = "one two three four five six seven eight nine ten eleven"
+    spark.createDataFrame(
+        [(0, eval_text), (20, leak), (21, clean)],
+        "doc_id long, text string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {r.doc_id: r.n_contaminated_grams
+            for r in Q.q_decontaminate(spark, str(tmp_path)).collect()}
+    assert rows == {20: 1}
