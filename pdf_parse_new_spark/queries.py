@@ -957,6 +957,46 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) from a content-
+    independent hash of the document id — the reproducible split every
+    training pipeline needs: stable under re-runs, re-partitioning, and
+    incremental ingest (no rand(), no row_number over a sort). The
+    bucket is the first 8 hex digits of md5(doc_id) mod 100, identical
+    arithmetic on both engines (Spark conv(hex,16,10); DuckDB hex-digit
+    fold). Pure scan-side projection: no shuffle at any scale."""
+    d = load(spark, sf_dir, "documents")
+    hexs = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    )
+    bucket = F.conv(hexs, 16, 10).cast("bigint") % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(
+             string_split(substr(md5(cast(doc_id AS varchar)), 1, 8), ''),
+             c -> strpos('0123456789abcdef', c) - 1),
+           (a, b) -> a * 16 + b) % 100 AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
     "group_limit": (q_group_limit, SQL_GROUP_LIMIT),
@@ -987,6 +1027,7 @@ SQL_CHECKED = {
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "repetition": (q_repetition, SQL_REPETITION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "doc_split": (q_doc_split, SQL_DOC_SPLIT),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

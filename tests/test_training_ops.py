@@ -491,3 +491,21 @@ def test_decontaminate_flags_exact_ngram_leak(spark, tmp_path):
     rows = {r.doc_id: r.n_contaminated_grams
             for r in Q.q_decontaminate(spark, str(tmp_path)).collect()}
     assert rows == {20: 1}
+
+
+def test_doc_split_deterministic_and_partition_invariant(spark, tmp_path):
+    """The split must depend only on doc_id: identical across re-runs
+    and across physical layouts (repartitioned input), and roughly
+    90/5/5 at modest n."""
+    from pdf_parse_new_spark import queries as Q
+
+    spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "'w' AS text"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    a = Q.q_doc_split(spark, str(tmp_path)).collect()
+    b = Q.q_doc_split(spark, str(tmp_path)).collect()
+    assert a == b
+    frac = {s: sum(1 for r in a if r.split == s) / len(a)
+            for s in ("train", "val", "test")}
+    assert 0.85 < frac["train"] < 0.95
+    assert 0.02 < frac["val"] < 0.08 and 0.02 < frac["test"] < 0.08
