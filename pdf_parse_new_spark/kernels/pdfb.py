@@ -1183,13 +1183,27 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
 
     widths: dict[int, float] = {}
     default_width = 500.0
+    # Type3 /Widths are in GLYPH SPACE: the effective advance is
+    # w * FontMatrix[0] text units (pdf.js Font.charsToGlyphs applies
+    # the font matrix for Type3), vs w/1000 for standard fonts —
+    # normalize to the /1000-em convention the interpreter uses
+    wscale = 1.0
+    if subtype == "Type3":
+        fmat = doc.resolve(font.get("FontMatrix"))
+        if isinstance(fmat, list) and len(fmat) == 6:
+            try:
+                wscale = float(doc.resolve(fmat[0])) * 1000.0
+            except (TypeError, ValueError):
+                wscale = 1.0
+            if wscale <= 0:
+                wscale = 1.0
     warr = doc.resolve(font.get("Widths"))
     first = doc.resolve(font.get("FirstChar"))
     if isinstance(warr, list) and isinstance(first, int):
         for off, wv in enumerate(warr):
             wv = doc.resolve(wv)
             if isinstance(wv, (int, float)):
-                widths[first + off] = float(wv)
+                widths[first + off] = float(wv) * wscale
     if subtype == "Type0":
         # CID fonts carry widths in the descendant font's /W + /DW
         dfs = doc.resolve(font.get("DescendantFonts"))

@@ -735,3 +735,33 @@ def test_ref_current_byte_equal(name):
         open(f"{DATA}/{name}.pdf", "rb").read()
     )["text"]
     assert ours == golden
+
+
+def test_type3_font_widths_and_decode():
+    """Type3 fonts: glyph names resolve through Differences (here /ga
+    /gb fall back to the raw charcode, same as pdf.js) and /Widths are
+    GLYPH-SPACE values scaled by FontMatrix[0] — with [0.002 ...] the
+    300-unit glyphs advance 0.6 em, so an item starting exactly at the
+    previous end ("tight") joins with no space while a 3pt gap reads as
+    a word break. Both outputs node-verified byte-equal vs the live
+    reference."""
+    proc = b"<< /Length 8 >>\nstream\n0 0 d0\nendstream"
+    font = (
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 700 700] "
+        b"/FontMatrix [0.002 0 0 0.002 0 0] "
+        b"/CharProcs << /ga 6 0 R /gb 6 0 R >> "
+        b"/Encoding << /Type /Encoding /Differences [97 /ga /gb] >> "
+        b"/FirstChar 97 /LastChar 98 /Widths [300 300] >>"
+    )
+    for x2, want in ((84, "abab"), (87, "ab ab")):
+        ops = (
+            b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (ab) Tj "
+            b"1 0 0 1 %d 700 Tm (ab) Tj ET" % x2
+        )
+        doc = _page_scaffold(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops),
+            {5: font, 6: proc},
+            font_ref=5,
+        )
+        r = pdfb.parse_pdf_bytes(doc)
+        assert r["text"].strip() == want, (x2, r["text"])
