@@ -81,6 +81,46 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     return w, h, 1, feat
 
 
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """REAL decode of an uncompressed 24-bit BMP (BI_RGB, the format
+    screenshots and exports most commonly use uncompressed): BITMAPINFO
+    header + numpy pixel grid with 4-byte row padding and bottom-up row
+    order -> the same 4x4 mean-luminance feature as the PPM path."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40 or len(payload) < 18 + 36:
+        return None
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if planes != 1 or bpp != 24 or compression != 0:
+        return None  # only uncompressed 24-bit decodes for real
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        return None
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    bgr = rows.reshape(h, w, 3).astype(np.float32)
+    if not top_down:
+        bgr = bgr[::-1]  # bottom-up storage
+    lum = bgr @ np.array([0.114, 0.587, 0.299], dtype=np.float32)  # B,G,R
+    ys = np.array_split(np.arange(h), 4)
+    xs = np.array_split(np.arange(w), 4)
+    feat = np.array(
+        [lum[np.ix_(yy, xx)].mean() for yy in ys for xx in xs],
+        dtype=np.float32,
+    ) / 255.0
+    return w, h, 1, feat
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """REAL decode of WAV/PCM-16: RIFF header + numpy samples -> 16 RMS
     energy windows. (w, h) report (sample_rate, n_channels)."""
@@ -136,6 +176,8 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
 
 def _decode(payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
     real = _decode_ppm(payload)
+    if real is None:
+        real = _decode_bmp(payload)
     if real is None:
         real = _decode_wav(payload)
     if real is not None:

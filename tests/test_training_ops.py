@@ -256,6 +256,39 @@ def test_multimodal_real_ppm_decode(spark):
     assert np.allclose(f[:, 2:], 0.0, atol=1e-3)
 
 
+def test_multimodal_real_bmp_decode(spark):
+    # uncompressed 24-bit BI_RGB BMP decodes for REAL: padded bottom-up
+    # rows + BGR order — the analytic half-white/half-black grid must
+    # come out identical to the equivalent PPM
+    import struct
+
+    import numpy as np
+
+    w, h = 30, 16  # 30*3=90 -> stride pads to 92 (exercises row padding)
+    bgr = np.zeros((h, w, 3), dtype=np.uint8)
+    bgr[:, : w // 2] = 255
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixel = rows[::-1].tobytes()  # bottom-up storage
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pixel), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel),
+                      2835, 2835, 0, 0)
+    )
+    df = spark.createDataFrame(
+        [("img2", "image", bytearray(header + pixel), {"fmt": "bmp"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.extract_features(df).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (30, 16, 1)
+    f = np.array(r.feature).reshape(4, 4)
+    # 30 columns split [8,8,7,7]; white = cols 0-14, so the second block
+    # (cols 8-15) averages 7/8 and the right half is all black
+    for row in f:
+        assert np.allclose(row, [1.0, 0.875, 0.0, 0.0], atol=1e-3)
+
+
 def test_multimodal_real_wav_decode(spark):
     import struct
 
