@@ -798,7 +798,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
 typedef struct {
     double y, cur_x, size, sx, tc, tw, tz, rise;
     double last_y, last_end_x, glyph_y, item_size;
-    int have_last_y, have_last_end_x, have_glyph_y;
+    double vb0, vb1, vb2, vb3; /* page view box (pdf.js viewBox clip) */
+    int have_last_y, have_last_end_x, have_glyph_y, have_vb;
     int line_open, pending_space, force_flush, scale_flush;
     unsigned char last_char;
     long cur_font;
@@ -961,6 +962,21 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         m = o - mark;
     }
     int tracked = st->line_open || st->have_glyph_y;
+    if (st->have_vb &&
+        (ty < st->vb1 || ty > st->vb3 || tx > st->vb2 || tx < st->vb0)) {
+        /* outside the view box: glyphs drop before any state change
+         * (pdf.worker.js:36531-36536); whitespace glyphs still arm the
+         * pending space. Return 2 = clipped (caller keeps prevTransform). */
+        if (tracked) {
+            for (long r = mark; r < o; r++)
+                if (out[r] == ' ') {
+                    st->pending_space = 1;
+                    break;
+                }
+        }
+        *olen = mark;
+        return 2;
+    }
     if (out[mark] == ' ' && tracked)
         st->pending_space = 1;
     /* leading space glyphs never land (whitespace glyphs are skipped,
@@ -1111,6 +1127,11 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.force_flush = state[18] != 0.0;
     st.scale_flush = state[19] != 0.0;
     st.item_size = state[20];
+    st.vb0 = state[21];
+    st.vb1 = state[22];
+    st.vb2 = state[23];
+    st.vb3 = state[24];
+    st.have_vb = state[25] != 0.0;
 
     long olen = 0, tjmark = -1;
     double tj_start_x = 0.0, tj_trail = 0.0;
@@ -1139,16 +1160,20 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 if (glyphs)
                     tj_trail = st.tc * st.sx * st.tz;
             } else {
-                if (rp_show(&st, out, &olen, ocap, mark,
-                            st.y + st.rise, st.cur_x,
-                            st.size * st.sx) < 0)
+                int rc = rp_show(&st, out, &olen, ocap, mark,
+                                 st.y + st.rise, st.cur_x,
+                                 st.size * st.sx);
+                if (rc < 0)
                     return -1;
                 st.cur_x += adv;
                 /* prevTransform excludes the last glyph's trailing
-                 * charSpacing (pdf.worker.js:36726,36733) */
-                st.last_end_x =
-                    st.cur_x - (glyphs ? st.tc * st.sx * st.tz : 0.0);
-                st.have_last_end_x = 1;
+                 * charSpacing (pdf.worker.js:36726,36733); clipped
+                 * glyphs never touch it */
+                if (rc != 2) {
+                    st.last_end_x =
+                        st.cur_x - (glyphs ? st.tc * st.sx * st.tz : 0.0);
+                    st.have_last_end_x = 1;
+                }
             }
             break;
         }
@@ -1187,14 +1212,19 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             tj_start_x = st.cur_x;
             tj_trail = 0.0;
             break;
-        case K_TJEND:
-            if (rp_show(&st, out, &olen, ocap, tjmark < 0 ? olen : tjmark,
-                        st.y + st.rise, tj_start_x, st.size * st.sx) < 0)
+        case K_TJEND: {
+            int rc = rp_show(&st, out, &olen, ocap,
+                             tjmark < 0 ? olen : tjmark,
+                             st.y + st.rise, tj_start_x, st.size * st.sx);
+            if (rc < 0)
                 return -1;
-            st.last_end_x = st.cur_x - tj_trail;
-            st.have_last_end_x = 1;
+            if (rc != 2) {
+                st.last_end_x = st.cur_x - tj_trail;
+                st.have_last_end_x = 1;
+            }
             tjmark = -1;
             break;
+        }
         case K_FONT: {
             long nf = font_idx[i];
             double nsize = e->flag == 0 ? e->f0 : st.size;
@@ -1240,6 +1270,7 @@ done:
     state[18] = st.force_flush ? 1.0 : 0.0;
     state[19] = st.scale_flush ? 1.0 : 0.0;
     state[20] = st.item_size;
+    /* 21-25 (view box) are read-only inputs */
     *out_len = olen;
     return ret;
 }

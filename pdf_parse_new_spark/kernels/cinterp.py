@@ -66,7 +66,7 @@ def _build() -> ctypes.CDLL:
         ctypes.c_void_p,                             # font_idx int32[nev]
         ctypes.c_char_p, ctypes.c_void_p,            # tbytes, toff int32
         ctypes.c_void_p,                             # widths double
-        ctypes.c_void_p,                             # state double[24]
+        ctypes.c_void_p,                             # state double[32]
         ctypes.c_void_p, ctypes.c_long,              # out, ocap
         ctypes.c_void_p,                             # out_len long*
     ]

@@ -1462,8 +1462,13 @@ class _TextInterp:
 
     MAX_DEPTH = 8
 
-    def __init__(self, doc: Document) -> None:
+    def __init__(self, doc: Document, viewbox: list[float] | None = None) -> None:
         self.doc = doc
+        # pdf.js drops glyphs OUTSIDE the page view box before any
+        # assembly state changes (compareWithLastPosition,
+        # pdf.worker.js:36531-36536): crop marks and off-page text never
+        # reach the output. None disables clipping (unit-level callers).
+        self.viewbox = viewbox
         # eager line model: breaks and word-gap spaces are emitted inline
         # into `pieces` ("\n".join(lines) == "".join(pieces) — the same
         # output as the old out/cur_line form, and the representation the
@@ -1504,9 +1509,12 @@ class _TextInterp:
     GAP_FRACTION = 0.102
 
     def show(self, s: str, ty: float, tx: float | None = None,
-             size: float = 0.0) -> None:
+             size: float = 0.0) -> bool:
+        """Returns True when glyphs were emitted or position-tracked
+        (the caller then updates last_end_x / prevTransform), False when
+        the item was clipped by the view box."""
         if not s:
-            return
+            return True
         # reference-faithful bidi reorder (pdf.js bidi() runs on every
         # text chunk, pdf.worker.js:32557/36500; pinned to its output by
         # tests/test_bidi_reference.py over node-generated goldens)
@@ -1519,6 +1527,19 @@ class _TextInterp:
         # edge spaces to a pending flag, and materialize per the rules
         # below.
         s = _SPACE_RUN.sub(" ", s)
+        vb = self.viewbox
+        if (
+            vb is not None
+            and tx is not None
+            and (ty < vb[1] or ty > vb[3] or tx > vb[2] or tx < vb[0])
+        ):
+            # outside the view box: glyphs drop BEFORE any state change
+            # (prevTransform untouched — return False so the caller skips
+            # last_end_x); whitespace glyphs still arm the pending space
+            # (the isWhitespace branch runs before the box check)
+            if " " in s and (self.line_open or self.glyph_y is not None):
+                self.pending_space = True
+            return False
         if s.startswith(" ") and (self.line_open or self.glyph_y is not None):
             self.pending_space = True
         trail = s.endswith(" ")
@@ -1526,7 +1547,7 @@ class _TextInterp:
         if not core:
             if self.line_open or self.glyph_y is not None:
                 self.pending_space = True
-            return  # position advances (caller), prev-glyph y does not
+            return True  # position advances (caller), prev-glyph y does not
         fs = size if size > 0 else 0.0
         ifs = self.item_size if self.item_size > 0 else fs
         dyg = None if self.glyph_y is None else ty - self.glyph_y
@@ -1626,6 +1647,7 @@ class _TextInterp:
         self.last_char = core[-1]
         self.pending_space = trail
         self.glyph_y = ty
+        return True
 
     def text(self) -> str:
         return "".join(self.pieces)
@@ -1715,9 +1737,12 @@ class _TextInterp:
         through the state vector so C segments and Python recursion
         compose (a Form may itself fall back to the Python replay)."""
         tbytes, toff, widths, font_idx = plan
-        st = _np.zeros(24, _np.float64)
+        st = _np.zeros(32, _np.float64)
         st[3] = 1.0  # sx
         st[6] = 1.0  # tz
+        if self.viewbox is not None:
+            st[21:25] = self.viewbox
+            st[25] = 1.0
         out = _np.empty(max(1024, 4 * len(data)), _np.uint8)
         i, nev = 0, len(ev)
         while True:
@@ -1812,11 +1837,15 @@ class _TextInterp:
                     cur_x += adv
                     tj_trail = tc * sx * tz if glyphs else tj_trail
                 else:
-                    show(dec, y + rise, cur_x, size * sx)
+                    shown = show(dec, y + rise, cur_x, size * sx)
                     cur_x += adv
                     # prevTransform is set BEFORE the last glyph's
-                    # charSpacing translate (pdf.worker.js:36726,36733)
-                    self.last_end_x = cur_x - (tc * sx * tz if glyphs else 0.0)
+                    # charSpacing translate (pdf.worker.js:36726,36733);
+                    # clipped glyphs never touch it
+                    if shown:
+                        self.last_end_x = cur_x - (
+                            tc * sx * tz if glyphs else 0.0
+                        )
             elif kind == 7:  # TJNUM kern
                 cur_x -= f0 / 1000.0 * size * sx
                 # a TJ number is extra charSpacing on the preceding
@@ -1853,8 +1882,8 @@ class _TextInterp:
                 tj_start_x = cur_x
                 tj_trail = 0.0
             elif kind == 8:  # TJEND
-                show("".join(tj_buf), y + rise, tj_start_x, size * sx)
-                self.last_end_x = cur_x - tj_trail
+                if show("".join(tj_buf), y + rise, tj_start_x, size * sx):
+                    self.last_end_x = cur_x - tj_trail
             elif kind == 2:  # FONT
                 # flag=1: the size operand failed float() in the fallback —
                 # the font still changes (it converts FIRST there), size
@@ -2018,11 +2047,12 @@ class _TextInterp:
                     dec = fm.decode(item)
                     if size > 0 and tc > self.GAP_FRACTION * size:
                         dec = " ".join(dec)  # letter-spacing fake spaces
-                    self.show(dec, ay + arise, cur_x, size * asx)
+                    shown = self.show(dec, ay + arise, cur_x, size * asx)
                     cur_x += advance(item)
-                    self.last_end_x = cur_x - (
-                        tc * asx * tz if item else 0.0
-                    )
+                    if shown:
+                        self.last_end_x = cur_x - (
+                            tc * asx * tz if item else 0.0
+                        )
                 elif op in (b"'", b'"'):
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
@@ -2038,11 +2068,12 @@ class _TextInterp:
                         dec = fm.decode(item)
                         if size > 0 and tc > self.GAP_FRACTION * size:
                             dec = " ".join(dec)
-                        self.show(dec, ay + arise, cur_x, size * asx)
+                        shown = self.show(dec, ay + arise, cur_x, size * asx)
                         cur_x += advance(item)
-                        self.last_end_x = cur_x - (
-                            tc * asx * tz if item else 0.0
-                        )
+                        if shown:
+                            self.last_end_x = cur_x - (
+                                tc * asx * tz if item else 0.0
+                            )
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     buf: list[str] = []
                     start_x = cur_x
@@ -2072,8 +2103,10 @@ class _TextInterp:
                                 elif tc - kern > self.GAP_FRACTION * size:
                                     buf.append(" ")
                             trail -= item / 1000.0 * size * asx
-                    self.show("".join(buf), ay + arise, start_x, size * asx)
-                    self.last_end_x = cur_x - trail
+                    if self.show(
+                        "".join(buf), ay + arise, start_x, size * asx
+                    ):
+                        self.last_end_x = cur_x - trail
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
                 elif op == b"BT":
@@ -2167,6 +2200,41 @@ class _TextInterp:
         self.force_flush = True  # form stream end flush (getTextContent tail)
 
 
+def _page_view_box(doc: Document, page: dict) -> list[float]:
+    """The page's visible box in PDF units — pdf.js ``Page.view``:
+    CropBox intersected with MediaBox, MediaBox alone when CropBox is
+    absent/degenerate, LETTER when both are missing. Both keys are
+    INHERITABLE, so walk /Parent links."""
+
+    def find(key: str) -> list[float] | None:
+        node, hops = page, 0
+        while isinstance(node, dict) and hops < 64:
+            v = doc.resolve(node.get(key))
+            if isinstance(v, list) and len(v) == 4:
+                try:
+                    b = [float(doc.resolve(x)) for x in v]
+                except (TypeError, ValueError):
+                    return None
+                return [
+                    min(b[0], b[2]), min(b[1], b[3]),
+                    max(b[0], b[2]), max(b[1], b[3]),
+                ]
+            node = doc.resolve(node.get("Parent"))
+            hops += 1
+        return None
+
+    mb = find("MediaBox") or [0.0, 0.0, 612.0, 792.0]
+    cb = find("CropBox")
+    if cb:
+        box = [
+            max(cb[0], mb[0]), max(cb[1], mb[1]),
+            min(cb[2], mb[2]), min(cb[3], mb[3]),
+        ]
+        if box[2] > box[0] and box[3] > box[1]:
+            return box
+    return mb
+
+
 def _page_text(doc: Document, page: dict, resources) -> str:
     contents = doc.resolve(page.get("Contents"))
     if contents is None:
@@ -2180,7 +2248,7 @@ def _page_text(doc: Document, page: dict, resources) -> str:
     data = b"\n".join(parts)
     if not data:
         return ""
-    interp = _TextInterp(doc)
+    interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
     interp.run(data, resources)
     return interp.text()
 

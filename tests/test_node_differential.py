@@ -1,0 +1,169 @@
+"""Differential testing vs the LIVE reference.
+
+Seeded synthetic PDFs exercising the text-assembly decision space
+(letter-spacing, Tm-scale sub/superscripts, TJ kern tightening, trailing
+space glyphs, font switches, Td/TD/T*/'/", hex strings) run through BOTH
+engines — node executing the actual reference (lib/pdf-parse.js over its
+bundled pdf.js) and our parser — and every output must be BYTE-EQUAL.
+
+This pins the whole two-stage assembly model empirically rather than
+case-by-case; any divergence names the fixture that produced it.
+Env-gated: skipped when node or the reference checkout is absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import subprocess
+
+import pytest
+
+from pdf_parse_new_spark.kernels import pdfb
+
+REF = "/root/reference/index.js"
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("node") is None or not os.path.exists(REF),
+    reason="live-reference differential needs node + /root/reference",
+)
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega".split()
+)
+
+
+def _assemble(content: bytes) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R /F2 5 0 R >> >> "
+        b"/Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref,
+    )
+    return bytes(out)
+
+
+def _gen_stream(rng: random.Random) -> bytes:
+    """One BT..ET block of seeded operator soup over the assembly
+    decision space. Numbers are fixed-point (the content grammar has no
+    exponents)."""
+    ops = [b"BT"]
+    font = rng.choice([b"/F1", b"/F2"])
+    size = rng.choice([1, 8, 10, 12])
+    scale = rng.choice([1.0, 6.22, 8.0, 10.0]) if size == 1 else 1.0
+    ops.append(b"%s %d Tf" % (font, size))
+    y = 700.0
+    x = 72.0
+    for _ in range(rng.randrange(6, 14)):
+        kind = rng.randrange(8)
+        if kind == 0:  # new line via Tm, maybe new scale (subscripts)
+            dy = rng.choice([1.3, 2.0, 11.0, 14.0])
+            y -= dy
+            x = rng.choice([72.0, x + rng.choice([-2.0, 0.5, 3.0, 9.0])])
+            scale2 = rng.choice([scale, 6.22, 8.0]) if size == 1 else 1.0
+            scale = scale2
+            ops.append(
+                b"%.2f 0 0 %.2f %.2f %.2f Tm" % (scale, scale, x, y)
+            )
+        elif kind == 1:  # Td relative move
+            ops.append(b"%.2f %.2f Td" % (rng.choice([0.0, 4.0, 30.0]),
+                                          rng.choice([0.0, -11.0, -1.4])))
+        elif kind == 2:  # spacing state
+            ops.append(b"%.2f Tc" % rng.choice([0.0, 0.05, 1.5]))
+            ops.append(b"%.2f Tw" % rng.choice([0.0, 0.4]))
+        elif kind == 3:  # font switch (flush)
+            font = rng.choice([b"/F1", b"/F2"])
+            ops.append(b"%s %d Tf" % (font, size))
+        elif kind == 4:  # TJ with kerns, maybe trailing-space tighten
+            parts = []
+            for _ in range(rng.randrange(1, 4)):
+                w = " ".join(rng.sample(WORDS, rng.randrange(1, 3)))
+                if rng.random() < 0.4:
+                    w += " "
+                parts.append(b"(%s)" % w.encode())
+                parts.append(b"%d" % rng.choice([-300, -120, -80, 120, 567]))
+            ops.append(b"[" + b" ".join(parts[:-1]) + b"] TJ")
+        elif kind == 5:  # plain Tj, hex half the time
+            w = " ".join(rng.sample(WORDS, rng.randrange(1, 4)))
+            if rng.random() < 0.5:
+                ops.append(b"<%s> Tj" % w.encode().hex().encode())
+            else:
+                ops.append(b"(%s) Tj" % w.encode())
+        elif kind == 6:  # leading + T* / quote
+            ops.append(b"%.1f TL" % rng.choice([11.0, 12.5]))
+            if rng.random() < 0.5:
+                ops.append(b"T*")
+                ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+            else:
+                ops.append(b"(%s) '" % rng.choice(WORDS).encode())
+        else:  # whitespace-heavy item
+            ops.append(b"(  %s   ) Tj" % rng.choice(WORDS).encode())
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_seeded_streams_byte_equal_vs_live_reference(tmp_path):
+    n_docs = 24
+    paths = []
+    for seed in range(n_docs):
+        rng = random.Random(1000 + seed)
+        pdf = _assemble(_gen_stream(rng))
+        p = tmp_path / f"doc{seed:02d}.pdf"
+        p.write_bytes(pdf)
+        paths.append(str(p))
+
+    harness = tmp_path / "run.js"
+    harness.write_text(
+        """
+const fs = require("fs");
+const pdfParse = require(%s);
+(async () => {
+  const out = {};
+  for (const p of process.argv.slice(2)) {
+    try { out[p] = (await pdfParse(fs.readFileSync(p))).text; }
+    catch (e) { out[p] = "<<ERR>> " + e.message; }
+  }
+  console.log(JSON.stringify(out));
+})();
+"""
+        % json.dumps(REF)
+    )
+    res = subprocess.run(
+        ["node", str(harness), *paths],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-500:]
+    golden = json.loads(res.stdout.strip().splitlines()[-1])
+
+    diverged = []
+    for p in paths:
+        ours = pdfb.parse_pdf_bytes(open(p, "rb").read())["text"]
+        ref = golden[p]
+        assert not ref.startswith("<<ERR>>"), (p, ref)
+        if ours != ref:
+            diverged.append((os.path.basename(p), ref, ours))
+    assert not diverged, "\n".join(
+        f"{name}: ref={ref!r} ours={ours!r}" for name, ref, ours in diverged[:5]
+    )

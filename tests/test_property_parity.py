@@ -174,5 +174,6 @@ def test_bidi_in_binary_dialect_show_path():
     interp.pending_space = False
     interp.glyph_y, interp.force_flush = None, False
     interp.scale_flush, interp.item_size = False, 0.0
+    interp.viewbox = None
     interp.show("hello שלום עולם world", 0.0)
     assert interp.text() == "world " + "שלום עולם"[::-1] + " hello"

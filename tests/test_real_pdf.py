@@ -686,6 +686,7 @@ def test_pending_space_model():
         it.last_y, it.last_end_x, it.pending_space = None, None, False
         it.glyph_y, it.force_flush = None, False
         it.scale_flush, it.item_size = False, 0.0
+        it.viewbox = None
         return it
 
     # interior runs collapse
