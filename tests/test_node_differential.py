@@ -119,6 +119,18 @@ def _gen_stream(rng: random.Random) -> bytes:
         else:  # whitespace-heavy item
             ops.append(b"(  %s   ) Tj" % rng.choice(WORDS).encode())
     ops.append(b"ET")
+    if rng.random() < 0.4:  # a second BT block, maybe cm-translated
+        tail = [b"q", b"1 0 0 1 %.1f %.1f cm" % (rng.choice([0.0, 50.0]),
+                                                 rng.choice([0.0, -30.0])),
+                b"BT", b"/F1 %d Tf" % rng.choice([9, 11]),
+                b"1 0 0 1 72 %.1f Tm" % rng.choice([320.0, 640.0]),
+                b"%.2f Tz" % rng.choice([100.0, 80.0, 120.0]),
+                b"(%s) Tj" % " ".join(rng.sample(WORDS, 3)).encode(),
+                b"%.1f Ts (%s) Tj 0 Ts" % (rng.choice([3.0, -2.5]),
+                                           rng.choice(WORDS).encode()),
+                b"(%s) Tj" % rng.choice(WORDS).encode(),
+                b"ET", b"Q"]
+        ops.extend(tail)
     return b"\n".join(ops)
 
 
