@@ -40,7 +40,12 @@ enum {
     K_TJNUM = 7,  /* f0 = kern value */
     K_TJEND = 8,
     K_XOBJ = 9,   /* a,b = /Name span (without slash) : Do operator */
-    K_SETY = 10   /* f0 = y : partial Td/TD/Tm (later operand failed) */
+    K_SETY = 10,  /* f0 = y : partial Td/TD/Tm (later operand failed) */
+    K_CM = 11     /* f0,f1 = line origin under the NEW ctm, f2 = sx,
+                   * f3 = sy : cm / Q changed the matrix mid-text — the
+                   * replay refreshes the PEN (pdf.js recomputes the
+                   * transform per glyph) while prevTransform keeps its
+                   * old device point (it is never retransformed) */
 };
 
 /* operand kinds on the small typed stack */
@@ -581,7 +586,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                         LM_TRANSLATE(0.0, st[nst - 1].cv);
                         if (st[nst - 2].conv) {
                             LM_TRANSLATE(st[nst - 2].cv, 0.0);
-                            EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
+                            EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
                         } else {
                             EMIT(K_SETY, 0, 0, 0, TX_Y(tm_e, tm_f), 0, 0, 0);
                         }
@@ -593,7 +598,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                         LM_TRANSLATE(0.0, st[nst - 1].cv);
                         if (st[nst - 2].conv) {
                             LM_TRANSLATE(st[nst - 2].cv, 0.0);
-                            EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
+                            EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
                         } else {
                             EMIT(K_SETY, 0, 0, 0, TX_Y(tm_e, tm_f), 0, 0, 0);
                         }
@@ -619,7 +624,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                              * updateAdvanceScale (pdf.worker.js:36871),
                              * so only it can zero an open item's width
                              * (the textOrientation==0 flush) */
-                            EMIT(K_ANCHOR, 1, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
+                            EMIT(K_ANCHOR, 1, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
                         }
                     }
                     break;
@@ -655,7 +660,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     break;
                 case '*':
                     LM_TRANSLATE(0.0, -leading);
-                    EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
+                    EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
                     break;
                 case 'j': /* Tj */
                     if (nst >= 1 && st[nst - 1].kind == OP_STR)
@@ -669,7 +674,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
             } else if (oplen == 1 && (op[0] == '\'' || op[0] == '"')) {
                 int abort_show = 0;
                 LM_TRANSLATE(0.0, -leading);
-                EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, 0);
+                EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
                 if (op[0] == '"' && nst >= 3) {
                     /* fallback order: tw converts first (kept on partial
                      * failure of tc), a failure skips the show */
@@ -710,6 +715,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     cm_d = qs[qn][3];
                     cm_e = qs[qn][4];
                     cm_f = qs[qn][5];
+                    EMIT(K_CM, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f),
+                         tm_a * cm_a, tm_d * cm_d);
                 }
             } else if (oplen == 2 && op[0] == 'c' && op[1] == 'm') {
                 /* CTM' = m x CTM; applied only when all six operands
@@ -732,6 +739,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     cm_d = nd;
                     cm_e = ne;
                     cm_f = nf;
+                    EMIT(K_CM, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f),
+                         tm_a * cm_a, tm_d * cm_d);
                 }
             } else if (oplen == 2 && op[0] == 'B' && op[1] == 'T') {
                 tm_a = 1.0;
@@ -743,7 +752,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 rise = 0.0;
                 /* leading/Tc/Tw/Tz persist across BT (spec table 103) */
                 EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
-                EMIT(K_ANCHOR, 0, 0, 0, TX_X(0.0, 0.0), TX_Y(0.0, 0.0), cm_a, 0);
+                EMIT(K_ANCHOR, 0, 0, 0, TX_X(0.0, 0.0), TX_Y(0.0, 0.0), cm_a, cm_d);
             } else if (oplen == 2 && op[0] == 'B' && op[1] == 'I') {
                 pos = skip_inline_image(d, pos, n);
             }
@@ -796,7 +805,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
 #define RP_TJ_SPACE_THRESHOLD 180.0
 
 typedef struct {
-    double y, cur_x, size, sx, tc, tw, tz, rise;
+    double y, cur_x, size, sx, sy, line_ox, line_oy, tc, tw, tz, rise;
     double last_y, last_end_x, glyph_y, item_size;
     double vb0, vb1, vb2, vb3; /* page view box (pdf.js viewBox clip) */
     int have_last_y, have_last_end_x, have_glyph_y, have_vb;
@@ -812,18 +821,40 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      long b, const unsigned char *tb, const int32_t *to,
                      const double *w, unsigned char *out, long *olen,
                      long ocap, long *glyphs, long *spaces, double *wsum,
-                     int lgap)
+                     int lgap, const RState *rst, double start_x)
 {
     long o = *olen;
     long start_ = o; /* letter-gap spaces only between this item's chars */
+    /* per-glyph x viewBox clip (pdf.worker.js:36531-36536 runs PER
+     * GLYPH): a glyph whose pen x sits outside [vb0, vb2] is skipped —
+     * position still advances — so items straddling the page edge keep
+     * only their visible part. Space glyphs are exempt (the whitespace
+     * branch precedes the box check; pending-space machinery handles
+     * them). kx/ktc/ktw map accumulated text-space advances to device. */
+    int clip = rst != NULL && rst->have_vb;
+    double kx = 0.0, ktc = 0.0, ktw = 0.0;
+    if (clip) {
+        kx = rst->size / 1000.0 * rst->sx * rst->tz;
+        ktc = rst->tc * rst->sx * rst->tz;
+        ktw = rst->tw * rst->sx * rst->tz;
+    }
 #define PUTCODE(C)                                                           \
     do {                                                                     \
         unsigned char cc_ = (unsigned char)(C);                              \
+        long ta_ = to[cc_], tl_ = to[cc_ + 1] - ta_;                         \
+        if (clip && cc_ != 0x20 && !(tl_ == 1 && tb[ta_] == ' ')) {          \
+            double px_ = start_x + *wsum * kx +                              \
+                         (double)*glyphs * ktc + (double)*spaces * ktw;      \
+            if (px_ + w[cc_] * kx < rst->vb0 || px_ > rst->vb2) {                          \
+                *wsum += w[cc_];                                             \
+                (*glyphs)++;                                                 \
+                break;                                                       \
+            }                                                                \
+        }                                                                    \
         *wsum += w[cc_];                                                     \
         if (cc_ == 0x20)                                                     \
             (*spaces)++;                                                     \
         (*glyphs)++;                                                         \
-        long ta_ = to[cc_], tl_ = to[cc_ + 1] - ta_;                         \
         if (lgap) {                                                          \
             /* charSpacing > trackingSpaceMin: a fake space between     */   \
             /* every char pair (pdf.worker.js:36633-36651); runs        */   \
@@ -962,8 +993,7 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         m = o - mark;
     }
     int tracked = st->line_open || st->have_glyph_y;
-    if (st->have_vb &&
-        (ty < st->vb1 || ty > st->vb3 || tx > st->vb2 || tx < st->vb0)) {
+    if (st->have_vb && (ty < st->vb1 || ty > st->vb3)) {
         /* outside the view box: glyphs drop before any state change
          * (pdf.worker.js:36531-36536); whitespace glyphs still arm the
          * pending space. Return 2 = clipped (caller keeps prevTransform). */
@@ -1132,6 +1162,9 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.vb2 = state[23];
     st.vb3 = state[24];
     st.have_vb = state[25] != 0.0;
+    st.sy = state[26];
+    st.line_ox = state[27];
+    st.line_oy = state[28];
 
     long olen = 0, tjmark = -1;
     double tj_start_x = 0.0, tj_trail = 0.0;
@@ -1147,9 +1180,10 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             const int32_t *to = toff + st.cur_font * 257;
             const double *w = widths + st.cur_font * 256;
             int lgap = st.size > 0.0 &&
-                       st.tc > RP_GAP_FRACTION * st.size;
+                       st.tc * st.tz > RP_GAP_FRACTION * st.size;
             if (rp_decode(d, n, e->flag, e->a, e->b, tbytes, to, w, out,
-                          &olen, ocap, &glyphs, &spaces, &wsum, lgap) < 0)
+                          &olen, ocap, &glyphs, &spaces, &wsum, lgap,
+                          &st, st.cur_x) < 0)
                 return -1;
             double adv = (wsum / 1000.0 * st.size +
                           (double)glyphs * st.tc +
@@ -1188,11 +1222,13 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                      * reset, pdf.worker.js:36630-36631) */
                     double w_sp = widths[st.cur_font * 256 + 32] /
                                   1000.0 * st.size;
-                    if (w_sp + st.tc + st.tw - kern <= 0.03 * st.size) {
+                    if ((w_sp + st.tc + st.tw - kern) * st.tz <=
+                        0.03 * st.size) {
                         while (olen > base && out[olen - 1] == ' ')
                             olen--;
                     }
-                } else if (st.tc - kern > RP_GAP_FRACTION * st.size) {
+                } else if ((st.tc - kern) * st.tz >
+                           RP_GAP_FRACTION * st.size) {
                     if (olen + 1 > ocap)
                         return -1;
                     out[olen++] = ' ';
@@ -1206,7 +1242,26 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             st.cur_x = e->f0;
             st.y = e->f1;
             st.sx = e->f2;
+            st.sy = e->f3;
+            st.line_ox = e->f0;
+            st.line_oy = e->f1;
             break;
+        case K_CM: {
+            /* cm/Q mid-text: the PEN follows the new matrix (pdf.js
+             * derives every glyph position from ctm x tm); advances
+             * since the line origin rescale by the sx ratio.
+             * prevTransform/glyph_y keep their OLD device points —
+             * pdf.js never retransforms them. */
+            double rx = st.sx != 0.0 ? e->f2 / st.sx : 1.0;
+            double ry = st.sy != 0.0 ? e->f3 / st.sy : 1.0;
+            st.cur_x = e->f0 + (st.cur_x - st.line_ox) * rx;
+            st.y = e->f1 + (st.y - st.line_oy) * ry;
+            st.line_ox = e->f0;
+            st.line_oy = e->f1;
+            st.sx = e->f2;
+            st.sy = e->f3;
+            break;
+        }
         case K_TJSTART:
             tjmark = olen;
             tj_start_x = st.cur_x;
@@ -1242,6 +1297,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             break;
         case K_SETY:
             st.y = e->f0;
+            st.line_oy = e->f0;
             break;
         case K_XOBJ:
             ret = i;
@@ -1271,6 +1327,9 @@ done:
     state[19] = st.scale_flush ? 1.0 : 0.0;
     state[20] = st.item_size;
     /* 21-25 (view box) are read-only inputs */
+    state[26] = st.sy;
+    state[27] = st.line_ox;
+    state[28] = st.line_oy;
     *out_len = olen;
     return ret;
 }

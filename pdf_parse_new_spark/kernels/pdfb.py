@@ -1306,6 +1306,36 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
                             prefix = first[:-1]
                             for off in range(min(hi - lo + 1, 65536)):
                                 table[lo + off] = prefix + chr(base_cp + off)
+    if not widths and nbytes == 1:
+        # non-embedded base font without /Widths: pdf.js falls back to
+        # its built-in standard-14 AFM tables (getMetrics +
+        # buildCharCodeToWidth, pdf.worker.js:37565) — match them or the
+        # word-gap geometry drifts a few percent per glyph
+        from pdf_parse_new_spark.kernels.stdfonts import (
+            STD_ALIASES, STD_WIDTHS,
+        )
+
+        base_font = re.sub(r"^[A-Z]{6}\+", "", str(font.get("BaseFont", "")))
+        std = STD_WIDTHS.get(base_font) or STD_WIDTHS.get(
+            STD_ALIASES.get(base_font, "")
+        )
+        if std is None and base_font:
+            # pdf.js: unmatched std names fall back serif -> Times,
+            # else Helvetica (isSerifFont heuristic)
+            serif = any(
+                s in base_font
+                for s in ("Times", "Georgia", "Book", "Garamond", "Serif")
+            )
+            std = STD_WIDTHS["Times-Roman" if serif else "Helvetica"]
+        if isinstance(std, float):
+            default_width = std  # monospace family: one scalar width
+        elif isinstance(std, dict):
+            for code, uni in list(table.items()):
+                w = std.get(uni)
+                if w is not None:
+                    widths[code] = w
+            if widths:
+                default_width = 0.0  # pdf.js defaultWidth for table fonts
     identity = False
     if not table:
         if subtype == "Type0":
@@ -1528,11 +1558,7 @@ class _TextInterp:
         # below.
         s = _SPACE_RUN.sub(" ", s)
         vb = self.viewbox
-        if (
-            vb is not None
-            and tx is not None
-            and (ty < vb[1] or ty > vb[3] or tx > vb[2] or tx < vb[0])
-        ):
+        if vb is not None and (ty < vb[1] or ty > vb[3]):
             # outside the view box: glyphs drop BEFORE any state change
             # (prevTransform untouched — return False so the caller skips
             # last_end_x); whitespace glyphs still arm the pending space
@@ -1651,6 +1677,31 @@ class _TextInterp:
 
     def text(self) -> str:
         return "".join(self.pieces)
+
+
+    def _clip_x(self, fm: FontMap, item: bytes, dec: str, start_x: float,
+                size: float, sxz: float, tc: float, tw: float) -> str:
+        """Per-glyph x view-box clip (pdf.js runs the box test PER
+        GLYPH): glyphs whose pen x falls outside [vb0, vb2] vanish while
+        position still advances, so an item straddling the page edge
+        keeps only its visible part. Space glyphs are exempt (whitespace
+        branch precedes the box test). Gated to the rare straddle case
+        by the caller; 1-byte fonts only (the C path mirrors this)."""
+        vb = self.viewbox
+        out = []
+        x = start_x
+        w, dw = fm.widths, fm.default_width
+        for i, code in enumerate(item):
+            ch = dec[i] if i < len(dec) else ""
+            gw = w.get(code, dw) / 1000.0 * size * sxz
+            # pdf.js: posX + glyphWidth < vb0 (left straddlers stay),
+            # posX > vb2 (pdf.worker.js:36534)
+            if ch == " " or code == 0x20 or (
+                x + gw >= vb[0] and x <= vb[2]
+            ):
+                out.append(ch)
+            x += gw + (tc + (tw if code == 0x20 else 0.0)) * sxz
+        return "".join(out)
 
     def _font_for(self, fonts_dict, name: str) -> FontMap:
         ref = (fonts_dict or {}).get(name)
@@ -1802,6 +1853,8 @@ class _TextInterp:
         cur_x = 0.0
         size = 0.0
         sx = 1.0
+        sy = 0.0
+        line_ox = line_oy = 0.0
         tc = tw = 0.0
         tz = 1.0
         tj_buf: list[str] = []
@@ -1826,11 +1879,23 @@ class _TextInterp:
                     + spaces * tw
                 ) * sx * tz
                 dec = fm.decode(item)
-                if size > 0 and tc > self.GAP_FRACTION * size:
+                vb = self.viewbox
+                if (
+                    vb is not None
+                    and fm.nbytes == 1
+                    and len(dec) == len(item)
+                    and (cur_x < vb[0] or cur_x + adv > vb[2])
+                ):
+                    dec = self._clip_x(
+                        fm, item, dec, cur_x, size, sx * tz, tc, tw
+                    )
+                if size > 0 and tc * tz > self.GAP_FRACTION * size:
                     # charSpacing > trackingSpaceMin: pdf.js's per-glyph
-                    # compare sees advanceX == tc between every glyph
-                    # pair -> a fake space between each (letter-spaced
-                    # headings, pdf.worker.js:36633-36651)
+                    # compare sees advanceX == tc*hscale between every
+                    # glyph pair -> a fake space between each
+                    # (letter-spaced headings, pdf.worker.js:36633-36651;
+                    # the Tz factor rides the translate, the thresholds
+                    # don't)
                     dec = " ".join(dec)
                 if kind == 6:
                     tj_buf.append(dec)
@@ -1864,9 +1929,9 @@ class _TextInterp:
                             if fm.nbytes == 1
                             else 0.5 * size
                         )
-                        if w_sp + tc + tw - kern <= 0.03 * size:
+                        if (w_sp + tc + tw - kern) * tz <= 0.03 * size:
                             tj_buf[-1] = tj_buf[-1].rstrip(" ")
-                    elif tc - kern > self.GAP_FRACTION * size:
+                    elif (tc - kern) * tz > self.GAP_FRACTION * size:
                         tj_buf.append(" ")
                     tj_trail -= f0 / 1000.0 * size * sx
             elif kind == 1:  # ANCHOR: new line origin
@@ -1877,6 +1942,17 @@ class _TextInterp:
                 cur_x = f0
                 y = f1
                 sx = f2
+                sy = f3
+                line_ox, line_oy = f0, f1
+            elif kind == 11:  # CM: cm/Q mid-text — the PEN follows the
+                # new matrix (pdf.js derives positions from ctm x tm);
+                # prevTransform keeps its old device point
+                rx = f2 / sx if sx else 1.0
+                ry = f3 / sy if sy else 1.0
+                cur_x = f0 + (cur_x - line_ox) * rx
+                y = f1 + (y - line_oy) * ry
+                line_ox, line_oy = f0, f1
+                sx, sy = f2, f3
             elif kind == 5:  # TJSTART
                 tj_buf = []
                 tj_start_x = cur_x
@@ -1899,6 +1975,7 @@ class _TextInterp:
                 tc, tw, tz, rise = f0, f1, f2, f3
             elif kind == 10:  # SETY: partial Td/TD/Tm — y moved, cur_x stays
                 y = f0
+                line_oy = f0
             elif kind == 9:  # XOBJ (Do)
                 if depth < self.MAX_DEPTH:
                     self._do_xobject(
@@ -1931,6 +2008,7 @@ class _TextInterp:
         ax = 0.0
         ay = 0.0
         asx = 1.0
+        asy = 1.0
         arise = 0.0
         stack: list = []
         pos = 0
@@ -2045,7 +2123,20 @@ class _TextInterp:
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                     item = stack[-1]
                     dec = fm.decode(item)
-                    if size > 0 and tc > self.GAP_FRACTION * size:
+                    vb = self.viewbox
+                    if (
+                        vb is not None
+                        and fm.nbytes == 1
+                        and len(dec) == len(item)
+                        and (
+                            cur_x < vb[0]
+                            or cur_x + advance(item) > vb[2]
+                        )
+                    ):
+                        dec = self._clip_x(
+                            fm, item, dec, cur_x, size, asx * tz, tc, tw
+                        )
+                    if size > 0 and tc * tz > self.GAP_FRACTION * size:
                         dec = " ".join(dec)  # letter-spacing fake spaces
                     shown = self.show(dec, ay + arise, cur_x, size * asx)
                     cur_x += advance(item)
@@ -2066,7 +2157,20 @@ class _TextInterp:
                     if stack and isinstance(stack[-1], bytes):
                         item = stack[-1]
                         dec = fm.decode(item)
-                        if size > 0 and tc > self.GAP_FRACTION * size:
+                        vb = self.viewbox
+                        if (
+                            vb is not None
+                            and fm.nbytes == 1
+                            and len(dec) == len(item)
+                            and (
+                                cur_x < vb[0]
+                                or cur_x + advance(item) > vb[2]
+                            )
+                        ):
+                            dec = self._clip_x(
+                                fm, item, dec, cur_x, size, asx * tz, tc, tw
+                            )
+                        if size > 0 and tc * tz > self.GAP_FRACTION * size:
                             dec = " ".join(dec)
                         shown = self.show(dec, ay + arise, cur_x, size * asx)
                         cur_x += advance(item)
@@ -2078,10 +2182,24 @@ class _TextInterp:
                     buf: list[str] = []
                     start_x = cur_x
                     trail = 0.0
-                    lgap = size > 0 and tc > self.GAP_FRACTION * size
+                    lgap = size > 0 and tc * tz > self.GAP_FRACTION * size
                     for item in stack[-1]:
                         if isinstance(item, bytes):
                             dec = fm.decode(item)
+                            vb = self.viewbox
+                            if (
+                                vb is not None
+                                and fm.nbytes == 1
+                                and len(dec) == len(item)
+                                and (
+                                    cur_x < vb[0]
+                                    or cur_x + advance(item) > vb[2]
+                                )
+                            ):
+                                dec = self._clip_x(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw,
+                                )
                             buf.append(" ".join(dec) if lgap else dec)
                             cur_x += advance(item)
                             if item:
@@ -2098,9 +2216,15 @@ class _TextInterp:
                                         if fm.nbytes == 1
                                         else 0.5 * size
                                     )
-                                    if w_sp + tc + tw - kern <= 0.03 * size:
+                                    if (
+                                        (w_sp + tc + tw - kern) * tz
+                                        <= 0.03 * size
+                                    ):
                                         buf[-1] = buf[-1].rstrip(" ")
-                                elif tc - kern > self.GAP_FRACTION * size:
+                                elif (
+                                    (tc - kern) * tz
+                                    > self.GAP_FRACTION * size
+                                ):
                                     buf.append(" ")
                             trail -= item / 1000.0 * size * asx
                     if self.show(
@@ -2131,6 +2255,16 @@ class _TextInterp:
                         me * cm_a + mf * cm_c + cm_e,
                         me * cm_b + mf * cm_d + cm_f,
                     )
+                    # the PEN follows the new matrix; prevTransform keeps
+                    # its old device point (never retransformed)
+                    nax = cm_a * tm_e + cm_c * tm_f + cm_e
+                    nay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    nasx = tm_a * cm_a
+                    nasy = tm_d * cm_d
+                    cur_x = nax + (cur_x - ax) * (
+                        nasx / asx if asx else 1.0
+                    )
+                    ax, ay, asx, asy = nax, nay, nasx, nasy
                 elif op == b"q":
                     if len(qstack) < 64:
                         qstack.append(
@@ -2139,6 +2273,14 @@ class _TextInterp:
                 elif op == b"Q":
                     if qstack:
                         (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f) = qstack.pop()
+                        nax = cm_a * tm_e + cm_c * tm_f + cm_e
+                        nay = cm_b * tm_e + cm_d * tm_f + cm_f
+                        nasx = tm_a * cm_a
+                        nasy = tm_d * cm_d
+                        cur_x = nax + (cur_x - ax) * (
+                            nasx / asx if asx else 1.0
+                        )
+                        ax, ay, asx, asy = nax, nay, nasx, nasy
                 # other operators (gs, re, colors, paths...) are no-ops
                 # for text extraction
             except (TypeError, ValueError):
