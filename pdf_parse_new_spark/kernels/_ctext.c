@@ -821,10 +821,16 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      long b, const unsigned char *tb, const int32_t *to,
                      const double *w, unsigned char *out, long *olen,
                      long ocap, long *glyphs, long *spaces, double *wsum,
-                     int lgap, const RState *rst, double start_x)
+                     int lgap, const RState *rst, double start_x,
+                     double *prev_x_out, int *have_prev)
 {
     long o = *olen;
     long start_ = o; /* letter-gap spaces only between this item's chars */
+    /* prev_x_out: pdf.js's prevTransform x — the pen right AFTER the
+     * last EMITTED non-space glyph's width, BEFORE its charSpacing
+     * (pdf.worker.js:36693-36727). Space and clipped glyphs advance
+     * position without touching it. */
+    *have_prev = 0;
     /* per-glyph x viewBox clip (pdf.worker.js:36531-36536 runs PER
      * GLYPH): a glyph whose pen x sits outside [vb0, vb2] is skipped —
      * position still advances — so items straddling the page edge keep
@@ -833,7 +839,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
      * them). kx/ktc/ktw map accumulated text-space advances to device. */
     int clip = rst != NULL && rst->have_vb;
     double kx = 0.0, ktc = 0.0, ktw = 0.0;
-    if (clip) {
+    if (rst != NULL) {
         kx = rst->size / 1000.0 * rst->sx * rst->tz;
         ktc = rst->tc * rst->sx * rst->tz;
         ktw = rst->tw * rst->sx * rst->tz;
@@ -842,19 +848,23 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
     do {                                                                     \
         unsigned char cc_ = (unsigned char)(C);                              \
         long ta_ = to[cc_], tl_ = to[cc_ + 1] - ta_;                         \
-        if (clip && cc_ != 0x20 && !(tl_ == 1 && tb[ta_] == ' ')) {          \
-            double px_ = start_x + *wsum * kx +                              \
-                         (double)*glyphs * ktc + (double)*spaces * ktw;      \
-            if (px_ + w[cc_] * kx < rst->vb0 || px_ > rst->vb2) {                          \
-                *wsum += w[cc_];                                             \
-                (*glyphs)++;                                                 \
-                break;                                                       \
-            }                                                                \
+        double px_ = start_x + *wsum * kx +                                  \
+                     (double)*glyphs * ktc + (double)*spaces * ktw;          \
+        int sp_ = cc_ == 0x20 || (tl_ == 1 && tb[ta_] == ' ');               \
+        if (clip && !sp_ &&                                                  \
+            (px_ + w[cc_] * kx < rst->vb0 || px_ > rst->vb2)) {              \
+            *wsum += w[cc_];                                                 \
+            (*glyphs)++;                                                     \
+            break; /* clipped: position advances, prevTransform doesn't */   \
         }                                                                    \
         *wsum += w[cc_];                                                     \
         if (cc_ == 0x20)                                                     \
             (*spaces)++;                                                     \
         (*glyphs)++;                                                         \
+        if (!sp_) {                                                          \
+            *prev_x_out = px_ + w[cc_] * kx;                                 \
+            *have_prev = 1;                                                  \
+        }                                                                    \
         if (lgap) {                                                          \
             /* charSpacing > trackingSpaceMin: a fake space between     */   \
             /* every char pair (pdf.worker.js:36633-36651); runs        */   \
@@ -1167,7 +1177,8 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.line_oy = state[28];
 
     long olen = 0, tjmark = -1;
-    double tj_start_x = 0.0, tj_trail = 0.0;
+    double tj_start_x = 0.0, tj_prev_x = 0.0;
+    int tj_have_prev = 0;
     long ret = nev;
 
     for (long i = start; i < nev; i++) {
@@ -1181,9 +1192,11 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             const double *w = widths + st.cur_font * 256;
             int lgap = st.size > 0.0 &&
                        st.tc * st.tz > RP_GAP_FRACTION * st.size;
+            double prev_x = 0.0;
+            int have_prev = 0;
             if (rp_decode(d, n, e->flag, e->a, e->b, tbytes, to, w, out,
                           &olen, ocap, &glyphs, &spaces, &wsum, lgap,
-                          &st, st.cur_x) < 0)
+                          &st, st.cur_x, &prev_x, &have_prev) < 0)
                 return -1;
             double adv = (wsum / 1000.0 * st.size +
                           (double)glyphs * st.tc +
@@ -1191,8 +1204,10 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                          st.sx * st.tz;
             if (e->kind == K_TJSTR) {
                 st.cur_x += adv; /* stays staged until K_TJEND */
-                if (glyphs)
-                    tj_trail = st.tc * st.sx * st.tz;
+                if (have_prev) {
+                    tj_prev_x = prev_x;
+                    tj_have_prev = 1;
+                }
             } else {
                 int rc = rp_show(&st, out, &olen, ocap, mark,
                                  st.y + st.rise, st.cur_x,
@@ -1200,12 +1215,12 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 if (rc < 0)
                     return -1;
                 st.cur_x += adv;
-                /* prevTransform excludes the last glyph's trailing
-                 * charSpacing (pdf.worker.js:36726,36733); clipped
-                 * glyphs never touch it */
-                if (rc != 2) {
-                    st.last_end_x =
-                        st.cur_x - (glyphs ? st.tc * st.sx * st.tz : 0.0);
+                /* prevTransform = after the last emitted NON-SPACE
+                 * glyph's width, before its charSpacing
+                 * (pdf.worker.js:36693-36727): space-only and
+                 * y-clipped items leave it untouched */
+                if (rc != 2 && have_prev) {
+                    st.last_end_x = prev_x;
                     st.have_last_end_x = 1;
                 }
             }
@@ -1234,7 +1249,6 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     out[olen++] = ' ';
                 }
             }
-            tj_trail -= e->f0 / 1000.0 * st.size * st.sx;
             break;
         case K_ANCHOR:
             if (e->flag == 1 && e->f2 != st.sx && st.line_open)
@@ -1265,7 +1279,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
         case K_TJSTART:
             tjmark = olen;
             tj_start_x = st.cur_x;
-            tj_trail = 0.0;
+            tj_have_prev = 0;
             break;
         case K_TJEND: {
             int rc = rp_show(&st, out, &olen, ocap,
@@ -1273,8 +1287,8 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                              st.y + st.rise, tj_start_x, st.size * st.sx);
             if (rc < 0)
                 return -1;
-            if (rc != 2) {
-                st.last_end_x = st.cur_x - tj_trail;
+            if (rc != 2 && tj_have_prev) {
+                st.last_end_x = tj_prev_x;
                 st.have_last_end_x = 1;
             }
             tjmark = -1;

@@ -1690,18 +1690,46 @@ class _TextInterp:
         vb = self.viewbox
         out = []
         x = start_x
+        prev: float | None = None
         w, dw = fm.widths, fm.default_width
         for i, code in enumerate(item):
             ch = dec[i] if i < len(dec) else ""
             gw = w.get(code, dw) / 1000.0 * size * sxz
+            sp = ch == " " or code == 0x20
             # pdf.js: posX + glyphWidth < vb0 (left straddlers stay),
             # posX > vb2 (pdf.worker.js:36534)
-            if ch == " " or code == 0x20 or (
-                x + gw >= vb[0] and x <= vb[2]
-            ):
+            if sp or (x + gw >= vb[0] and x <= vb[2]):
                 out.append(ch)
+                if not sp:
+                    prev = x + gw  # prevTransform follows EMITTED glyphs
             x += gw + (tc + (tw if code == 0x20 else 0.0)) * sxz
-        return "".join(out)
+        return "".join(out), prev
+
+
+    def _prev_x(self, fm: FontMap, item: bytes, dec: str, start_x: float,
+                size: float, sxz: float, tc: float, tw: float) -> float | None:
+        """pdf.js's prevTransform x after this item: the pen right after
+        the last NON-SPACE glyph's width, before its charSpacing
+        (pdf.worker.js:36693-36727). Space glyphs advance position
+        without touching it; an all-space item returns None (the caller
+        leaves last_end_x alone). 1-byte fonts; multi-byte callers keep
+        the whole-advance approximation."""
+        n = len(item)
+        aligned = len(dec) == n
+        k = n - 1
+        while k >= 0 and (
+            item[k] == 0x20 or (aligned and dec[k] == " ")
+        ):
+            k -= 1
+        if k < 0:
+            return None
+        prefix = item[: k + 1]
+        adv = (
+            fm.advance(prefix) / 1000.0 * size
+            + k * tc
+            + prefix.count(0x20) * tw
+        ) * sxz
+        return start_x + adv
 
     def _font_for(self, fonts_dict, name: str) -> FontMap:
         ref = (fonts_dict or {}).get(name)
@@ -1859,7 +1887,7 @@ class _TextInterp:
         tz = 1.0
         tj_buf: list[str] = []
         tj_start_x = 0.0
-        tj_trail = 0.0
+        tj_prev: float | None = None
         show = self.show
         lit, hexs = _parse_literal_string, _parse_hex_string
         for kind, flag, a, b, f0, f1, f2, f3 in ev.tolist():
@@ -1880,15 +1908,18 @@ class _TextInterp:
                 ) * sx * tz
                 dec = fm.decode(item)
                 vb = self.viewbox
+                cprev: float | None = None
+                clipped_item = False
                 if (
                     vb is not None
                     and fm.nbytes == 1
                     and len(dec) == len(item)
                     and (cur_x < vb[0] or cur_x + adv > vb[2])
                 ):
-                    dec = self._clip_x(
+                    dec, cprev = self._clip_x(
                         fm, item, dec, cur_x, size, sx * tz, tc, tw
                     )
+                    clipped_item = True
                 if size > 0 and tc * tz > self.GAP_FRACTION * size:
                     # charSpacing > trackingSpaceMin: pdf.js's per-glyph
                     # compare sees advanceX == tc*hscale between every
@@ -1897,20 +1928,27 @@ class _TextInterp:
                     # the Tz factor rides the translate, the thresholds
                     # don't)
                     dec = " ".join(dec)
+                if clipped_item:
+                    prev = cprev
+                elif fm.nbytes == 1:
+                    prev = self._prev_x(
+                        fm, item, dec, cur_x, size, sx * tz, tc, tw
+                    )
+                else:
+                    prev = (cur_x + adv - tc * sx * tz) if item else None
                 if kind == 6:
                     tj_buf.append(dec)
                     cur_x += adv
-                    tj_trail = tc * sx * tz if glyphs else tj_trail
+                    if prev is not None:
+                        tj_prev = prev
                 else:
                     shown = show(dec, y + rise, cur_x, size * sx)
                     cur_x += adv
-                    # prevTransform is set BEFORE the last glyph's
-                    # charSpacing translate (pdf.worker.js:36726,36733);
-                    # clipped glyphs never touch it
-                    if shown:
-                        self.last_end_x = cur_x - (
-                            tc * sx * tz if glyphs else 0.0
-                        )
+                    # prevTransform = after the last emitted NON-SPACE
+                    # glyph's width, before its charSpacing; space-only
+                    # and clipped items leave it untouched
+                    if shown and prev is not None:
+                        self.last_end_x = prev
             elif kind == 7:  # TJNUM kern
                 cur_x -= f0 / 1000.0 * size * sx
                 # a TJ number is extra charSpacing on the preceding
@@ -1933,7 +1971,6 @@ class _TextInterp:
                             tj_buf[-1] = tj_buf[-1].rstrip(" ")
                     elif (tc - kern) * tz > self.GAP_FRACTION * size:
                         tj_buf.append(" ")
-                    tj_trail -= f0 / 1000.0 * size * sx
             elif kind == 1:  # ANCHOR: new line origin
                 if flag == 1 and f2 != sx and self.line_open:
                     # Tm scale change on an open item (updateAdvanceScale
@@ -1956,10 +1993,13 @@ class _TextInterp:
             elif kind == 5:  # TJSTART
                 tj_buf = []
                 tj_start_x = cur_x
-                tj_trail = 0.0
+                tj_prev = None
             elif kind == 8:  # TJEND
-                if show("".join(tj_buf), y + rise, tj_start_x, size * sx):
-                    self.last_end_x = cur_x - tj_trail
+                if (
+                    show("".join(tj_buf), y + rise, tj_start_x, size * sx)
+                    and tj_prev is not None
+                ):
+                    self.last_end_x = tj_prev
             elif kind == 2:  # FONT
                 # flag=1: the size operand failed float() in the fallback —
                 # the font still changes (it converts FIRST there), size
@@ -2124,6 +2164,8 @@ class _TextInterp:
                     item = stack[-1]
                     dec = fm.decode(item)
                     vb = self.viewbox
+                    cprev: float | None = None
+                    clipped_item = False
                     if (
                         vb is not None
                         and fm.nbytes == 1
@@ -2133,17 +2175,27 @@ class _TextInterp:
                             or cur_x + advance(item) > vb[2]
                         )
                     ):
-                        dec = self._clip_x(
+                        dec, cprev = self._clip_x(
                             fm, item, dec, cur_x, size, asx * tz, tc, tw
                         )
+                        clipped_item = True
                     if size > 0 and tc * tz > self.GAP_FRACTION * size:
                         dec = " ".join(dec)  # letter-spacing fake spaces
+                    if clipped_item:
+                        prev = cprev
+                    elif fm.nbytes == 1:
+                        prev = self._prev_x(
+                            fm, item, dec, cur_x, size, asx * tz, tc, tw
+                        )
+                    else:
+                        prev = (
+                            cur_x + advance(item) - tc * asx * tz
+                            if item else None
+                        )
                     shown = self.show(dec, ay + arise, cur_x, size * asx)
                     cur_x += advance(item)
-                    if shown:
-                        self.last_end_x = cur_x - (
-                            tc * asx * tz if item else 0.0
-                        )
+                    if shown and prev is not None:
+                        self.last_end_x = prev
                 elif op in (b"'", b'"'):
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
@@ -2158,6 +2210,8 @@ class _TextInterp:
                         item = stack[-1]
                         dec = fm.decode(item)
                         vb = self.viewbox
+                        cprev = None
+                        clipped_item = False
                         if (
                             vb is not None
                             and fm.nbytes == 1
@@ -2167,26 +2221,39 @@ class _TextInterp:
                                 or cur_x + advance(item) > vb[2]
                             )
                         ):
-                            dec = self._clip_x(
+                            dec, cprev = self._clip_x(
                                 fm, item, dec, cur_x, size, asx * tz, tc, tw
                             )
+                            clipped_item = True
                         if size > 0 and tc * tz > self.GAP_FRACTION * size:
                             dec = " ".join(dec)
+                        if clipped_item:
+                            prev = cprev
+                        elif fm.nbytes == 1:
+                            prev = self._prev_x(
+                                fm, item, dec, cur_x, size, asx * tz,
+                                tc, tw,
+                            )
+                        else:
+                            prev = (
+                                cur_x + advance(item) - tc * asx * tz
+                                if item else None
+                            )
                         shown = self.show(dec, ay + arise, cur_x, size * asx)
                         cur_x += advance(item)
-                        if shown:
-                            self.last_end_x = cur_x - (
-                                tc * asx * tz if item else 0.0
-                            )
+                        if shown and prev is not None:
+                            self.last_end_x = prev
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     buf: list[str] = []
                     start_x = cur_x
-                    trail = 0.0
+                    tjprev: float | None = None
                     lgap = size > 0 and tc * tz > self.GAP_FRACTION * size
                     for item in stack[-1]:
                         if isinstance(item, bytes):
                             dec = fm.decode(item)
                             vb = self.viewbox
+                            cprev = None
+                            clipped_item = False
                             if (
                                 vb is not None
                                 and fm.nbytes == 1
@@ -2196,14 +2263,27 @@ class _TextInterp:
                                     or cur_x + advance(item) > vb[2]
                                 )
                             ):
-                                dec = self._clip_x(
+                                dec, cprev = self._clip_x(
                                     fm, item, dec, cur_x, size,
                                     asx * tz, tc, tw,
                                 )
+                                clipped_item = True
+                            if clipped_item:
+                                prev = cprev
+                            elif fm.nbytes == 1:
+                                prev = self._prev_x(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw,
+                                )
+                            else:
+                                prev = (
+                                    cur_x + advance(item) - tc * asx * tz
+                                    if item else None
+                                )
                             buf.append(" ".join(dec) if lgap else dec)
                             cur_x += advance(item)
-                            if item:
-                                trail = tc * asx * tz
+                            if prev is not None:
+                                tjprev = prev
                         elif isinstance(item, (int, float)):
                             cur_x -= item / 1000.0 * size * asx
                             if size > 0:
@@ -2226,11 +2306,13 @@ class _TextInterp:
                                     > self.GAP_FRACTION * size
                                 ):
                                     buf.append(" ")
-                            trail -= item / 1000.0 * size * asx
-                    if self.show(
-                        "".join(buf), ay + arise, start_x, size * asx
+                    if (
+                        self.show(
+                            "".join(buf), ay + arise, start_x, size * asx
+                        )
+                        and tjprev is not None
                     ):
-                        self.last_end_x = cur_x - trail
+                        self.last_end_x = tjprev
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
                 elif op == b"BT":
