@@ -695,7 +695,11 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                          st[nst - 1].b, 0, 0, 0, 0);
             } else if (oplen == 2 && op[0] == 'D' && op[1] == 'o') {
                 if (nst >= 1 && st[nst - 1].kind == OP_NAME)
-                    EMIT(K_XOBJ, 0, st[nst - 1].a, st[nst - 1].b, 0, 0, 0, 0);
+                    /* carry the CURRENT ctm (diagonal + translate)
+                     * so the nested form run composes page cm x
+                     * /Matrix like pdf.js's cloned state */
+                    EMIT(K_XOBJ, 0, st[nst - 1].a, st[nst - 1].b,
+                         cm_a, cm_d, cm_e, cm_f);
             } else if (oplen == 1 && op[0] == 'q') {
                 if (qn < 64) {
                     qs[qn][0] = cm_a;

@@ -1863,6 +1863,11 @@ class _TextInterp:
                     xobjs,
                     _span_name(data, int(ev["a"][ret]), int(ev["b"][ret])),
                     resources, depth, seen,
+                    cm=(
+                        float(ev["f0"][ret]), 0.0, 0.0,
+                        float(ev["f1"][ret]), float(ev["f2"][ret]),
+                        float(ev["f3"][ret]),
+                    ),
                 )
             i = ret + 1
 
@@ -2019,7 +2024,8 @@ class _TextInterp:
             elif kind == 9:  # XOBJ (Do)
                 if depth < self.MAX_DEPTH:
                     self._do_xobject(
-                        xobjs, _span_name(data, a, b), res, depth, seen
+                        xobjs, _span_name(data, a, b), res, depth, seen,
+                        cm=(f0, 0.0, 0.0, f1, f2, f3),
                     )
 
     def _run_py(self, data: bytes, resources, depth: int = 0, seen: frozenset = frozenset()) -> None:
@@ -2314,7 +2320,10 @@ class _TextInterp:
                     ):
                         self.last_end_x = tjprev
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
-                    self._do_xobject(xobjs, str(stack[-1]), res, depth, seen)
+                    self._do_xobject(
+                        xobjs, str(stack[-1]), res, depth, seen,
+                        cm=(cm_a, cm_b, cm_c, cm_d, cm_e, cm_f),
+                    )
                 elif op == b"BT":
                     rise = 0.0
                     arise = 0.0
@@ -2369,7 +2378,9 @@ class _TextInterp:
                 pass
             stack.clear()
 
-    def _do_xobject(self, xobjs, name: str, parent_res, depth: int, seen: frozenset) -> None:
+    def _do_xobject(self, xobjs, name: str, parent_res, depth: int,
+                    seen: frozenset,
+                    cm: tuple | None = None) -> None:
         doc = self.doc
         ref = (xobjs or {}).get(name)
         key = ref.num if isinstance(ref, Ref) else None
@@ -2398,6 +2409,15 @@ class _TextInterp:
                     ).encode("ascii") + body
             except (TypeError, ValueError):
                 pass
+        # pdf.js clones the CURRENT state into the form run (paintXObject,
+        # pdf.worker.js:36965-36969): the page's ctm at the Do composes
+        # with the form /Matrix, so form text lands in DEVICE coordinates
+        # (figure captions placed by a page-level cm were off by that
+        # transform before)
+        if cm is not None and tuple(cm) != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
+            body = (
+                " ".join(f"{v:.8f}" for v in cm) + " cm\n"
+            ).encode("ascii") + body
         # paintXObject flushes the page's item (pdf.worker.js:36950) and
         # recurses with a FRESH textContentItem closure: the form's first
         # glyph sees prevTransform == null (no CR/gap vs page text), and

@@ -723,13 +723,14 @@ def test_pending_space_model():
     assert it.text() == "z"
 
 
-@pytest.mark.parametrize("name", ["04-valid", "05-versions-space"])
+@pytest.mark.parametrize("name", ["01-valid", "04-valid", "05-versions-space"])
 def test_ref_current_byte_equal(name):
-    """04-valid and 05-versions-space are BYTE-EQUAL to what the live
-    reference emits (node lib/pdf-parse.js over the same bytes) after
-    the faithful two-stage assembly model — the strongest parity pins we
-    hold on real-world PDFs. (01-valid / 02-valid sit at 0.9999+ char
-    similarity; the residue is embedded-font width precision.)"""
+    """01-valid, 04-valid and 05-versions-space are BYTE-EQUAL to what
+    the live reference emits (node lib/pdf-parse.js over the same bytes)
+    after the faithful two-stage assembly model + form-CTM composition —
+    the strongest parity pins we hold on real-world PDFs. (02-valid sits
+    at 0.99957 char similarity; the residue is embedded-font-program
+    width precision.)"""
     golden = open(
         f"{os.path.dirname(__file__)}/data/ref_current/{name}.txt",
         encoding="utf-8",
