@@ -1255,8 +1255,11 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             }
             break;
         case K_ANCHOR:
-            if (e->flag == 1 && e->f2 != st.sx && st.line_open)
-                st.scale_flush = 1; /* updateAdvanceScale zeroed width */
+            if (e->flag == 1 && e->f2 != st.sx && st.line_open &&
+                !st.force_flush)
+                st.scale_flush = 1; /* updateAdvanceScale zeroes the open
+                                       item's width; it early-returns on a
+                                       closed (flushed) item */
             st.cur_x = e->f0;
             st.y = e->f1;
             st.sx = e->f2;

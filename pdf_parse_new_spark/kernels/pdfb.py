@@ -1977,9 +1977,16 @@ class _TextInterp:
                     elif (tc - kern) * tz > self.GAP_FRACTION * size:
                         tj_buf.append(" ")
             elif kind == 1:  # ANCHOR: new line origin
-                if flag == 1 and f2 != sx and self.line_open:
-                    # Tm scale change on an open item (updateAdvanceScale
-                    # zeroes width): the next glyph flushes
+                if (
+                    flag == 1 and f2 != sx and self.line_open
+                    and not self.force_flush
+                ):
+                    # Tm scale change on an OPEN item (updateAdvanceScale
+                    # zeroes width): the next glyph flushes. pdf.js
+                    # early-returns when the item is not initialized
+                    # (pdf.worker.js updateAdvanceScale) — after a
+                    # deferred flush (Tf/Do/stream end arms force_flush)
+                    # the item is closed, so the scale change is a no-op.
                     self.scale_flush = True
                 cur_x = f0
                 y = f1
@@ -2144,8 +2151,12 @@ class _TextInterp:
                         tm_d = vd or 1.0
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
-                    if tm_a * cm_a != asx and self.line_open:
-                        self.scale_flush = True  # updateAdvanceScale
+                    if (
+                        tm_a * cm_a != asx and self.line_open
+                        and not self.force_flush
+                    ):
+                        # updateAdvanceScale (no-op on a closed item)
+                        self.scale_flush = True
                     asx = tm_a * cm_a
                     cur_x = ax
                 elif op == b"TL" and stack:

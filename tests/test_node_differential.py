@@ -134,13 +134,10 @@ def _gen_stream(rng: random.Random) -> bytes:
     return b"\n".join(ops)
 
 
-def test_seeded_streams_byte_equal_vs_live_reference(tmp_path):
-    n_docs = 24
+def _run_differential(tmp_path, pdfs: list[bytes]) -> None:
     paths = []
-    for seed in range(n_docs):
-        rng = random.Random(1000 + seed)
-        pdf = _assemble(_gen_stream(rng))
-        p = tmp_path / f"doc{seed:02d}.pdf"
+    for i, pdf in enumerate(pdfs):
+        p = tmp_path / f"doc{i:02d}.pdf"
         p.write_bytes(pdf)
         paths.append(str(p))
 
@@ -178,4 +175,69 @@ const pdfParse = require(%s);
             diverged.append((os.path.basename(p), ref, ours))
     assert not diverged, "\n".join(
         f"{name}: ref={ref!r} ours={ours!r}" for name, ref, ours in diverged[:5]
+    )
+
+
+def test_seeded_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [_assemble(_gen_stream(random.Random(1000 + s))) for s in range(24)],
+    )
+
+
+def _gen_flush_scale_stream(rng: random.Random) -> bytes:
+    """Stress the updateAdvanceScale initialized-guard: pdf.js ignores a
+    Tm horizontal-scale change while no item is open (its
+    updateAdvanceScale early-returns when !textContentItem.initialized),
+    so `show, Tf-flush, Tm-scale, show` must NOT take the zero-width
+    standalone-space path — while `show, Tm-scale, show` (item open)
+    must. Interleaves both orders with same-font Tf no-ops and T*/Td
+    moves at sub/superscript scales (the 02-valid residue pattern)."""
+    ops = [b"BT", b"/F1 1 Tf", b"10.0 0 0 10.0 72 700 Tm"]
+    scale = 10.0
+    y = 700.0
+    x = 72.0
+    for _ in range(rng.randrange(8, 16)):
+        kind = rng.randrange(6)
+        if kind == 0:  # glyphs
+            w = " ".join(rng.sample(WORDS, rng.randrange(1, 3)))
+            ops.append(b"(%s) Tj" % w.encode())
+        elif kind == 1:  # Tf flush THEN scale change (guard must hold)
+            font = rng.choice([b"/F1", b"/F2"])
+            ops.append(b"%s 1 Tf" % font)
+            scale = rng.choice([6.22, 8.0, 10.0])
+            x += rng.choice([0.5, 3.0, 8.0])
+            y -= rng.choice([0.0, 1.3, 2.0])
+            ops.append(b"%.2f 0 0 %.2f %.2f %.2f Tm" % (scale, scale, x, y))
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        elif kind == 2:  # scale change on an OPEN item (flush must fire)
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+            scale = rng.choice([6.22, 8.0, 10.0])
+            x += rng.choice([-2.0, 0.5, 3.0])
+            ops.append(b"%.2f 0 0 %.2f %.2f %.2f Tm" % (scale, scale, x, y))
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        elif kind == 3:  # same-font Tf (pdf.js may skip the flush)
+            ops.append(b"/F1 1 Tf")
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        elif kind == 4:  # newline then immediate scale change
+            y -= rng.choice([11.0, 14.0])
+            x = 72.0
+            ops.append(b"%.2f 0 0 %.2f %.2f %.2f Tm" % (scale, scale, x, y))
+        else:  # TJ with kern at the current scale
+            a, b = rng.sample(WORDS, 2)
+            ops.append(
+                b"[(%s ) %d (%s)] TJ"
+                % (a.encode(), rng.choice([-300, 120, 567]), b.encode())
+            )
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_flush_scale_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_flush_scale_stream(random.Random(7000 + s)))
+            for s in range(24)
+        ],
     )

@@ -620,12 +620,12 @@ def test_embedded_cmap_ranged_codespace():
 # ANY implementation of the current code — including the reference
 # itself, which scores 0.9922 against its own golden on 01-valid)
 REF_CURRENT_FLOORS = {
-    "01-valid": (0.999, 0.999),
-    # 02/04 are BYTE-EQUAL to the live reference (word metrics exactly
+    # all four are BYTE-EQUAL to the live reference (word metrics exactly
     # 1.0) — floors sit just under to allow float/token-split jitter only
+    "01-valid": (0.9999, 0.9999),
     "02-valid": (0.9999, 0.9999),
     "04-valid": (0.9999, 0.9999),
-    "05-versions-space": (0.999, 0.999),
+    "05-versions-space": (0.9999, 0.9999),
 }
 
 
@@ -723,14 +723,18 @@ def test_pending_space_model():
     assert it.text() == "z"
 
 
-@pytest.mark.parametrize("name", ["01-valid", "04-valid", "05-versions-space"])
+@pytest.mark.parametrize(
+    "name", ["01-valid", "02-valid", "04-valid", "05-versions-space"]
+)
 def test_ref_current_byte_equal(name):
-    """01-valid, 04-valid and 05-versions-space are BYTE-EQUAL to what
-    the live reference emits (node lib/pdf-parse.js over the same bytes)
-    after the faithful two-stage assembly model + form-CTM composition —
-    the strongest parity pins we hold on real-world PDFs. (02-valid sits
-    at 0.99957 char similarity; the residue is embedded-font-program
-    width precision.)"""
+    """ALL FOUR extractable corpus files are BYTE-EQUAL to what the live
+    reference emits (node lib/pdf-parse.js over the same bytes) after the
+    faithful two-stage assembly model + form-CTM composition + the
+    updateAdvanceScale initialized-guard (a Tm scale change after a
+    Tf/Do/stream-end flush is a no-op in pdf.js — its updateAdvanceScale
+    early-returns on an uninitialized item; 02-valid's last 21-char
+    residue was a spurious standalone space from arming scale_flush on a
+    closed item)."""
     golden = open(
         f"{os.path.dirname(__file__)}/data/ref_current/{name}.txt",
         encoding="utf-8",
