@@ -41,11 +41,18 @@ enum {
     K_TJEND = 8,
     K_XOBJ = 9,   /* a,b = /Name span (without slash) : Do operator */
     K_SETY = 10,  /* f0 = y : partial Td/TD/Tm (later operand failed) */
-    K_CM = 11     /* f0,f1 = line origin under the NEW ctm, f2 = sx,
+    K_CM = 11,    /* f0,f1 = line origin under the NEW ctm, f2 = sx,
                    * f3 = sy : cm / Q changed the matrix mid-text — the
                    * replay refreshes the PEN (pdf.js recomputes the
                    * transform per glyph) while prevTransform keeps its
                    * old device point (it is never retransformed) */
+    K_ROT = 12    /* emitted ONCE when the composed text x CTM matrix
+                   * picks up rotation/skew (any of tm_b, tm_c, cm_b,
+                   * cm_c nonzero): the event stream flattens the matrix
+                   * to translate+scale, so the caller must re-run the
+                   * stream through the full-matrix Python interpreter
+                   * (pdf.js swaps compare axes per rotation quadrant,
+                   * compareWithLastPosition pdf.worker.js:36545-36568) */
 };
 
 /* operand kinds on the small typed stack */
@@ -364,6 +371,20 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
         tm_f += (TXV) * tm_b + (TYV) * tm_d;                                 \
     } while (0)
     double tc = 0.0, tw = 0.0, tz = 1.0;
+    int rot_emitted = 0;
+/* one-shot rotation marker: the flattened events cannot carry the 2x2,
+ * so the first rotated/skewed matrix routes the whole stream to the
+ * full-matrix Python interpreter (delegation is stream-level — position
+ * of the marker within the stream does not matter) */
+#define CHECK_ROT()                                                          \
+    do {                                                                     \
+        if (!rot_emitted &&                                                  \
+            (tm_b != 0.0 || tm_c != 0.0 || cm_b != 0.0 || cm_c != 0.0 ||     \
+             tm_a * cm_a < 0.0)) { /* x-mirror: pdf.js rotate == 180 */      \
+            EMIT(K_ROT, 0, 0, 0, 0, 0, 0, 0);                                \
+            rot_emitted = 1;                                                 \
+        }                                                                    \
+    } while (0)
     /* graphics-state CTM (q/Q/cm): positions, x-scale and rise are
      * emitted TRANSFORMED, so the replay's line model compares absolute
      * coordinates the way the reference compares item.transform[5]
@@ -620,6 +641,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                                 tm_d = st[nst - 3].cv != 0.0
                                            ? st[nst - 3].cv : 1.0;
                             }
+                            CHECK_ROT();
                             /* flag=1: Tm anchor — the only op that runs
                              * updateAdvanceScale (pdf.worker.js:36871),
                              * so only it can zero an open item's width
@@ -719,6 +741,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     cm_d = qs[qn][3];
                     cm_e = qs[qn][4];
                     cm_f = qs[qn][5];
+                    CHECK_ROT();
                     EMIT(K_CM, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f),
                          tm_a * cm_a, tm_d * cm_d);
                 }
@@ -743,6 +766,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     cm_d = nd;
                     cm_e = ne;
                     cm_f = nf;
+                    CHECK_ROT();
                     EMIT(K_CM, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f),
                          tm_a * cm_a, tm_d * cm_d);
                 }

@@ -1539,12 +1539,28 @@ class _TextInterp:
     GAP_FRACTION = 0.102
 
     def show(self, s: str, ty: float, tx: float | None = None,
-             size: float = 0.0) -> bool:
+             size: float = 0.0, quad: int = 0,
+             dev_x: float | None = None,
+             dev_y: float | None = None) -> bool:
         """Returns True when glyphs were emitted or position-tracked
         (the caller then updates last_end_x / prevTransform), False when
-        the item was clipped by the view box."""
+        the item was clipped by the view box.
+
+        (tx, ty) are COMPARE-FRAME pen coordinates; for rotated
+        quadrants (quad 90/180/270) pdf.js swaps/negates device axes so
+        the rotation-0 decision logic applies unchanged
+        (compareWithLastPosition, pdf.worker.js:36551-36565) — the
+        caller passes the already-swapped pen, and this method applies
+        the SAME swap to the stored prev-glyph DEVICE point
+        (prevTransform is re-swapped under the CURRENT rotation each
+        compare). dev_x/dev_y are the raw device coordinates, used for
+        the view-box test and the pdf-parse anchor join (both operate on
+        item.transform[4..5] device values); they default to (tx, ty),
+        which is exact for quad 0."""
         if not s:
             return True
+        if dev_y is None:
+            dev_y = ty
         # reference-faithful bidi reorder (pdf.js bidi() runs on every
         # text chunk, pdf.worker.js:32557/36500; pinned to its output by
         # tests/test_bidi_reference.py over node-generated goldens)
@@ -1558,7 +1574,19 @@ class _TextInterp:
         # below.
         s = _SPACE_RUN.sub(" ", s)
         vb = self.viewbox
-        if vb is not None and (ty < vb[1] or ty > vb[3]):
+        if vb is not None and (
+            dev_y < vb[1] or dev_y > vb[3]
+            or (
+                # rotated items: the x half of pdf.js's device-space box
+                # test (the quad-0 path gets per-glyph x clipping from
+                # the caller's _clip_x instead; here the whole item
+                # drops when its start pen is off-page — straddlers are
+                # approximated)
+                quad in (90, 180, 270)
+                and dev_x is not None
+                and (dev_x < vb[0] or dev_x > vb[2])
+            )
+        ):
             # outside the view box: glyphs drop BEFORE any state change
             # (prevTransform untouched — return False so the caller skips
             # last_end_x); whitespace glyphs still arm the pending space
@@ -1576,12 +1604,23 @@ class _TextInterp:
             return True  # position advances (caller), prev-glyph y does not
         fs = size if size > 0 else 0.0
         ifs = self.item_size if self.item_size > 0 else fs
-        dyg = None if self.glyph_y is None else ty - self.glyph_y
-        adv = (
-            tx - self.last_end_x
-            if tx is not None and self.last_end_x is not None
-            else None
-        )
+        # the prev-glyph point is stored in DEVICE coords; re-swap it
+        # under the CURRENT quadrant (pdf.js re-transforms prevTransform
+        # at every compare with the incoming glyph's rotation,
+        # pdf.worker.js:36551-36565)
+        gx, gy = self.last_end_x, self.glyph_y
+        if quad == 90:
+            lx, ly = gy, gx
+        elif quad == 180:
+            lx = None if gx is None else -gx
+            ly = None if gy is None else -gy
+        elif quad == 270:
+            lx = None if gy is None else -gy
+            ly = None if gx is None else -gx
+        else:
+            lx, ly = gx, gy
+        dyg = None if ly is None else ty - ly
+        adv = tx - lx if tx is not None and lx is not None else None
         space = False
         standalone = False  # " " as its own item, anchored at glyph_y
         flush = self.force_flush
@@ -1661,18 +1700,20 @@ class _TextInterp:
                 self.last_y = self.glyph_y
             self.pieces.append(" ")
         if new_item:
+            # pdf-parse's item join compares raw DEVICE transform[5]
+            # anchors regardless of rotation (lib/pdf-parse.js:27-38)
             if (
                 self.last_y is not None
-                and abs(ty - self.last_y) > spec.Y_TOLERANCE
+                and abs(dev_y - self.last_y) > spec.Y_TOLERANCE
             ):
                 self.pieces.append("\n")
-            self.last_y = ty
+            self.last_y = dev_y
             self.item_size = fs
         self.pieces.append(core)
         self.line_open = True
         self.last_char = core[-1]
         self.pending_space = trail
-        self.glyph_y = ty
+        self.glyph_y = dev_y
         return True
 
     def text(self) -> str:
@@ -1878,6 +1919,13 @@ class _TextInterp:
         fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
         xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
         ev = cinterp.interpret(data)
+        if (ev["kind"] == cinterp.K_ROT).any():
+            # rotated/skewed matrix: the flattened events carry only
+            # translate+scale, so quadrant-faithful assembly (pdf.js's
+            # compareWithLastPosition axis swap) needs the full-matrix
+            # interpreter. Rare in practice — rotation-0 streams keep
+            # the C fast paths.
+            return self._run_py(data, resources, depth, seen)
         plan = self._c_plan(ev, data, fonts_dict)
         if plan is not None:
             return self._replay_c(data, ev, plan, xobjs, res, depth, seen)
@@ -2060,12 +2108,72 @@ class _TextInterp:
         qstack: list[tuple] = []
         ax = 0.0
         ay = 0.0
+        # asx: POSITIVE advance scale along the writing axis (equals the
+        # legacy tm_a*cm_a for quadrant 0 / skew; |composed b| or
+        # |composed a| for rotated quadrants) — maintained by _requad()
         asx = 1.0
-        asy = 1.0
         arise = 0.0
+        # rotation quadrant of the composed text-line x CTM matrix and
+        # its 2x2 (pdf.js compareWithLastPosition rotate detection,
+        # pdf.worker.js:36545-36550). The pen (cur_x) walks the COMPARE
+        # FRAME's writing axis; cross_v is the anchor's cross-axis
+        # coordinate in that frame. For quadrant 0 the compare frame IS
+        # device space and everything below reduces to the legacy model.
+        quad = 0
+        cA, cB, cC, cD = 1.0, 0.0, 0.0, 1.0
+        cross_v = 0.0
         stack: list = []
         pos = 0
         n = len(data)
+
+        def _swapq(dx: float, dy: float) -> tuple[float, float]:
+            # device <-> compare frame under the current quadrant
+            # (an involution; pdf.worker.js:36551-36565)
+            if quad == 90:
+                return dy, dx
+            if quad == 180:
+                return -dx, -dy
+            if quad == 270:
+                return -dy, -dx
+            return dx, dy
+
+        def _requad() -> None:
+            # composed 2x2 + quadrant + writing-axis advance scale.
+            # pdf.js: rotate 0/180 needs b == c == 0 (sign of a picks
+            # which — an x-mirror counts as 180); 90/270 needs
+            # a == d == 0 (sign of b). Skew/arbitrary angles keep the
+            # legacy translate+scale treatment (pdf.js's rotate == -1
+            # applyInverseRotation path is approximated).
+            nonlocal quad, cA, cB, cC, cD, asx
+            cA = tm_a * cm_a + tm_b * cm_c
+            cB = tm_a * cm_b + tm_b * cm_d
+            cC = tm_c * cm_a + tm_d * cm_c
+            cD = tm_c * cm_b + tm_d * cm_d
+            if cB == 0.0 and cC == 0.0:
+                quad = 0 if cA >= 0.0 else 180
+            elif cB != 0.0 and cA == 0.0 and cD == 0.0:
+                quad = 90 if cB > 0.0 else 270
+            else:
+                quad = 0  # skew: legacy approximation
+            if quad == 90:
+                asx = cB
+            elif quad == 180:
+                asx = -cA
+            elif quad == 270:
+                asx = -cB
+            else:
+                asx = tm_a * cm_a
+
+        def _sety() -> None:
+            # partial Td/TD/Tm (the x operand failed to convert): only
+            # the y leg lands, mirroring the C lexer's K_SETY. Quad 0
+            # keeps the pen's advanced x (legacy); rotated quads
+            # recompute both compare coords from the stale x anchor.
+            nonlocal cur_x, cross_v
+            if quad == 0:
+                cross_v = ay
+            else:
+                cur_x, cross_v = _swapq(ax, ay)
 
         def advance(item: bytes) -> float:
             glyphs = len(item) // fm.nbytes
@@ -2115,27 +2223,30 @@ class _TextInterp:
                     tm_e += ty * tm_c
                     tm_f += ty * tm_d
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    _sety()
                     tx_ = float(stack[-2])
                     tm_e += tx_ * tm_a
                     tm_f += tx_ * tm_b
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
-                    cur_x = ax
+                    cur_x, cross_v = _swapq(ax, ay)
                 elif op == b"TD" and len(stack) >= 2:
                     ty = float(stack[-1])
                     leading = -ty
                     tm_e += ty * tm_c
                     tm_f += ty * tm_d
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    _sety()
                     tx_ = float(stack[-2])
                     tm_e += tx_ * tm_a
                     tm_f += tx_ * tm_b
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
-                    cur_x = ax
+                    cur_x, cross_v = _swapq(ax, ay)
                 elif op == b"Tm" and len(stack) >= 6:
                     tm_f = float(stack[-1])
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    _sety()
                     tm_e = float(stack[-2])
                     try:
                         va = float(stack[-6])
@@ -2145,25 +2256,42 @@ class _TextInterp:
                     except (TypeError, ValueError):
                         pass
                     else:
-                        tm_a = va or 1.0
+                        tm_a = va
                         tm_b = vb
                         tm_c = vc
-                        tm_d = vd or 1.0
+                        tm_d = vd
+                        # degenerate-AXIS guard only (the old blanket
+                        # 'or 1.0' garbled rotation matrices, where a
+                        # or d is legitimately 0 while b/c carry the
+                        # writing direction)
+                        if tm_a == 0.0 and tm_b == 0.0:
+                            tm_a = 1.0
+                        if tm_d == 0.0 and tm_c == 0.0:
+                            tm_d = 1.0
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    old_asx = asx
+                    _requad()
                     if (
-                        tm_a * cm_a != asx and self.line_open
+                        asx != old_asx and self.line_open
                         and not self.force_flush
                     ):
-                        # updateAdvanceScale (no-op on a closed item)
+                        # updateAdvanceScale (no-op on a closed item;
+                        # pdf.js compares the hypot-based scale, which a
+                        # pure rotation change leaves untouched)
                         self.scale_flush = True
-                    asx = tm_a * cm_a
-                    cur_x = ax
+                    cur_x, cross_v = _swapq(ax, ay)
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
                 elif op == b"Ts" and stack:
                     rise = float(stack[-1])
-                    arise = rise * tm_d * cm_d
+                    if quad:
+                        # device rise offset is (rise*cC, rise*cD); its
+                        # compare-frame cross component shifts cy (the
+                        # writing-axis component is 0 for pure quadrants)
+                        arise = _swapq(rise * cC, rise * cD)[1]
+                    else:
+                        arise = rise * tm_d * cm_d
                 elif op == b"Tc" and stack:
                     tc = float(stack[-1])
                 elif op == b"Tw" and stack:
@@ -2175,8 +2303,7 @@ class _TextInterp:
                     tm_f += -leading * tm_d
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
-                    asx = tm_a * cm_a
-                    cur_x = ax
+                    cur_x, cross_v = _swapq(ax, ay)
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                     item = stack[-1]
                     dec = fm.decode(item)
@@ -2185,6 +2312,7 @@ class _TextInterp:
                     clipped_item = False
                     if (
                         vb is not None
+                        and quad == 0  # rotated: show() box-tests whole
                         and fm.nbytes == 1
                         and len(dec) == len(item)
                         and (
@@ -2209,17 +2337,26 @@ class _TextInterp:
                             cur_x + advance(item) - tc * asx * tz
                             if item else None
                         )
-                    shown = self.show(dec, ay + arise, cur_x, size * asx)
+                    vv = cross_v + arise
+                    ddx, ddy = _swapq(cur_x, vv)
+                    shown = self.show(
+                        dec, vv, cur_x, size * asx,
+                        quad=quad, dev_x=ddx, dev_y=ddy,
+                    )
                     cur_x += advance(item)
                     if shown and prev is not None:
-                        self.last_end_x = prev
+                        if quad:
+                            self.last_end_x, self.glyph_y = _swapq(
+                                prev, vv
+                            )
+                        else:
+                            self.last_end_x = prev
                 elif op in (b"'", b'"'):
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
-                    asx = tm_a * cm_a
-                    cur_x = ax
+                    cur_x, cross_v = _swapq(ax, ay)
                     if op == b'"' and len(stack) >= 3:
                         tw = float(stack[-3])
                         tc = float(stack[-2])
@@ -2231,6 +2368,7 @@ class _TextInterp:
                         clipped_item = False
                         if (
                             vb is not None
+                            and quad == 0
                             and fm.nbytes == 1
                             and len(dec) == len(item)
                             and (
@@ -2256,10 +2394,63 @@ class _TextInterp:
                                 cur_x + advance(item) - tc * asx * tz
                                 if item else None
                             )
-                        shown = self.show(dec, ay + arise, cur_x, size * asx)
+                        vv = cross_v + arise
+                        ddx, ddy = _swapq(cur_x, vv)
+                        shown = self.show(
+                            dec, vv, cur_x, size * asx,
+                            quad=quad, dev_x=ddx, dev_y=ddy,
+                        )
                         cur_x += advance(item)
                         if shown and prev is not None:
-                            self.last_end_x = prev
+                            if quad:
+                                self.last_end_x, self.glyph_y = _swapq(
+                                    prev, vv
+                                )
+                            else:
+                                self.last_end_x = prev
+                elif (
+                    op == b"TJ" and stack and isinstance(stack[-1], list)
+                    and quad
+                ):
+                    # rotated quadrants: item anchors are VISIBLE through
+                    # the pdf-parse join (device transform[5] varies
+                    # ALONG the line), so pdf.js's mid-TJ flushes (its
+                    # per-glyph compare sees each kern as an advance)
+                    # split items the buffered quad-0 path would hide
+                    # behind one anchor. Run each element through the
+                    # per-item compare; a big kern then takes the
+                    # carriage-return / gap paths naturally.
+                    for item in stack[-1]:
+                        if isinstance(item, bytes):
+                            dec = fm.decode(item)
+                            if (
+                                size > 0
+                                and tc * tz > self.GAP_FRACTION * size
+                            ):
+                                dec = " ".join(dec)
+                            if fm.nbytes == 1:
+                                prev = self._prev_x(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw,
+                                )
+                            else:
+                                prev = (
+                                    cur_x + advance(item) - tc * asx * tz
+                                    if item else None
+                                )
+                            vv = cross_v + arise
+                            ddx, ddy = _swapq(cur_x, vv)
+                            shown = self.show(
+                                dec, vv, cur_x, size * asx,
+                                quad=quad, dev_x=ddx, dev_y=ddy,
+                            )
+                            cur_x += advance(item)
+                            if shown and prev is not None:
+                                self.last_end_x, self.glyph_y = _swapq(
+                                    prev, vv
+                                )
+                        elif isinstance(item, (int, float)):
+                            cur_x -= item / 1000.0 * size * asx
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     buf: list[str] = []
                     start_x = cur_x
@@ -2273,6 +2464,7 @@ class _TextInterp:
                             clipped_item = False
                             if (
                                 vb is not None
+                                and quad == 0
                                 and fm.nbytes == 1
                                 and len(dec) == len(item)
                                 and (
@@ -2323,13 +2515,21 @@ class _TextInterp:
                                     > self.GAP_FRACTION * size
                                 ):
                                     buf.append(" ")
+                    vv = cross_v + arise
+                    ddx, ddy = _swapq(start_x, vv)
                     if (
                         self.show(
-                            "".join(buf), ay + arise, start_x, size * asx
+                            "".join(buf), vv, start_x, size * asx,
+                            quad=quad, dev_x=ddx, dev_y=ddy,
                         )
                         and tjprev is not None
                     ):
-                        self.last_end_x = tjprev
+                        if quad:
+                            self.last_end_x, self.glyph_y = _swapq(
+                                tjprev, vv
+                            )
+                        else:
+                            self.last_end_x = tjprev
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(
                         xobjs, str(stack[-1]), res, depth, seen,
@@ -2342,8 +2542,8 @@ class _TextInterp:
                     tm_d, tm_e, tm_f = 1.0, 0.0, 0.0
                     ax = cm_e
                     ay = cm_f
-                    asx = cm_a
-                    cur_x = ax
+                    _requad()
+                    cur_x, cross_v = _swapq(ax, ay)
                     # leading/Tc/Tw/Tz are TEXT STATE (persist across BT;
                     # spec table 103) — only the matrices reset
                 elif op == b"cm" and len(stack) >= 6:
@@ -2358,15 +2558,17 @@ class _TextInterp:
                         me * cm_b + mf * cm_d + cm_f,
                     )
                     # the PEN follows the new matrix; prevTransform keeps
-                    # its old device point (never retransformed)
-                    nax = cm_a * tm_e + cm_c * tm_f + cm_e
-                    nay = cm_b * tm_e + cm_d * tm_f + cm_f
-                    nasx = tm_a * cm_a
-                    nasy = tm_d * cm_d
-                    cur_x = nax + (cur_x - ax) * (
-                        nasx / asx if asx else 1.0
-                    )
-                    ax, ay, asx, asy = nax, nay, nasx, nasy
+                    # its old device point (never retransformed). The
+                    # pen's progress along the writing axis rescales by
+                    # the advance-scale ratio (exact for translate+scale;
+                    # quadrant changes re-anchor in the new frame)
+                    progress = cur_x - _swapq(ax, ay)[0]
+                    old_asx = asx
+                    ax = cm_a * tm_e + cm_c * tm_f + cm_e
+                    ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                    _requad()
+                    cur_x, cross_v = _swapq(ax, ay)
+                    cur_x += progress * (asx / old_asx if old_asx else 1.0)
                 elif op == b"q":
                     if len(qstack) < 64:
                         qstack.append(
@@ -2374,15 +2576,16 @@ class _TextInterp:
                         )
                 elif op == b"Q":
                     if qstack:
+                        progress = cur_x - _swapq(ax, ay)[0]
+                        old_asx = asx
                         (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f) = qstack.pop()
-                        nax = cm_a * tm_e + cm_c * tm_f + cm_e
-                        nay = cm_b * tm_e + cm_d * tm_f + cm_f
-                        nasx = tm_a * cm_a
-                        nasy = tm_d * cm_d
-                        cur_x = nax + (cur_x - ax) * (
-                            nasx / asx if asx else 1.0
+                        ax = cm_a * tm_e + cm_c * tm_f + cm_e
+                        ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                        _requad()
+                        cur_x, cross_v = _swapq(ax, ay)
+                        cur_x += progress * (
+                            asx / old_asx if old_asx else 1.0
                         )
-                        ax, ay, asx, asy = nax, nay, nasx, nasy
                 # other operators (gs, re, colors, paths...) are no-ops
                 # for text extraction
             except (TypeError, ValueError):

@@ -241,3 +241,72 @@ def test_flush_scale_streams_byte_equal_vs_live_reference(tmp_path):
             for s in range(24)
         ],
     )
+
+
+_QUADS = ((1, 0, 0, 1), (0, 1, -1, 0), (-1, 0, 0, -1), (0, -1, 1, 0))
+
+
+def _gen_rotated_stream(rng: random.Random) -> bytes:
+    """Rotation-quadrant fuzz: random 0/90/180/270 text matrices with
+    inter-item moves along the ROTATED writing axis, TJ kerns, and Td
+    moves. pdf.js swaps/negates device axes per quadrant before the
+    flush/space compare (compareWithLastPosition,
+    pdf.worker.js:36551-36565) and pdf-parse's "\\n" join then reads the
+    raw device transform[5] anchors — so rotated lines split per ITEM
+    and mid-TJ kern flushes become visible newlines (the quad-0 buffered
+    TJ model would hide them behind one anchor)."""
+    ops = [b"BT", b"/F1 %d Tf" % rng.choice([8, 10, 12])]
+    quad = rng.choice(_QUADS)
+    u, v = 300.0, 300.0
+    for _ in range(rng.randrange(5, 12)):
+        kind = rng.randrange(5)
+        if kind == 0:  # new anchor, maybe new quadrant / scale
+            quad = rng.choice(_QUADS)
+            u += rng.choice([-14.0, 0.0, 14.0])
+            v += rng.choice([-14.0, 0.0, 14.0])
+            a, b, c, d = quad
+            s = rng.choice([1.0, 1.0, 0.75])
+            ops.append(
+                b"%.2f %.2f %.2f %.2f %.1f %.1f Tm"
+                % (a * s, b * s, c * s, d * s, u, v)
+            )
+        elif kind == 1:
+            w = " ".join(rng.sample(WORDS, rng.randrange(1, 3)))
+            ops.append(b"(%s) Tj" % w.encode())
+        elif kind == 2:  # small move along the rotated writing axis
+            a, b, c, d = quad
+            du = rng.choice([0.8, 2.0, 5.0, 40.0])
+            dv = rng.choice([0.0, 1.1, 13.0])
+            u += du * a + dv * c
+            v += du * b + dv * d
+            ops.append(
+                b"%.2f %.2f %.2f %.2f %.1f %.1f Tm" % (a, b, c, d, u, v)
+            )
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        elif kind == 3:  # TJ kern (mid-TJ flush under rotation)
+            ops.append(
+                b"[(%s ) %d (%s)] TJ"
+                % (
+                    rng.choice(WORDS).encode(),
+                    rng.choice([-300, 120, 567]),
+                    rng.choice(WORDS).encode(),
+                )
+            )
+        else:
+            ops.append(
+                b"%.1f %.1f Td"
+                % (rng.choice([0.0, 4.0, 30.0]), rng.choice([0.0, -13.0]))
+            )
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_rotated_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_rotated_stream(random.Random(3000 + s)))
+            for s in range(60)
+        ],
+    )
