@@ -450,3 +450,111 @@ def connected_components(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the SCALE path for adversarial duplicate chains. Hash-min label
+    propagation (``connected_components``) needs diameter(component)
+    rounds: a 1M-node near-dup chain (e.g. shingled boilerplate drifting
+    one token per page) would run 1M shuffles. Star operations converge
+    in O(log n) rounds on any graph:
+
+    - large-star: every node u links its LARGER neighbours to the
+      minimum of its neighbourhood (incl. itself)
+    - small-star: every node u links its smaller-or-equal neighbours
+      (and itself) to that minimum
+
+    Both are one groupBy + one generator expression per round; edge
+    count never grows beyond the input (each emitted edge replaces one
+    inspected edge). Terminates when the edge set is a fixed point
+    (every edge already (v, component-min)); isolated nodes come back
+    from the final left join against ``nodes``.
+
+    Output contract matches ``connected_components`` exactly:
+    (id_col, cluster_id = component minimum) — equality property-tested
+    against hash-min and an independent union-find oracle in
+    tests/test_training_ops.py.
+    """
+    e = (
+        edges.select(
+            F.greatest(src, dst).alias("u"), F.least(src, dst).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # cheap fixed-point probe: (count, order-independent checksum) —
+    # two scalar aggregates instead of a two-sided except (which would
+    # shuffle the full edge set twice per round)
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: exact and overflow-free under
+            # ANSI mode (a long sum of xxhash64 values throws)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    for _ in range(max_iterations):
+        # ---- large-star: every node links its LARGER neighbours to
+        # min(neighbourhood ∪ {self}). Join formulation — NO per-node
+        # neighbour arrays (a collect_set star center would hold the
+        # whole component in one row at 100 TB); just a min-aggregate
+        # and a re-join on the same key (co-partitioned, AQE reuses the
+        # exchange).
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        # emitted edges are (bigger-node, neighbourhood-min): already
+        # canonical u > v, so small-star needs no re-orientation
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: every node links its smaller neighbours
+        # (and itself) to their minimum
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # truncate lineage: plans stay O(1)
+        )
+        e = small
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # after convergence every edge is (node, component-min); the min
+    # itself and isolated nodes label themselves
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(
+            e.select(F.col("u").alias("node"), F.col("v").alias("root")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min(F.coalesce("root", "node")).alias("cluster_id"))
+        .select(F.col("node").alias(id_col), "cluster_id")
+    )

@@ -806,16 +806,19 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-CLUSTER resolution over the MinHash near-dup pair set:
-    connected components (iterative hash-min label propagation,
-    operators/dedup.py:connected_components) assign every document the
-    minimum doc_id reachable through >= 0.9-Jaccard edges — the
-    transitive closure a pipeline needs to keep ONE canonical doc per
-    cluster (pairs alone miss A~C when only A~B and B~C were candidate
-    pairs). The DuckDB oracle computes the same closure with a
-    recursive CTE over the exact O(n^2) Jaccard edge set."""
+    connected components (alternating large-star/small-star,
+    operators/dedup.py:connected_components_star — O(log n) rounds even
+    on adversarial chains, vs O(diameter) for hash-min propagation)
+    assign every document the minimum doc_id reachable through
+    >= 0.9-Jaccard edges — the transitive closure a pipeline needs to
+    keep ONE canonical doc per cluster (pairs alone miss A~C when only
+    A~B and B~C were candidate pairs). The DuckDB oracle computes the
+    same closure with a recursive CTE over the exact O(n^2) Jaccard
+    edge set; star-vs-hash-min-vs-union-find equality is
+    property-tested in tests/test_training_ops.py."""
     d = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.9)
-    return dedup.connected_components(
+    return dedup.connected_components_star(
         d.select("doc_id"), pairs, id_col="doc_id"
     ).orderBy("doc_id")
 

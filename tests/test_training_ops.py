@@ -487,6 +487,79 @@ def test_connected_components_iteration_cap(spark):
     assert capped[5] != 0  # one round can't reach the far end
 
 
+def test_connected_components_star_equals_hash_min(spark):
+    """The alternating-star algorithm (the O(log n)-round scale path)
+    labels every random graph identically to hash-min propagation AND
+    to an independent python union-find — components keyed by their
+    minimum node id."""
+    import random as _random
+
+    for seed in (7, 13, 29):
+        rng = _random.Random(seed)
+        n = 24
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(6, 20))
+            }
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edf = spark.createDataFrame(edges, "id1 long, id2 long")
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+
+        star = {
+            r.doc_id: r.cluster_id
+            for r in dedup.connected_components_star(nodes, edf).collect()
+        }
+        hmin = {
+            r.doc_id: r.cluster_id
+            for r in dedup.connected_components(nodes, edf).collect()
+        }
+        assert star == want, (seed, star, want)
+        assert hmin == want, (seed, hmin, want)
+
+
+def test_connected_components_star_log_convergence(spark):
+    """A 64-node path graph (diameter 63 — the adversarial near-dup
+    chain) fully converges under alternating-star within 8 rounds,
+    while hash-min propagation at the same iteration budget provably
+    cannot reach the far end (it moves labels one hop per round). This
+    is the operator's 100-TB story: rounds scale with log(n), not
+    chain length."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(
+            nodes, edges, max_iterations=8
+        ).collect()
+    }
+    assert set(star.values()) == {0}
+    hmin = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            nodes, edges, max_iterations=8
+        ).collect()
+    }
+    assert hmin[63] != 0  # 8 hop-rounds cannot cross a 63-edge chain
+
+
 def test_repetition_query_extremes(spark, tmp_path):
     """dup_word_frac and top_bigram_frac hit their analytic extremes on
     constructed docs: an all-identical-word doc repeats one bigram
