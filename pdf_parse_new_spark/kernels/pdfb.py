@@ -35,6 +35,7 @@ Pure-Python + zlib; designed to run inside Arrow-batched ``mapInPandas``
 
 from __future__ import annotations
 
+import math
 import re
 import unicodedata
 import zlib
@@ -1531,6 +1532,12 @@ class _TextInterp:
         # — not the scale of the incoming glyph.
         self.scale_flush = False
         self.item_size = 0.0
+        # glyph_mat: the prev glyph's row-normalized composed 2x2 (set
+        # by show() from its mat argument). The quad == -1 compare
+        # inverse-rotates each point under its OWN matrix (pdf.js
+        # applyInverseRotation on prevTransform); None falls back to the
+        # raw device point.
+        self.glyph_mat: tuple | None = None
 
     # fraction of the font size an inter-item x-gap must exceed to count
     # as a word break — the reference's TRACKING_SPACE_FACTOR /
@@ -1541,7 +1548,8 @@ class _TextInterp:
     def show(self, s: str, ty: float, tx: float | None = None,
              size: float = 0.0, quad: int = 0,
              dev_x: float | None = None,
-             dev_y: float | None = None) -> bool:
+             dev_y: float | None = None,
+             mat: tuple | None = None) -> bool:
         """Returns True when glyphs were emitted or position-tracked
         (the caller then updates last_end_x / prevTransform), False when
         the item was clipped by the view box.
@@ -1582,7 +1590,7 @@ class _TextInterp:
                 # the caller's _clip_x instead; here the whole item
                 # drops when its start pen is off-page — straddlers are
                 # approximated)
-                quad in (90, 180, 270)
+                quad != 0
                 and dev_x is not None
                 and (dev_x < vb[0] or dev_x > vb[2])
             )
@@ -1617,6 +1625,18 @@ class _TextInterp:
         elif quad == 270:
             lx = None if gy is None else -gy
             ly = None if gx is None else -gx
+        elif (
+            quad == -1
+            and self.glyph_mat is not None
+            and gx is not None
+            and gy is not None
+        ):
+            # arbitrary rotation: the prev point inverse-rotates under
+            # its OWN matrix (pdf.js applyInverseRotation with
+            # prevTransform, pdf.worker.js:36566-36567)
+            m0, m1, m2, m3 = self.glyph_mat
+            lx = m0 * gx + m1 * gy
+            ly = m2 * gx + m3 * gy
         else:
             lx, ly = gx, gy
         dyg = None if ly is None else ty - ly
@@ -1714,6 +1734,7 @@ class _TextInterp:
         self.last_char = core[-1]
         self.pending_space = trail
         self.glyph_y = dev_y
+        self.glyph_mat = mat
         return True
 
     def text(self) -> str:
@@ -1889,6 +1910,9 @@ class _TextInterp:
                 self.pieces.append(out[:olen].tobytes().decode("utf-8"))
             self.last_y = st[8] if st[9] else None
             self.last_end_x = st[10] if st[11] else None
+            # C segments run rotation-0 only: the prev matrix is
+            # axis-aligned — None means "raw device" in the -1 compare
+            self.glyph_mat = None
             self.line_open = bool(st[12])
             lc = int(st[13])
             self.last_char = chr(lc) if lc else ""
@@ -2121,30 +2145,39 @@ class _TextInterp:
         # device space and everything below reduces to the legacy model.
         quad = 0
         cA, cB, cC, cD = 1.0, 0.0, 0.0, 1.0
+        matn: tuple | None = (1.0, 0.0, 0.0, 1.0)
         cross_v = 0.0
         stack: list = []
         pos = 0
         n = len(data)
 
         def _swapq(dx: float, dy: float) -> tuple[float, float]:
-            # device <-> compare frame under the current quadrant
-            # (an involution; pdf.worker.js:36551-36565)
+            # device -> compare frame under the current quadrant (an
+            # involution for quadrants, pdf.worker.js:36551-36565; for
+            # quad -1 the FORWARD normalized-matrix transform — pdf.js's
+            # applyInverseRotation — callers never invert it)
             if quad == 90:
                 return dy, dx
             if quad == 180:
                 return -dx, -dy
             if quad == 270:
                 return -dy, -dx
+            if quad == -1 and matn is not None:
+                return (
+                    matn[0] * dx + matn[1] * dy,
+                    matn[2] * dx + matn[3] * dy,
+                )
             return dx, dy
 
         def _requad() -> None:
             # composed 2x2 + quadrant + writing-axis advance scale.
             # pdf.js: rotate 0/180 needs b == c == 0 (sign of a picks
             # which — an x-mirror counts as 180); 90/270 needs
-            # a == d == 0 (sign of b). Skew/arbitrary angles keep the
-            # legacy translate+scale treatment (pdf.js's rotate == -1
-            # applyInverseRotation path is approximated).
-            nonlocal quad, cA, cB, cC, cD, asx
+            # a == d == 0 (sign of b); anything else (shear, arbitrary
+            # angles like de-skewed scans) is rotate -1, compared in the
+            # inverse-rotated frame of each point's own matrix
+            # (applyInverseRotation, pdf.worker.js:36521-36524).
+            nonlocal quad, cA, cB, cC, cD, asx, matn
             cA = tm_a * cm_a + tm_b * cm_c
             cB = tm_a * cm_b + tm_b * cm_d
             cC = tm_c * cm_a + tm_d * cm_c
@@ -2153,14 +2186,22 @@ class _TextInterp:
                 quad = 0 if cA >= 0.0 else 180
             elif cB != 0.0 and cA == 0.0 and cD == 0.0:
                 quad = 90 if cB > 0.0 else 270
+            elif cA == 0.0 and cB == 0.0:
+                quad = 0  # degenerate writing axis: legacy fallback
             else:
-                quad = 0  # skew: legacy approximation
+                quad = -1
+            sh = math.hypot(cA, cB)
+            matn = (
+                (cA / sh, cB / sh, cC / sh, cD / sh) if sh > 0.0 else None
+            )
             if quad == 90:
                 asx = cB
             elif quad == 180:
                 asx = -cA
             elif quad == 270:
                 asx = -cB
+            elif quad == -1:
+                asx = sh
             else:
                 asx = tm_a * cm_a
 
@@ -2181,6 +2222,47 @@ class _TextInterp:
             return (
                 fm.advance(item) / 1000.0 * size + glyphs * tc + spaces * tw
             ) * asx * tz
+
+        def _show_item(dec: str, prev: float | None, adv: float) -> bool:
+            # one item through the assembler: compute compare-frame +
+            # device coordinates for the CURRENT matrix mode, show,
+            # advance the pen, update prevTransform
+            nonlocal cur_x
+            if quad == -1 and matn is not None:
+                # arbitrary rotation/shear: reconstruct the device point
+                # from the pen's text-space progress along the writing
+                # direction, then compare in the inverse-rotated frame
+                # (each point under its OWN matrix — pdf.js rotate == -1)
+                au = matn[0] * ax + matn[1] * ay
+                p = (cur_x - au) / asx if asx else 0.0
+                ddx = ax + cA * p + rise * cC
+                ddy = ay + cB * p + rise * cD
+                cy = matn[2] * ddx + matn[3] * ddy
+                shown = self.show(
+                    dec, cy, cur_x, size * asx,
+                    quad=-1, dev_x=ddx, dev_y=ddy, mat=matn,
+                )
+                cur_x += adv
+                if shown and prev is not None:
+                    pp = (prev - au) / asx if asx else 0.0
+                    self.last_end_x = ax + cA * pp + rise * cC
+                    self.glyph_y = ay + cB * pp + rise * cD
+                    self.glyph_mat = matn
+                return shown
+            vv = cross_v + arise
+            ddx, ddy = _swapq(cur_x, vv)
+            shown = self.show(
+                dec, vv, cur_x, size * asx,
+                quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
+            )
+            cur_x += adv
+            if shown and prev is not None:
+                if quad:
+                    self.last_end_x, self.glyph_y = _swapq(prev, vv)
+                    self.glyph_mat = matn
+                else:
+                    self.last_end_x = prev
+            return shown
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
@@ -2337,20 +2419,7 @@ class _TextInterp:
                             cur_x + advance(item) - tc * asx * tz
                             if item else None
                         )
-                    vv = cross_v + arise
-                    ddx, ddy = _swapq(cur_x, vv)
-                    shown = self.show(
-                        dec, vv, cur_x, size * asx,
-                        quad=quad, dev_x=ddx, dev_y=ddy,
-                    )
-                    cur_x += advance(item)
-                    if shown and prev is not None:
-                        if quad:
-                            self.last_end_x, self.glyph_y = _swapq(
-                                prev, vv
-                            )
-                        else:
-                            self.last_end_x = prev
+                    _show_item(dec, prev, advance(item))
                 elif op in (b"'", b'"'):
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
@@ -2394,20 +2463,7 @@ class _TextInterp:
                                 cur_x + advance(item) - tc * asx * tz
                                 if item else None
                             )
-                        vv = cross_v + arise
-                        ddx, ddy = _swapq(cur_x, vv)
-                        shown = self.show(
-                            dec, vv, cur_x, size * asx,
-                            quad=quad, dev_x=ddx, dev_y=ddy,
-                        )
-                        cur_x += advance(item)
-                        if shown and prev is not None:
-                            if quad:
-                                self.last_end_x, self.glyph_y = _swapq(
-                                    prev, vv
-                                )
-                            else:
-                                self.last_end_x = prev
+                        _show_item(dec, prev, advance(item))
                 elif (
                     op == b"TJ" and stack and isinstance(stack[-1], list)
                     and quad
@@ -2438,17 +2494,7 @@ class _TextInterp:
                                     cur_x + advance(item) - tc * asx * tz
                                     if item else None
                                 )
-                            vv = cross_v + arise
-                            ddx, ddy = _swapq(cur_x, vv)
-                            shown = self.show(
-                                dec, vv, cur_x, size * asx,
-                                quad=quad, dev_x=ddx, dev_y=ddy,
-                            )
-                            cur_x += advance(item)
-                            if shown and prev is not None:
-                                self.last_end_x, self.glyph_y = _swapq(
-                                    prev, vv
-                                )
+                            _show_item(dec, prev, advance(item))
                         elif isinstance(item, (int, float)):
                             cur_x -= item / 1000.0 * size * asx
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
@@ -2520,16 +2566,11 @@ class _TextInterp:
                     if (
                         self.show(
                             "".join(buf), vv, start_x, size * asx,
-                            quad=quad, dev_x=ddx, dev_y=ddy,
+                            quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
                         )
                         and tjprev is not None
                     ):
-                        if quad:
-                            self.last_end_x, self.glyph_y = _swapq(
-                                tjprev, vv
-                            )
-                        else:
-                            self.last_end_x = tjprev
+                        self.last_end_x = tjprev
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(
                         xobjs, str(stack[-1]), res, depth, seen,
@@ -2642,10 +2683,12 @@ class _TextInterp:
         # form, the page's own closure resumes with its pre-Do glyph
         # state (prevTransform/twoLastChars persist across next()).
         prev_gy, prev_x = self.glyph_y, self.last_end_x
+        prev_mat = self.glyph_mat
         prev_pending = self.pending_space
         self.force_flush = True
         self.glyph_y = None
         self.last_end_x = None
+        self.glyph_mat = None
         self.pending_space = False
         self.run(
             body,
@@ -2654,6 +2697,7 @@ class _TextInterp:
             seen | ({key} if key is not None else set()),
         )
         self.glyph_y, self.last_end_x = prev_gy, prev_x
+        self.glyph_mat = prev_mat
         self.pending_space = prev_pending
         self.force_flush = True  # form stream end flush (getTextContent tail)
 

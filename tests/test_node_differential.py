@@ -310,3 +310,64 @@ def test_rotated_streams_byte_equal_vs_live_reference(tmp_path):
             for s in range(60)
         ],
     )
+
+
+def _gen_skew_stream(rng: random.Random) -> bytes:
+    """Arbitrary-rotation/shear fuzz (pdf.js rotate == -1): matrices
+    with nonzero b or c that are NOT quadrant rotations — sheared text,
+    de-skewed scans. pdf.js compares each point in the inverse-rotated
+    frame of its OWN matrix (applyInverseRotation,
+    pdf.worker.js:36521-36524,36566-36567); the engine mirrors that via
+    the row-normalized composed 2x2 carried on prevTransform."""
+    ops = [b"BT", b"/F1 10 Tf"]
+    u, v = 100.0, 600.0
+    mats = [
+        (1, 0.3, 0, 1), (1, 0, 0.25, 1),
+        (1, -0.2, 0.1, 1), (0.9, 0.4, -0.3, 0.95),
+    ]
+    m = rng.choice(mats)
+    for _ in range(rng.randrange(5, 10)):
+        kind = rng.randrange(4)
+        if kind == 0:
+            m = rng.choice(mats)
+            u += rng.choice([0.0, 20.0])
+            v -= rng.choice([0.0, 13.0, 2.0])
+            a, b, c, d = m
+            ops.append(
+                b"%.2f %.2f %.2f %.2f %.1f %.1f Tm" % (a, b, c, d, u, v)
+            )
+        elif kind == 1:
+            ops.append(
+                b"(%s) Tj"
+                % " ".join(rng.sample(WORDS, rng.randrange(1, 3))).encode()
+            )
+        elif kind == 2:  # move along the sheared writing direction
+            a, b, c, d = m
+            du = rng.choice([0.8, 3.0, 9.0])
+            u += du * a
+            v += du * b
+            ops.append(
+                b"%.2f %.2f %.2f %.2f %.1f %.1f Tm" % (a, b, c, d, u, v)
+            )
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        else:
+            ops.append(
+                b"[(%s ) %d (%s)] TJ"
+                % (
+                    rng.choice(WORDS).encode(),
+                    rng.choice([-300, 120, 567]),
+                    rng.choice(WORDS).encode(),
+                )
+            )
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_skew_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_skew_stream(random.Random(5000 + s)))
+            for s in range(40)
+        ],
+    )
