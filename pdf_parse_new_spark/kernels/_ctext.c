@@ -1045,7 +1045,8 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         *olen = mark;
         return 2;
     }
-    if (out[mark] == ' ' && tracked)
+    int lead_sp = out[mark] == ' ';
+    if (lead_sp && tracked)
         st->pending_space = 1;
     /* leading space glyphs never land (whitespace glyphs are skipped,
      * pdf.worker.js:36693-36702 — they only arm the pending space) */
@@ -1105,6 +1106,11 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
             st->pending_space = 0;
             flush = 1;
         } else {
+            if (adv <= 0.03 * ifs && !lead_sp)
+                st->pending_space = 0; /* notASpace: resetLastChars —
+                                          not for THIS item's own
+                                          leading spaces (adv excludes
+                                          their advances) */
             space = st->pending_space || adv > RP_GAP_FRACTION * ifs;
             if (st->pending_space && adv <= RP_GAP_FRACTION * ifs) {
                 /* shouldAddWhitepsace: flush + standalone " " */
@@ -1255,7 +1261,9 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             break;
         }
         case K_TJNUM:
-            st.cur_x -= e->f0 / 1000.0 * st.size * st.sx;
+            /* the kern rides charSpacing through translateTextMatrix
+             * (x textHScale) — pdf.worker.js:36687,36735 */
+            st.cur_x -= e->f0 / 1000.0 * st.size * st.sx * st.tz;
             if (st.size > 0.0) {
                 double kern = e->f0 / 1000.0 * st.size;
                 long base = tjmark < 0 ? 0 : tjmark;
@@ -1265,7 +1273,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                      * reset, pdf.worker.js:36630-36631) */
                     double w_sp = widths[st.cur_font * 256 + 32] /
                                   1000.0 * st.size;
-                    if ((w_sp + st.tc + st.tw - kern) * st.tz <=
+                    if ((w_sp + 2.0 * st.tc + st.tw - kern) * st.tz <=
                         0.03 * st.size) {
                         while (olen > base && out[olen - 1] == ' ')
                             olen--;

@@ -1602,7 +1602,8 @@ class _TextInterp:
             if " " in s and (self.line_open or self.glyph_y is not None):
                 self.pending_space = True
             return False
-        if s.startswith(" ") and (self.line_open or self.glyph_y is not None):
+        lead_sp = s.startswith(" ")
+        if lead_sp and (self.line_open or self.glyph_y is not None):
             self.pending_space = True
         trail = s.endswith(" ")
         core = s.strip(" ")
@@ -1676,7 +1677,17 @@ class _TextInterp:
             else:
                 # gap space (TRACKING_SPACE/SPACE_IN_FLOW factors,
                 # pdf.worker.js:36633-36651) or a pending whitespace
-                # glyph
+                # glyph. notASpace first: an advance <= 0.03*fs runs
+                # resetLastChars (pdf.worker.js:36630-36632), killing
+                # the pending whitespace — a kern pulling the pen back
+                # over a space glyph un-spaces it ("Calibra )567(tion").
+                # NOT when the pending space came from THIS item's own
+                # leading whitespace: adv measures to the item START,
+                # before those space glyphs advanced the pen (pdf.js's
+                # per-glyph compare at the first non-space glyph would
+                # include their widths).
+                if adv <= 0.03 * ifs and not lead_sp:
+                    self.pending_space = False
                 space = self.pending_space or adv > self.GAP_FRACTION * ifs
                 if self.pending_space and adv <= self.GAP_FRACTION * ifs:
                     # shouldAddWhitepsace: flush + standalone " "
@@ -2026,8 +2037,9 @@ class _TextInterp:
                     # and clipped items leave it untouched
                     if shown and prev is not None:
                         self.last_end_x = prev
-            elif kind == 7:  # TJNUM kern
-                cur_x -= f0 / 1000.0 * size * sx
+            elif kind == 7:  # TJNUM kern (x textHScale: the kern rides
+                # charSpacing through translateTextMatrix)
+                cur_x -= f0 / 1000.0 * size * sx * tz
                 # a TJ number is extra charSpacing on the preceding
                 # glyph (pdf.worker.js:36687). When that glyph is a
                 # SPACE, the next glyph's advanceX includes the space
@@ -2044,7 +2056,7 @@ class _TextInterp:
                             if fm.nbytes == 1
                             else 0.5 * size
                         )
-                        if (w_sp + tc + tw - kern) * tz <= 0.03 * size:
+                        if (w_sp + 2 * tc + tw - kern) * tz <= 0.03 * size:
                             tj_buf[-1] = tj_buf[-1].rstrip(" ")
                     elif (tc - kern) * tz > self.GAP_FRACTION * size:
                         tj_buf.append(" ")
@@ -2263,6 +2275,32 @@ class _TextInterp:
                 else:
                     self.last_end_x = prev
             return shown
+
+        def _show_glyphs(item: bytes, dec: str) -> None:
+            # PER-GLYPH path for rotated/sheared 1-byte items: pdf.js
+            # runs compareWithLastPosition per glyph, and under rotation
+            # its mid-item flushes (letter-spacing fake spaces past
+            # spaceInFlowMax, shouldAddWhitepsace after a space glyph)
+            # create items whose device anchors differ — visible "\n"s
+            # through the pdf-parse join that the item-level
+            # approximation (exact for quad 0, where anchors share one
+            # line) cannot reproduce. Letter-spacing gaps emerge from
+            # the compare itself, so the " ".join pre-pass must NOT run
+            # before this.
+            for i, ch in enumerate(dec):
+                code = item[i]
+                w = (
+                    fm.widths.get(code, fm.default_width)
+                    / 1000.0 * size * asx * tz
+                )
+                if ch == " ":
+                    # whitespace glyph: position advances by
+                    # width + charSpacing + wordSpacing; the pending
+                    # space arms via show's edge-space handling
+                    _show_item(" ", None, w + (tc + tw) * asx * tz)
+                else:
+                    # prevTransform excludes the trailing charSpacing
+                    _show_item(ch, cur_x + w, w + tc * asx * tz)
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
@@ -2389,6 +2427,10 @@ class _TextInterp:
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                     item = stack[-1]
                     dec = fm.decode(item)
+                    if quad and fm.nbytes == 1 and len(dec) == len(item):
+                        _show_glyphs(item, dec)
+                        stack.clear()
+                        continue
                     vb = self.viewbox
                     cprev: float | None = None
                     clipped_item = False
@@ -2429,7 +2471,13 @@ class _TextInterp:
                     if op == b'"' and len(stack) >= 3:
                         tw = float(stack[-3])
                         tc = float(stack[-2])
-                    if stack and isinstance(stack[-1], bytes):
+                    if (
+                        stack and isinstance(stack[-1], bytes)
+                        and quad and fm.nbytes == 1
+                        and len(fm.decode(stack[-1])) == len(stack[-1])
+                    ):
+                        _show_glyphs(stack[-1], fm.decode(stack[-1]))
+                    elif stack and isinstance(stack[-1], bytes):
                         item = stack[-1]
                         dec = fm.decode(item)
                         vb = self.viewbox
@@ -2480,23 +2528,23 @@ class _TextInterp:
                         if isinstance(item, bytes):
                             dec = fm.decode(item)
                             if (
+                                fm.nbytes == 1
+                                and len(dec) == len(item)
+                            ):
+                                _show_glyphs(item, dec)
+                                continue
+                            if (
                                 size > 0
                                 and tc * tz > self.GAP_FRACTION * size
                             ):
                                 dec = " ".join(dec)
-                            if fm.nbytes == 1:
-                                prev = self._prev_x(
-                                    fm, item, dec, cur_x, size,
-                                    asx * tz, tc, tw,
-                                )
-                            else:
-                                prev = (
-                                    cur_x + advance(item) - tc * asx * tz
-                                    if item else None
-                                )
+                            prev = (
+                                cur_x + advance(item) - tc * asx * tz
+                                if item else None
+                            )
                             _show_item(dec, prev, advance(item))
                         elif isinstance(item, (int, float)):
-                            cur_x -= item / 1000.0 * size * asx
+                            cur_x -= item / 1000.0 * size * asx * tz
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     buf: list[str] = []
                     start_x = cur_x
@@ -2540,7 +2588,7 @@ class _TextInterp:
                             if prev is not None:
                                 tjprev = prev
                         elif isinstance(item, (int, float)):
-                            cur_x -= item / 1000.0 * size * asx
+                            cur_x -= item / 1000.0 * size * asx * tz
                             if size > 0:
                                 kern = item / 1000.0 * size
                                 if buf and buf[-1].endswith(" "):
@@ -2552,7 +2600,7 @@ class _TextInterp:
                                         else 0.5 * size
                                     )
                                     if (
-                                        (w_sp + tc + tw - kern) * tz
+                                        (w_sp + 2 * tc + tw - kern) * tz
                                         <= 0.03 * size
                                     ):
                                         buf[-1] = buf[-1].rstrip(" ")

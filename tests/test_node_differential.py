@@ -371,3 +371,79 @@ def test_skew_streams_byte_equal_vs_live_reference(tmp_path):
             for s in range(40)
         ],
     )
+
+
+def _gen_rotated_state_stream(rng: random.Random) -> bytes:
+    """Rotation x text-state fuzz: quadrant changes interleaved with
+    letter-spacing (Tc — per-glyph fake spaces and standalone
+    whitespace items become visible lines under rotation), word spacing
+    (Tw), horizontal scaling (Tz) and leading (TL/T*). Covered by the
+    per-glyph show path for rotated 1-byte items plus the notASpace
+    pending-space reset. Mid-line Ts (rise) toggles combined with
+    multi-space letter-spaced items are a KNOWN residual approximation
+    of the item-level quad-0 model (both engines' C and Python paths
+    agree with each other; pdf.js splits a standalone space item whose
+    rise-free anchor lands on another line) — the generator therefore
+    leaves Ts at 0."""
+    ops = [b"BT", b"/F1 %d Tf" % rng.choice([8, 10, 12])]
+    quad = rng.choice(_QUADS)
+    u, v = 300.0, 400.0
+    for _ in range(rng.randrange(6, 14)):
+        kind = rng.randrange(7)
+        if kind == 0:
+            quad = rng.choice(_QUADS)
+            u += rng.choice([-14.0, 0.0, 14.0])
+            v += rng.choice([-14.0, 0.0, 14.0])
+            a, b, c, d = quad
+            s = rng.choice([1.0, 1.0, 0.75])
+            ops.append(
+                b"%.2f %.2f %.2f %.2f %.1f %.1f Tm"
+                % (a * s, b * s, c * s, d * s, u, v)
+            )
+        elif kind == 1:
+            ops.append(
+                b"(%s) Tj"
+                % " ".join(rng.sample(WORDS, rng.randrange(1, 3))).encode()
+            )
+        elif kind == 2:
+            a, b, c, d = quad
+            du = rng.choice([0.8, 2.0, 5.0, 40.0])
+            dv = rng.choice([0.0, 1.1, 13.0])
+            u += du * a + dv * c
+            v += du * b + dv * d
+            ops.append(
+                b"%.2f %.2f %.2f %.2f %.1f %.1f Tm" % (a, b, c, d, u, v)
+            )
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        elif kind == 3:
+            ops.append(
+                b"[(%s ) %d (%s)] TJ"
+                % (
+                    rng.choice(WORDS).encode(),
+                    rng.choice([-300, 120, 567]),
+                    rng.choice(WORDS).encode(),
+                )
+            )
+        elif kind == 4:  # letter/word spacing + double-space item
+            ops.append(b"%.2f Tc" % rng.choice([0.0, 0.05, 1.5]))
+            ops.append(b"%.2f Tw" % rng.choice([0.0, 0.4]))
+            ops.append(b"(%s  x) Tj" % rng.choice(WORDS).encode())
+        elif kind == 5:  # horizontal scaling
+            ops.append(b"%.1f Tz" % rng.choice([100.0, 80.0, 120.0]))
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        else:
+            ops.append(b"%.1f TL" % rng.choice([11.0, 12.5]))
+            ops.append(b"T*")
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_rotated_state_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_rotated_state_stream(random.Random(11000 + s)))
+            for s in range(60)
+        ],
+    )
