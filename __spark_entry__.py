@@ -7,13 +7,15 @@ per-source conversation) and runs per-conversation main-content extraction
 conversation.
 
 ``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
-30 DuckDB-checked queries covering SURVEY §2 operator families plus the
+31 DuckDB-checked queries covering SURVEY §2 operator families plus the
 training-data extensions (incl. the exact prefix-filtered Jaccard and
 containment joins, whose all-pairs DuckDB twins double as losslessness
-proofs; dup_clusters: connected components over the near-dup edge set
-vs a recursive-CTE closure; repetition: Gopher-style repetition quality
-filters; decontaminate: eval-set n-gram leakage flagging; doc_split:
-deterministic hash-bucket train/val/test assignment), and 10
+proofs; dup_clusters: alternating-star connected components over the
+near-dup edge set vs a recursive-CTE closure; repetition: Gopher-style
+repetition quality filters; decontaminate: eval-set n-gram leakage
+flagging; doc_split: deterministic hash-bucket train/val/test
+assignment; doc_pack: fixed-token-budget sequence packing vs the same
+window arithmetic in DuckDB), and 10
 rows-only entries for the non-SQL extraction/LSH kernels
 (incl. real_pdf_corpus: the reference's own binary PDF test corpus
 through the real-dialect parser; real_pdf_files: path/URL ingest with

@@ -1000,6 +1000,50 @@ FROM b ORDER BY doc_id
 """
 
 
+def q_doc_pack(spark, sf_dir):
+    """Sequence packing (operators/packing.py): documents fill
+    2048-token training sequences in stable doc_id order within an
+    md5-bucket shard — start offset, pack id, offset within the pack,
+    and how many sequences the document straddles. Deterministic pure
+    arithmetic (no rand, no global sort): the one shuffle is the
+    repartition-by-shard feeding a per-shard cumulative-sum window, so
+    shards pack independently at any scale. The DuckDB oracle
+    reproduces it with the same window."""
+    from pdf_parse_new_spark.operators import packing
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(t, budget=2048).orderBy("doc_id")
+
+
+SQL_DOC_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         list_reduce(
+           list_transform(
+             string_split(substr(md5(cast(doc_id AS varchar)), 1, 8), ''),
+             c -> strpos('0123456789abcdef', c) - 1),
+           (a, b) -> a * 16 + b) % 8 AS shard
+  FROM documents),
+w AS (
+  SELECT doc_id, shard, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS bigint) AS start_tok
+  FROM t)
+SELECT doc_id, shard, n_tokens, start_tok,
+       start_tok // 2048 AS pack_id,
+       start_tok % 2048 AS pack_offset,
+       (start_tok + greatest(n_tokens, 1) - 1) // 2048
+         - start_tok // 2048 + 1 AS n_spans
+FROM w ORDER BY doc_id
+"""
+
+
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
     "group_limit": (q_group_limit, SQL_GROUP_LIMIT),
@@ -1031,6 +1075,7 @@ SQL_CHECKED = {
     "repetition": (q_repetition, SQL_REPETITION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
+    "doc_pack": (q_doc_pack, SQL_DOC_PACK),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

@@ -447,3 +447,72 @@ def test_rotated_state_streams_byte_equal_vs_live_reference(tmp_path):
             for s in range(60)
         ],
     )
+
+
+def _assemble_with_form(form_matrix: bytes, outer_ops: bytes,
+                        form_ops: bytes) -> bytes:
+    form = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] %s "
+        b"/Length %d >>\nstream\n%s\nendstream"
+        % (form_matrix, len(form_ops), form_ops)
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << /Fm 5 0 R >> >> "
+        b"/Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        form,
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(outer_ops), outer_ops),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref)
+    )
+    return bytes(out)
+
+
+def test_rotation_through_forms_byte_equal_vs_live_reference(tmp_path):
+    """Rotation entering through the Form-XObject /Matrix, an outer
+    rotated cm around Do, and a 45-degree (rotate == -1) q/Q mid-text
+    block — exercises the K_ROT delegation through the nested
+    interpreter runs (the form /Matrix and outer CTM arrive as a
+    prepended cm, so the marker fires inside the nested stream)."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_with_form(
+                b"/Matrix [0 1 -1 0 400 100]",
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (before form) Tj ET "
+                b"/Fm Do BT /F1 12 Tf 1 0 0 1 72 686 Tm (after form) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 50 50 Tm (inside rotated) Tj "
+                b"1 0 0 1 50 64 Tm (second line) Tj ET",
+            ),
+            _assemble_with_form(
+                b"",
+                b"q 0 1 -1 0 500 100 cm BT /F1 12 Tf 1 0 0 1 50 50 Tm "
+                b"(rotated outer) Tj ET /Fm Do Q "
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (back) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 10 80 Tm (form under rot cm) Tj ET",
+            ),
+            _assemble_with_form(
+                b"/Matrix [1 0 0 1 0 0]",
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (plain) Tj ET "
+                b"q 0.7071 0.7071 -0.7071 0.7071 200 100 cm "
+                b"BT /F1 12 Tf 1 0 0 1 0 0 Tm (angled 45) Tj ET Q "
+                b"BT /F1 12 Tf 1 0 0 1 72 660 Tm (restored) Tj ET",
+                b"",
+            ),
+        ],
+    )

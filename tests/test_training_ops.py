@@ -560,6 +560,48 @@ def test_connected_components_star_log_convergence(spark):
     assert hmin[63] != 0  # 8 hop-rounds cannot cross a 63-edge chain
 
 
+def test_pack_sequences_analytic(spark):
+    """Packing arithmetic on a crafted shard: 4-token docs against a
+    10-token budget give starts 0,4,8,12 — the third doc straddles the
+    first boundary (n_spans 2), the fourth starts inside pack 1 at
+    offset 2. Zero-token docs still occupy one span. A doc longer than
+    the budget spans ceil(len/budget)+ straddle sequences."""
+    from pdf_parse_new_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, 1, 4) for i in range(4)] + [(10, 2, 0), (11, 2, 25)],
+        "doc_id long, shard long, n_tokens long",
+    )
+    got = {
+        r.doc_id: (r.start_tok, r.pack_id, r.pack_offset, r.n_spans)
+        for r in packing.pack_sequences(
+            df, budget=10, shard_col="shard"
+        ).collect()
+    }
+    assert got[0] == (0, 0, 0, 1)
+    assert got[1] == (4, 0, 4, 1)
+    assert got[2] == (8, 0, 8, 2)   # straddles packs 0->1
+    assert got[3] == (12, 1, 2, 1)
+    assert got[10] == (0, 0, 0, 1)  # empty doc: one span
+    assert got[11] == (0, 0, 0, 3)  # 25 tokens / 10 budget -> 3 packs
+
+
+def test_pack_sequences_single_shuffle_plan(spark):
+    """The only exchange in the plan is the hash repartition feeding
+    the per-shard window — shards pack independently (the 100-TB
+    property: no global sort, no driver state)."""
+    from pdf_parse_new_spark.operators import packing
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    plan = (
+        packing.pack_sequences(df, budget=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_repetition_query_extremes(spark, tmp_path):
     """dup_word_frac and top_bigram_frac hit their analytic extremes on
     constructed docs: an all-identical-word doc repeats one bigram
