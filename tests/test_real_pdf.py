@@ -399,6 +399,32 @@ def test_parser_survives_mutations():
         assert r["error"] is None or isinstance(r["error"], str), i
 
 
+def test_rotated_parser_survives_mutations():
+    """The rotation/shear delegation path keeps the malformed-input
+    contract: random byte mutations of rotated documents (garbled Tm
+    matrices, broken strings mid-quadrant) yield a result dict, never
+    an exception."""
+    import random
+
+    import sys as _sys
+
+    _sys.path.insert(0, f"{os.path.dirname(__file__)}")
+    from test_node_differential import _assemble, _gen_rotated_stream
+
+    for seed in range(5):
+        base = bytearray(
+            _assemble(_gen_rotated_stream(random.Random(3000 + seed)))
+        )
+        rng = random.Random(seed)
+        for _ in range(20):
+            m = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            r = pdfb.parse_pdf_bytes(bytes(m))
+            assert isinstance(r["text"], str)
+            assert r["error"] is None or isinstance(r["error"], str)
+
+
 def test_pdf_documents_payload_guard(spark):
     from pdf_parse_new_spark.operators import extract as ex
 
