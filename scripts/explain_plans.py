@@ -39,6 +39,10 @@ NOTES = {
     "inside whole-stage codegen); the trailing Sort/Exchange is only the "
     "driver-determinism orderBy — a pipeline materializing the column "
     "drops it and pays zero shuffle",
+    "doc_pack": "sequence packing: ONE hash Exchange (repartition by "
+    "shard) feeding a per-shard running-sum window; pack assignment is "
+    "pure integer arithmetic in whole-stage codegen after the window — "
+    "shards pack independently, no global sort",
 }
 
 
