@@ -850,7 +850,8 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      const double *w, unsigned char *out, long *olen,
                      long ocap, long *glyphs, long *spaces, double *wsum,
                      int lgap, const RState *rst, double start_x,
-                     double *prev_x_out, int *have_prev)
+                     double *prev_x_out, int *have_prev,
+                     double *first_x_out, int *have_first)
 {
     long o = *olen;
     long start_ = o; /* letter-gap spaces only between this item's chars */
@@ -859,6 +860,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
      * (pdf.worker.js:36693-36727). Space and clipped glyphs advance
      * position without touching it. */
     *have_prev = 0;
+    *have_first = 0;
     /* per-glyph x viewBox clip (pdf.worker.js:36531-36536 runs PER
      * GLYPH): a glyph whose pen x sits outside [vb0, vb2] is skipped —
      * position still advances — so items straddling the page edge keep
@@ -879,6 +881,13 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         double px_ = start_x + *wsum * kx +                                  \
                      (double)*glyphs * ktc + (double)*spaces * ktw;          \
         int sp_ = cc_ == 0x20 || (tl_ == 1 && tb[ta_] == ' ');               \
+        if (!sp_ && !*have_first) {                                          \
+            /* pdf.js runs the line compare at the FIRST NON-SPACE     */   \
+            /* glyph's position — leading space glyphs only advance    */   \
+            /* the pen and arm the pending space                       */   \
+            *first_x_out = px_;                                              \
+            *have_first = 1;                                                 \
+        }                                                                    \
         if (clip && !sp_ &&                                                  \
             (px_ + w[cc_] * kx < rst->vb0 || px_ > rst->vb2)) {              \
             *wsum += w[cc_];                                                 \
@@ -1083,15 +1092,23 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
     st->force_flush = 0;
     if (st->scale_flush) {
         /* Tm scale change zeroed the item width: textOrientation ==
-         * sign(0) == 0 forces CR-flush (adv<0) or standalone-space +
-         * flush (adv>0); EOL when |dy| > height */
+         * sign(0) == 0 — CR-flush (adv<0), standalone-space + flush
+         * (adv>0), EOL (|dy| > height); adv EXACTLY 0 falls through
+         * the zeroed thresholds with width += 0 and the item
+         * CONTINUES (mirrors _TextInterp.show) */
         st->scale_flush = 0;
         st->pending_space = 0;
-        flush = 1;
-        if (have_adv && adv > 0.0 &&
-            !(have_dyg && ifs > 0.0 && fabs(dyg) > ifs)) {
-            space = 1;
-            standalone = 1;
+        if (have_adv && ifs > 0.0 && !(have_dyg && fabs(dyg) > ifs)) {
+            if (adv < 0.0) {
+                flush = 1;
+            } else if (adv > 0.0) {
+                space = 1;
+                standalone = 1;
+                flush = 1;
+            }
+            /* adv == 0: no flush here */
+        } else {
+            flush = 1;
         }
     } else if (!have_dyg) {
         flush = 1; /* first glyph opens the first item */
@@ -1106,11 +1123,11 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
             st->pending_space = 0;
             flush = 1;
         } else {
-            if (adv <= 0.03 * ifs && !lead_sp)
+            if (adv <= 0.03 * ifs)
                 st->pending_space = 0; /* notASpace: resetLastChars —
-                                          not for THIS item's own
-                                          leading spaces (adv excludes
-                                          their advances) */
+                                          adv measures to the FIRST
+                                          NON-SPACE glyph, leading-space
+                                          advances included */
             space = st->pending_space || adv > RP_GAP_FRACTION * ifs;
             if (st->pending_space && adv <= RP_GAP_FRACTION * ifs) {
                 /* shouldAddWhitepsace: flush + standalone " " */
@@ -1211,8 +1228,8 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.line_oy = state[28];
 
     long olen = 0, tjmark = -1;
-    double tj_start_x = 0.0, tj_prev_x = 0.0;
-    int tj_have_prev = 0;
+    double tj_start_x = 0.0, tj_prev_x = 0.0, tj_first_x = 0.0;
+    int tj_have_prev = 0, tj_have_first = 0;
     long ret = nev;
 
     for (long i = start; i < nev; i++) {
@@ -1226,11 +1243,12 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             const double *w = widths + st.cur_font * 256;
             int lgap = st.size > 0.0 &&
                        st.tc * st.tz > RP_GAP_FRACTION * st.size;
-            double prev_x = 0.0;
-            int have_prev = 0;
+            double prev_x = 0.0, first_x = 0.0;
+            int have_prev = 0, have_first = 0;
             if (rp_decode(d, n, e->flag, e->a, e->b, tbytes, to, w, out,
                           &olen, ocap, &glyphs, &spaces, &wsum, lgap,
-                          &st, st.cur_x, &prev_x, &have_prev) < 0)
+                          &st, st.cur_x, &prev_x, &have_prev,
+                          &first_x, &have_first) < 0)
                 return -1;
             double adv = (wsum / 1000.0 * st.size +
                           (double)glyphs * st.tc +
@@ -1242,9 +1260,14 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     tj_prev_x = prev_x;
                     tj_have_prev = 1;
                 }
+                if (have_first && !tj_have_first) {
+                    tj_first_x = first_x;
+                    tj_have_first = 1;
+                }
             } else {
                 int rc = rp_show(&st, out, &olen, ocap, mark,
-                                 st.y + st.rise, st.cur_x,
+                                 st.y + st.rise,
+                                 have_first ? first_x : st.cur_x,
                                  st.size * st.sx);
                 if (rc < 0)
                     return -1;
@@ -1319,11 +1342,14 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             tjmark = olen;
             tj_start_x = st.cur_x;
             tj_have_prev = 0;
+            tj_have_first = 0;
             break;
         case K_TJEND: {
             int rc = rp_show(&st, out, &olen, ocap,
                              tjmark < 0 ? olen : tjmark,
-                             st.y + st.rise, tj_start_x, st.size * st.sx);
+                             st.y + st.rise,
+                             tj_have_first ? tj_first_x : tj_start_x,
+                             st.size * st.sx);
             if (rc < 0)
                 return -1;
             if (rc != 2 && tj_have_prev) {

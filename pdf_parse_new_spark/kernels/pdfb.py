@@ -1532,6 +1532,13 @@ class _TextInterp:
         # — not the scale of the incoming glyph.
         self.scale_flush = False
         self.item_size = 0.0
+        # item_hsize: the item's CROSS-AXIS height — pdf.js's
+        # textContentItem.height = hypot(trm[2], trm[3]), captured at
+        # ensureTextContentItem and used for the EOL / 0.25
+        # vertical-shift thresholds. Differs from item_size under shear
+        # or non-uniform scales; rotated/skew callers pass hsize, the
+        # quad-0 paths keep the legacy writing-axis value.
+        self.item_hsize = 0.0
         # glyph_mat: the prev glyph's row-normalized composed 2x2 (set
         # by show() from its mat argument). The quad == -1 compare
         # inverse-rotates each point under its OWN matrix (pdf.js
@@ -1549,7 +1556,9 @@ class _TextInterp:
              size: float = 0.0, quad: int = 0,
              dev_x: float | None = None,
              dev_y: float | None = None,
-             mat: tuple | None = None) -> bool:
+             mat: tuple | None = None,
+             dev_w: float = 0.0,
+             hsize: float | None = None) -> bool:
         """Returns True when glyphs were emitted or position-tracked
         (the caller then updates last_end_x / prevTransform), False when
         the item was clipped by the view box.
@@ -1587,12 +1596,14 @@ class _TextInterp:
             or (
                 # rotated items: the x half of pdf.js's device-space box
                 # test (the quad-0 path gets per-glyph x clipping from
-                # the caller's _clip_x instead; here the whole item
-                # drops when its start pen is off-page — straddlers are
-                # approximated)
+                # the caller's _clip_x instead). pdf.js's left-edge test
+                # is posX + glyphWidth < vb0 — the glyph's NAIVE +x
+                # extension, regardless of actual writing direction
+                # (rotation-naive in the reference too) — so a leftward
+                # quad-180 run keeps one extra glyph at the edge.
                 quad != 0
                 and dev_x is not None
-                and (dev_x < vb[0] or dev_x > vb[2])
+                and (dev_x + dev_w < vb[0] or dev_x > vb[2])
             )
         ):
             # outside the view box: glyphs drop BEFORE any state change
@@ -1602,8 +1613,7 @@ class _TextInterp:
             if " " in s and (self.line_open or self.glyph_y is not None):
                 self.pending_space = True
             return False
-        lead_sp = s.startswith(" ")
-        if lead_sp and (self.line_open or self.glyph_y is not None):
+        if s.startswith(" ") and (self.line_open or self.glyph_y is not None):
             self.pending_space = True
         trail = s.endswith(" ")
         core = s.strip(" ")
@@ -1613,6 +1623,8 @@ class _TextInterp:
             return True  # position advances (caller), prev-glyph y does not
         fs = size if size > 0 else 0.0
         ifs = self.item_size if self.item_size > 0 else fs
+        hs = hsize if hsize is not None and hsize > 0 else fs
+        ihs = self.item_hsize if self.item_hsize > 0 else hs
         # the prev-glyph point is stored in DEVICE coords; re-swap it
         # under the CURRENT quadrant (pdf.js re-transforms prevTransform
         # at every compare with the incoming glyph's rotation,
@@ -1647,19 +1659,32 @@ class _TextInterp:
         flush = self.force_flush
         self.force_flush = False
         if self.scale_flush:
-            # textOrientation == 0: CR-flush when advanceX < 0,
-            # standalone space + flush when advanceX > 0 (the in-flow
-            # window [0, 0] is empty), EOL when |dy| > height
+            # textOrientation == sign(0) == 0 — the zero-threshold
+            # cascade (pdf.worker.js:36616-36655): CR-flush when
+            # advanceX < 0; standalone space + flush when advanceX > 0
+            # (the in-flow window [0, 0] is empty); EOL when
+            # |dy| > height; and — the easily-missed case — advanceX
+            # EXACTLY 0 falls through notASpace/trackingSpaceMin with
+            # width += 0: the item simply CONTINUES (a Times 'nu' at
+            # scale 8 ending exactly where the scale-10 glyph starts
+            # merges in the reference).
             self.scale_flush = False
             self.pending_space = False
-            flush = True
             if (
                 adv is not None
-                and adv > 0
-                and not (dyg is not None and ifs > 0 and abs(dyg) > ifs)
+                and ifs > 0
+                and not (dyg is not None and abs(dyg) > ihs)
             ):
-                space = True
-                standalone = True
+                if adv < 0:
+                    flush = True
+                elif adv > 0:
+                    space = True
+                    standalone = True
+                    flush = True
+                # adv == 0: item continues (vertical-shift check below
+                # still applies)
+            else:
+                flush = True
         elif dyg is None:
             flush = True  # first glyph on the page opens the first item
         elif ifs > 0.0 and adv is not None:
@@ -1669,7 +1694,7 @@ class _TextInterp:
                 # pdf.worker.js:36617-36625): flush, no space
                 self.pending_space = False
                 flush = True
-            elif ady > ifs:
+            elif ady > ihs:
                 # taller than the item height -> appendEOL
                 # (pdf.worker.js:36626-36629)
                 self.pending_space = False
@@ -1681,12 +1706,10 @@ class _TextInterp:
                 # resetLastChars (pdf.worker.js:36630-36632), killing
                 # the pending whitespace — a kern pulling the pen back
                 # over a space glyph un-spaces it ("Calibra )567(tion").
-                # NOT when the pending space came from THIS item's own
-                # leading whitespace: adv measures to the item START,
-                # before those space glyphs advanced the pen (pdf.js's
-                # per-glyph compare at the first non-space glyph would
-                # include their widths).
-                if adv <= 0.03 * ifs and not lead_sp:
+                # Callers pass tx at the FIRST NON-SPACE glyph (leading
+                # space-glyph advances included), matching where pdf.js
+                # runs this compare.
+                if adv <= 0.03 * ifs:
                     self.pending_space = False
                 space = self.pending_space or adv > self.GAP_FRACTION * ifs
                 if self.pending_space and adv <= self.GAP_FRACTION * ifs:
@@ -1702,7 +1725,7 @@ class _TextInterp:
                         adv > 0.6 * ifs or flush or not self.line_open
                     )
                 self.pending_space = False
-                if adv > 0.6 * ifs or ady > 0.25 * ifs:
+                if adv > 0.6 * ifs or ady > 0.25 * ihs:
                     # VERTICAL_SHIFT_RATIO flush (pdf.worker.js:36653)
                     flush = True
         else:
@@ -1713,7 +1736,7 @@ class _TextInterp:
             else:
                 space = self.pending_space and self.line_open
                 self.pending_space = False
-        if dyg is not None and ifs > 0.0 and abs(dyg) > 0.25 * ifs:
+        if dyg is not None and ihs > 0.0 and abs(dyg) > 0.25 * ihs:
             flush = True  # vertical shift flush applies on every path
         new_item = flush or not self.line_open
         # emission = pdf-parse's item join (lib/pdf-parse.js:27-38):
@@ -1740,6 +1763,7 @@ class _TextInterp:
                 self.pieces.append("\n")
             self.last_y = dev_y
             self.item_size = fs
+            self.item_hsize = hs
         self.pieces.append(core)
         self.line_open = True
         self.last_char = core[-1]
@@ -1778,6 +1802,27 @@ class _TextInterp:
             x += gw + (tc + (tw if code == 0x20 else 0.0)) * sxz
         return "".join(out), prev
 
+
+    def _first_x(self, fm: FontMap, item: bytes, dec: str, start_x: float,
+                 size: float, sxz: float, tc: float, tw: float
+                 ) -> float | None:
+        """The FIRST NON-SPACE glyph's pen x — where pdf.js runs
+        compareWithLastPosition for this item (leading space glyphs only
+        advance the pen by width+charSpacing+wordSpacing and arm the
+        pending space, pdf.worker.js:36693-36702). None for all-space
+        items. 1-byte fonts; multi-byte callers keep the item start."""
+        n = len(item)
+        aligned = len(dec) == n
+        x = start_x
+        for k in range(n):
+            code = item[k]
+            if not (code == 0x20 or (aligned and dec[k] == " ")):
+                return x
+            x += (
+                fm.widths.get(code, fm.default_width) / 1000.0 * size
+                + tc + (tw if code == 0x20 else 0.0)
+            ) * sxz
+        return None
 
     def _prev_x(self, fm: FontMap, item: bytes, dec: str, start_x: float,
                 size: float, sxz: float, tc: float, tw: float) -> float | None:
@@ -1932,6 +1977,8 @@ class _TextInterp:
             self.force_flush = bool(st[18])
             self.scale_flush = bool(st[19])
             self.item_size = float(st[20])
+            # C segments run axis-aligned uniform scales: height == size
+            self.item_hsize = self.item_size
             if ret >= nev:
                 return
             if depth < self.MAX_DEPTH:
@@ -1976,6 +2023,7 @@ class _TextInterp:
         tj_buf: list[str] = []
         tj_start_x = 0.0
         tj_prev: float | None = None
+        tj_first: float | None = None
         show = self.show
         lit, hexs = _parse_literal_string, _parse_hex_string
         for kind, flag, a, b, f0, f1, f2, f3 in ev.tolist():
@@ -2026,11 +2074,26 @@ class _TextInterp:
                     prev = (cur_x + adv - tc * sx * tz) if item else None
                 if kind == 6:
                     tj_buf.append(dec)
+                    if tj_first is None and fm.nbytes == 1:
+                        tj_first = self._first_x(
+                            fm, item, dec, cur_x, size, sx * tz, tc, tw
+                        )
                     cur_x += adv
                     if prev is not None:
                         tj_prev = prev
                 else:
-                    shown = show(dec, y + rise, cur_x, size * sx)
+                    fx = (
+                        self._first_x(
+                            fm, item, dec, cur_x, size, sx * tz, tc, tw
+                        )
+                        if fm.nbytes == 1
+                        else None
+                    )
+                    shown = show(
+                        dec, y + rise,
+                        fx if fx is not None else cur_x,
+                        size * sx,
+                    )
                     cur_x += adv
                     # prevTransform = after the last emitted NON-SPACE
                     # glyph's width, before its charSpacing; space-only
@@ -2090,9 +2153,14 @@ class _TextInterp:
                 tj_buf = []
                 tj_start_x = cur_x
                 tj_prev = None
+                tj_first = None
             elif kind == 8:  # TJEND
                 if (
-                    show("".join(tj_buf), y + rise, tj_start_x, size * sx)
+                    show(
+                        "".join(tj_buf), y + rise,
+                        tj_first if tj_first is not None else tj_start_x,
+                        size * sx,
+                    )
                     and tj_prev is not None
                 ):
                     self.last_end_x = tj_prev
@@ -2157,6 +2225,7 @@ class _TextInterp:
         # device space and everything below reduces to the legacy model.
         quad = 0
         cA, cB, cC, cD = 1.0, 0.0, 0.0, 1.0
+        csy = 1.0
         matn: tuple | None = (1.0, 0.0, 0.0, 1.0)
         cross_v = 0.0
         stack: list = []
@@ -2189,7 +2258,7 @@ class _TextInterp:
             # angles like de-skewed scans) is rotate -1, compared in the
             # inverse-rotated frame of each point's own matrix
             # (applyInverseRotation, pdf.worker.js:36521-36524).
-            nonlocal quad, cA, cB, cC, cD, asx, matn
+            nonlocal quad, cA, cB, cC, cD, asx, matn, csy
             cA = tm_a * cm_a + tm_b * cm_c
             cB = tm_a * cm_b + tm_b * cm_d
             cC = tm_c * cm_a + tm_d * cm_c
@@ -2206,6 +2275,9 @@ class _TextInterp:
             matn = (
                 (cA / sh, cB / sh, cC / sh, cD / sh) if sh > 0.0 else None
             )
+            # cross-axis scale: pdf.js item height = hypot(trm[2],
+            # trm[3]) = fontSize * hypot(composed c, composed d)
+            csy = math.hypot(cC, cD)
             if quad == 90:
                 asx = cB
             elif quad == 180:
@@ -2235,24 +2307,30 @@ class _TextInterp:
                 fm.advance(item) / 1000.0 * size + glyphs * tc + spaces * tw
             ) * asx * tz
 
-        def _show_item(dec: str, prev: float | None, adv: float) -> bool:
+        def _show_item(dec: str, prev: float | None, adv: float,
+                       fx: float | None = None,
+                       dev_w: float = 0.0) -> bool:
             # one item through the assembler: compute compare-frame +
             # device coordinates for the CURRENT matrix mode, show,
-            # advance the pen, update prevTransform
+            # advance the pen, update prevTransform. fx = the first
+            # NON-SPACE glyph's writing-axis position (pdf.js runs the
+            # compare there; leading space glyphs only advance the pen)
             nonlocal cur_x
+            cx = cur_x if fx is None else fx
             if quad == -1 and matn is not None:
                 # arbitrary rotation/shear: reconstruct the device point
                 # from the pen's text-space progress along the writing
                 # direction, then compare in the inverse-rotated frame
                 # (each point under its OWN matrix — pdf.js rotate == -1)
                 au = matn[0] * ax + matn[1] * ay
-                p = (cur_x - au) / asx if asx else 0.0
+                p = (cx - au) / asx if asx else 0.0
                 ddx = ax + cA * p + rise * cC
                 ddy = ay + cB * p + rise * cD
                 cy = matn[2] * ddx + matn[3] * ddy
                 shown = self.show(
-                    dec, cy, cur_x, size * asx,
+                    dec, cy, cx, size * asx,
                     quad=-1, dev_x=ddx, dev_y=ddy, mat=matn,
+                    dev_w=dev_w, hsize=size * csy,
                 )
                 cur_x += adv
                 if shown and prev is not None:
@@ -2262,10 +2340,11 @@ class _TextInterp:
                     self.glyph_mat = matn
                 return shown
             vv = cross_v + arise
-            ddx, ddy = _swapq(cur_x, vv)
+            ddx, ddy = _swapq(cx, vv)
             shown = self.show(
-                dec, vv, cur_x, size * asx,
+                dec, vv, cx, size * asx,
                 quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
+                dev_w=dev_w, hsize=size * csy if quad else None,
             )
             cur_x += adv
             if shown and prev is not None:
@@ -2289,18 +2368,20 @@ class _TextInterp:
             # before this.
             for i, ch in enumerate(dec):
                 code = item[i]
-                w = (
-                    fm.widths.get(code, fm.default_width)
-                    / 1000.0 * size * asx * tz
-                )
+                wt = fm.widths.get(code, fm.default_width) / 1000.0 * size
+                w = wt * asx * tz
                 if ch == " ":
                     # whitespace glyph: position advances by
                     # width + charSpacing + wordSpacing; the pending
                     # space arms via show's edge-space handling
                     _show_item(" ", None, w + (tc + tw) * asx * tz)
                 else:
-                    # prevTransform excludes the trailing charSpacing
-                    _show_item(ch, cur_x + w, w + tc * asx * tz)
+                    # prevTransform excludes the trailing charSpacing;
+                    # dev_w = pdf.js's glyphWidth for the left-edge box
+                    # test — the TEXT-SPACE scaledDim (before hscale,
+                    # untransformed), added to the device posX exactly
+                    # as the reference does
+                    _show_item(ch, cur_x + w, w + tc * asx * tz, dev_w=wt)
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
@@ -2461,7 +2542,17 @@ class _TextInterp:
                             cur_x + advance(item) - tc * asx * tz
                             if item else None
                         )
-                    _show_item(dec, prev, advance(item))
+                    _show_item(
+                        dec, prev, advance(item),
+                        fx=(
+                            self._first_x(
+                                fm, item, dec, cur_x, size, asx * tz,
+                                tc, tw,
+                            )
+                            if fm.nbytes == 1
+                            else None
+                        ),
+                    )
                 elif op in (b"'", b'"'):
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
@@ -2511,7 +2602,17 @@ class _TextInterp:
                                 cur_x + advance(item) - tc * asx * tz
                                 if item else None
                             )
-                        _show_item(dec, prev, advance(item))
+                        _show_item(
+                            dec, prev, advance(item),
+                            fx=(
+                                self._first_x(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw,
+                                )
+                                if fm.nbytes == 1
+                                else None
+                            ),
+                        )
                 elif (
                     op == b"TJ" and stack and isinstance(stack[-1], list)
                     and quad
@@ -2549,6 +2650,7 @@ class _TextInterp:
                     buf: list[str] = []
                     start_x = cur_x
                     tjprev: float | None = None
+                    tjfirst: float | None = None
                     lgap = size > 0 and tc * tz > self.GAP_FRACTION * size
                     for item in stack[-1]:
                         if isinstance(item, bytes):
@@ -2584,6 +2686,11 @@ class _TextInterp:
                                     if item else None
                                 )
                             buf.append(" ".join(dec) if lgap else dec)
+                            if tjfirst is None and fm.nbytes == 1:
+                                tjfirst = self._first_x(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw,
+                                )
                             cur_x += advance(item)
                             if prev is not None:
                                 tjprev = prev
@@ -2610,10 +2717,11 @@ class _TextInterp:
                                 ):
                                     buf.append(" ")
                     vv = cross_v + arise
-                    ddx, ddy = _swapq(start_x, vv)
+                    tj_cx = tjfirst if tjfirst is not None else start_x
+                    ddx, ddy = _swapq(tj_cx, vv)
                     if (
                         self.show(
-                            "".join(buf), vv, start_x, size * asx,
+                            "".join(buf), vv, tj_cx, size * asx,
                             quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
                         )
                         and tjprev is not None

@@ -483,6 +483,29 @@ def _assemble_with_form(form_matrix: bytes, outer_ops: bytes,
     return bytes(out)
 
 
+def test_wide_sweep_byte_equal_vs_live_reference(tmp_path):
+    """A wider cross-generator sweep at the seed ranges that exposed
+    five distinct assembly bugs during the round-3 differential hunt
+    (first-non-space-glyph compare position, textOrientation-0
+    zero-advance item continuation, the rotation-naive glyphWidth
+    box test, text-space vs device glyph width in that test, and the
+    cross-axis item height for EOL thresholds). 60 docs per generator
+    — the full hunt ran 6,700 docs at these and neighbouring seeds
+    with zero divergence."""
+    docs = []
+    for gen, base in (
+        (_gen_stream, 800000),
+        (_gen_flush_scale_stream, 810000),
+        (_gen_rotated_stream, 820000),
+        (_gen_skew_stream, 830000),
+        (_gen_rotated_state_stream, 840000),
+    ):
+        docs.extend(
+            _assemble(gen(random.Random(base + s))) for s in range(60)
+        )
+    _run_differential(tmp_path, docs)
+
+
 def test_rotation_through_forms_byte_equal_vs_live_reference(tmp_path):
     """Rotation entering through the Form-XObject /Matrix, an outer
     rotated cm around Do, and a 45-degree (rotate == -1) q/Q mid-text

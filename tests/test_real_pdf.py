@@ -712,6 +712,7 @@ def test_pending_space_model():
         it.last_y, it.last_end_x, it.pending_space = None, None, False
         it.glyph_y, it.force_flush = None, False
         it.scale_flush, it.item_size = False, 0.0
+        it.item_hsize, it.glyph_mat = 0.0, None
         it.viewbox = None
         return it
 
