@@ -837,7 +837,7 @@ typedef struct {
     double last_y, last_end_x, glyph_y, item_size;
     double vb0, vb1, vb2, vb3; /* page view box (pdf.js viewBox clip) */
     int have_last_y, have_last_end_x, have_glyph_y, have_vb;
-    int line_open, pending_space, force_flush, scale_flush;
+    int line_open, pending_space, pending_multi, force_flush, scale_flush;
     unsigned char last_char;
     long cur_font;
 } RState;
@@ -1028,6 +1028,27 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
     long o = *olen, m = o - mark;
     if (m == 0)
         return 0;
+    /* whitespace-run lengths BEFORE collapsing: pdf.js's
+     * shouldAddWhitepsace consults the last TWO saved glyphs — a run
+     * of two-plus spaces makes it FALSE (pending_multi) */
+    long lead_raw = 0, trail_raw = 0, sp_total = 0;
+    for (long r = mark; r < o && out[r] == ' '; r++)
+        lead_raw++;
+    if (lead_raw < m)
+        for (long r = o - 1; r >= mark && out[r] == ' '; r--)
+            trail_raw++;
+    for (long r = mark; r < o; r++)
+        if (out[r] == ' ')
+            sp_total++;
+#define RP_ARM(NRUN)                                                         \
+    do {                                                                     \
+        if (st->pending_space) {                                             \
+            st->pending_multi = 1;                                           \
+        } else {                                                             \
+            st->pending_space = 1;                                           \
+            st->pending_multi = (NRUN) >= 2;                                 \
+        }                                                                    \
+    } while (0)
     /* collapse 0x20 runs in place */
     {
         long w = mark;
@@ -1044,19 +1065,15 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         /* outside the view box: glyphs drop before any state change
          * (pdf.worker.js:36531-36536); whitespace glyphs still arm the
          * pending space. Return 2 = clipped (caller keeps prevTransform). */
-        if (tracked) {
-            for (long r = mark; r < o; r++)
-                if (out[r] == ' ') {
-                    st->pending_space = 1;
-                    break;
-                }
-        }
+        if (tracked && sp_total > 0)
+            RP_ARM(sp_total); /* clipped non-space glyphs skip
+                                 saveLastChar: the saved run is ALL of
+                                 the item's space glyphs */
         *olen = mark;
         return 2;
     }
-    int lead_sp = out[mark] == ' ';
-    if (lead_sp && tracked)
-        st->pending_space = 1;
+    if (lead_raw && tracked)
+        RP_ARM(lead_raw);
     /* leading space glyphs never land (whitespace glyphs are skipped,
      * pdf.worker.js:36693-36702 — they only arm the pending space) */
     {
@@ -1069,15 +1086,12 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
             m -= skip;
         }
     }
-    int trail = 0;
     while (m > 0 && out[o - 1] == ' ') {
         o--;
         m--;
-        trail = 1;
     }
     if (m == 0) {
-        if (tracked)
-            st->pending_space = 1;
+        /* all-space item: the lead arm above covered the whole run */
         *olen = o; /* position advances (caller); glyph_y does not */
         return 0;
     }
@@ -1098,6 +1112,7 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
          * CONTINUES (mirrors _TextInterp.show) */
         st->scale_flush = 0;
         st->pending_space = 0;
+        st->pending_multi = 0;
         if (have_adv && ifs > 0.0 && !(have_dyg && fabs(dyg) > ifs)) {
             if (adv < 0.0) {
                 flush = 1;
@@ -1117,19 +1132,24 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         if (adv < -0.2 * ifs) {
             /* carriage return (NEGATIVE_SPACE_FACTOR) */
             st->pending_space = 0;
+            st->pending_multi = 0;
             flush = 1;
         } else if (ady > ifs) {
             /* taller than the item height -> appendEOL */
             st->pending_space = 0;
+            st->pending_multi = 0;
             flush = 1;
         } else {
-            if (adv <= 0.03 * ifs)
-                st->pending_space = 0; /* notASpace: resetLastChars —
-                                          adv measures to the FIRST
-                                          NON-SPACE glyph, leading-space
-                                          advances included */
-            space = st->pending_space || adv > RP_GAP_FRACTION * ifs;
-            if (st->pending_space && adv <= RP_GAP_FRACTION * ifs) {
+            if (adv <= 0.03 * ifs) {
+                /* notASpace: resetLastChars — adv measures to the
+                 * FIRST NON-SPACE glyph, leading-space advances
+                 * included */
+                st->pending_space = 0;
+                st->pending_multi = 0;
+            }
+            int pend1 = st->pending_space && !st->pending_multi;
+            space = pend1 || adv > RP_GAP_FRACTION * ifs;
+            if (pend1 && adv <= RP_GAP_FRACTION * ifs) {
                 /* shouldAddWhitepsace: flush + standalone " " */
                 standalone = 1;
                 flush = 1;
@@ -1137,6 +1157,7 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
                 standalone = adv > 0.6 * ifs || flush || !st->line_open;
             }
             st->pending_space = 0;
+            st->pending_multi = 0;
             if (adv > 0.6 * ifs || ady > 0.25 * ifs)
                 flush = 1; /* VERTICAL_SHIFT_RATIO / big-gap flush */
         }
@@ -1144,10 +1165,12 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         /* degraded info: legacy single-tracker rules */
         if (fabs(dyg) > RP_Y_TOL) {
             st->pending_space = 0;
+            st->pending_multi = 0;
             flush = 1;
         } else {
             space = st->pending_space && st->line_open;
             st->pending_space = 0;
+            st->pending_multi = 0;
         }
     }
     if (have_dyg && ifs > 0.0 && fabs(dyg) > 0.25 * ifs)
@@ -1183,11 +1206,13 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
     }
     st->line_open = 1;
     st->last_char = out[o - 1];
-    st->pending_space = trail;
+    st->pending_space = trail_raw > 0;
+    st->pending_multi = trail_raw >= 2;
     st->glyph_y = ty;
     st->have_glyph_y = 1;
     *olen = o;
     return 0;
+#undef RP_ARM
 }
 
 long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
@@ -1213,6 +1238,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.last_char = (unsigned char)state[13];
     st.cur_font = (long)state[14];
     st.pending_space = state[15] != 0.0;
+    st.pending_multi = state[26] != 0.0;
     st.glyph_y = state[16];
     st.have_glyph_y = state[17] != 0.0;
     st.force_flush = state[18] != 0.0;
@@ -1287,7 +1313,31 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             /* the kern rides charSpacing through translateTextMatrix
              * (x textHScale) — pdf.worker.js:36687,36735 */
             st.cur_x -= e->f0 / 1000.0 * st.size * st.sx * st.tz;
-            if (st.size > 0.0) {
+            if (st.size > 0.0 && tj_have_prev &&
+                (st.cur_x - tj_prev_x < -0.2 * st.size * st.sx ||
+                 st.cur_x - tj_prev_x > 0.6 * st.size * st.sx)) {
+                /* the kern leaves the in-flow window: pdf.js FLUSHES
+                 * mid-TJ (carriage return / standalone space) and the
+                 * next element's item anchors at the CURRENT pen —
+                 * visible through the pdf-parse join whenever anchors
+                 * differ. End the buffered segment here; the next show
+                 * takes the CR/standalone path naturally. */
+                int rc = rp_show(&st, out, &olen, ocap,
+                                 tjmark < 0 ? olen : tjmark,
+                                 st.y + st.rise,
+                                 tj_have_first ? tj_first_x : tj_start_x,
+                                 st.size * st.sx);
+                if (rc < 0)
+                    return -1;
+                if (rc != 2) {
+                    st.last_end_x = tj_prev_x;
+                    st.have_last_end_x = 1;
+                }
+                tjmark = olen;
+                tj_start_x = st.cur_x;
+                tj_have_prev = 0;
+                tj_have_first = 0;
+            } else if (st.size > 0.0) {
                 double kern = e->f0 / 1000.0 * st.size;
                 long base = tjmark < 0 ? 0 : tjmark;
                 if (olen > base && out[olen - 1] == ' ') {
@@ -1400,6 +1450,7 @@ done:
     state[13] = (double)st.last_char;
     state[14] = (double)st.cur_font;
     state[15] = st.pending_space ? 1.0 : 0.0;
+    state[26] = st.pending_multi ? 1.0 : 0.0;
     state[16] = st.glyph_y;
     state[17] = st.have_glyph_y ? 1.0 : 0.0;
     state[18] = st.force_flush ? 1.0 : 0.0;

@@ -1509,6 +1509,13 @@ class _TextInterp:
         self.line_open = False
         self.last_char = ""
         self.pending_space = False
+        # pending_multi: the pending whitespace run had >= 2 glyphs.
+        # pdf.js's shouldAddWhitepsace consults the last TWO saved
+        # glyphs (twoLastChars, pdf.worker.js:36373-36385): a run of
+        # two-plus spaces makes it FALSE, so in the sub-trackingSpaceMin
+        # window the space never materializes ("nu   " then "  eta" at
+        # a near-zero gap reads "nueta" in the reference).
+        self.pending_multi = False
         # two y trackers, mirroring the reference's two-stage assembly:
         # pdf.js decides flush/EOL/space per glyph against the PREVIOUS
         # GLYPH position (textContentItem.prevTransform,
@@ -1589,6 +1596,11 @@ class _TextInterp:
         # at the NEXT glyph. We model that as: collapse runs, convert
         # edge spaces to a pending flag, and materialize per the rules
         # below.
+        # whitespace-run lengths BEFORE collapsing (multi-glyph runs
+        # behave differently through twoLastChars — see pending_multi)
+        lead_n = len(s) - len(s.lstrip(" "))
+        trail_n = len(s) - len(s.rstrip(" "))
+        sp_total = s.count(" ")
         s = _SPACE_RUN.sub(" ", s)
         vb = self.viewbox
         if vb is not None and (
@@ -1609,17 +1621,25 @@ class _TextInterp:
             # outside the view box: glyphs drop BEFORE any state change
             # (prevTransform untouched — return False so the caller skips
             # last_end_x); whitespace glyphs still arm the pending space
-            # (the isWhitespace branch runs before the box check)
+            # (the isWhitespace branch runs before the box check;
+            # clipped NON-space glyphs skip saveLastChar, so the saved
+            # run is ALL of the item's space glyphs)
             if " " in s and (self.line_open or self.glyph_y is not None):
-                self.pending_space = True
+                if self.pending_space:
+                    self.pending_multi = True
+                else:
+                    self.pending_space = True
+                    self.pending_multi = sp_total >= 2
             return False
-        if s.startswith(" ") and (self.line_open or self.glyph_y is not None):
-            self.pending_space = True
-        trail = s.endswith(" ")
+        if lead_n and (self.line_open or self.glyph_y is not None):
+            if self.pending_space:
+                self.pending_multi = True  # run continues across items
+            else:
+                self.pending_space = True
+                self.pending_multi = lead_n >= 2
         core = s.strip(" ")
         if not core:
-            if self.line_open or self.glyph_y is not None:
-                self.pending_space = True
+            # all-space item: the lead arm above covered the whole run
             return True  # position advances (caller), prev-glyph y does not
         fs = size if size > 0 else 0.0
         ifs = self.item_size if self.item_size > 0 else fs
@@ -1670,6 +1690,7 @@ class _TextInterp:
             # merges in the reference).
             self.scale_flush = False
             self.pending_space = False
+            self.pending_multi = False
             if (
                 adv is not None
                 and ifs > 0
@@ -1693,11 +1714,13 @@ class _TextInterp:
                 # carriage return (NEGATIVE_SPACE_FACTOR,
                 # pdf.worker.js:36617-36625): flush, no space
                 self.pending_space = False
+                self.pending_multi = False
                 flush = True
             elif ady > ihs:
                 # taller than the item height -> appendEOL
                 # (pdf.worker.js:36626-36629)
                 self.pending_space = False
+                self.pending_multi = False
                 flush = True
             else:
                 # gap space (TRACKING_SPACE/SPACE_IN_FLOW factors,
@@ -1711,8 +1734,10 @@ class _TextInterp:
                 # runs this compare.
                 if adv <= 0.03 * ifs:
                     self.pending_space = False
-                space = self.pending_space or adv > self.GAP_FRACTION * ifs
-                if self.pending_space and adv <= self.GAP_FRACTION * ifs:
+                    self.pending_multi = False
+                pend1 = self.pending_space and not self.pending_multi
+                space = pend1 or adv > self.GAP_FRACTION * ifs
+                if pend1 and adv <= self.GAP_FRACTION * ifs:
                     # shouldAddWhitepsace: flush + standalone " "
                     # (pdf.worker.js:36634-36639)
                     standalone = True
@@ -1725,6 +1750,7 @@ class _TextInterp:
                         adv > 0.6 * ifs or flush or not self.line_open
                     )
                 self.pending_space = False
+                self.pending_multi = False
                 if adv > 0.6 * ifs or ady > 0.25 * ihs:
                     # VERTICAL_SHIFT_RATIO flush (pdf.worker.js:36653)
                     flush = True
@@ -1732,10 +1758,12 @@ class _TextInterp:
             # degraded info (no size / no x): legacy single-tracker rules
             if abs(dyg) > spec.Y_TOLERANCE:
                 self.pending_space = False
+                self.pending_multi = False
                 flush = True
             else:
                 space = self.pending_space and self.line_open
                 self.pending_space = False
+                self.pending_multi = False
         if dyg is not None and ihs > 0.0 and abs(dyg) > 0.25 * ihs:
             flush = True  # vertical shift flush applies on every path
         new_item = flush or not self.line_open
@@ -1767,7 +1795,8 @@ class _TextInterp:
         self.pieces.append(core)
         self.line_open = True
         self.last_char = core[-1]
-        self.pending_space = trail
+        self.pending_space = trail_n > 0
+        self.pending_multi = trail_n >= 2
         self.glyph_y = dev_y
         self.glyph_mat = mat
         return True
@@ -1950,6 +1979,7 @@ class _TextInterp:
             st[12] = 1.0 if self.line_open else 0.0
             st[13] = float(ord(self.last_char)) if self.last_char else 0.0
             st[15] = 1.0 if self.pending_space else 0.0
+            st[26] = 1.0 if self.pending_multi else 0.0
             st[16] = 0.0 if self.glyph_y is None else self.glyph_y
             st[17] = 0.0 if self.glyph_y is None else 1.0
             st[18] = 1.0 if self.force_flush else 0.0
@@ -1973,6 +2003,7 @@ class _TextInterp:
             lc = int(st[13])
             self.last_char = chr(lc) if lc else ""
             self.pending_space = bool(st[15])
+            self.pending_multi = bool(st[26])
             self.glyph_y = st[16] if st[17] else None
             self.force_flush = bool(st[18])
             self.scale_flush = bool(st[19])
@@ -2113,7 +2144,33 @@ class _TextInterp:
                 # "Calibration" in the reference output)
                 if size > 0:
                     kern = f0 / 1000.0 * size
-                    if tj_buf and tj_buf[-1].endswith(" "):
+                    gap = None if tj_prev is None else cur_x - tj_prev
+                    lim = size * sx
+                    if gap is not None and (
+                        gap < -0.2 * lim or gap > 0.6 * lim
+                    ):
+                        # the kern leaves the in-flow window: pdf.js
+                        # FLUSHES mid-TJ (carriage return / standalone
+                        # space) and the next element's item anchors at
+                        # the CURRENT pen — visible through the
+                        # pdf-parse join whenever anchors differ. End
+                        # the buffered segment; the next show takes the
+                        # CR/standalone path naturally.
+                        if (
+                            show(
+                                "".join(tj_buf), y + rise,
+                                tj_first if tj_first is not None
+                                else tj_start_x,
+                                size * sx,
+                            )
+                            and tj_prev is not None
+                        ):
+                            self.last_end_x = tj_prev
+                        tj_buf = []
+                        tj_start_x = cur_x
+                        tj_prev = None
+                        tj_first = None
+                    elif tj_buf and tj_buf[-1].endswith(" "):
                         w_sp = (
                             fm.widths.get(32, fm.default_width) / 1000.0 * size
                             if fm.nbytes == 1
@@ -2698,7 +2755,38 @@ class _TextInterp:
                             cur_x -= item / 1000.0 * size * asx * tz
                             if size > 0:
                                 kern = item / 1000.0 * size
-                                if buf and buf[-1].endswith(" "):
+                                gap = (
+                                    None if tjprev is None
+                                    else cur_x - tjprev
+                                )
+                                lim = size * asx
+                                if gap is not None and (
+                                    gap < -0.2 * lim or gap > 0.6 * lim
+                                ):
+                                    # flush-window kern: split the
+                                    # buffered segment (see the event
+                                    # consumer's K_TJNUM)
+                                    vv = cross_v + arise
+                                    tj_cx = (
+                                        tjfirst if tjfirst is not None
+                                        else start_x
+                                    )
+                                    ddx, ddy = _swapq(tj_cx, vv)
+                                    if (
+                                        self.show(
+                                            "".join(buf), vv, tj_cx,
+                                            size * asx, quad=quad,
+                                            dev_x=ddx, dev_y=ddy,
+                                            mat=matn,
+                                        )
+                                        and tjprev is not None
+                                    ):
+                                        self.last_end_x = tjprev
+                                    buf = []
+                                    start_x = cur_x
+                                    tjprev = None
+                                    tjfirst = None
+                                elif buf and buf[-1].endswith(" "):
                                     w_sp = (
                                         fm.widths.get(
                                             32, fm.default_width
@@ -2841,11 +2929,13 @@ class _TextInterp:
         prev_gy, prev_x = self.glyph_y, self.last_end_x
         prev_mat = self.glyph_mat
         prev_pending = self.pending_space
+        prev_multi = self.pending_multi
         self.force_flush = True
         self.glyph_y = None
         self.last_end_x = None
         self.glyph_mat = None
         self.pending_space = False
+        self.pending_multi = False
         self.run(
             body,
             xo.dict.get("Resources", parent_res),
@@ -2855,6 +2945,7 @@ class _TextInterp:
         self.glyph_y, self.last_end_x = prev_gy, prev_x
         self.glyph_mat = prev_mat
         self.pending_space = prev_pending
+        self.pending_multi = prev_multi
         self.force_flush = True  # form stream end flush (getTextContent tail)
 
 

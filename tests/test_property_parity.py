@@ -175,6 +175,7 @@ def test_bidi_in_binary_dialect_show_path():
     interp.glyph_y, interp.force_flush = None, False
     interp.scale_flush, interp.item_size = False, 0.0
     interp.item_hsize, interp.glyph_mat = 0.0, None
+    interp.pending_multi = False
     interp.viewbox = None
     interp.show("hello שלום עולם world", 0.0)
     assert interp.text() == "world " + "שלום עולם"[::-1] + " hello"

@@ -713,6 +713,7 @@ def test_pending_space_model():
         it.glyph_y, it.force_flush = None, False
         it.scale_flush, it.item_size = False, 0.0
         it.item_hsize, it.glyph_mat = 0.0, None
+        it.pending_multi = False
         it.viewbox = None
         return it
 
