@@ -818,10 +818,13 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
  * caller prescans K_FONT events and falls back to the Python replay
  * otherwise.
  *
- * state: 24 doubles, in-out (written back only on success):
+ * state: 32 doubles, in-out (written back only on success):
  *   0 y  1 cur_x  2 size  3 sx  4 tc  5 tw  6 tz  7 rise
  *   8 last_y  9 have_last_y  10 last_end_x  11 have_last_end_x
- *   12 line_open  13 last_char(byte)  14 cur_font
+ *   12 line_open  13 last_char(byte)  14 cur_font  15 pending_space
+ *   16 glyph_y  17 have_glyph_y  18 force_flush  19 scale_flush
+ *   20 item_size  21-24 view box  25 have_vb  26 pending_multi
+ *   27 line_ox  28 line_oy  29 sy  (30-31 free)
  * Returns: nev when done, the K_XOBJ event index to hand to Python,
  * or -1 when `out` is full (caller grows and retries; state intact).
  */
@@ -1249,7 +1252,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.vb2 = state[23];
     st.vb3 = state[24];
     st.have_vb = state[25] != 0.0;
-    st.sy = state[26];
+    st.sy = state[29];
     st.line_ox = state[27];
     st.line_oy = state[28];
 
@@ -1457,7 +1460,7 @@ done:
     state[19] = st.scale_flush ? 1.0 : 0.0;
     state[20] = st.item_size;
     /* 21-25 (view box) are read-only inputs */
-    state[26] = st.sy;
+    state[29] = st.sy;
     state[27] = st.line_ox;
     state[28] = st.line_oy;
     *out_len = olen;

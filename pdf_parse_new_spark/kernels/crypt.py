@@ -321,8 +321,10 @@ class StandardSecurityHandler:
             cfm = str(cf[name].get("CFM", "V2"))
             ln = cf[name].get("Length")
             if isinstance(ln, int):
-                # /CF Length is in BYTES per spec but some writers use bits
-                key_len = ln // 8 if ln > 40 else ln
+                # /CF Length is in BYTES per spec but some writers use
+                # bits; 40 itself is near-universally 40-bit RC4 (5
+                # bytes), so >= 40 reads as bits
+                key_len = ln // 8 if ln >= 40 else ln
         if cfm == "AESV2":
             key_len = 16
         return cfm, stmf == "Identity", strf == "Identity", key_len

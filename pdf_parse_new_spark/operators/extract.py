@@ -436,8 +436,19 @@ def extract_pdf_documents_chunked(
     budget = max_broadcast_bytes
     chosen: list[str] = []
     fallback_ids: list[str] = []
+    # Duplicate ids (replicated benchmark corpora produce them, and
+    # extract_pdf_files explicitly supports them) cannot go through the
+    # chunked path: reassembly groups chunk rows by doc_id, which would
+    # merge the replicas into ONE doubled-text row. The per-document
+    # fallback keeps the one-output-row-per-input-row contract.
+    id_counts: dict[str, int] = {}
+    for row in sizes:
+        id_counts[row.doc_id] = id_counts.get(row.doc_id, 0) + 1
     for row in sorted(sizes, key=lambda r: -(r.sz or 0)):
-        if (row.sz or 0) <= budget:
+        if id_counts[row.doc_id] > 1:
+            if row.doc_id not in fallback_ids:
+                fallback_ids.append(row.doc_id)
+        elif (row.sz or 0) <= budget:
             chosen.append(row.doc_id)
             budget -= row.sz or 0
         else:  # over budget: the per-document path owns it — never fail
@@ -671,7 +682,15 @@ def extract_pdf_files_chunked(
     stats = cols.mapInPandas(
         stat_sizes, "doc_id string, path string, sz long"
     ).collect()
-    big = [(r.doc_id, r.path) for r in stats if r.sz > big_file_bytes]
+    big_all = [(r.doc_id, r.path) for r in stats if r.sz > big_file_bytes]
+    # Duplicate ids (replicated corpora — extract_pdf_files supports
+    # them) must NOT go chunked: reassembly groups by doc_id and would
+    # merge replicas into one doubled-text row. Dup ids keep the plain
+    # per-file path, preserving one output row per input row.
+    id_counts: dict[str, int] = {}
+    for d, _ in big_all:
+        id_counts[d] = id_counts.get(d, 0) + 1
+    big = [(d, p) for d, p in big_all if id_counts[d] == 1]
     big_ids = {d for d, _ in big}
 
     small_out = extract_pdf_files(

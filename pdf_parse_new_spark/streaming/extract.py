@@ -79,9 +79,11 @@ def dedup_stream(
 ) -> DataFrame:
     """Streaming exact-dedup within the watermark horizon: emit each
     document fingerprint's FIRST arrival, drop re-arrivals while state for
-    that key is retained (Spark ``dropDuplicates`` + event-time watermark
-    bounds the dedup state — without the watermark, state grows without
-    bound at 100 TB/day ingest).
+    that key is retained. Uses ``dropDuplicatesWithinWatermark`` — the
+    state-store API that evicts expired keys even when the dedup key is
+    NOT the event-time column (plain ``dropDuplicates([key])`` only
+    evicts when the event-time column is part of the subset, so its
+    state would grow without bound at 100 TB/day ingest).
 
     The key defaults to the extraction fingerprint of the turn text (the
     same strided min-hash the batch dedup family uses), so batch and
@@ -96,7 +98,9 @@ def dedup_stream(
         .withColumn(key, textstats.fingerprint(F.col("extracted_text")))
         .filter(F.col(key).isNotNull())
     )
-    return keyed.withWatermark("ts", watermark).dropDuplicates([key])
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
 
 
 def near_dedup_stream(

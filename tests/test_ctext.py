@@ -121,6 +121,33 @@ def test_form_xobject_recursion_paths_identical():
     _assert_same(_assemble(objs))
 
 
+@pytest.mark.parametrize("x2", [92.4, 92.6, 92.8, 93.0])
+def test_trailing_space_before_form_xobject_paths_identical(x2):
+    """Regression: state[] slot 26 was double-booked between
+    ``pending_multi`` and ``sy`` in the C replay's state round-trip, so
+    a single trailing space pending across a Form-XObject segment
+    boundary came back as pending_multi=True (pend1 disabled) and a
+    pend1-window advance after the Do lost its space ('abzzcd' instead
+    of 'abzz cd'). sy now lives in slot 29."""
+    from tests.test_real_pdf import _assemble
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /XObject << /Fm1 5 0 R >> >> >>",
+        5: b"<< /Type /XObject /Subtype /Form /Resources << >> "
+           b"/Length 3 >>\nstream\nq Q\nendstream",
+    }
+    ops = (b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (abzz ) Tj ET /Fm1 Do "
+           b"BT /F1 10 Tf 1 0 0 1 %.2f 700 Tm (cd) Tj ET" % x2)
+    objs[4] = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
+    raw = _assemble(objs)
+    c, py = _both(raw)
+    assert c["text"] == py["text"]
+    assert py["text"].endswith("abzz cd")
+
+
 def test_encrypted_fixture_paths_identical():
     from tests.test_encrypted_pdf import _build_rc4_doc
 

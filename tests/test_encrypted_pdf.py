@@ -158,6 +158,33 @@ def test_rc4_128bit_r3_empty_password_decrypts():
     _assert_decrypts(_build_rc4_doc(r=3, v=2, key_bits=128))
 
 
+def test_rc4_v4_cf_length_40_bits_decrypts():
+    """Regression: a /CF Length of exactly 40 written in BITS (40-bit
+    RC4, the dominant writer convention for that boundary value) was
+    read as 40 bytes, deriving a wrong key and rejecting the document
+    as password-protected."""
+    r, key_bits = 4, 40
+    p = -44
+    okey = hashlib.md5(crypt.PAD).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey).digest()
+    okey = okey[: key_bits // 8]
+    o = crypt.rc4(okey, crypt.PAD)
+    for i in range(1, 20):
+        o = crypt.rc4(bytes(b ^ i for b in okey), o)
+    file_key = crypt.compute_file_key_rc4(b"", o, p, ID0, r, key_bits // 8)
+    u = crypt.compute_u_value(file_key, ID0, r) + b"\x00" * 16
+    enc_dict = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length %d /O <%s> /U <%s> /P %d "
+        b"/CF << /StdCF << /CFM /V2 /Length 40 >> >> "
+        b"/StmF /StdCF /StrF /StdCF >>"
+        % (key_bits, o.hex().encode(), u.hex().encode(), p)
+    )
+    body = crypt.rc4(_obj_key(file_key, 4, 0, False), OPS)
+    title = crypt.rc4(_obj_key(file_key, 7, 0, False), TITLE.encode("latin-1"))
+    _assert_decrypts(_assemble_encrypted(enc_dict, body, title))
+
+
 def test_aes128_v4_r4_empty_password_decrypts():
     p = -3392
     okey = hashlib.md5(crypt.PAD).digest()

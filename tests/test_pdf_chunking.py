@@ -195,6 +195,39 @@ def test_files_chunked_max_pages_clamps(spark, big_pdf, tmp_path):
     assert [s.page for s in r.page_spans] == list(range(1, 331))
 
 
+def test_chunked_replicated_doc_ids_keep_one_row_per_input(spark, big_pdf,
+                                                          tmp_path):
+    """Regression (ADVICE r3): duplicate doc_ids among the BIG-doc set
+    were merged by the groupBy('doc_id') reassembly into a single
+    doubled-text row. Replicated ids must route to the per-document
+    path and yield one output row per input row, text identical to the
+    single-replica parse."""
+    df = spark.createDataFrame(
+        [("dup", bytearray(big_pdf)), ("dup", bytearray(big_pdf)),
+         ("uniq", bytearray(big_pdf))],
+        "path string, content binary",
+    )
+    out = ex.extract_pdf_documents_chunked(
+        df, pages_per_chunk=250, big_doc_bytes=100_000
+    ).collect()
+    assert sorted(r.doc_id for r in out) == ["dup", "dup", "uniq"]
+    ref = pdfb.parse_pdf_bytes(big_pdf)
+    for r in out:
+        assert r.text == ref["text"], r.doc_id
+        assert r.n_pages == N_PAGES and r.error is None
+
+    # path-addressed variant: same contract
+    (tmp_path / "huge.pdf").write_bytes(big_pdf)
+    p = str(tmp_path / "huge.pdf")
+    fdf = spark.createDataFrame([(p,), (p,)], "path string")
+    frows = ex.extract_pdf_files_chunked(
+        fdf, pages_per_chunk=250, big_file_bytes=100_000
+    ).collect()
+    assert len(frows) == 2
+    for r in frows:
+        assert r.text == ref["text"] and r.n_pages == N_PAGES
+
+
 def test_chunked_null_payload_becomes_error_row(spark):
     # length(NULL) is NULL -> false in both size filters; the row must not
     # silently vanish — it takes the per-document path and errors there
