@@ -845,6 +845,23 @@ typedef struct {
     long cur_font;
 } RState;
 
+/* per-glyph item splitting at quadrant 0 (mirrors pdfb._seg_split):
+ * one record per INTERNAL space run whose advance leaves the in-flow
+ * fake-space window ((0.102, 0.6] x item font size) under BOTH
+ * candidate item sizes — the item splits there, the run riding as the
+ * next segment's leading pend. off = staged offset where the run's
+ * first space lands (segment boundary); seg_first = first non-space
+ * px of the segment ENDING at this run; prev_end = pen after that
+ * segment's last non-space glyph (pdf.js prevTransform). Splits past
+ * RP_MAX_RUNS are treated as in-flow — pdfb.MAX_SEG_SPLITS caps the
+ * Python paths identically. */
+#define RP_MAX_RUNS 64
+typedef struct {
+    long off;
+    double seg_first, prev_end;
+    int has_first;
+} SegRec;
+
 /* decode ONE string item (span a..b, flag as in K_STR) through the
  * current font: appends UTF-8 at out+*olen, accumulates raw glyph
  * count, 0x20 count and width sum. Returns 0, or -1 on overflow. */
@@ -854,10 +871,29 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      long ocap, long *glyphs, long *spaces, double *wsum,
                      int lgap, const RState *rst, double start_x,
                      double *prev_x_out, int *have_prev,
-                     double *first_x_out, int *have_first)
+                     double *first_x_out, int *have_first,
+                     SegRec *runs, int *nruns, int *runs_ok,
+                     double prev0, int have_prev0,
+                     double *lastseg_fx, int *lastseg_has)
 {
     long o = *olen;
     long start_ = o; /* letter-gap spaces only between this item's chars */
+    /* quad-0 split collection (SegRec): run state machine over glyph
+     * positions; prev0 = the TJ buffer's prevTransform so a LEADING
+     * run of this element counts as internal (split at off == start).
+     * runs_ok drops to 0 on any multi-char decode (the Python paths
+     * gate on len(dec) == len(item)) — the caller then discards. */
+    int runopen_ = 0, hrpe_ = 0, hsegfx_ = 0;
+    double runprev_ = 0.0, rpe_ = 0.0, segfx_ = 0.0;
+    long runoff_ = 0;
+    double rfs_ = 0.0, rstale_ = 0.0;
+    if (runs) {
+        *nruns = 0;
+        rfs_ = rst->size * rst->sx;
+        rstale_ = rst->item_size > 0.0 ? rst->item_size : rfs_;
+        rpe_ = prev0;
+        hrpe_ = have_prev0;
+    }
     /* prev_x_out: pdf.js's prevTransform x — the pen right AFTER the
      * last EMITTED non-space glyph's width, BEFORE its charSpacing
      * (pdf.worker.js:36693-36727). Space and clipped glyphs advance
@@ -890,6 +926,45 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             /* the pen and arm the pending space                       */   \
             *first_x_out = px_;                                              \
             *have_first = 1;                                                 \
+        }                                                                    \
+        if (runs) {                                                          \
+            if (sp_) {                                                       \
+                if (!runopen_ && hrpe_) {                                    \
+                    runopen_ = 1;                                            \
+                    runoff_ = o;                                             \
+                    runprev_ = rpe_;                                         \
+                }                                                            \
+            } else {                                                         \
+                if (runopen_) {                                              \
+                    double a_ = px_ - runprev_;                              \
+                    if (!(0.102 * rstale_ < a_ && a_ <= 0.6 * rstale_ &&     \
+                          0.102 * rfs_ < a_ && a_ <= 0.6 * rfs_) &&          \
+                        *nruns < RP_MAX_RUNS) {                              \
+                        runs[*nruns].off = runoff_;                          \
+                        runs[*nruns].seg_first = segfx_;                     \
+                        runs[*nruns].has_first = hsegfx_;                    \
+                        runs[*nruns].prev_end = runprev_;                    \
+                        (*nruns)++;                                          \
+                        hsegfx_ = 0;                                         \
+                        segfx_ = 0.0;                                        \
+                    }                                                        \
+                    runopen_ = 0;                                            \
+                }                                                            \
+                if (!hsegfx_) {                                              \
+                    segfx_ = px_;                                            \
+                    hsegfx_ = 1;                                             \
+                }                                                            \
+                rpe_ = px_ + w[cc_] * kx;                                    \
+                hrpe_ = 1;                                                   \
+            }                                                                \
+            {                                                                \
+                long nch_ = 0;                                               \
+                for (long bj_ = 0; bj_ < tl_; bj_++)                         \
+                    if ((tb[ta_ + bj_] & 0xC0) != 0x80)                      \
+                        nch_++;                                              \
+                if (nch_ != 1)                                               \
+                    *runs_ok = 0;                                            \
+            }                                                                \
         }                                                                    \
         if (clip && !sp_ &&                                                  \
             (px_ + w[cc_] * kx < rst->vb0 || px_ > rst->vb2)) {              \
@@ -1015,6 +1090,10 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         }
     }
 #undef PUTCODE
+    if (runs) {
+        *lastseg_fx = segfx_;
+        *lastseg_has = hsegfx_;
+    }
     *olen = o;
     return 0;
 }
@@ -1274,16 +1353,88 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                        st.tc * st.tz > RP_GAP_FRACTION * st.size;
             double prev_x = 0.0, first_x = 0.0;
             int have_prev = 0, have_first = 0;
+            SegRec runs[RP_MAX_RUNS];
+            int nruns = 0, runs_ok = 1;
+            double lastseg_fx = 0.0;
+            int lastseg_has = 0;
+            double p0 = 0.0;
+            int hp0 = 0;
+            if (e->kind == K_TJSTR && tj_have_prev) {
+                p0 = tj_prev_x;
+                hp0 = 1;
+            }
             if (rp_decode(d, n, e->flag, e->a, e->b, tbytes, to, w, out,
                           &olen, ocap, &glyphs, &spaces, &wsum, lgap,
                           &st, st.cur_x, &prev_x, &have_prev,
-                          &first_x, &have_first) < 0)
+                          &first_x, &have_first,
+                          runs, &nruns, &runs_ok, p0, hp0,
+                          &lastseg_fx, &lastseg_has) < 0)
                 return -1;
             double adv = (wsum / 1000.0 * st.size +
                           (double)glyphs * st.tc +
                           (double)spaces * st.tw) *
                          st.sx * st.tz;
-            if (e->kind == K_TJSTR) {
+            /* discard quad-0 splits exactly where the Python paths
+             * keep the inline path: size 0, multi-char decodes, or a
+             * view-box x-straddle (pdfb's clipped_item gate) */
+            if (!runs_ok || st.size <= 0.0 ||
+                (st.have_vb &&
+                 (st.cur_x < st.vb0 || st.cur_x + adv > st.vb2)))
+                nruns = 0;
+            if (e->kind == K_TJSTR && nruns > 0) {
+                /* mid-TJ per-glyph splits: segment 0 completes the
+                 * buffered group, the LAST segment becomes the new
+                 * buffer (mirrors pdfb._run_events kind==6). The
+                 * staged tail parks at the top of `out` while each
+                 * earlier segment runs through rp_show. */
+                long base = tjmark < 0 ? mark : tjmark;
+                for (int k = 0; k < nruns; k++) {
+                    long bnd = runs[k].off;
+                    long tl = olen - bnd;
+                    if (tl > 0) {
+                        if (olen + tl + 4 > ocap)
+                            return -1;
+                        memmove(out + ocap - tl, out + bnd, tl);
+                    }
+                    olen = bnd;
+                    double tx;
+                    if (k == 0)
+                        tx = tj_have_first
+                                 ? tj_first_x
+                                 : (runs[0].has_first ? runs[0].seg_first
+                                                      : tj_start_x);
+                    else
+                        tx = runs[k].seg_first;
+                    int rc = rp_show(&st, out, &olen, ocap - tl, base,
+                                     st.y + st.rise, tx,
+                                     st.size * st.sx);
+                    if (rc < 0)
+                        return -1;
+                    if (rc != 2) {
+                        st.last_end_x = runs[k].prev_end;
+                        st.have_last_end_x = 1;
+                    }
+                    if (tl > 0) {
+                        memmove(out + olen, out + ocap - tl, tl);
+                        long delta = olen - bnd;
+                        for (int j = k + 1; j < nruns; j++)
+                            runs[j].off += delta;
+                        base = olen;
+                        olen += tl;
+                    } else {
+                        base = olen;
+                    }
+                }
+                tjmark = base;
+                tj_first_x = lastseg_fx;
+                tj_have_first = lastseg_has;
+                tj_start_x = lastseg_has ? lastseg_fx : st.cur_x;
+                if (have_prev) {
+                    tj_prev_x = prev_x;
+                    tj_have_prev = 1;
+                }
+                st.cur_x += adv;
+            } else if (e->kind == K_TJSTR) {
                 st.cur_x += adv; /* stays staged until K_TJEND */
                 if (have_prev) {
                     tj_prev_x = prev_x;
@@ -1293,6 +1444,52 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     tj_first_x = first_x;
                     tj_have_first = 1;
                 }
+            } else if (nruns > 0) {
+                /* quad-0 split emission: nruns+1 segments, each run
+                 * riding as the next segment's leading pend
+                 * (mirrors pdfb._run_events K_STR seg path) */
+                long base = mark;
+                for (int k = 0; k <= nruns; k++) {
+                    long bnd = k < nruns ? runs[k].off : olen;
+                    long tl = olen - bnd;
+                    if (tl > 0) {
+                        if (olen + tl + 4 > ocap)
+                            return -1;
+                        memmove(out + ocap - tl, out + bnd, tl);
+                    }
+                    olen = bnd;
+                    double tx;
+                    if (k < nruns)
+                        tx = runs[k].has_first ? runs[k].seg_first
+                                               : st.cur_x;
+                    else
+                        tx = lastseg_has ? lastseg_fx : st.cur_x;
+                    int rc = rp_show(&st, out, &olen, ocap - tl, base,
+                                     st.y + st.rise, tx,
+                                     st.size * st.sx);
+                    if (rc < 0)
+                        return -1;
+                    if (rc != 2) {
+                        if (k < nruns) {
+                            st.last_end_x = runs[k].prev_end;
+                            st.have_last_end_x = 1;
+                        } else if (have_prev) {
+                            st.last_end_x = prev_x;
+                            st.have_last_end_x = 1;
+                        }
+                    }
+                    if (tl > 0) {
+                        memmove(out + olen, out + ocap - tl, tl);
+                        long delta = olen - bnd;
+                        for (int j = k + 1; j < nruns; j++)
+                            runs[j].off += delta;
+                        base = olen;
+                        olen += tl;
+                    } else {
+                        base = olen;
+                    }
+                }
+                st.cur_x += adv;
             } else {
                 int rc = rp_show(&st, out, &olen, ocap, mark,
                                  st.y + st.rise,

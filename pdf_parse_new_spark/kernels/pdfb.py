@@ -43,6 +43,7 @@ import zlib
 from pdf_parse_new_spark import spec
 from pdf_parse_new_spark.kernels import cinterp, cobj, crypt
 from pdf_parse_new_spark.kernels import bidi as _bidi_mod
+from pdf_parse_new_spark.kernels import encodings as _encdata
 from pdf_parse_new_spark.kernels.pdfk import _RTL_RUN
 
 import numpy as _np
@@ -778,146 +779,201 @@ class Document:
 # fonts: byte -> unicode
 # --------------------------------------------------------------------------
 
-# Adobe Glyph List subset: every name the corpus' /Differences arrays use,
-# plus the standard Latin set. Single-letter names (A-Z a-z) and uniXXXX
-# names are resolved programmatically in _glyph_to_unicode.
-_GLYPHS = {
-    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
-    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
-    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
-    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
-    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
-    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
-    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
-    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
-    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
-    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
-    "braceright": "}", "asciitilde": "~",
-    # the golden expands f-ligatures to ASCII ("specific", "official")
-    "fi": "fi", "fl": "fl", "ff": "ff", "ffi": "ffi", "ffl": "ffl",
-    "quoteright": "’", "quoteleft": "‘",
-    "quotedblleft": "“", "quotedblright": "”",
-    "quotesinglbase": "‚", "quotedblbase": "„",
-    "endash": "–", "emdash": "—", "bullet": "•",
-    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
-    "copyright": "©", "circlecopyrt": "©", "registered": "®",
-    "trademark": "™",
-    "degree": "°", "minus": "−", "plusminus": "±",
-    "multiply": "×", "divide": "÷", "fraction": "⁄",
-    "florin": "ƒ", "perthousand": "‰", "section": "§",
-    "paragraph": "¶", "cent": "¢", "sterling": "£",
-    "yen": "¥", "Euro": "€", "currency": "¤",
-    "exclamdown": "¡", "questiondown": "¿",
-    "guillemotleft": "«", "guillemotright": "»",
-    "guilsinglleft": "‹", "guilsinglright": "›",
-    "dotlessi": "ı", "dotlessj": "ȷ",
-    "dieresis": "¨", "dotaccent": "˙", "ring": "˚",
-    "cedilla": "¸", "hungarumlaut": "˝", "ogonek": "˛",
-    "caron": "ˇ", "breve": "˘", "macron": "¯",
-    "circumflex": "ˆ", "tilde": "˜", "acute": "´",
-    "Lslash": "Ł", "lslash": "ł", "OE": "Œ", "oe": "œ",
-    "AE": "Æ", "ae": "æ", "Oslash": "Ø", "oslash": "ø",
-    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
-    "zcaron": "ž", "Ydieresis": "Ÿ", "ydieresis": "ÿ",
-    "Thorn": "Þ", "thorn": "þ", "Eth": "Ð", "eth": "ð",
-    "germandbls": "ß", "Omega": "Ω", "Delta": "Δ",
-    "pi": "π", "alpha": "α", "beta": "β", "phi": "φ",
-    "mu": "µ", "lambda": "λ", "sigma": "σ",
-    "summation": "∑", "product": "∏", "integral": "∫",
-    "radical": "√", "infinity": "∞", "partialdiff": "∂",
-    "approxequal": "≈", "notequal": "≠", "lessequal": "≤",
-    "greaterequal": "≥", "element": "∈", "arrowright": "→",
-    "arrowleft": "←", "arrowup": "↑", "arrowdown": "↓",
-    "asteriskmath": "∗", "periodcentered": "·",
-    "middot": "·", "nbspace": " ", ".notdef": "",
-}
-# accented Latin: generate names like "eacute" -> é via unicodedata
-_ACCENTS = {
-    "grave": "̀", "acute": "́", "circumflex": "̂",
-    "tilde": "̃", "dieresis": "̈", "ring": "̊",
-    "cedilla": "̧", "caron": "̌", "breve": "̆",
-    "macron": "̄", "hungarumlaut": "̋", "ogonek": "̨",
-    "dotaccent": "̇", "slash": "̸",
-}
+class _HexRetry(Exception):
+    """A C/c subset name was non-decimal but valid hex: pdf.js restarts
+    _simpleFontToUnicode for the WHOLE font with forceGlyphs=true
+    (pdf.worker.js:37284-37289)."""
 
 
-def _glyph_to_unicode(name: str) -> str:
-    if name in _GLYPHS:
-        return _GLYPHS[name]
-    if len(name) == 1:
-        return name
-    if name.startswith("uni") and len(name) >= 7:
-        try:
-            return chr(int(name[3:7], 16))
-        except ValueError:
-            return ""
-    if name.startswith("u") and len(name) in (5, 7):
-        try:
-            return chr(int(name[1:], 16))
-        except ValueError:
-            return ""
-    # subset-font name heuristics (pdf.worker.js:37266-37296
-    # _simpleFontToUnicode): GXX hex, gXXXX hex, C/cNN decimal-then-hex
-    if name[0] == "G" and len(name) == 3:
-        try:
-            return chr(int(name[1:], 16))
-        except ValueError:
-            return ""
-    if name[0] == "g" and len(name) == 5:
-        try:
-            return chr(int(name[1:], 16))
-        except ValueError:
-            return ""
-    if name[0] in "Cc" and 3 <= len(name) <= 4:
-        body = name[1:]
-        try:
-            code = int(body, 10)
-        except ValueError:
-            try:
-                code = int(body, 16)
-            except ValueError:
-                return ""
-        if 0 < code <= 0x10FFFF:
-            return chr(code)
-        return ""
-    # compose "eacute"-style names
-    import unicodedata
-
-    for acc, comb in _ACCENTS.items():
-        if name.endswith(acc) and 1 <= len(name) - len(acc) <= 1:
-            base = name[: -len(acc)]
-            return unicodedata.normalize("NFC", base + comb)
-    return ""
+def _js_parseint_hex(s: str) -> int | None:
+    """JS parseInt(s, 16): longest valid hex PREFIX; None when empty."""
+    i = 0
+    while i < len(s) and s[i] in "0123456789abcdefABCDEF":
+        i += 1
+    return int(s[:i], 16) if i else None
 
 
-# StandardEncoding deltas from latin-1 in the printable range (spec D.2)
-_STANDARD_DELTAS = {
-    0x27: "’", 0x60: "‘", 0xA4: "⁄", 0xA6: "ƒ",
-    0xA8: "¤", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
-    0xAD: "›", 0xAE: "fi", 0xAF: "fl", 0xB1: "–",
-    0xB2: "†", 0xB3: "‡", 0xB4: "·", 0xB7: "•",
-    0xB8: "‚", 0xB9: "„", 0xBA: "”", 0xBB: "»",
-    0xBC: "…", 0xBD: "‰", 0xD0: "—",
-}
+def _unicode_for_glyph(name: str) -> int:
+    """pdf.js getUnicodeForGlyph: full Adobe Glyph List, then
+    uniXXXX (exactly 4 hex) / uXXXX..XXXXXX (4-6 hex) names whose hex
+    part is UPPERCASE (its hexStr === hexStr.toUpperCase() guard);
+    parseInt prefix semantics. -1 when unresolved."""
+    cp = _encdata.GLYPHS_UNICODE.get(name)
+    if cp is not None:
+        return cp
+    if name and name[0] == "u":
+        n = len(name)
+        if n == 7 and name[1] == "n" and name[2] == "i":
+            hexs = name[3:]
+        elif 5 <= n <= 7:
+            hexs = name[1:]
+        else:
+            return -1
+        if hexs == hexs.upper():
+            v = _js_parseint_hex(hexs)
+            if v is not None and v >= 0:
+                return v
+    return -1
 
 
-def _base_encoding(name: str | None) -> list[str]:
-    table = [""] * 256
-    if name == "WinAnsiEncoding":
-        for i in range(32, 256):
-            try:
-                table[i] = bytes([i]).decode("cp1252")
-            except UnicodeDecodeError:
-                table[i] = ""
-    elif name == "MacRomanEncoding":
-        for i in range(32, 256):
-            table[i] = bytes([i]).decode("mac_roman")
-    else:  # StandardEncoding-ish default
-        for i in range(32, 127):
-            table[i] = chr(i)
-        for code, ch in _STANDARD_DELTAS.items():
-            table[code] = ch
-    return table
+def _simple_font_to_unicode(
+    enc_names: list[str],
+    base_name: str | None,
+    diffs_names: dict[int, str],
+    force_glyphs: bool = False,
+) -> dict[int, str]:
+    """Exact mirror of pdf.js _simpleFontToUnicode
+    (pdf.worker.js:37242-37321): the font's effective glyph-NAME
+    encoding (default encoding overridden by /Differences) resolved
+    per name through the full Adobe Glyph List, then the subset-font
+    name heuristics — GXX hex, gXXXX hex, C/cNNN decimal (hex on the
+    font-wide _HexRetry pass), uniXXXX/uXXXX, f_h/f_t/T_h — with the
+    base-encoding interplay when a heuristic code equals its own
+    charcode."""
+    encoding = list(enc_names)
+    for code, gname in diffs_names.items():
+        if gname == ".notdef":
+            continue
+        if 0 <= code < 256:
+            encoding[code] = gname
+    out: dict[int, str] = {}
+    glyphs = _encdata.GLYPHS_UNICODE
+    for code in range(256):
+        gname = encoding[code]
+        if not gname:
+            continue
+        cp = glyphs.get(gname)
+        if cp is not None:
+            out[code] = chr(cp)
+            continue
+        c = 0
+        c0 = gname[0]
+        if c0 == "G":
+            if len(gname) == 3:
+                c = _js_parseint_hex(gname[1:]) or 0
+        elif c0 == "g":
+            if len(gname) == 5:
+                c = _js_parseint_hex(gname[1:]) or 0
+        elif c0 in "Cc":
+            if 3 <= len(gname) <= 4:
+                body = gname[1:]
+                if force_glyphs:
+                    c = _js_parseint_hex(body) or 0
+                elif body.isdigit():
+                    c = int(body, 10)
+                elif _js_parseint_hex(body) is not None:
+                    raise _HexRetry()
+        elif c0 == "u":
+            v = _unicode_for_glyph(gname)
+            if v != -1:
+                c = v
+        else:
+            if gname in ("f_h", "f_t", "T_h"):
+                out[code] = gname.replace("_", "")
+            continue
+        if 0 < c <= 0x10FFFF:
+            if base_name and c == code:
+                bg_table = getattr(_encdata, base_name, None)
+                bg = bg_table[code] if bg_table else ""
+                if bg:
+                    out[code] = chr(glyphs.get(bg, 0))
+                    continue
+            out[code] = chr(c)
+    return out
+
+
+def _isWinNameRecord(plat: int, enc: int, lang: int) -> bool:
+    return plat == 3 and enc == 1 and lang == 0x409
+
+
+def _isMacNameRecord(plat: int, enc: int, lang: int) -> bool:
+    return plat == 1 and enc == 0 and lang == 0
+
+
+def _ttf_name_records(data: bytes) -> list[tuple[int, int, int]] | None:
+    """(platform, encoding, language) of the Mac/Win records of an
+    sfnt's `name` table, pdf.js readNameTable's filtering
+    (pdf.worker.js: only isMacNameRecord/isWinNameRecord records are
+    collected). None when there is no parseable name table — pdf.js
+    then synthesizes one and skips adjustTrueTypeToUnicode."""
+    try:
+        if len(data) < 12:
+            return None
+        tag = data[:4]
+        if tag not in (b"\x00\x01\x00\x00", b"true", b"OTTO", b"ttcf"):
+            return None
+        if tag == b"ttcf":  # font collection: first font's directory
+            off = int.from_bytes(data[12:16], "big")
+            return _ttf_name_records(data[off:]) if off else None
+        ntab = int.from_bytes(data[4:6], "big")
+        recs: list[tuple[int, int, int]] = []
+        for i in range(ntab):
+            e = 12 + 16 * i
+            if e + 16 > len(data):
+                return None
+            if data[e:e + 4] == b"name":
+                toff = int.from_bytes(data[e + 8:e + 12], "big")
+                tlen = int.from_bytes(data[e + 12:e + 16], "big")
+                end = min(toff + tlen, len(data))
+                if toff + 6 > end:
+                    return None
+                fmt = int.from_bytes(data[toff:toff + 2], "big")
+                if fmt != 0:
+                    return []
+                cnt = int.from_bytes(data[toff + 2:toff + 4], "big")
+                p = toff + 6
+                for _ in range(cnt):
+                    if p + 12 > end:
+                        break
+                    plat = int.from_bytes(data[p:p + 2], "big")
+                    encd = int.from_bytes(data[p + 2:p + 4], "big")
+                    lang = int.from_bytes(data[p + 4:p + 6], "big")
+                    if _isWinNameRecord(plat, encd, lang) or \
+                            _isMacNameRecord(plat, encd, lang):
+                        recs.append((plat, encd, lang))
+                    p += 12
+                return recs
+        return None
+    except Exception:  # noqa: BLE001 — malformed font: no adjustment
+        return None
+
+
+_T1_ENC_STD = re.compile(rb"/Encoding\s+StandardEncoding\s+def")
+_T1_ENC_DUP = re.compile(rb"dup\s+(\d+)\s*/([^\s/\[\]{}()<>]+)\s+put")
+
+
+def _type1_builtin_encoding(data: bytes):
+    """The embedded Type1 program's /Encoding from its CLEARTEXT header
+    (pdf.js Type1Parser.extractFontHeader, pdf.worker.js:27141-27169):
+    either the StandardEncoding sentinel or the custom
+    ``dup <code> /<name> put`` array. Returns ("std", None),
+    ("custom", {code: name}) or None. PFB segment headers are
+    tolerated (the cleartext is the first segment)."""
+    try:
+        if data[:1] == b"\x80":  # PFB: 6-byte segment header
+            seglen = int.from_bytes(data[2:6], "little")
+            data = data[6:6 + seglen]
+        head = data.split(b"eexec", 1)[0]
+        m = re.search(rb"/Encoding\b", head)
+        if not m:
+            return None
+        tail = head[m.start():]
+        if _T1_ENC_STD.match(tail):
+            return ("std", None)
+        names: dict[int, str] = {}
+        # the array form ends at its closing "def" — pdf.js stops at
+        # the first def token after the dups ("readonly def")
+        body = tail.split(b" def", 1)[0]
+        for dm in _T1_ENC_DUP.finditer(body):
+            code = int(dm.group(1))
+            if 0 <= code < 256:
+                try:
+                    names[code] = dm.group(2).decode("latin-1")
+                except Exception:  # noqa: BLE001
+                    continue
+        return ("custom", names) if names else None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 # JS regex \s (the class pdf.js's getCharUnicodeCategory tests first)
@@ -1215,6 +1271,7 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
                 widths.update(cw)
 
     table: dict[int, str] = {}
+    t1_space_codes: set[int] = set()
     enc = doc.resolve(font.get("Encoding"))
     base_name = None
     diffs = None
@@ -1237,33 +1294,130 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
         base_name = str(enc["BaseEncoding"]) if "BaseEncoding" in enc else None
         diffs = doc.resolve(enc.get("Differences"))
     if nbytes == 1:
-        symbolic = False
+        # default-encoding selection + name resolution: exact mirror of
+        # pdf.js translateFont (pdf.worker.js:37180-37232) +
+        # _simpleFontToUnicode. Only MacRoman/MacExpert/WinAnsi survive
+        # as /BaseEncoding names; symbolic fonts default to MacRoman
+        # (SymbolSet/ZapfDingbats/WinAnsi for the non-embedded
+        # Symbol/Dingbats/Wingdings families); TrueType defaults to
+        # WinAnsi unless the Nonsymbolic flag is set.
+        symbolic = nonsymbolic = False
         fd = doc.resolve(font.get("FontDescriptor"))
+        font_file = None
+        font_file_kind = None
         if isinstance(fd, dict):
             fl = doc.resolve(fd.get("Flags"))
-            symbolic = isinstance(fl, int) and bool(fl & 4)
-        if base_name is None and symbolic:
-            # symbolic font without /BaseEncoding: pdf.js maps through
-            # the FONT PROGRAM's built-in encoding
-            # (type1FontGlyphMapping, pdf.worker.js:21045-21048) — we
-            # can't read the embedded program, and its glyph names
-            # mostly fail the unicode map anyway, so charcodes pass
-            # through (the chr(code) fill below), matching the
-            # reference's output on subset symbol fonts
-            base = [""] * 256
+            if isinstance(fl, int):
+                symbolic = bool(fl & 4)
+                nonsymbolic = bool(fl & 32)
+            for k, kind in (("FontFile2", "ttf"), ("FontFile", "t1"),
+                            ("FontFile3", "cff")):
+                if k in fd:
+                    font_file = fd[k]
+                    font_file_kind = kind
+                    break
+        base_font = str(font.get("BaseFont") or "")
+        non_embedded = font_file is None
+        is_symbols_name = base_font in _encdata.SYMBOLS_FONTS
+        bname = base_name if base_name in (
+            "MacRomanEncoding", "MacExpertEncoding", "WinAnsiEncoding"
+        ) else None
+        if bname and non_embedded and is_symbols_name:
+            bname = None
+        if bname:
+            enc_names = getattr(_encdata, bname)
         else:
-            base = _base_encoding(base_name)
-        for i, ch in enumerate(base):
-            if ch:
-                table[i] = ch
+            enc_names = _encdata.StandardEncoding
+            if subtype == "TrueType" and not nonsymbolic:
+                enc_names = _encdata.WinAnsiEncoding
+            if symbolic or is_symbols_name:
+                enc_names = _encdata.MacRomanEncoding
+                if non_embedded:
+                    if re.search("Symbol", base_font, re.I):
+                        enc_names = _encdata.SymbolSetEncoding
+                    elif re.search("Dingbats", base_font, re.I):
+                        enc_names = _encdata.ZapfDingbatsEncoding
+                    elif re.search("Wingdings", base_font, re.I):
+                        enc_names = _encdata.WinAnsiEncoding
+        diffs_names: dict[int, str] = {}
         if isinstance(diffs, list):
             code = 0
             for item in diffs:
                 if isinstance(item, (int, float)):
                     code = int(item)
                 elif isinstance(item, Name):
-                    table[code] = _glyph_to_unicode(str(item))
+                    diffs_names[code] = str(item)
                     code += 1
+        has_encoding = bool(bname) or bool(diffs_names)
+        if non_embedded and subtype in ("Type1", "MMType1"):
+            # missing-file Type1 (pdf.js Font._charToGlyph,
+            # pdf.worker.js:29779-29786): a charcode whose effective
+            # glyph name is EMPTY substitutes a SPACE glyph — its
+            # unicode becomes " " unconditionally (so it vanishes from
+            # text through the whitespace-glyph skip); ".notdef" keeps
+            # the normal fallback.
+            t1_space_codes = {
+                c for c in range(256)
+                if diffs_names.get(c, enc_names[c]) == ""
+            }
+        try:
+            table = _simple_font_to_unicode(enc_names, bname, diffs_names)
+        except _HexRetry:
+            table = _simple_font_to_unicode(
+                enc_names, bname, diffs_names, force_glyphs=True
+            )
+        # embedded-font-program amendments (only without /ToUnicode —
+        # pdf.js gates both on hasIncludedToUnicodeMap)
+        if font.get("ToUnicode") is None and font_file is not None:
+            if (
+                font_file_kind == "ttf" and symbolic and not has_encoding
+                and enc_names is not _encdata.WinAnsiEncoding
+            ):
+                # adjustTrueTypeToUnicode (pdf.worker.js:27514-27558):
+                # a symbolic TrueType whose name table carries ONLY
+                # Windows records decodes through WinAnsi glyph names
+                try:
+                    prog = doc.decoded(font_file)
+                except Exception:  # noqa: BLE001
+                    prog = None
+                recs = _ttf_name_records(prog) if prog else None
+                if recs and all(
+                    _isWinNameRecord(*r) for r in recs
+                ):
+                    glyphs = _encdata.GLYPHS_UNICODE
+                    for i, gname in enumerate(_encdata.WinAnsiEncoding):
+                        if not gname:
+                            continue
+                        cp = glyphs.get(gname)
+                        if cp is not None:
+                            table[i] = chr(cp)
+            elif font_file_kind == "t1":
+                # adjustType1ToUnicode (pdf.worker.js:27559-27589): the
+                # embedded program's built-in /Encoding glyph names win
+                # for charcodes the PDF-level encoding doesn't claim
+                try:
+                    prog = doc.decoded(font_file)
+                except Exception:  # noqa: BLE001
+                    prog = None
+                builtin = _type1_builtin_encoding(prog) if prog else None
+                if builtin is not None and not (
+                    builtin[0] == "std"
+                    and enc_names is _encdata.StandardEncoding
+                ):
+                    names = (
+                        dict(enumerate(_encdata.StandardEncoding))
+                        if builtin[0] == "std" else builtin[1]
+                    )
+                    for code2, gname in names.items():
+                        if not gname:
+                            continue
+                        if has_encoding and (
+                            bname or code2 in diffs_names
+                        ):
+                            continue
+                        v = _unicode_for_glyph(gname)
+                        if v != -1:
+                            table[code2] = chr(v)
 
     tu = font.get("ToUnicode")
     if tu is not None:
@@ -1337,6 +1491,11 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
                     widths[code] = w
             if widths:
                 default_width = 0.0  # pdf.js defaultWidth for table fonts
+    if t1_space_codes:
+        # applied AFTER /ToUnicode: pdf.js's space substitution runs in
+        # _charToGlyph and overwrites whatever toUnicode resolved
+        for c in t1_space_codes:
+            table[c] = " "
     identity = False
     if not table:
         if subtype == "Type0":
@@ -1878,6 +2037,101 @@ class _TextInterp:
         ) * sxz
         return start_x + adv
 
+    # splits per item past this are treated as in-flow (the C twin
+    # carries a fixed-size run record array; both paths cap identically)
+    MAX_SEG_SPLITS = 64
+
+    def _seg_split(self, fm: FontMap, item: bytes, dec: str, start_x: float,
+                   size: float, sxz: float, tc: float, tw: float,
+                   fs: float, prev0: float | None = None):
+        """Per-glyph item splitting at quadrant 0 (VERDICT r3 missing #1).
+
+        pdf.js runs compareWithLastPosition at every glyph
+        (pdf.worker.js:36614-36655), so an INTERNAL space run whose
+        advance leaves the in-flow fake-space window
+        ((0.102, 0.6] x item font size) diverges from inline emission:
+        notASpace (<= 0.03) kills the run, a single saved space within
+        trackingSpaceMin goes standalone (shouldAddWhitepsace -> flush +
+        pushWhitespace at prevTransform), and a run past spaceInFlowMax
+        flushes and pushes a standalone " " anchored at prevTransform —
+        both standalone cases move the pdf-parse anchor (last_y) to the
+        PREVIOUS GLYPH's device y, which differs from the open item's
+        anchor whenever Ts rise toggled mid-line (or sub-tolerance y
+        drift accumulated). Splitting the item at exactly those runs —
+        the run riding as the next segment's LEADING spaces — reduces
+        every case to the existing inter-item pend mechanism in show().
+
+        Returns None when every internal run is strictly in-flow under
+        BOTH candidate item sizes (the open item's stale size and this
+        item's own — whichever show() ends up using, inline emission is
+        then exact), else a list of segments
+        ``(dec_start, dec_end, first_x, prev_end_x)``.
+        1-byte aligned decodes only; callers keep the inline path for
+        multi-byte/ligature/clipped items.
+
+        ``prev0``: TJ callers pass the buffered run's prevTransform x
+        (tj_prev) so a LEADING space run of this element — a run that
+        started as the buffer's trailing spaces, possibly kern-adjusted
+        in between — counts as internal and can split at index 0 (the
+        empty first segment then flushes the buffered group)."""
+        n = len(item)
+        stale = self.item_size if self.item_size > 0 else fs
+        if stale == fs:
+            cands = (fs,)
+        else:
+            cands = (stale, fs)
+        widths, dw = fm.widths, fm.default_width
+        # position arithmetic mirrors the C twin's PUTCODE exactly
+        # (px = start_x + wsum*kx + glyphs*ktc + spaces*ktw) so split
+        # decisions stay float-identical across the three paths
+        kx = size / 1000.0 * sxz
+        ktc = tc * sxz
+        ktw = tw * sxz
+        wsum = 0.0
+        g = 0
+        nsp = 0
+        prev_end: float | None = prev0
+        seg_start = 0
+        run_start: int | None = None
+        run_prev_end = 0.0
+        out: list | None = None
+        seg_first: float | None = None
+        for k in range(n):
+            code = item[k]
+            sp = code == 0x20 or dec[k] == " "
+            px = start_x + wsum * kx + g * ktc + nsp * ktw
+            w = widths.get(code, dw)
+            if sp:
+                if run_start is None and prev_end is not None:
+                    run_start = k
+                    run_prev_end = prev_end
+            else:
+                if run_start is not None:
+                    a = px - run_prev_end
+                    if (
+                        not all(0.102 * c < a <= 0.6 * c for c in cands)
+                        and (out is None or len(out) < self.MAX_SEG_SPLITS)
+                    ):
+                        if out is None:
+                            out = []
+                        out.append(
+                            (seg_start, run_start, seg_first, run_prev_end)
+                        )
+                        seg_start = run_start
+                        seg_first = None
+                    run_start = None
+                if seg_first is None:
+                    seg_first = px
+                prev_end = px + w * kx
+            wsum += w
+            g += 1
+            if code == 0x20:
+                nsp += 1
+        if out is None:
+            return None
+        out.append((seg_start, n, seg_first, prev_end))
+        return out
+
     def _font_for(self, fonts_dict, name: str) -> FontMap:
         ref = (fonts_dict or {}).get(name)
         if not isinstance(ref, Ref):  # inline font dict: id() keys are not
@@ -2087,7 +2341,56 @@ class _TextInterp:
                         fm, item, dec, cur_x, size, sx * tz, tc, tw
                     )
                     clipped_item = True
-                if size > 0 and tc * tz > self.GAP_FRACTION * size:
+                lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                segs = None
+                prev0 = tj_prev if kind == 6 else None
+                if (
+                    fm.nbytes == 1 and size > 0 and not clipped_item
+                    and len(dec) == len(item)
+                    and (
+                        " " in dec[1:-1]
+                        or (prev0 is not None and dec[:1] == " ")
+                    )
+                ):
+                    segs = self._seg_split(
+                        fm, item, dec, cur_x, size, sx * tz, tc, tw,
+                        size * sx, prev0=prev0,
+                    )
+                if segs is not None:
+                    # per-glyph item splitting at quad 0: out-of-window
+                    # internal space runs end the item mid-string; each
+                    # run rides as the next segment's leading pend (see
+                    # _seg_split). TJ: the first segment completes the
+                    # buffered group, the last becomes the new buffer.
+                    sub = [
+                        (" ".join(dec[s0:s1]) if lg else dec[s0:s1],
+                         sfx, spv)
+                        for s0, s1, sfx, spv in segs
+                    ]
+                    if kind == 6:
+                        d0, f0_, p0 = sub[0]
+                        tj_buf.append(d0)
+                        fx0 = tj_first if tj_first is not None else f0_
+                        if show("".join(tj_buf), y + rise,
+                                fx0 if fx0 is not None else tj_start_x,
+                                size * sx):
+                            self.last_end_x = p0
+                        for dmid, fmid, pmid in sub[1:-1]:
+                            if show(dmid, y + rise, fmid, size * sx):
+                                self.last_end_x = pmid
+                        dl, fl, pl = sub[-1]
+                        tj_buf = [dl]
+                        tj_first = fl
+                        tj_start_x = fl
+                        tj_prev = pl
+                        cur_x += adv
+                    else:
+                        for dseg, fseg, pseg in sub:
+                            if show(dseg, y + rise, fseg, size * sx):
+                                self.last_end_x = pseg
+                        cur_x += adv
+                    continue
+                if lg:
                     # charSpacing > trackingSpaceMin: pdf.js's per-glyph
                     # compare sees advanceX == tc*hscale between every
                     # glyph pair -> a fake space between each
@@ -2586,7 +2889,28 @@ class _TextInterp:
                             fm, item, dec, cur_x, size, asx * tz, tc, tw
                         )
                         clipped_item = True
-                    if size > 0 and tc * tz > self.GAP_FRACTION * size:
+                    lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                    segs = None
+                    if (
+                        quad == 0 and fm.nbytes == 1 and size > 0
+                        and not clipped_item and len(dec) == len(item)
+                        and " " in dec[1:-1]
+                    ):
+                        segs = self._seg_split(
+                            fm, item, dec, cur_x, size, asx * tz, tc, tw,
+                            size * asx,
+                        )
+                    if segs is not None:
+                        # per-glyph item splitting at quad 0 (_seg_split)
+                        for s0, s1, sfx, spv in segs:
+                            sd = (
+                                " ".join(dec[s0:s1]) if lg else dec[s0:s1]
+                            )
+                            _show_item(sd, spv, 0.0, fx=sfx)
+                        cur_x += advance(item)
+                        stack.clear()
+                        continue
+                    if lg:
                         dec = " ".join(dec)  # letter-spacing fake spaces
                     if clipped_item:
                         prev = cprev
@@ -2645,7 +2969,29 @@ class _TextInterp:
                                 fm, item, dec, cur_x, size, asx * tz, tc, tw
                             )
                             clipped_item = True
-                        if size > 0 and tc * tz > self.GAP_FRACTION * size:
+                        lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                        segs = None
+                        if (
+                            quad == 0 and fm.nbytes == 1 and size > 0
+                            and not clipped_item
+                            and len(dec) == len(item)
+                            and " " in dec[1:-1]
+                        ):
+                            segs = self._seg_split(
+                                fm, item, dec, cur_x, size, asx * tz,
+                                tc, tw, size * asx,
+                            )
+                        if segs is not None:
+                            for s0, s1, sfx, spv in segs:
+                                sd = (
+                                    " ".join(dec[s0:s1]) if lg
+                                    else dec[s0:s1]
+                                )
+                                _show_item(sd, spv, 0.0, fx=sfx)
+                            cur_x += advance(item)
+                            stack.clear()
+                            continue
+                        if lg:
                             dec = " ".join(dec)
                         if clipped_item:
                             prev = cprev
@@ -2730,6 +3076,69 @@ class _TextInterp:
                                     asx * tz, tc, tw,
                                 )
                                 clipped_item = True
+                            segs = None
+                            if (
+                                fm.nbytes == 1 and size > 0
+                                and not clipped_item
+                                and len(dec) == len(item)
+                                and (
+                                    " " in dec[1:-1]
+                                    or (
+                                        tjprev is not None
+                                        and dec[:1] == " "
+                                    )
+                                )
+                            ):
+                                segs = self._seg_split(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw, size * asx,
+                                    prev0=tjprev,
+                                )
+                            if segs is not None:
+                                # per-glyph item splitting at quad 0
+                                # mid-TJ (_seg_split): seg 0 completes
+                                # the buffered group, the last becomes
+                                # the new buffer
+                                vv = cross_v + arise
+                                s0, s1, sfx, spv = segs[0]
+                                buf.append(
+                                    " ".join(dec[s0:s1]) if lgap
+                                    else dec[s0:s1]
+                                )
+                                fx0 = (
+                                    tjfirst if tjfirst is not None
+                                    else sfx
+                                )
+                                tj_cx = (
+                                    fx0 if fx0 is not None else start_x
+                                )
+                                ddx, ddy = _swapq(tj_cx, vv)
+                                if self.show("".join(buf), vv, tj_cx,
+                                             size * asx, quad=quad,
+                                             dev_x=ddx, dev_y=ddy,
+                                             mat=matn):
+                                    self.last_end_x = spv
+                                for s0m, s1m, sfm, spm in segs[1:-1]:
+                                    sd = (
+                                        " ".join(dec[s0m:s1m]) if lgap
+                                        else dec[s0m:s1m]
+                                    )
+                                    ddx, ddy = _swapq(sfm, vv)
+                                    if self.show(sd, vv, sfm,
+                                                 size * asx, quad=quad,
+                                                 dev_x=ddx, dev_y=ddy,
+                                                 mat=matn):
+                                        self.last_end_x = spm
+                                s0l, s1l, sfl, spl = segs[-1]
+                                buf = [
+                                    " ".join(dec[s0l:s1l]) if lgap
+                                    else dec[s0l:s1l]
+                                ]
+                                tjfirst = sfl
+                                start_x = sfl
+                                tjprev = spl
+                                cur_x += advance(item)
+                                continue
                             if clipped_item:
                                 prev = cprev
                             elif fm.nbytes == 1:

@@ -75,6 +75,17 @@ EDGE_STREAMS = [
     b"BT +1 0 0 -1.0 .5 700.0 Tm (nums) Tj - . + (after) Tj ET",
     # empty TJ array, empty strings, zero-size font
     b"BT /F1 0 Tf [] TJ () Tj 1 0 0 1 9 9 Tm (x) Tj ET",
+    # quad-0 item splitting: out-of-window internal space runs under
+    # mid-line rise (standalone anchors), negative Tc/Tw (notASpace
+    # kills the run), TJ runs crossing elements over kerns
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (seed) Tj 0.9 Ts (al   pha) Tj "
+    b"0 Ts 1 0 0 1 72 699.2 Tm (tail) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (ab) Tj -2.4 Tc (x y) Tj "
+    b"0 Tc -2.6 Tw (cd ef) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm 1.2 Ts "
+    b"[(delta  ) 120 ( xi) -8000 (tail)] TJ 3.5 Tc (  kappa x) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm 2 Ts (a   b   c   d) Tj 0 Ts "
+    b"1 0 0 1 72 699.3 Tm (t) Tj ET",
 ]
 
 

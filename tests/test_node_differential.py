@@ -243,6 +243,71 @@ def test_flush_scale_streams_byte_equal_vs_live_reference(tmp_path):
     )
 
 
+def _gen_rise_space_stream(rng: random.Random) -> bytes:
+    """Per-glyph item splitting at quadrant 0 (the round-3 VERDICT's
+    last known divergence class, now closed by pdfb._seg_split and the
+    C twin's SegRec machinery): mid-line Ts toggles x multi-space /
+    letter-spaced / negative-Tc/Tw items x TJ runs crossing element
+    boundaries. Out-of-window internal space runs must split the item —
+    notASpace kills the run, shouldAddWhitepsace and spaceInFlowMax
+    push a standalone " " anchored at the PREVIOUS glyph's rise-bearing
+    transform — and the pdf-parse anchor join then places "\\n"s the
+    old inline model could not reproduce."""
+    ops = [b"BT", b"/F1 10 Tf", b"1 0 0 1 72 700 Tm"]
+    for _ in range(rng.randrange(5, 12)):
+        kind = rng.randrange(7)
+        if kind == 0:  # mid-line rise toggle
+            ops.append(
+                b"%.1f Ts" % rng.choice([3.0, -2.5, 5.0, 1.2, 0.9, 0.0])
+            )
+        elif kind == 1:  # letter-spacing incl. negative + spaced item
+            ops.append(
+                b"%.2f Tc"
+                % rng.choice([0.0, 0.5, 1.5, 2.5, 3.5, -2.4, 8.0])
+            )
+            n1, n2 = rng.randrange(0, 4), rng.randrange(0, 4)
+            ops.append(
+                b"(%s%s%s%s) Tj"
+                % (b" " * n1, rng.choice(WORDS).encode(), b" " * n2,
+                   rng.choice([b"x", b""]))
+            )
+        elif kind == 2:  # word spacing incl. space-killing negatives
+            ops.append(b"%.2f Tw" % rng.choice([0.0, 0.4, -2.6, 1.8, 5.0]))
+            ops.append(
+                b"( %s   %s ) Tj"
+                % (rng.choice(WORDS).encode(), rng.choice(WORDS).encode())
+            )
+        elif kind == 3:
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        elif kind == 4:  # TJ: runs crossing elements, huge kerns
+            a, b = rng.sample(WORDS, 2)
+            ops.append(
+                b"[(%s  ) %d ( %s) %d (  %s)] TJ"
+                % (a.encode(),
+                   rng.choice([-300, -120, 120, 567, 2000, -8000]),
+                   b.encode(), rng.choice([-300, 120]),
+                   rng.choice(WORDS).encode())
+            )
+        elif kind == 5:  # sub-tolerance y drift (anchor-sensitive)
+            ops.append(
+                b"1 0 0 1 72 %.1f Tm" % (700 - rng.randrange(1, 40) * 0.7)
+            )
+        else:
+            ops.append(b"14 TL (a   b) '")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_rise_space_split_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_rise_space_stream(random.Random(90000 + s)))
+            for s in range(60)
+        ],
+    )
+
+
 _QUADS = ((1, 0, 0, 1), (0, 1, -1, 0), (-1, 0, 0, -1), (0, -1, 1, 0))
 
 
@@ -379,12 +444,11 @@ def _gen_rotated_state_stream(rng: random.Random) -> bytes:
     whitespace items become visible lines under rotation), word spacing
     (Tw), horizontal scaling (Tz) and leading (TL/T*). Covered by the
     per-glyph show path for rotated 1-byte items plus the notASpace
-    pending-space reset. Mid-line Ts (rise) toggles combined with
-    multi-space letter-spaced items are a KNOWN residual approximation
-    of the item-level quad-0 model (both engines' C and Python paths
-    agree with each other; pdf.js splits a standalone space item whose
-    rise-free anchor lands on another line) — the generator therefore
-    leaves Ts at 0."""
+    pending-space reset. Mid-line Ts (rise) toggles are covered at
+    QUADRANT 0 by _gen_rise_space_stream (the item-splitting model
+    closed the class there); under ROTATION a residual anchor
+    approximation remains (~1/60 seeded docs place one "\\n"
+    differently), so this generator still leaves Ts at 0."""
     ops = [b"BT", b"/F1 %d Tf" % rng.choice([8, 10, 12])]
     quad = rng.choice(_QUADS)
     u, v = 300.0, 400.0
