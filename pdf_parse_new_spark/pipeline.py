@@ -39,6 +39,38 @@ def extract_turns(df: DataFrame, options: Options | None = None) -> DataFrame:
     )
 
 
+def extract_conversations_planned(
+    df: DataFrame, options: Options | None = None
+) -> DataFrame:
+    """``extract_conversations`` behind the one-job planner probe: sizes
+    Arrow batches / partitions / salt block from the corpus stats and
+    AUTO-UPGRADES to the three-level tree concat when the biggest
+    conversation spreads over more than ``planner.TREE_FANOUT_AT``
+    blocks (the point where even one-partial-per-block overwhelms the
+    final reducer's collect_list). Explicitly-set Options fields win."""
+    import dataclasses
+
+    from pdf_parse_new_spark.plans import planner
+
+    opt = dataclasses.replace(options) if options else Options()
+    plan = planner.make_plan(df)
+    planner.apply_plan(df.sparkSession, plan)
+    if opt.partitions is None:
+        opt.partitions = plan.partitions
+    if opt.salt_block == Options.salt_block:
+        opt.salt_block = plan.salt_block
+    # re-evaluate the tree trigger against the EFFECTIVE block size (an
+    # explicitly smaller Options.salt_block lowers the upgrade point)
+    if (
+        opt.tree_fanout == 0
+        and opt.salt_block > 0
+        and plan.max_conv_turns // max(opt.salt_block, 1)
+        > planner.TREE_FANOUT_AT
+    ):
+        opt.tree_fanout = planner.TREE_FANOUT
+    return extract_conversations(df, opt)
+
+
 def extract_conversations(
     df: DataFrame, options: Options | None = None
 ) -> DataFrame:
