@@ -647,6 +647,13 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                              * so only it can zero an open item's width
                              * (the textOrientation==0 flush) */
                             EMIT(K_ANCHOR, 1, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
+                            /* rise is emitted PRE-SCALED by the matrix
+                             * d; a Tm that changes d must refresh it
+                             * (pdf.js applies rise through tsm at every
+                             * glyph — always current-matrix-scaled) */
+                            if (rise != 0.0)
+                                EMIT(K_STATE, 0, 0, 0, tc, tw, tz,
+                                     rise * tm_d * cm_d);
                         }
                     }
                     break;
@@ -744,6 +751,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     CHECK_ROT();
                     EMIT(K_CM, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f),
                          tm_a * cm_a, tm_d * cm_d);
+                    if (rise != 0.0) /* refresh matrix-scaled rise */
+                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz,
+                             rise * tm_d * cm_d);
                 }
             } else if (oplen == 2 && op[0] == 'c' && op[1] == 'm') {
                 /* CTM' = m x CTM; applied only when all six operands
@@ -769,6 +779,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     CHECK_ROT();
                     EMIT(K_CM, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f),
                          tm_a * cm_a, tm_d * cm_d);
+                    if (rise != 0.0) /* refresh matrix-scaled rise */
+                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz,
+                             rise * tm_d * cm_d);
                 }
             } else if (oplen == 2 && op[0] == 'B' && op[1] == 'T') {
                 tm_a = 1.0;
@@ -824,7 +837,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
  *   12 line_open  13 last_char(byte)  14 cur_font  15 pending_space
  *   16 glyph_y  17 have_glyph_y  18 force_flush  19 scale_flush
  *   20 item_size  21-24 view box  25 have_vb  26 pending_multi
- *   27 line_ox  28 line_oy  29 sy  (30-31 free)
+ *   27 line_ox  28 line_oy  29 sy  30 item_hsize  (31 free)
  * Returns: nev when done, the K_XOBJ event index to hand to Python,
  * or -1 when `out` is full (caller grows and retries; state intact).
  */
@@ -835,9 +848,14 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
 #define RP_GAP_FRACTION 0.102
 #define RP_TJ_SPACE_THRESHOLD 180.0
 
+/* cross-axis device font size: |sy| from the last anchor; before any
+ * anchor sets sy, fall back to the writing-axis scale */
+#define RP_HS(stp) \
+    ((stp)->size * ((stp)->sy != 0.0 ? fabs((stp)->sy) : (stp)->sx))
+
 typedef struct {
     double y, cur_x, size, sx, sy, line_ox, line_oy, tc, tw, tz, rise;
-    double last_y, last_end_x, glyph_y, item_size;
+    double last_y, last_end_x, glyph_y, item_size, item_hsize;
     double vb0, vb1, vb2, vb3; /* page view box (pdf.js viewBox clip) */
     int have_last_y, have_last_end_x, have_glyph_y, have_vb;
     int line_open, pending_space, pending_multi, force_flush, scale_flush;
@@ -872,6 +890,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      int lgap, const RState *rst, double start_x,
                      double *prev_x_out, int *have_prev,
                      double *first_x_out, int *have_first,
+                     long *clipped,
                      SegRec *runs, int *nruns, int *runs_ok,
                      double prev0, int have_prev0,
                      double *lastseg_fx, int *lastseg_has)
@@ -883,7 +902,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
      * run of this element counts as internal (split at off == start).
      * runs_ok drops to 0 on any multi-char decode (the Python paths
      * gate on len(dec) == len(item)) — the caller then discards. */
-    int runopen_ = 0, hrpe_ = 0, hsegfx_ = 0;
+    int runopen_ = 0, hrpe_ = 0, hsegfx_ = 0, perglyph_ = 0;
     double runprev_ = 0.0, rpe_ = 0.0, segfx_ = 0.0;
     long runoff_ = 0;
     double rfs_ = 0.0, rstale_ = 0.0;
@@ -893,6 +912,13 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         rstale_ = rst->item_size > 0.0 ? rst->item_size : rfs_;
         rpe_ = prev0;
         hrpe_ = have_prev0;
+        /* charSpacing below the CR window (advanceX == tc < -0.2*fs,
+         * pdf.worker.js:36617-36625) flushes between every glyph
+         * pair: split at each adjacency (output-neutral when the
+         * cascade would not flush) */
+        double ktc_ = rst->tc * rst->sx * rst->tz;
+        if (ktc_ < -0.2 * rstale_ || ktc_ < -0.2 * rfs_)
+            perglyph_ = 1;
     }
     /* prev_x_out: pdf.js's prevTransform x — the pen right AFTER the
      * last EMITTED non-space glyph's width, BEFORE its charSpacing
@@ -949,6 +975,16 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                         segfx_ = 0.0;                                        \
                     }                                                        \
                     runopen_ = 0;                                            \
+                } else if (perglyph_ && hsegfx_ &&                           \
+                           *nruns < RP_MAX_RUNS) {                           \
+                    /* CR-window charSpacing: adjacency split */             \
+                    runs[*nruns].off = o;                                    \
+                    runs[*nruns].seg_first = segfx_;                         \
+                    runs[*nruns].has_first = hsegfx_;                        \
+                    runs[*nruns].prev_end = rpe_;                            \
+                    (*nruns)++;                                              \
+                    hsegfx_ = 0;                                             \
+                    segfx_ = 0.0;                                            \
                 }                                                            \
                 if (!hsegfx_) {                                              \
                     segfx_ = px_;                                            \
@@ -970,6 +1006,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             (px_ + w[cc_] * kx < rst->vb0 || px_ > rst->vb2)) {              \
             *wsum += w[cc_];                                                 \
             (*glyphs)++;                                                     \
+            (*clipped)++; /* box-rejected: width only, no charSpacing */     \
             break; /* clipped: position advances, prevTransform doesn't */   \
         }                                                                    \
         *wsum += w[cc_];                                                     \
@@ -1105,7 +1142,8 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
  * thresholds (item_size); "\n" emission is the pdf-parse anchor join
  * (last_y = the open item's anchor y). */
 static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
-                   long mark, double ty, double tx, double size)
+                   long mark, double ty, double tx, double size,
+                   double hsize)
 {
     long o = *olen, m = o - mark;
     if (m == 0)
@@ -1179,6 +1217,10 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
     }
     double fs = size > 0.0 ? size : 0.0;
     double ifs = st->item_size > 0.0 ? st->item_size : fs;
+    /* cross-axis item height (pdf.js textContentItem.height =
+     * fontSize * hypot(trm[2], trm[3])): all |dy| thresholds use it */
+    double hs = hsize > 0.0 ? hsize : fs;
+    double ihs = st->item_hsize > 0.0 ? st->item_hsize : hs;
     int have_dyg = st->have_glyph_y;
     double dyg = have_dyg ? ty - st->glyph_y : 0.0;
     int have_adv = st->have_last_end_x;
@@ -1195,7 +1237,7 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         st->scale_flush = 0;
         st->pending_space = 0;
         st->pending_multi = 0;
-        if (have_adv && ifs > 0.0 && !(have_dyg && fabs(dyg) > ifs)) {
+        if (have_adv && ifs > 0.0 && !(have_dyg && fabs(dyg) > ihs)) {
             if (adv < 0.0) {
                 flush = 1;
             } else if (adv > 0.0) {
@@ -1216,7 +1258,7 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
             st->pending_space = 0;
             st->pending_multi = 0;
             flush = 1;
-        } else if (ady > ifs) {
+        } else if (ady > ihs) {
             /* taller than the item height -> appendEOL */
             st->pending_space = 0;
             st->pending_multi = 0;
@@ -1240,7 +1282,7 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
             }
             st->pending_space = 0;
             st->pending_multi = 0;
-            if (adv > 0.6 * ifs || ady > 0.25 * ifs)
+            if (adv > 0.6 * ifs || ady > 0.25 * ihs)
                 flush = 1; /* VERTICAL_SHIFT_RATIO / big-gap flush */
         }
     } else {
@@ -1255,7 +1297,7 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
             st->pending_multi = 0;
         }
     }
-    if (have_dyg && ifs > 0.0 && fabs(dyg) > 0.25 * ifs)
+    if (have_dyg && ihs > 0.0 && fabs(dyg) > 0.25 * ihs)
         flush = 1; /* vertical shift flush applies on every path */
     int new_item = flush || !st->line_open;
     /* emission = pdf-parse's item join: prefix of up to "\n \n" */
@@ -1278,6 +1320,7 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         st->last_y = ty;
         st->have_last_y = 1;
         st->item_size = fs;
+        st->item_hsize = hs;
     }
     if (np) {
         if (o + np > ocap)
@@ -1332,6 +1375,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.vb3 = state[24];
     st.have_vb = state[25] != 0.0;
     st.sy = state[29];
+    st.item_hsize = state[30];
     st.line_ox = state[27];
     st.line_oy = state[28];
 
@@ -1354,6 +1398,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             double prev_x = 0.0, first_x = 0.0;
             int have_prev = 0, have_first = 0;
             SegRec runs[RP_MAX_RUNS];
+            long clipped = 0;
             int nruns = 0, runs_ok = 1;
             double lastseg_fx = 0.0;
             int lastseg_has = 0;
@@ -1366,20 +1411,38 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             if (rp_decode(d, n, e->flag, e->a, e->b, tbytes, to, w, out,
                           &olen, ocap, &glyphs, &spaces, &wsum, lgap,
                           &st, st.cur_x, &prev_x, &have_prev,
-                          &first_x, &have_first,
+                          &first_x, &have_first, &clipped,
                           runs, &nruns, &runs_ok, p0, hp0,
                           &lastseg_fx, &lastseg_has) < 0)
                 return -1;
-            double adv = (wsum / 1000.0 * st.size +
-                          (double)glyphs * st.tc +
-                          (double)spaces * st.tw) *
-                         st.sx * st.tz;
+            /* view-box-rejected glyphs advance by WIDTH only — pdf.js's
+             * reject path skips the charSpacing translate
+             * (pdf.worker.js:36705-36711). y-clip (whole item outside):
+             * only space glyphs keep tc+tw. */
+            int clip_y = st.have_vb &&
+                         (st.y + st.rise < st.vb1 ||
+                          st.y + st.rise > st.vb3);
+            double adv;
+            if (clip_y)
+                adv = (wsum / 1000.0 * st.size +
+                       (double)spaces * (st.tc + st.tw)) *
+                      st.sx * st.tz;
+            else
+                adv = (wsum / 1000.0 * st.size +
+                       (double)(glyphs - clipped) * st.tc +
+                       (double)spaces * st.tw) *
+                      st.sx * st.tz;
             /* discard quad-0 splits exactly where the Python paths
              * keep the inline path: size 0, multi-char decodes, or a
-             * view-box x-straddle (pdfb's clipped_item gate) */
+             * view-box x-straddle (pdfb's clipped_item gate — its box
+             * test uses the UNCORRECTED advance) */
+            double adv_box = (wsum / 1000.0 * st.size +
+                              (double)glyphs * st.tc +
+                              (double)spaces * st.tw) *
+                             st.sx * st.tz;
             if (!runs_ok || st.size <= 0.0 ||
                 (st.have_vb &&
-                 (st.cur_x < st.vb0 || st.cur_x + adv > st.vb2)))
+                 (st.cur_x < st.vb0 || st.cur_x + adv_box > st.vb2)))
                 nruns = 0;
             if (e->kind == K_TJSTR && nruns > 0) {
                 /* mid-TJ per-glyph splits: segment 0 completes the
@@ -1407,7 +1470,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         tx = runs[k].seg_first;
                     int rc = rp_show(&st, out, &olen, ocap - tl, base,
                                      st.y + st.rise, tx,
-                                     st.size * st.sx);
+                                     st.size * st.sx, RP_HS(&st));
                     if (rc < 0)
                         return -1;
                     if (rc != 2) {
@@ -1466,7 +1529,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         tx = lastseg_has ? lastseg_fx : st.cur_x;
                     int rc = rp_show(&st, out, &olen, ocap - tl, base,
                                      st.y + st.rise, tx,
-                                     st.size * st.sx);
+                                     st.size * st.sx, RP_HS(&st));
                     if (rc < 0)
                         return -1;
                     if (rc != 2) {
@@ -1494,7 +1557,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 int rc = rp_show(&st, out, &olen, ocap, mark,
                                  st.y + st.rise,
                                  have_first ? first_x : st.cur_x,
-                                 st.size * st.sx);
+                                 st.size * st.sx, RP_HS(&st));
                 if (rc < 0)
                     return -1;
                 st.cur_x += adv;
@@ -1526,7 +1589,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                                  tjmark < 0 ? olen : tjmark,
                                  st.y + st.rise,
                                  tj_have_first ? tj_first_x : tj_start_x,
-                                 st.size * st.sx);
+                                 st.size * st.sx, RP_HS(&st));
                 if (rc < 0)
                     return -1;
                 if (rc != 2) {
@@ -1599,7 +1662,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                              tjmark < 0 ? olen : tjmark,
                              st.y + st.rise,
                              tj_have_first ? tj_first_x : tj_start_x,
-                             st.size * st.sx);
+                             st.size * st.sx, RP_HS(&st));
             if (rc < 0)
                 return -1;
             if (rc != 2 && tj_have_prev) {
@@ -1658,6 +1721,7 @@ done:
     state[20] = st.item_size;
     /* 21-25 (view box) are read-only inputs */
     state[29] = st.sy;
+    state[30] = st.item_hsize;
     state[27] = st.line_ox;
     state[28] = st.line_oy;
     *out_len = olen;

@@ -1971,11 +1971,17 @@ class _TextInterp:
         position still advances, so an item straddling the page edge
         keeps only its visible part. Space glyphs are exempt (whitespace
         branch precedes the box test). Gated to the rare straddle case
-        by the caller; 1-byte fonts only (the C path mirrors this)."""
+        by the caller; 1-byte fonts only (the C path mirrors this).
+        Returns (visible_dec, prev_x, n_clipped) — a CLIPPED glyph
+        advances by its width ONLY (pdf.js's reject path translates
+        scaledDim and skips the charSpacing translate,
+        pdf.worker.js:36705-36711), so the caller subtracts
+        n_clipped * tc from the item advance."""
         vb = self.viewbox
         out = []
         x = start_x
         prev: float | None = None
+        nclip = 0
         w, dw = fm.widths, fm.default_width
         for i, code in enumerate(item):
             ch = dec[i] if i < len(dec) else ""
@@ -1987,8 +1993,11 @@ class _TextInterp:
                 out.append(ch)
                 if not sp:
                     prev = x + gw  # prevTransform follows EMITTED glyphs
-            x += gw + (tc + (tw if code == 0x20 else 0.0)) * sxz
-        return "".join(out), prev
+                x += gw + (tc + (tw if code == 0x20 else 0.0)) * sxz
+            else:
+                nclip += 1
+                x += gw  # clipped: width only, no charSpacing
+        return "".join(out), prev, nclip
 
 
     def _first_x(self, fm: FontMap, item: bytes, dec: str, start_x: float,
@@ -2096,6 +2105,12 @@ class _TextInterp:
         run_prev_end = 0.0
         out: list | None = None
         seg_first: float | None = None
+        # charSpacing below the carriage-return window flushes between
+        # EVERY glyph pair (advanceX == tc < -0.2 * fontSize,
+        # pdf.worker.js:36617-36625): split at each adjacency and let
+        # show()'s cascade take the CR path (an adjacency split is
+        # output-neutral whenever the cascade would NOT flush)
+        per_glyph = any(ktc < -0.2 * c for c in cands)
         for k in range(n):
             code = item[k]
             sp = code == 0x20 or dec[k] == " "
@@ -2120,6 +2135,15 @@ class _TextInterp:
                         seg_start = run_start
                         seg_first = None
                     run_start = None
+                elif (
+                    per_glyph and prev_end is not None and k > seg_start
+                    and (out is None or len(out) < self.MAX_SEG_SPLITS)
+                ):
+                    if out is None:
+                        out = []
+                    out.append((seg_start, k, seg_first, prev_end))
+                    seg_start = k
+                    seg_first = None
                 if seg_first is None:
                     seg_first = px
                 prev_end = px + w * kx
@@ -2239,6 +2263,7 @@ class _TextInterp:
             st[18] = 1.0 if self.force_flush else 0.0
             st[19] = 1.0 if self.scale_flush else 0.0
             st[20] = self.item_size
+            st[30] = self.item_hsize
             while True:
                 ret, olen = cinterp.replay(
                     data, ev, i, font_idx, tbytes, toff, widths, st, out
@@ -2262,8 +2287,7 @@ class _TextInterp:
             self.force_flush = bool(st[18])
             self.scale_flush = bool(st[19])
             self.item_size = float(st[20])
-            # C segments run axis-aligned uniform scales: height == size
-            self.item_hsize = self.item_size
+            self.item_hsize = float(st[30])
             if ret >= nev:
                 return
             if depth < self.MAX_DEPTH:
@@ -2331,16 +2355,32 @@ class _TextInterp:
                 vb = self.viewbox
                 cprev: float | None = None
                 clipped_item = False
+                nclip = 0
                 if (
                     vb is not None
                     and fm.nbytes == 1
                     and len(dec) == len(item)
                     and (cur_x < vb[0] or cur_x + adv > vb[2])
                 ):
-                    dec, cprev = self._clip_x(
+                    dec, cprev, nclip = self._clip_x(
                         fm, item, dec, cur_x, size, sx * tz, tc, tw
                     )
                     clipped_item = True
+                # view-box-rejected glyphs advance by WIDTH ONLY —
+                # pdf.js's reject path translates scaledDim and skips
+                # the charSpacing translate (pdf.worker.js:36705-36711).
+                # x-straddle: subtract the clipped glyphs' tc; y-clip
+                # (whole item outside): only space glyphs keep tc+tw.
+                if nclip:
+                    adv -= nclip * tc * sx * tz
+                if (
+                    fm.nbytes == 1 and vb is not None
+                    and not vb[1] <= y + rise <= vb[3]
+                ):
+                    adv = (
+                        fm.advance(item) / 1000.0 * size
+                        + spaces * (tc + tw)
+                    ) * sx * tz
                 lg = size > 0 and tc * tz > self.GAP_FRACTION * size
                 segs = None
                 prev0 = tj_prev if kind == 6 else None
@@ -2350,6 +2390,7 @@ class _TextInterp:
                     and (
                         " " in dec[1:-1]
                         or (prev0 is not None and dec[:1] == " ")
+                        or tc < 0.0
                     )
                 ):
                     segs = self._seg_split(
@@ -2373,10 +2414,12 @@ class _TextInterp:
                         fx0 = tj_first if tj_first is not None else f0_
                         if show("".join(tj_buf), y + rise,
                                 fx0 if fx0 is not None else tj_start_x,
-                                size * sx):
+                                size * sx,
+                                hsize=(size * abs(sy)) if sy else None):
                             self.last_end_x = p0
                         for dmid, fmid, pmid in sub[1:-1]:
-                            if show(dmid, y + rise, fmid, size * sx):
+                            if show(dmid, y + rise, fmid, size * sx,
+                                    hsize=(size * abs(sy)) if sy else None):
                                 self.last_end_x = pmid
                         dl, fl, pl = sub[-1]
                         tj_buf = [dl]
@@ -2386,7 +2429,8 @@ class _TextInterp:
                         cur_x += adv
                     else:
                         for dseg, fseg, pseg in sub:
-                            if show(dseg, y + rise, fseg, size * sx):
+                            if show(dseg, y + rise, fseg, size * sx,
+                                    hsize=(size * abs(sy)) if sy else None):
                                 self.last_end_x = pseg
                         cur_x += adv
                     continue
@@ -2427,6 +2471,7 @@ class _TextInterp:
                         dec, y + rise,
                         fx if fx is not None else cur_x,
                         size * sx,
+                    hsize=(size * abs(sy)) if sy else None,
                     )
                     cur_x += adv
                     # prevTransform = after the last emitted NON-SPACE
@@ -2465,6 +2510,7 @@ class _TextInterp:
                                 tj_first if tj_first is not None
                                 else tj_start_x,
                                 size * sx,
+                            hsize=(size * abs(sy)) if sy else None,
                             )
                             and tj_prev is not None
                         ):
@@ -2520,6 +2566,7 @@ class _TextInterp:
                         "".join(tj_buf), y + rise,
                         tj_first if tj_first is not None else tj_start_x,
                         size * sx,
+                    hsize=(size * abs(sy)) if sy else None,
                     )
                     and tj_prev is not None
                 ):
@@ -2618,7 +2665,7 @@ class _TextInterp:
             # angles like de-skewed scans) is rotate -1, compared in the
             # inverse-rotated frame of each point's own matrix
             # (applyInverseRotation, pdf.worker.js:36521-36524).
-            nonlocal quad, cA, cB, cC, cD, asx, matn, csy
+            nonlocal quad, cA, cB, cC, cD, asx, matn, csy, arise
             cA = tm_a * cm_a + tm_b * cm_c
             cB = tm_a * cm_b + tm_b * cm_d
             cC = tm_c * cm_a + tm_d * cm_c
@@ -2648,6 +2695,14 @@ class _TextInterp:
                 asx = sh
             else:
                 asx = tm_a * cm_a
+            # rise is matrix-scaled: a Tm/cm/Q that changes the matrix
+            # must refresh the compare-frame offset (pdf.js applies rise
+            # through tsm at every glyph — always current-scaled; the C
+            # lexer re-emits K_STATE at the same points)
+            if quad:
+                arise = _swapq(rise * cC, rise * cD)[1]
+            else:
+                arise = rise * tm_d * cm_d
 
         def _sety() -> None:
             # partial Td/TD/Tm (the x operand failed to convert): only
@@ -2667,9 +2722,20 @@ class _TextInterp:
                 fm.advance(item) / 1000.0 * size + glyphs * tc + spaces * tw
             ) * asx * tz
 
+        def advance_clip(item: bytes) -> float:
+            # whole item view-box-rejected: non-space glyphs advance by
+            # width only (pdf.js skips charSpacing on the reject path);
+            # space glyphs keep width+tc+tw (whitespace branch precedes
+            # the box test)
+            spaces = item.count(0x20) if fm.nbytes == 1 else 0
+            return (
+                fm.advance(item) / 1000.0 * size + spaces * (tc + tw)
+            ) * asx * tz
+
         def _show_item(dec: str, prev: float | None, adv: float,
                        fx: float | None = None,
-                       dev_w: float = 0.0) -> bool:
+                       dev_w: float = 0.0,
+                       adv_clip: float | None = None) -> bool:
             # one item through the assembler: compute compare-frame +
             # device coordinates for the CURRENT matrix mode, show,
             # advance the pen, update prevTransform. fx = the first
@@ -2692,7 +2758,7 @@ class _TextInterp:
                     quad=-1, dev_x=ddx, dev_y=ddy, mat=matn,
                     dev_w=dev_w, hsize=size * csy,
                 )
-                cur_x += adv
+                cur_x += adv if shown or adv_clip is None else adv_clip
                 if shown and prev is not None:
                     pp = (prev - au) / asx if asx else 0.0
                     self.last_end_x = ax + cA * pp + rise * cC
@@ -2704,9 +2770,12 @@ class _TextInterp:
             shown = self.show(
                 dec, vv, cx, size * asx,
                 quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
-                dev_w=dev_w, hsize=size * csy if quad else None,
+                # cross-axis item height: pdf.js height = fontSize *
+                # hypot(trm[2], trm[3]) — |composed d| at quad 0, which
+                # differs from the x-scale under anisotropic matrices
+                dev_w=dev_w, hsize=size * csy,
             )
-            cur_x += adv
+            cur_x += adv if shown or adv_clip is None else adv_clip
             if shown and prev is not None:
                 if quad:
                     self.last_end_x, self.glyph_y = _swapq(prev, vv)
@@ -2740,8 +2809,10 @@ class _TextInterp:
                     # dev_w = pdf.js's glyphWidth for the left-edge box
                     # test — the TEXT-SPACE scaledDim (before hscale,
                     # untransformed), added to the device posX exactly
-                    # as the reference does
-                    _show_item(ch, cur_x + w, w + tc * asx * tz, dev_w=wt)
+                    # as the reference does. A box-rejected glyph
+                    # advances by width only (no charSpacing).
+                    _show_item(ch, cur_x + w, w + tc * asx * tz,
+                               dev_w=wt, adv_clip=w)
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
@@ -2875,6 +2946,7 @@ class _TextInterp:
                     vb = self.viewbox
                     cprev: float | None = None
                     clipped_item = False
+                    nclip = 0
                     if (
                         vb is not None
                         and quad == 0  # rotated: show() box-tests whole
@@ -2885,7 +2957,7 @@ class _TextInterp:
                             or cur_x + advance(item) > vb[2]
                         )
                     ):
-                        dec, cprev = self._clip_x(
+                        dec, cprev, nclip = self._clip_x(
                             fm, item, dec, cur_x, size, asx * tz, tc, tw
                         )
                         clipped_item = True
@@ -2894,7 +2966,7 @@ class _TextInterp:
                     if (
                         quad == 0 and fm.nbytes == 1 and size > 0
                         and not clipped_item and len(dec) == len(item)
-                        and " " in dec[1:-1]
+                        and (" " in dec[1:-1] or tc < 0.0)
                     ):
                         segs = self._seg_split(
                             fm, item, dec, cur_x, size, asx * tz, tc, tw,
@@ -2902,12 +2974,15 @@ class _TextInterp:
                         )
                     if segs is not None:
                         # per-glyph item splitting at quad 0 (_seg_split)
+                        sh0 = None
                         for s0, s1, sfx, spv in segs:
                             sd = (
                                 " ".join(dec[s0:s1]) if lg else dec[s0:s1]
                             )
-                            _show_item(sd, spv, 0.0, fx=sfx)
-                        cur_x += advance(item)
+                            r = _show_item(sd, spv, 0.0, fx=sfx)
+                            if sh0 is None:
+                                sh0 = r
+                        cur_x += advance(item) if sh0 else advance_clip(item)
                         stack.clear()
                         continue
                     if lg:
@@ -2924,7 +2999,7 @@ class _TextInterp:
                             if item else None
                         )
                     _show_item(
-                        dec, prev, advance(item),
+                        dec, prev, advance(item) - nclip * tc * asx * tz,
                         fx=(
                             self._first_x(
                                 fm, item, dec, cur_x, size, asx * tz,
@@ -2933,6 +3008,7 @@ class _TextInterp:
                             if fm.nbytes == 1
                             else None
                         ),
+                        adv_clip=advance_clip(item),
                     )
                 elif op in (b"'", b'"'):
                     tm_e += -leading * tm_c
@@ -2955,6 +3031,7 @@ class _TextInterp:
                         vb = self.viewbox
                         cprev = None
                         clipped_item = False
+                        nclip = 0
                         if (
                             vb is not None
                             and quad == 0
@@ -2965,7 +3042,7 @@ class _TextInterp:
                                 or cur_x + advance(item) > vb[2]
                             )
                         ):
-                            dec, cprev = self._clip_x(
+                            dec, cprev, nclip = self._clip_x(
                                 fm, item, dec, cur_x, size, asx * tz, tc, tw
                             )
                             clipped_item = True
@@ -2975,20 +3052,26 @@ class _TextInterp:
                             quad == 0 and fm.nbytes == 1 and size > 0
                             and not clipped_item
                             and len(dec) == len(item)
-                            and " " in dec[1:-1]
+                            and (" " in dec[1:-1] or tc < 0.0)
                         ):
                             segs = self._seg_split(
                                 fm, item, dec, cur_x, size, asx * tz,
                                 tc, tw, size * asx,
                             )
                         if segs is not None:
+                            sh0 = None
                             for s0, s1, sfx, spv in segs:
                                 sd = (
                                     " ".join(dec[s0:s1]) if lg
                                     else dec[s0:s1]
                                 )
-                                _show_item(sd, spv, 0.0, fx=sfx)
-                            cur_x += advance(item)
+                                r = _show_item(sd, spv, 0.0, fx=sfx)
+                                if sh0 is None:
+                                    sh0 = r
+                            cur_x += (
+                                advance(item) if sh0
+                                else advance_clip(item)
+                            )
                             stack.clear()
                             continue
                         if lg:
@@ -3006,7 +3089,8 @@ class _TextInterp:
                                 if item else None
                             )
                         _show_item(
-                            dec, prev, advance(item),
+                            dec, prev,
+                            advance(item) - nclip * tc * asx * tz,
                             fx=(
                                 self._first_x(
                                     fm, item, dec, cur_x, size,
@@ -3015,6 +3099,7 @@ class _TextInterp:
                                 if fm.nbytes == 1
                                 else None
                             ),
+                            adv_clip=advance_clip(item),
                         )
                 elif (
                     op == b"TJ" and stack and isinstance(stack[-1], list)
@@ -3061,6 +3146,7 @@ class _TextInterp:
                             vb = self.viewbox
                             cprev = None
                             clipped_item = False
+                            nclip = 0
                             if (
                                 vb is not None
                                 and quad == 0
@@ -3071,11 +3157,17 @@ class _TextInterp:
                                     or cur_x + advance(item) > vb[2]
                                 )
                             ):
-                                dec, cprev = self._clip_x(
+                                dec, cprev, nclip = self._clip_x(
                                     fm, item, dec, cur_x, size,
                                     asx * tz, tc, tw,
                                 )
                                 clipped_item = True
+                            clip_y = (
+                                vb is not None and fm.nbytes == 1
+                                and not (
+                                    vb[1] <= cross_v + arise <= vb[3]
+                                )
+                            )
                             segs = None
                             if (
                                 fm.nbytes == 1 and size > 0
@@ -3087,6 +3179,7 @@ class _TextInterp:
                                         tjprev is not None
                                         and dec[:1] == " "
                                     )
+                                    or tc < 0.0
                                 )
                             ):
                                 segs = self._seg_split(
@@ -3113,10 +3206,11 @@ class _TextInterp:
                                     fx0 if fx0 is not None else start_x
                                 )
                                 ddx, ddy = _swapq(tj_cx, vv)
-                                if self.show("".join(buf), vv, tj_cx,
-                                             size * asx, quad=quad,
-                                             dev_x=ddx, dev_y=ddy,
-                                             mat=matn):
+                                sh0 = self.show("".join(buf), vv, tj_cx,
+                                                size * asx, quad=quad,
+                                                dev_x=ddx, dev_y=ddy,
+                                                mat=matn)
+                                if sh0:
                                     self.last_end_x = spv
                                 for s0m, s1m, sfm, spm in segs[1:-1]:
                                     sd = (
@@ -3137,7 +3231,10 @@ class _TextInterp:
                                 tjfirst = sfl
                                 start_x = sfl
                                 tjprev = spl
-                                cur_x += advance(item)
+                                cur_x += (
+                                    advance(item) if sh0
+                                    else advance_clip(item)
+                                )
                                 continue
                             if clipped_item:
                                 prev = cprev
@@ -3157,7 +3254,10 @@ class _TextInterp:
                                     fm, item, dec, cur_x, size,
                                     asx * tz, tc, tw,
                                 )
-                            cur_x += advance(item)
+                            cur_x += (
+                                advance_clip(item) if clip_y
+                                else advance(item) - nclip * tc * asx * tz
+                            )
                             if prev is not None:
                                 tjprev = prev
                         elif isinstance(item, (int, float)):

@@ -444,16 +444,22 @@ def _gen_rotated_state_stream(rng: random.Random) -> bytes:
     whitespace items become visible lines under rotation), word spacing
     (Tw), horizontal scaling (Tz) and leading (TL/T*). Covered by the
     per-glyph show path for rotated 1-byte items plus the notASpace
-    pending-space reset. Mid-line Ts (rise) toggles are covered at
-    QUADRANT 0 by _gen_rise_space_stream (the item-splitting model
-    closed the class there); under ROTATION a residual anchor
-    approximation remains (~1/60 seeded docs place one "\\n"
-    differently), so this generator still leaves Ts at 0."""
+    pending-space reset. Mid-line Ts (rise) toggles are included since
+    round 4: the rise offset is recomputed under every matrix change
+    (pdf.js applies rise through tsm at each glyph), which closed the
+    rotated-rise residual this generator previously excluded."""
     ops = [b"BT", b"/F1 %d Tf" % rng.choice([8, 10, 12])]
     quad = rng.choice(_QUADS)
     u, v = 300.0, 400.0
     for _ in range(rng.randrange(6, 14)):
-        kind = rng.randrange(7)
+        kind = rng.randrange(8)
+        if kind == 7:  # mid-line rise toggle
+            ops.append(b"%.1f Ts" % rng.choice([3.0, -2.5, 1.2, 0.0]))
+            ops.append(
+                b"(%s   %s) Tj"
+                % (rng.choice(WORDS).encode(), rng.choice(WORDS).encode())
+            )
+            continue
         if kind == 0:
             quad = rng.choice(_QUADS)
             u += rng.choice([-14.0, 0.0, 14.0])
