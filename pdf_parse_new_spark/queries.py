@@ -52,6 +52,38 @@ FROM documents GROUP BY source
 """
 
 
+def q_conv_concat_tree(spark, sf_dir):
+    """J1 three-level tree concat (block partials -> superblocks ->
+    final; operators/concat.concat_conversations_tree) driven over the
+    documents table and oracle-checked against the SAME ordered
+    string_agg as conv_concat — the hash match doubles as an
+    associativity proof for the tree merge (any nesting of ordered
+    merges equals the direct fold). Tiny block/fanout values force all
+    three levels to do real work even at sf0.01."""
+    from pdf_parse_new_spark.operators import concat
+
+    d = load(spark, sf_dir, "documents")
+    turns = d.select(
+        F.col("source").alias("conv_id"),
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            ) - 1
+        ).alias("turn_idx"),
+        F.col("text").alias("extracted_text"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit("plain").alias("family"),
+        F.lit(1).alias("n_pages"),
+        F.lit(None).cast("string").alias("info"),
+    )
+    out = concat.concat_conversations_tree(turns, block=8, fanout=4)
+    return out.select(
+        F.col("conv_id").alias("source"),
+        F.col("n_turns").cast("bigint").alias("n_docs"),
+        "full_text",
+    )
+
+
 def q_group_limit(spark, sf_dir):
     """P3/O2: first-N per group via row_number (the max-pages clamp)."""
     d = load(spark, sf_dir, "documents")
@@ -1046,6 +1078,7 @@ FROM w ORDER BY doc_id
 
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
+    "conv_concat_tree": (q_conv_concat_tree, SQL_CONV_CONCAT),
     "group_limit": (q_group_limit, SQL_GROUP_LIMIT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "lang_quality": (q_lang_quality, SQL_LANG_QUALITY),
