@@ -893,7 +893,8 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      long *clipped,
                      SegRec *runs, int *nruns, int *runs_ok,
                      double prev0, int have_prev0,
-                     double *lastseg_fx, int *lastseg_has)
+                     double *lastseg_fx, int *lastseg_has,
+                     long *tail_sp)
 {
     long o = *olen;
     long start_ = o; /* letter-gap spaces only between this item's chars */
@@ -1013,6 +1014,13 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         if (cc_ == 0x20)                                                     \
             (*spaces)++;                                                     \
         (*glyphs)++;                                                         \
+        /* real trailing space GLYPHS (letter-gap join bytes don't     */   \
+        /* count): pdf.js's twoLastChars ring only ever saw glyphs;    */   \
+        /* clipped glyphs broke out above (saveLastChar skipped)       */   \
+        if (sp_)                                                             \
+            (*tail_sp)++;                                                    \
+        else                                                                 \
+            *tail_sp = 0;                                                    \
         if (!sp_) {                                                          \
             *prev_x_out = px_ + w[cc_] * kx;                                 \
             *have_prev = 1;                                                  \
@@ -1042,6 +1050,9 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
 
     if (flag == 0) { /* escape-free literal: raw slice between delims */
         for (long i = a + 1; i < b - 1; i++)
+            PUTCODE(d[i]);
+    } else if (flag == 3) { /* coalesced TJ group: raw blob span [a, b) */
+        for (long i = a; i < b; i++)
             PUTCODE(d[i]);
     } else if (flag == 1) { /* hex string: digits between < and > */
         int hi = -1;
@@ -1344,7 +1355,8 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     long start, const int32_t *font_idx,
                     const unsigned char *tbytes, const int32_t *toff,
                     const double *widths, double *state, unsigned char *out,
-                    long ocap, long *out_len)
+                    long ocap, long *out_len,
+                    const unsigned char *scratch)
 {
     RState st;
     st.y = state[0];
@@ -1379,9 +1391,21 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.line_ox = state[27];
     st.line_oy = state[28];
 
-    long olen = 0, tjmark = -1;
+    long olen = 0, tjmark = -1, tj_tail_sp = 0;
     double tj_start_x = 0.0, tj_prev_x = 0.0, tj_first_x = 0.0;
     int tj_have_prev = 0, tj_have_first = 0;
+    /* kern-killed trailing run: pdf.js's twoLastChars ring is left at
+     * [' ',' '] (notASpace resets TO spaces; the tracking merge never
+     * resets), so no later single space can arm a pend1 standalone
+     * until a real glyph rolls the ring — re-arm the pend memory as a
+     * MULTI run right after the buffer itself is shown. */
+    int tj_kill = 0;
+    /* deferred kern fake space: pdf.js only decides at the NEXT real
+     * glyph — if the next group leads with space glyphs their
+     * advances (tw can be negative) change the gap, so the space
+     * materializes only when the next group starts with a real glyph;
+     * otherwise the leading-run machinery owns the decision. */
+    int tj_fake = 0;
     long ret = nev;
 
     for (long i = start; i < nev; i++) {
@@ -1408,13 +1432,30 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 p0 = tj_prev_x;
                 hp0 = 1;
             }
-            if (rp_decode(d, n, e->flag, e->a, e->b, tbytes, to, w, out,
+            if (rp_decode(e->flag == 3 ? scratch : d, n, e->flag,
+                          e->a, e->b, tbytes, to, w, out,
                           &olen, ocap, &glyphs, &spaces, &wsum, lgap,
                           &st, st.cur_x, &prev_x, &have_prev,
                           &first_x, &have_first, &clipped,
                           runs, &nruns, &runs_ok, p0, hp0,
-                          &lastseg_fx, &lastseg_has) < 0)
+                          &lastseg_fx, &lastseg_has, &tj_tail_sp) < 0)
                 return -1;
+            if (e->kind == K_TJSTR && tj_fake && olen > mark) {
+                /* deferred kern fake space lands only before a REAL
+                 * first glyph; a leading space glyph owns the
+                 * decision instead (space glyphs always decode to a
+                 * single ' ') */
+                if (out[mark] != ' ') {
+                    if (olen + 1 > ocap)
+                        return -1;
+                    memmove(out + mark + 1, out + mark, olen - mark);
+                    out[mark] = ' ';
+                    olen++;
+                    for (int q2 = 0; q2 < nruns; q2++)
+                        runs[q2].off++;
+                }
+                tj_fake = 0;
+            }
             /* view-box-rejected glyphs advance by WIDTH only — pdf.js's
              * reject path skips the charSpacing translate
              * (pdf.worker.js:36705-36711). y-clip (whole item outside):
@@ -1451,6 +1492,16 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                  * staged tail parks at the top of `out` while each
                  * earlier segment runs through rp_show. */
                 long base = tjmark < 0 ? mark : tjmark;
+                if (tj_kill) {
+                    /* real glyphs of THIS item precede the first
+                     * split: the ring rolled — the killed-run memory
+                     * dies unconsumed */
+                    for (long q = mark; q < runs[0].off; q++)
+                        if (out[q] != ' ') {
+                            tj_kill = 0;
+                            break;
+                        }
+                }
                 for (int k = 0; k < nruns; k++) {
                     long bnd = runs[k].off;
                     long tl = olen - bnd;
@@ -1477,6 +1528,11 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         st.last_end_x = runs[k].prev_end;
                         st.have_last_end_x = 1;
                     }
+                    if (tj_kill) {
+                        st.pending_space = 1;
+                        st.pending_multi = 1;
+                        tj_kill = 0;
+                    }
                     if (tl > 0) {
                         memmove(out + olen, out + ocap - tl, tl);
                         long delta = olen - bnd;
@@ -1502,6 +1558,9 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 if (have_prev) {
                     tj_prev_x = prev_x;
                     tj_have_prev = 1;
+                    /* a real glyph rolled the ring: the killed-run
+                     * memory dies unconsumed */
+                    tj_kill = 0;
                 }
                 if (have_first && !tj_have_first) {
                     tj_first_x = first_x;
@@ -1574,8 +1633,13 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
         }
         case K_TJNUM:
             /* the kern rides charSpacing through translateTextMatrix
-             * (x textHScale) — pdf.worker.js:36687,36735 */
+             * (x textHScale) — pdf.worker.js:36687,36735. After the
+             * coalescing rewrite, flag = count of merged kerns that ran
+             * with an EMPTY buffer: each applied charSpacing in its
+             * translate (the !chars branch, pdf.worker.js:36663-36675) */
             st.cur_x -= e->f0 / 1000.0 * st.size * st.sx * st.tz;
+            if (e->flag)
+                st.cur_x += (double)e->flag * st.tc * st.sx * st.tz;
             if (st.size > 0.0 && tj_have_prev &&
                 (st.cur_x - tj_prev_x < -0.2 * st.size * st.sx ||
                  st.cur_x - tj_prev_x > 0.6 * st.size * st.sx)) {
@@ -1596,29 +1660,64 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     st.last_end_x = tj_prev_x;
                     st.have_last_end_x = 1;
                 }
+                if (tj_kill) {
+                    st.pending_space = 1;
+                    st.pending_multi = 1;
+                    tj_kill = 0;
+                }
                 tjmark = olen;
                 tj_start_x = st.cur_x;
                 tj_have_prev = 0;
                 tj_have_first = 0;
+                tj_tail_sp = 0;
+                tj_fake = 0;
             } else if (st.size > 0.0) {
                 double kern = e->f0 / 1000.0 * st.size;
                 long base = tjmark < 0 ? 0 : tjmark;
                 if (olen > base && out[olen - 1] == ' ') {
-                    /* a kern pulling the next glyph back past a
-                     * trailing space glyph eats the space (notASpace
-                     * reset, pdf.worker.js:36630-36631) */
-                    double w_sp = widths[st.cur_font * 256 + 32] /
-                                  1000.0 * st.size;
-                    if ((w_sp + 2.0 * st.tc + st.tw - kern) * st.tz <=
-                        0.03 * st.size) {
+                    /* pdf.js buffers NO space glyphs: the trailing
+                     * run's fate is decided ONCE at the next glyph
+                     * (compareWithLastPosition over the accumulated
+                     * translate, pdf.worker.js:36626-36651). gap <=
+                     * notASpace (0.03) kills the run; gap <=
+                     * trackingSpaceMin (0.102) keeps a space only
+                     * when exactly ONE glyph was saved
+                     * (shouldAddWhitepsace sees [' ',' '] for longer
+                     * runs); above that one space materializes — the
+                     * kept run collapses downstream. The position gap
+                     * (cur_x - tj_prev_x) IS pdf.js's advanceX here;
+                     * the width formula is the fallback when no real
+                     * glyph anchors the buffer yet. */
+                    long nreal = tj_tail_sp > 0 ? tj_tail_sp : 1;
+                    int kill;
+                    if (tj_have_prev) {
+                        double g = st.cur_x - tj_prev_x;
+                        double lim = st.size * st.sx;
+                        kill = g <= 0.03 * lim ||
+                               (nreal != 1 &&
+                                g <= RP_GAP_FRACTION * lim);
+                    } else {
+                        double w_sp = widths[st.cur_font * 256 + 32] /
+                                      1000.0 * st.size;
+                        double gap_sp =
+                            ((double)nreal *
+                                 (w_sp + st.tc + st.tw) +
+                             (1.0 + (double)e->flag) * st.tc - kern) *
+                            st.tz;
+                        kill = gap_sp <= 0.03 * st.size ||
+                               (nreal != 1 &&
+                                gap_sp <= RP_GAP_FRACTION * st.size);
+                    }
+                    if (kill) {
                         while (olen > base && out[olen - 1] == ' ')
                             olen--;
+                        tj_tail_sp = 0;
+                        tj_kill = 1;
                     }
-                } else if ((st.tc - kern) * st.tz >
+                } else if (((1.0 + (double)e->flag) * st.tc - kern) *
+                               st.tz >
                            RP_GAP_FRACTION * st.size) {
-                    if (olen + 1 > ocap)
-                        return -1;
-                    out[olen++] = ' ';
+                    tj_fake = 1;
                 }
             }
             break;
@@ -1656,6 +1755,9 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             tj_start_x = st.cur_x;
             tj_have_prev = 0;
             tj_have_first = 0;
+            tj_tail_sp = 0;
+            tj_kill = 0;
+            tj_fake = 0;
             break;
         case K_TJEND: {
             int rc = rp_show(&st, out, &olen, ocap,
@@ -1669,6 +1771,12 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 st.last_end_x = tj_prev_x;
                 st.have_last_end_x = 1;
             }
+            if (tj_kill) {
+                st.pending_space = 1;
+                st.pending_multi = 1;
+                tj_kill = 0;
+            }
+            tj_fake = 0;
             tjmark = -1;
             break;
         }

@@ -73,6 +73,7 @@ def _build() -> ctypes.CDLL:
         ctypes.c_void_p,                             # state double[32]
         ctypes.c_void_p, ctypes.c_long,              # out, ocap
         ctypes.c_void_p,                             # out_len long*
+        ctypes.c_char_p,                             # TJ scratch blob
     ]
     return lib
 
@@ -111,6 +112,7 @@ def replay(
     widths: np.ndarray,
     state: np.ndarray,
     out: np.ndarray,
+    scratch: bytes = b"",
 ) -> tuple[int, int]:
     """One replay segment. Returns (next_event_index, out_len); the index
     is len(ev) when the stream is done, the K_XOBJ event index when the
@@ -125,5 +127,6 @@ def replay(
         state.ctypes.data,
         out.ctypes.data, len(out),
         ctypes.byref(out_len),
+        scratch,
     )
     return int(ret), out_len.value

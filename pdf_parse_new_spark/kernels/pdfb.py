@@ -2156,6 +2156,176 @@ class _TextInterp:
         out.append((seg_start, n, seg_first, prev_end))
         return out
 
+    @staticmethod
+    def _coalesce_tj(arr):
+        """pdf.js joins adjacent TJ string elements into ONE chars
+        string (showSpacedTextBuffer.join(""), pdf.worker.js:
+        36890-36909) and skips zero kerns entirely (``item !== 0``), so
+        an element boundary with no nonzero kern between is plain glyph
+        adjacency — cross-boundary space runs, fake-space windows,
+        notASpace kills and per-glyph CR splits all follow from the
+        intra-item machinery. Returns ``[(joined_bytes, kern), ...]``
+        with ``kern`` in raw TJ units (None only on the final group).
+        CONSECUTIVE kerns merge into one: pdf.js evaluates the gap once,
+        at the next group's first glyph, with the total translate —
+        and each kern processed with an EMPTY buffer runs
+        buildTextContentItem's !chars branch, which applies charSpacing
+        IN ADDITION to the kern (pdf.worker.js:36663-36675); ``n_tc``
+        counts those."""
+        groups: list = []
+        pend: list[bytes] = []
+        kern_open = False
+        for it in arr:
+            if isinstance(it, bytes):
+                pend.append(it)
+            elif isinstance(it, (int, float)) and it != 0:
+                # decide on the JOINED bytes, not the element list: a
+                # pend of only empty () elements joins to b"" and the
+                # kern runs pdf.js's !chars branch (charSpacing applies,
+                # pdf.worker.js:36663-36675) — it merges with the open
+                # kern like any other empty-buffer kern
+                joined = b"".join(pend)
+                pend = []
+                if joined:
+                    groups.append([joined, float(it), 0])
+                    kern_open = True
+                elif kern_open:
+                    groups[-1][1] += float(it)
+                    groups[-1][2] += 1
+                else:
+                    groups.append([b"", float(it), 1])
+                    kern_open = True
+        groups.append([b"".join(pend), None, 0])
+        return groups
+
+    @staticmethod
+    def _tj_rewrite_needed(ev, data) -> bool:
+        """True when a stream's TJ arrays need the coalescing rewrite
+        (:meth:`_coalesce_tj_events`): adjacent string elements,
+        consecutive kerns, a leading kern, a zero kern, or an
+        empty-decoding string element. Everything else — the common
+        ``[(str) num (str) num ...]`` justified-text shape — is already
+        exact under per-element processing, so the fast paths skip the
+        rewrite cost entirely."""
+        k = ev["kind"]
+        if len(k) > 1:
+            a2, b2 = k[:-1], k[1:]
+            if (
+                ((a2 == 6) & (b2 == 6))
+                | ((a2 == 7) & (b2 == 7))
+                | ((a2 == 5) & (b2 == 7))
+            ).any():
+                return True
+        m7 = k == 7
+        if m7.any() and (ev["f0"][m7] == 0.0).any():
+            return True
+        m6 = k == 6
+        if not m6.any():
+            return False
+        fl = ev["flag"][m6]
+        if (((ev["b"][m6] - ev["a"][m6]) <= 2) & (fl == 0)).any():
+            return True
+        esc = fl != 0
+        if esc.any():
+            # hex / escape-bearing elements: exact emptiness needs the
+            # unescape (``<  >`` or a bare line continuation decode to
+            # b"") — cheap, runs only over those few rows
+            for a, flg in zip(
+                ev["a"][m6][esc].tolist(), fl[esc].tolist()
+            ):
+                raw = (
+                    _parse_hex_string(data, a)[0]
+                    if flg == 1
+                    else _parse_literal_string(data, a)[0]
+                )
+                if not raw:
+                    return True
+        return False
+
+    @staticmethod
+    def _coalesce_tj_events(evl, data, chunks):
+        """Event-list twin of :meth:`_coalesce_tj`: rewrite each TJ
+        region so a run of K_TJSTR events becomes ONE synthetic event
+        (flag 3, ``a``/``b`` = offsets into the scratch blob
+        ``b"".join(chunks)``), zero kerns vanish, CONSECUTIVE kerns
+        merge into one row (f0 = summed value; the gap is evaluated
+        once, at the next group's first glyph), and a kern row's flag
+        carries the count of merged kerns that ran with an EMPTY buffer
+        — each applied charSpacing in addition to its kern (the !chars
+        branch, pdf.worker.js:36663-36675)."""
+        out = []
+        pend: list[bytes] | None = None
+        pend_row = None
+        kern_row = None
+        total = 0
+
+        def _flush_pend():
+            nonlocal pend, total
+            raw = b"".join(pend)
+            nr = list(pend_row)
+            nr[1] = 3
+            nr[2] = total
+            nr[3] = total + len(raw)
+            chunks.append(raw)
+            total += len(raw)
+            out.append(nr)
+            pend = None
+
+        for row in evl:
+            kind = row[0]
+            if kind == 6:
+                flag, a, b = row[1], row[2], row[3]
+                if flag == 0:
+                    raw = data[a + 1 : b - 1]
+                elif flag == 1:
+                    raw = _parse_hex_string(data, a)[0]
+                else:
+                    raw = _parse_literal_string(data, a)[0]
+                if pend is None:
+                    pend = [raw]
+                    pend_row = row
+                else:
+                    pend.append(raw)
+                # kern_row is NOT reset here: an all-empty pend joins to
+                # b"" at the next kern, which then merges with the open
+                # kern chain (pdf.js never sees the empty () elements)
+                continue
+            if kind == 7:
+                if row[4] == 0.0:
+                    continue  # zero kern: skipped (``item !== 0``)
+                if pend is not None and b"".join(pend):
+                    _flush_pend()
+                    kern_row = list(row)
+                    kern_row[1] = 0
+                    out.append(kern_row)
+                elif kern_row is not None:
+                    # empty-join pend (or none): the kern ran with an
+                    # EMPTY buffer — pdf.js's !chars branch applies
+                    # charSpacing (pdf.worker.js:36663-36675)
+                    pend = None
+                    kern_row[4] += row[4]
+                    kern_row[1] += 1
+                else:
+                    pend = None
+                    kern_row = list(row)
+                    kern_row[1] = 1
+                    out.append(kern_row)
+                continue
+            if kind == 8 and pend is not None:
+                _flush_pend()
+            kern_row = None
+            out.append(row)
+        return out
+
+    def _tj_rewrite(self, ev, data):
+        """Rewrite the event array for TJ coalescing; returns
+        ``(ev2, scratch)`` with ``ev2`` in the same record dtype and
+        ``scratch`` the joined-bytes blob flag-3 rows index into."""
+        chunks: list[bytes] = []
+        rows = self._coalesce_tj_events(ev.tolist(), data, chunks)
+        ev2 = _np.array([tuple(r) for r in rows], dtype=ev.dtype)
+        return ev2, b"".join(chunks)
+
     def _font_for(self, fonts_dict, name: str) -> FontMap:
         ref = (fonts_dict or {}).get(name)
         if not isinstance(ref, Ref):  # inline font dict: id() keys are not
@@ -2235,7 +2405,7 @@ class _TextInterp:
         return tbytes, toff, widths, font_idx
 
     def _replay_c(self, data: bytes, ev, plan, xobjs, resources,
-                  depth: int, seen: frozenset) -> None:
+                  depth: int, seen: frozenset, scratch: bytes = b"") -> None:
         """Drive ``pdftext_replay`` over the event array, recursing into
         Form XObjects between C segments. Line-model state round-trips
         through the state vector so C segments and Python recursion
@@ -2266,7 +2436,8 @@ class _TextInterp:
             st[30] = self.item_hsize
             while True:
                 ret, olen = cinterp.replay(
-                    data, ev, i, font_idx, tbytes, toff, widths, st, out
+                    data, ev, i, font_idx, tbytes, toff, widths, st, out,
+                    scratch,
                 )
                 if ret >= 0:
                     break
@@ -2317,9 +2488,14 @@ class _TextInterp:
             # interpreter. Rare in practice — rotation-0 streams keep
             # the C fast paths.
             return self._run_py(data, resources, depth, seen)
+        scratch = b""
+        if self._tj_rewrite_needed(ev, data):
+            ev, scratch = self._tj_rewrite(ev, data)
         plan = self._c_plan(ev, data, fonts_dict)
         if plan is not None:
-            return self._replay_c(data, ev, plan, xobjs, res, depth, seen)
+            return self._replay_c(
+                data, ev, plan, xobjs, res, depth, seen, scratch
+            )
         fm = _ASCII_FM
         y = rise = 0.0
         cur_x = 0.0
@@ -2333,16 +2509,37 @@ class _TextInterp:
         tj_start_x = 0.0
         tj_prev: float | None = None
         tj_first: float | None = None
+        # real trailing space GLYPHS behind the TJ buffer tail (letter-
+        # gap join spaces don't count: pdf.js's twoLastChars ring only
+        # ever saw the glyphs)
+        tj_tail_sp = 0
+        # a kern-killed trailing run leaves pdf.js's twoLastChars ring
+        # at [' ',' '] (notASpace resets TO spaces; the tracking merge
+        # never resets), so no later single space can arm a pend1
+        # standalone until a real glyph rolls the ring. The buffer kept
+        # none of the killed glyphs — re-arm the pend memory as a
+        # MULTI run right after the buffer itself is shown (the show's
+        # own decision must still see the pre-TJ pend state).
+        tj_kill = False
+        # deferred kern fake space: pdf.js only decides at the NEXT
+        # real glyph — if the next group leads with space glyphs their
+        # advances (tw can be negative!) change the gap, so the space
+        # materializes only when the next group starts with a real
+        # glyph; otherwise the leading-run machinery owns the decision
+        tj_fake_pend = False
         show = self.show
         lit, hexs = _parse_literal_string, _parse_hex_string
         for kind, flag, a, b, f0, f1, f2, f3 in ev.tolist():
             if kind == 6 or kind == 4:  # TJSTR / STR (show text)
                 # flag: 0 = escape-free literal (slice), 1 = hex,
-                #       2 = literal needing full unescape
+                #       2 = literal needing full unescape,
+                #       3 = coalesced TJ group (scratch blob span)
                 if flag == 0:
                     item = data[a + 1 : b - 1]
                 elif flag == 1:
                     item = hexs(data, a)[0]
+                elif flag == 3:
+                    item = scratch[a:b]
                 else:
                     item = lit(data, a)[0]
                 glyphs = len(item) // fm.nbytes
@@ -2382,6 +2579,16 @@ class _TextInterp:
                         + spaces * (tc + tw)
                     ) * sx * tz
                 lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                if kind == 6 and tj_fake_pend and dec:
+                    if not dec.startswith(" "):
+                        tj_buf.append(" ")
+                    tj_fake_pend = False
+                if kind == 6:
+                    t_run = len(dec) - len(dec.rstrip(" "))
+                    tj_tail_sp = (
+                        t_run if dec.strip(" ")
+                        else tj_tail_sp + dec.count(" ")
+                    )
                 segs = None
                 prev0 = tj_prev if kind == 6 else None
                 if (
@@ -2410,6 +2617,11 @@ class _TextInterp:
                     ]
                     if kind == 6:
                         d0, f0_, p0 = sub[0]
+                        if d0.strip(" "):
+                            # real glyphs of THIS item precede the
+                            # split: the ring rolled — the killed-run
+                            # memory dies unconsumed
+                            tj_kill = False
                         tj_buf.append(d0)
                         fx0 = tj_first if tj_first is not None else f0_
                         if show("".join(tj_buf), y + rise,
@@ -2417,6 +2629,10 @@ class _TextInterp:
                                 size * sx,
                                 hsize=(size * abs(sy)) if sy else None):
                             self.last_end_x = p0
+                        if tj_kill:
+                            self.pending_space = True
+                            self.pending_multi = True
+                            tj_kill = False
                         for dmid, fmid, pmid in sub[1:-1]:
                             if show(dmid, y + rise, fmid, size * sx,
                                     hsize=(size * abs(sy)) if sy else None):
@@ -2452,6 +2668,10 @@ class _TextInterp:
                     prev = (cur_x + adv - tc * sx * tz) if item else None
                 if kind == 6:
                     tj_buf.append(dec)
+                    if dec.strip(" "):
+                        # a real glyph rolled the ring: the killed-run
+                        # memory dies unconsumed
+                        tj_kill = False
                     if tj_first is None and fm.nbytes == 1:
                         tj_first = self._first_x(
                             fm, item, dec, cur_x, size, sx * tz, tc, tw
@@ -2482,6 +2702,12 @@ class _TextInterp:
             elif kind == 7:  # TJNUM kern (x textHScale: the kern rides
                 # charSpacing through translateTextMatrix)
                 cur_x -= f0 / 1000.0 * size * sx * tz
+                if flag:
+                    # flag = count of merged kerns that ran with an
+                    # EMPTY buffer: each applied charSpacing in its
+                    # translate (the !chars branch,
+                    # pdf.worker.js:36663-36675)
+                    cur_x += flag * tc * sx * tz
                 # a TJ number is extra charSpacing on the preceding
                 # glyph (pdf.worker.js:36687). When that glyph is a
                 # SPACE, the next glyph's advanceX includes the space
@@ -2515,20 +2741,57 @@ class _TextInterp:
                             and tj_prev is not None
                         ):
                             self.last_end_x = tj_prev
+                        if tj_kill:
+                            self.pending_space = True
+                            self.pending_multi = True
+                            tj_kill = False
                         tj_buf = []
                         tj_start_x = cur_x
                         tj_prev = None
                         tj_first = None
+                        tj_tail_sp = 0
+                        tj_fake_pend = False
                     elif tj_buf and tj_buf[-1].endswith(" "):
-                        w_sp = (
-                            fm.widths.get(32, fm.default_width) / 1000.0 * size
-                            if fm.nbytes == 1
-                            else 0.5 * size
-                        )
-                        if (w_sp + 2 * tc + tw - kern) * tz <= 0.03 * size:
+                        # pdf.js buffers NO space glyphs — the whole
+                        # trailing run's fate is decided ONCE at the
+                        # next glyph (compareWithLastPosition over the
+                        # accumulated translate): gap <= notASpace
+                        # (0.03) kills it; gap <= trackingSpaceMin
+                        # (0.102) keeps a space only when exactly ONE
+                        # glyph was saved (shouldAddWhitepsace's two-
+                        # char ring holds [' ',' '] for runs); above
+                        # that exactly one space materializes — the
+                        # kept run collapses downstream. The position
+                        # gap (cur_x - tj_prev) IS pdf.js's advanceX
+                        # here; the width formula is the fallback when
+                        # no real glyph anchors the buffer yet.
+                        n_real = tj_tail_sp if tj_tail_sp > 0 else 1
+                        if gap is not None:
+                            kill = gap <= 0.03 * lim or (
+                                n_real != 1
+                                and gap <= self.GAP_FRACTION * lim
+                            )
+                        else:
+                            w_sp = (
+                                fm.widths.get(32, fm.default_width)
+                                / 1000.0 * size
+                                if fm.nbytes == 1
+                                else 0.5 * size
+                            )
+                            gap_sp = (
+                                n_real * (w_sp + tc + tw)
+                                + (1 + flag) * tc - kern
+                            ) * tz
+                            kill = gap_sp <= 0.03 * size or (
+                                n_real != 1
+                                and gap_sp <= self.GAP_FRACTION * size
+                            )
+                        if kill:
                             tj_buf[-1] = tj_buf[-1].rstrip(" ")
-                    elif (tc - kern) * tz > self.GAP_FRACTION * size:
-                        tj_buf.append(" ")
+                            tj_tail_sp = 0
+                            tj_kill = True
+                    elif ((1 + flag) * tc - kern) * tz > self.GAP_FRACTION * size:
+                        tj_fake_pend = True
             elif kind == 1:  # ANCHOR: new line origin
                 if (
                     flag == 1 and f2 != sx and self.line_open
@@ -2560,6 +2823,9 @@ class _TextInterp:
                 tj_start_x = cur_x
                 tj_prev = None
                 tj_first = None
+                tj_tail_sp = 0
+                tj_kill = False
+                tj_fake_pend = False
             elif kind == 8:  # TJEND
                 if (
                     show(
@@ -2571,6 +2837,11 @@ class _TextInterp:
                     and tj_prev is not None
                 ):
                     self.last_end_x = tj_prev
+                if tj_kill:
+                    self.pending_space = True
+                    self.pending_multi = True
+                    tj_kill = False
+                tj_fake_pend = False
             elif kind == 2:  # FONT
                 # flag=1: the size operand failed float() in the fallback —
                 # the font still changes (it converts FIRST there), size
@@ -3113,36 +3384,56 @@ class _TextInterp:
                     # behind one anchor. Run each element through the
                     # per-item compare; a big kern then takes the
                     # carriage-return / gap paths naturally.
-                    for item in stack[-1]:
-                        if isinstance(item, bytes):
+                    for item, tj_kern, tj_ntc in self._coalesce_tj(
+                        stack[-1]
+                    ):
+                        if item:
                             dec = fm.decode(item)
                             if (
                                 fm.nbytes == 1
                                 and len(dec) == len(item)
                             ):
                                 _show_glyphs(item, dec)
-                                continue
-                            if (
-                                size > 0
-                                and tc * tz > self.GAP_FRACTION * size
-                            ):
-                                dec = " ".join(dec)
-                            prev = (
-                                cur_x + advance(item) - tc * asx * tz
-                                if item else None
-                            )
-                            _show_item(dec, prev, advance(item))
-                        elif isinstance(item, (int, float)):
-                            cur_x -= item / 1000.0 * size * asx * tz
+                            else:
+                                if (
+                                    size > 0
+                                    and tc * tz > self.GAP_FRACTION * size
+                                ):
+                                    dec = " ".join(dec)
+                                prev = (
+                                    cur_x + advance(item) - tc * asx * tz
+                                    if item else None
+                                )
+                                _show_item(dec, prev, advance(item))
+                        if tj_kern is not None:
+                            cur_x -= tj_kern / 1000.0 * size * asx * tz
+                            if tj_ntc:
+                                # merged empty-buffer kerns each applied
+                                # charSpacing too (!chars branch)
+                                cur_x += tj_ntc * tc * asx * tz
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     buf: list[str] = []
                     start_x = cur_x
                     tjprev: float | None = None
                     tjfirst: float | None = None
+                    # real trailing space GLYPHS behind the buffer tail
+                    # (letter-gap join spaces don't count: pdf.js's
+                    # twoLastChars ring only ever saw the glyphs)
+                    tail_sp = 0
+                    # kern-killed-run carry (see the event consumer)
+                    tj_kill = False
+                    # deferred kern fake space (see the event consumer)
+                    tj_fake = False
                     lgap = size > 0 and tc * tz > self.GAP_FRACTION * size
-                    for item in stack[-1]:
-                        if isinstance(item, bytes):
+                    for item, tj_kern, tj_ntc in self._coalesce_tj(
+                        stack[-1]
+                    ):
+                        if item:
                             dec = fm.decode(item)
+                            if tj_fake and dec:
+                                if not dec.startswith(" "):
+                                    buf.append(" ")
+                                tj_fake = False
                             vb = self.viewbox
                             cprev = None
                             clipped_item = False
@@ -3167,6 +3458,11 @@ class _TextInterp:
                                 and not (
                                     vb[1] <= cross_v + arise <= vb[3]
                                 )
+                            )
+                            t_run = len(dec) - len(dec.rstrip(" "))
+                            tail_sp = (
+                                t_run if dec.strip(" ")
+                                else tail_sp + dec.count(" ")
                             )
                             segs = None
                             if (
@@ -3194,6 +3490,10 @@ class _TextInterp:
                                 # the new buffer
                                 vv = cross_v + arise
                                 s0, s1, sfx, spv = segs[0]
+                                if dec[s0:s1].strip(" "):
+                                    # real glyphs precede the split:
+                                    # the ring rolled
+                                    tj_kill = False
                                 buf.append(
                                     " ".join(dec[s0:s1]) if lgap
                                     else dec[s0:s1]
@@ -3212,6 +3512,10 @@ class _TextInterp:
                                                 mat=matn)
                                 if sh0:
                                     self.last_end_x = spv
+                                if tj_kill:
+                                    self.pending_space = True
+                                    self.pending_multi = True
+                                    tj_kill = False
                                 for s0m, s1m, sfm, spm in segs[1:-1]:
                                     sd = (
                                         " ".join(dec[s0m:s1m]) if lgap
@@ -3235,35 +3539,45 @@ class _TextInterp:
                                     advance(item) if sh0
                                     else advance_clip(item)
                                 )
-                                continue
-                            if clipped_item:
-                                prev = cprev
-                            elif fm.nbytes == 1:
-                                prev = self._prev_x(
-                                    fm, item, dec, cur_x, size,
-                                    asx * tz, tc, tw,
-                                )
                             else:
-                                prev = (
-                                    cur_x + advance(item) - tc * asx * tz
-                                    if item else None
+                                if clipped_item:
+                                    prev = cprev
+                                elif fm.nbytes == 1:
+                                    prev = self._prev_x(
+                                        fm, item, dec, cur_x, size,
+                                        asx * tz, tc, tw,
+                                    )
+                                else:
+                                    prev = (
+                                        cur_x + advance(item)
+                                        - tc * asx * tz
+                                        if item else None
+                                    )
+                                buf.append(" ".join(dec) if lgap else dec)
+                                if dec.strip(" "):
+                                    tj_kill = False
+                                if tjfirst is None and fm.nbytes == 1:
+                                    tjfirst = self._first_x(
+                                        fm, item, dec, cur_x, size,
+                                        asx * tz, tc, tw,
+                                    )
+                                cur_x += (
+                                    advance_clip(item) if clip_y
+                                    else advance(item)
+                                    - nclip * tc * asx * tz
                                 )
-                            buf.append(" ".join(dec) if lgap else dec)
-                            if tjfirst is None and fm.nbytes == 1:
-                                tjfirst = self._first_x(
-                                    fm, item, dec, cur_x, size,
-                                    asx * tz, tc, tw,
-                                )
-                            cur_x += (
-                                advance_clip(item) if clip_y
-                                else advance(item) - nclip * tc * asx * tz
-                            )
-                            if prev is not None:
-                                tjprev = prev
-                        elif isinstance(item, (int, float)):
-                            cur_x -= item / 1000.0 * size * asx * tz
+                                if prev is not None:
+                                    tjprev = prev
+                        if tj_kern is not None:
+                            cur_x -= tj_kern / 1000.0 * size * asx * tz
+                            if tj_ntc:
+                                # tj_ntc merged kerns ran with an EMPTY
+                                # buffer: each applied charSpacing in
+                                # its translate (!chars branch,
+                                # pdf.worker.js:36663-36675)
+                                cur_x += tj_ntc * tc * asx * tz
                             if size > 0:
-                                kern = item / 1000.0 * size
+                                kern = tj_kern / 1000.0 * size
                                 gap = (
                                     None if tjprev is None
                                     else cur_x - tjprev
@@ -3291,28 +3605,58 @@ class _TextInterp:
                                         and tjprev is not None
                                     ):
                                         self.last_end_x = tjprev
+                                    if tj_kill:
+                                        self.pending_space = True
+                                        self.pending_multi = True
+                                        tj_kill = False
                                     buf = []
                                     start_x = cur_x
                                     tjprev = None
                                     tjfirst = None
+                                    tail_sp = 0
+                                    tj_fake = False
                                 elif buf and buf[-1].endswith(" "):
-                                    w_sp = (
-                                        fm.widths.get(
-                                            32, fm.default_width
-                                        ) / 1000.0 * size
-                                        if fm.nbytes == 1
-                                        else 0.5 * size
+                                    # run-fate bands: see the event
+                                    # consumer's K_TJNUM
+                                    n_real = (
+                                        tail_sp if tail_sp > 0 else 1
                                     )
-                                    if (
-                                        (w_sp + 2 * tc + tw - kern) * tz
-                                        <= 0.03 * size
-                                    ):
+                                    if gap is not None:
+                                        kill = gap <= 0.03 * lim or (
+                                            n_real != 1
+                                            and gap
+                                            <= self.GAP_FRACTION * lim
+                                        )
+                                    else:
+                                        w_sp = (
+                                            fm.widths.get(
+                                                32, fm.default_width
+                                            ) / 1000.0 * size
+                                            if fm.nbytes == 1
+                                            else 0.5 * size
+                                        )
+                                        gap_sp = (
+                                            n_real * (w_sp + tc + tw)
+                                            + (1 + tj_ntc) * tc - kern
+                                        ) * tz
+                                        kill = (
+                                            gap_sp <= 0.03 * size
+                                            or (
+                                                n_real != 1
+                                                and gap_sp
+                                                <= self.GAP_FRACTION
+                                                * size
+                                            )
+                                        )
+                                    if kill:
                                         buf[-1] = buf[-1].rstrip(" ")
+                                        tail_sp = 0
+                                        tj_kill = True
                                 elif (
-                                    (tc - kern) * tz
+                                    ((1 + tj_ntc) * tc - kern) * tz
                                     > self.GAP_FRACTION * size
                                 ):
-                                    buf.append(" ")
+                                    tj_fake = True
                     vv = cross_v + arise
                     tj_cx = tjfirst if tjfirst is not None else start_x
                     ddx, ddy = _swapq(tj_cx, vv)
@@ -3324,6 +3668,9 @@ class _TextInterp:
                         and tjprev is not None
                     ):
                         self.last_end_x = tjprev
+                    if tj_kill:
+                        self.pending_space = True
+                        self.pending_multi = True
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
                     self._do_xobject(
                         xobjs, str(stack[-1]), res, depth, seen,

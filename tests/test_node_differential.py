@@ -609,3 +609,110 @@ def test_rotation_through_forms_byte_equal_vs_live_reference(tmp_path):
             ),
         ],
     )
+
+
+def _gen_tj_coalesce_stream(rng: random.Random) -> bytes:
+    """TJ element-boundary coalescing (pdf.worker.js:36890-36909): pdf.js
+    joins adjacent TJ string elements into ONE chars string
+    (showSpacedTextBuffer.join("")) and skips zero kerns (``item !== 0``),
+    so ``[(a)(b)] TJ`` and ``[(a) 0 (b)] TJ`` are plain glyph adjacency;
+    CONSECUTIVE nonzero kerns merge into a single translate evaluated at
+    the next group's first glyph, and every kern processed with an EMPTY
+    buffer applies charSpacing in addition to the kern (the !chars branch,
+    pdf.worker.js:36663-36675). Stresses: adjacent strings, zero kerns,
+    kern runs, leading/trailing kerns, empty () elements, hex elements,
+    space runs straddling element boundaries, under nonzero Tc/Tw."""
+    ops = [b"BT", b"/F1 %d Tf" % rng.choice([8, 10, 12])]
+    ops.append(b"1 0 0 1 72 700 Tm")
+    kerns = [-8000, -2000, -567, -300, -120, -80, -15, 0, 15, 80,
+             120, 200, 350, 2000]
+    for line in range(rng.randrange(5, 11)):
+        if rng.randrange(3) == 0:
+            ops.append(b"%.2f Tc" % rng.choice([0.0, 0.5, 1.5, 2.5, -2.4]))
+        if rng.randrange(4) == 0:
+            ops.append(b"%.2f Tw" % rng.choice([0.0, 0.4, 1.8, -2.6]))
+        parts = []
+        n_el = rng.randrange(2, 8)
+        for _ in range(n_el):
+            r = rng.randrange(10)
+            if r < 4:  # string element, padded with boundary spaces
+                w = rng.choice(WORDS).encode()
+                parts.append(
+                    b"(%s%s%s)"
+                    % (b" " * rng.randrange(0, 3), w,
+                       b" " * rng.randrange(0, 3))
+                )
+            elif r == 4:  # empty string element
+                parts.append(b"()")
+            elif r == 5:  # hex element
+                parts.append(
+                    b"<%s>" % rng.choice(WORDS)[:3].encode().hex().encode()
+                )
+            elif r < 9:  # kern (zero included -> skipped by pdf.js)
+                parts.append(b"%d" % rng.choice(kerns))
+            else:  # kern RUN (consecutive kerns must merge)
+                parts.append(
+                    b"%d %d" % (rng.choice(kerns), rng.choice(kerns))
+                )
+        ops.append(b"[%s] TJ" % b" ".join(parts))
+        ops.append(b"1 0 0 1 72 %d Tm" % (700 - 14 * (line + 1)))
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_tj_coalesce_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_tj_coalesce_stream(random.Random(170000 + s)))
+            for s in range(60)
+        ],
+    )
+
+
+# seeds that each exposed a distinct boundary-decision divergence during
+# the round-4 hunt (3,000 docs): kern-after-multi-space band decisions,
+# empty-() kerns missing their !chars charSpacing, letter-gap join
+# spaces contaminating the trailing-run count, the killed-run ring
+# carry ([' ',' '] suppressing later pend1 spaces), real glyphs ahead
+# of a split dropping that carry, and the deferred kern fake space
+# under negative Tw. All fixed; pinned here against regression.
+TJ_KILLER_SEEDS = (
+    170038, 200012, 200284, 200692, 200877,
+    200883, 200944, 201432, 202633,
+)
+
+
+def test_tj_coalesce_killer_seeds_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_tj_coalesce_stream(random.Random(s)))
+            for s in TJ_KILLER_SEEDS
+        ],
+    )
+
+
+def test_tj_coalesce_three_way_path_identity():
+    """The TJ rewrite must hold across ALL THREE execution paths: C
+    lexer + C replay, C lexer + Python event loop, and the pure-Python
+    per-op interpreter (the reference implementation)."""
+    from pdf_parse_new_spark.kernels import cinterp
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    for s in [*range(171000, 171040), *TJ_KILLER_SEEDS]:
+        raw = _assemble(_gen_tj_coalesce_stream(random.Random(s)))
+        c_full = pdfb.parse_pdf_bytes(raw)
+        cinterp.REPLAY = False
+        try:
+            c_lex = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.REPLAY = True
+        cinterp.AVAILABLE = False
+        try:
+            py = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.AVAILABLE = True
+        assert c_full["text"] == py["text"], f"seed {s}: C replay"
+        assert c_lex["text"] == py["text"], f"seed {s}: event loop"
