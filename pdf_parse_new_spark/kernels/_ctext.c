@@ -357,6 +357,12 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
     /* buffered TJ array (emitted into out optimistically, rewound if the
      * following operator is not TJ — dash arrays "[2 4] 0 d" etc.) */
     long tj_start = -1; /* index into out of the K_TJSTART placeholder */
+    /* no Tf yet in THIS stream: pdf.js skips every text-showing op
+     * (Tj/TJ/'/") until state.font is set — including the op's side
+     * effects (the quotes' carriage return, "'s Tw/Tc assignment)
+     * (ensureStateFont + continue, pdf.worker.js:36911-36943). The
+     * engine models fonts per stream, so the gate is stream-local. */
+    int seen_tf = 0;
 
     /* full text LINE MATRIX (Tm sets it; Td/TD/T* compose translations
      * INTO it, so offsets expressed in unscaled text units move by the
@@ -519,7 +525,15 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                         break;
                     }
                     pos = nend;
-                    EMIT(K_TJNUM, 0, 0, 0, v, 0, 0, 0);
+                    /* f1 = the kern's own value: unrewritten kern rows
+                     * always directly follow a non-empty K_TJSTR (any
+                     * other shape triggers the coalescing rewrite,
+                     * which re-derives f1) — it is the extraSpacing
+                     * riding that string's LAST glyph, dropped when
+                     * the glyph is box-rejected (pdf.js translates the
+                     * reject path by scaledDim only,
+                     * pdf.worker.js:36704-36711) */
+                    EMIT(K_TJNUM, 0, 0, 0, v, v, 0, 0);
                 } else if (e == 't' && pos + 4 <= n &&
                            memcmp(d + pos, "true", 4) == 0) {
                     pos += 4;
@@ -600,6 +614,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                             EMIT(K_FONT, 0, na, nb, st[nst - 1].cv, 0, 0, 0);
                         else
                             EMIT(K_FONT, 1, na, nb, 0, 0, 0, 0);
+                        seen_tf = 1;
                     }
                     break;
                 case 'd': /* tx ty Td : y converts first, then x */
@@ -692,15 +707,18 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
                     break;
                 case 'j': /* Tj */
-                    if (nst >= 1 && st[nst - 1].kind == OP_STR)
+                    if (seen_tf && nst >= 1 && st[nst - 1].kind == OP_STR)
                         EMIT(K_STR, st[nst - 1].flag, st[nst - 1].a,
                              st[nst - 1].b, 0, 0, 0, 0);
                     break;
                 case 'J': /* TJ: keep the buffered array events */
+                    if (!seen_tf && tj_start >= 0)
+                        nev = tj_start; /* pre-Tf: drop the whole array */
                     tj_start = -1;
                     break;
                 }
-            } else if (oplen == 1 && (op[0] == '\'' || op[0] == '"')) {
+            } else if (oplen == 1 && (op[0] == '\'' || op[0] == '"') &&
+                       seen_tf) {
                 int abort_show = 0;
                 LM_TRANSLATE(0.0, -leading);
                 EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
@@ -894,7 +912,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      SegRec *runs, int *nruns, int *runs_ok,
                      double prev0, int have_prev0,
                      double *lastseg_fx, int *lastseg_has,
-                     long *tail_sp)
+                     long *tail_sp, int *last_reject, int *last_sp)
 {
     long o = *olen;
     long start_ = o; /* letter-gap spaces only between this item's chars */
@@ -914,11 +932,14 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         rpe_ = prev0;
         hrpe_ = have_prev0;
         /* charSpacing below the CR window (advanceX == tc < -0.2*fs,
-         * pdf.worker.js:36617-36625) flushes between every glyph
+         * pdf.worker.js:36617-36625) OR past the standalone-space
+         * window (tc > 0.6*fs, spaceInFlowMax,
+         * pdf.worker.js:36641-36651) flushes between every glyph
          * pair: split at each adjacency (output-neutral when the
          * cascade would not flush) */
         double ktc_ = rst->tc * rst->sx * rst->tz;
-        if (ktc_ < -0.2 * rstale_ || ktc_ < -0.2 * rfs_)
+        if (ktc_ < -0.2 * rstale_ || ktc_ < -0.2 * rfs_ ||
+            ktc_ > 0.6 * rstale_ || ktc_ > 0.6 * rfs_)
             perglyph_ = 1;
     }
     /* prev_x_out: pdf.js's prevTransform x — the pen right AFTER the
@@ -934,18 +955,28 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
      * branch precedes the box check; pending-space machinery handles
      * them). kx/ktc/ktw map accumulated text-space advances to device. */
     int clip = rst != NULL && rst->have_vb;
-    double kx = 0.0, ktc = 0.0, ktw = 0.0;
+    double kx = 0.0, ktc = 0.0, ktw = 0.0, kraw = 0.0;
     if (rst != NULL) {
         kx = rst->size / 1000.0 * rst->sx * rst->tz;
         ktc = rst->tc * rst->sx * rst->tz;
         ktw = rst->tw * rst->sx * rst->tz;
+        /* pdf.js's left-edge box test adds scaledDim BEFORE the
+         * textHScale multiply (and before any text-matrix scale):
+         * raw width x fontSize only (pdf.worker.js:36529-36536) */
+        kraw = rst->size / 1000.0;
     }
+    *last_reject = 0;
+    *last_sp = 0;
 #define PUTCODE(C)                                                           \
     do {                                                                     \
         unsigned char cc_ = (unsigned char)(C);                              \
         long ta_ = to[cc_], tl_ = to[cc_ + 1] - ta_;                         \
+        /* box-rejected glyphs advanced by WIDTH only (no charSpacing   */   \
+        /* translate, pdf.worker.js:36705-36711) — they must not        */   \
+        /* contribute ktc to later glyph positions within the item      */   \
         double px_ = start_x + *wsum * kx +                                  \
-                     (double)*glyphs * ktc + (double)*spaces * ktw;          \
+                     ((double)*glyphs - (double)*clipped) * ktc +            \
+                     (double)*spaces * ktw;                                  \
         int sp_ = cc_ == 0x20 || (tl_ == 1 && tb[ta_] == ' ');               \
         if (!sp_ && !*have_first) {                                          \
             /* pdf.js runs the line compare at the FIRST NON-SPACE     */   \
@@ -953,6 +984,29 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             /* the pen and arm the pending space                       */   \
             *first_x_out = px_;                                              \
             *have_first = 1;                                                 \
+        }                                                                    \
+        if (runs) {                                                          \
+            /* decode-alignment check covers CLIPPED glyphs too (the    */   \
+            /* Python gate is len(dec) == len(item) on the full item)   */   \
+            long nch_ = 0;                                                   \
+            for (long bj_ = 0; bj_ < tl_; bj_++)                             \
+                if ((tb[ta_ + bj_] & 0xC0) != 0x80)                          \
+                    nch_++;                                                  \
+            if (nch_ != 1)                                                   \
+                *runs_ok = 0;                                                \
+        }                                                                    \
+        /* box test FIRST: pdf.js's sits at the TOP of                 */   \
+        /* compareWithLastPosition (pdf.worker.js:36529-36536) — a     */   \
+        /* rejected glyph never closes a space run, never anchors a    */   \
+        /* segment, never moves prevTransform                          */   \
+        if (clip && !sp_ &&                                                  \
+            (px_ + w[cc_] * kraw < rst->vb0 || px_ > rst->vb2)) {            \
+            *wsum += w[cc_];                                                 \
+            (*glyphs)++;                                                     \
+            (*clipped)++; /* box-rejected: width only, no charSpacing */     \
+            *last_reject = 1;                                                \
+            *last_sp = 0;                                                    \
+            break; /* clipped: position advances, prevTransform doesn't */   \
         }                                                                    \
         if (runs) {                                                          \
             if (sp_) {                                                       \
@@ -994,22 +1048,9 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                 rpe_ = px_ + w[cc_] * kx;                                    \
                 hrpe_ = 1;                                                   \
             }                                                                \
-            {                                                                \
-                long nch_ = 0;                                               \
-                for (long bj_ = 0; bj_ < tl_; bj_++)                         \
-                    if ((tb[ta_ + bj_] & 0xC0) != 0x80)                      \
-                        nch_++;                                              \
-                if (nch_ != 1)                                               \
-                    *runs_ok = 0;                                            \
-            }                                                                \
         }                                                                    \
-        if (clip && !sp_ &&                                                  \
-            (px_ + w[cc_] * kx < rst->vb0 || px_ > rst->vb2)) {              \
-            *wsum += w[cc_];                                                 \
-            (*glyphs)++;                                                     \
-            (*clipped)++; /* box-rejected: width only, no charSpacing */     \
-            break; /* clipped: position advances, prevTransform doesn't */   \
-        }                                                                    \
+        *last_reject = 0;                                                    \
+        *last_sp = sp_;                                                      \
         *wsum += w[cc_];                                                     \
         if (cc_ == 0x20)                                                     \
             (*spaces)++;                                                     \
@@ -1394,6 +1435,10 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     long olen = 0, tjmark = -1, tj_tail_sp = 0;
     double tj_start_x = 0.0, tj_prev_x = 0.0, tj_first_x = 0.0;
     int tj_have_prev = 0, tj_have_first = 0;
+    /* the preceding element's FINAL glyph was box-rejected: the next
+     * kern row's riding component (f1) is dropped with it (pdf.js's
+     * reject path translates scaledDim only, pdf.worker.js:36704-36711) */
+    int tj_last_clip = 0;
     /* kern-killed trailing run: pdf.js's twoLastChars ring is left at
      * [' ',' '] (notASpace resets TO spaces; the tracking merge never
      * resets), so no later single space can arm a pend1 standalone
@@ -1432,13 +1477,15 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 p0 = tj_prev_x;
                 hp0 = 1;
             }
+            int last_reject = 0, last_sp = 0;
             if (rp_decode(e->flag == 3 ? scratch : d, n, e->flag,
                           e->a, e->b, tbytes, to, w, out,
                           &olen, ocap, &glyphs, &spaces, &wsum, lgap,
                           &st, st.cur_x, &prev_x, &have_prev,
                           &first_x, &have_first, &clipped,
                           runs, &nruns, &runs_ok, p0, hp0,
-                          &lastseg_fx, &lastseg_has, &tj_tail_sp) < 0)
+                          &lastseg_fx, &lastseg_has, &tj_tail_sp,
+                          &last_reject, &last_sp) < 0)
                 return -1;
             if (e->kind == K_TJSTR && tj_fake && olen > mark) {
                 /* deferred kern fake space lands only before a REAL
@@ -1473,17 +1520,18 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                        (double)(glyphs - clipped) * st.tc +
                        (double)spaces * st.tw) *
                       st.sx * st.tz;
+            /* a box-rejected FINAL glyph takes the next kern row's
+             * riding extraSpacing (f1) down with it; space glyphs
+             * never reject (their branch runs before the box test) */
+            if (e->kind == K_TJSTR)
+                tj_last_clip = (glyphs > 0 && !last_sp &&
+                                (last_reject || clip_y)) ? 1 : 0;
             /* discard quad-0 splits exactly where the Python paths
-             * keep the inline path: size 0, multi-char decodes, or a
-             * view-box x-straddle (pdfb's clipped_item gate — its box
-             * test uses the UNCORRECTED advance) */
-            double adv_box = (wsum / 1000.0 * st.size +
-                              (double)glyphs * st.tc +
-                              (double)spaces * st.tw) *
-                             st.sx * st.tz;
-            if (!runs_ok || st.size <= 0.0 ||
-                (st.have_vb &&
-                 (st.cur_x < st.vb0 || st.cur_x + adv_box > st.vb2)))
+             * keep the inline path: size 0 or multi-char decodes
+             * (box-rejected glyphs are handled INSIDE the per-glyph
+             * walk now, mirroring pdf.js's test at the top of
+             * compareWithLastPosition) */
+            if (!runs_ok || st.size <= 0.0)
                 nruns = 0;
             if (e->kind == K_TJSTR && nruns > 0) {
                 /* mid-TJ per-glyph splits: segment 0 completes the
@@ -1631,13 +1679,19 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             }
             break;
         }
-        case K_TJNUM:
+        case K_TJNUM: {
             /* the kern rides charSpacing through translateTextMatrix
              * (x textHScale) — pdf.worker.js:36687,36735. After the
              * coalescing rewrite, flag = count of merged kerns that ran
              * with an EMPTY buffer: each applied charSpacing in its
-             * translate (the !chars branch, pdf.worker.js:36663-36675) */
-            st.cur_x -= e->f0 / 1000.0 * st.size * st.sx * st.tz;
+             * translate (the !chars branch, pdf.worker.js:36663-36675).
+             * f1 = the component riding the preceding string's LAST
+             * glyph as extraSpacing — LOST when that glyph was
+             * box-rejected (the reject path translates scaledDim only,
+             * pdf.worker.js:36704-36711) */
+            double kf0 = tj_last_clip ? e->f0 - e->f1 : e->f0;
+            tj_last_clip = 0;
+            st.cur_x -= kf0 / 1000.0 * st.size * st.sx * st.tz;
             if (e->flag)
                 st.cur_x += (double)e->flag * st.tc * st.sx * st.tz;
             if (st.size > 0.0 && tj_have_prev &&
@@ -1672,7 +1726,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 tj_tail_sp = 0;
                 tj_fake = 0;
             } else if (st.size > 0.0) {
-                double kern = e->f0 / 1000.0 * st.size;
+                double kern = kf0 / 1000.0 * st.size;
                 long base = tjmark < 0 ? 0 : tjmark;
                 if (olen > base && out[olen - 1] == ' ') {
                     /* pdf.js buffers NO space glyphs: the trailing
@@ -1721,6 +1775,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 }
             }
             break;
+        }
         case K_ANCHOR:
             if (e->flag == 1 && e->f2 != st.sx && st.line_open &&
                 !st.force_flush)

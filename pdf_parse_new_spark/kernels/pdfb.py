@@ -1972,32 +1972,40 @@ class _TextInterp:
         keeps only its visible part. Space glyphs are exempt (whitespace
         branch precedes the box test). Gated to the rare straddle case
         by the caller; 1-byte fonts only (the C path mirrors this).
-        Returns (visible_dec, prev_x, n_clipped) — a CLIPPED glyph
-        advances by its width ONLY (pdf.js's reject path translates
-        scaledDim and skips the charSpacing translate,
+        Returns (visible_dec, prev_x, n_clipped, last_clipped) — a
+        CLIPPED glyph advances by its width ONLY (pdf.js's reject path
+        translates scaledDim and skips the charSpacing translate,
         pdf.worker.js:36705-36711), so the caller subtracts
-        n_clipped * tc from the item advance."""
+        n_clipped * tc from the item advance; ``last_clipped`` is True
+        when the item's FINAL glyph was rejected — a TJ kern riding
+        that glyph as extraSpacing is then dropped with it."""
         vb = self.viewbox
         out = []
         x = start_x
         prev: float | None = None
         nclip = 0
+        last_clip = False
         w, dw = fm.widths, fm.default_width
         for i, code in enumerate(item):
             ch = dec[i] if i < len(dec) else ""
             gw = w.get(code, dw) / 1000.0 * size * sxz
             sp = ch == " " or code == 0x20
             # pdf.js: posX + glyphWidth < vb0 (left straddlers stay),
-            # posX > vb2 (pdf.worker.js:36534)
-            if sp or (x + gw >= vb[0] and x <= vb[2]):
+            # posX > vb2 (pdf.worker.js:36529-36536). glyphWidth there
+            # is scaledDim BEFORE the textHScale multiply (and before
+            # any text-matrix scale) — raw width x fontSize only
+            gw_raw = w.get(code, dw) / 1000.0 * size
+            if sp or (x + gw_raw >= vb[0] and x <= vb[2]):
                 out.append(ch)
+                last_clip = False
                 if not sp:
                     prev = x + gw  # prevTransform follows EMITTED glyphs
                 x += gw + (tc + (tw if code == 0x20 else 0.0)) * sxz
             else:
                 nclip += 1
+                last_clip = True
                 x += gw  # clipped: width only, no charSpacing
-        return "".join(out), prev, nclip
+        return "".join(out), prev, nclip, last_clip
 
 
     def _first_x(self, fm: FontMap, item: bytes, dec: str, start_x: float,
@@ -2050,6 +2058,18 @@ class _TextInterp:
     # carries a fixed-size run record array; both paths cap identically)
     MAX_SEG_SPLITS = 64
 
+    def _big_tc(self, tc: float, sxz: float, fs: float) -> bool:
+        """charSpacing past spaceInFlowMax (0.6 * fontSize) under
+        EITHER candidate item size: pdf.js flushes + pushes a
+        standalone " " at prevTransform between every glyph pair
+        (pdf.worker.js:36641-36651) — the seg-split trigger for
+        big-Tc adjacency splitting."""
+        if tc <= 0.0:
+            return False
+        ktc = tc * sxz
+        stale = self.item_size if self.item_size > 0 else fs
+        return ktc > 0.6 * stale or ktc > 0.6 * fs
+
     def _seg_split(self, fm: FontMap, item: bytes, dec: str, start_x: float,
                    size: float, sxz: float, tc: float, tw: float,
                    fs: float, prev0: float | None = None):
@@ -2073,10 +2093,21 @@ class _TextInterp:
         Returns None when every internal run is strictly in-flow under
         BOTH candidate item sizes (the open item's stale size and this
         item's own — whichever show() ends up using, inline emission is
-        then exact), else a list of segments
-        ``(dec_start, dec_end, first_x, prev_end_x)``.
+        then exact), else ``(segments, nclip, lclip)`` with segments a
+        list of ``(visible_text, first_x, prev_end_x)``.
         1-byte aligned decodes only; callers keep the inline path for
-        multi-byte/ligature/clipped items.
+        multi-byte/ligature items.
+
+        Box-rejected glyphs are handled HERE (pdf.js's box test sits at
+        the TOP of compareWithLastPosition, pdf.worker.js:36529-36536 —
+        a rejected glyph returns false before ANY cascade decision, so
+        it never closes a space run, never anchors a segment, never
+        moves prevTransform, and advances by width only, no
+        charSpacing). ``nclip`` is the rejected-glyph count (the caller
+        subtracts nclip*tc from the item advance), ``lclip`` True when
+        the item's FINAL glyph was rejected (a TJ kern riding it as
+        extraSpacing drops with it). Space glyphs are exempt (their
+        branch precedes the box test).
 
         ``prev0``: TJ callers pass the buffered run's prevTransform x
         (tj_prev) so a LEADING space run of this element — a run that
@@ -2091,70 +2122,103 @@ class _TextInterp:
             cands = (stale, fs)
         widths, dw = fm.widths, fm.default_width
         # position arithmetic mirrors the C twin's PUTCODE exactly
-        # (px = start_x + wsum*kx + glyphs*ktc + spaces*ktw) so split
-        # decisions stay float-identical across the three paths
+        # (px = start_x + wsum*kx + (glyphs-clipped)*ktc + spaces*ktw)
+        # so split decisions stay float-identical across the three paths
         kx = size / 1000.0 * sxz
         ktc = tc * sxz
         ktw = tw * sxz
+        vb = self.viewbox
+        # pdf.js's left-edge box test adds scaledDim BEFORE the
+        # textHScale multiply: raw width x fontSize only
+        kraw = size / 1000.0
         wsum = 0.0
         g = 0
+        c = 0
         nsp = 0
+        nclip = 0
+        lclip = False
         prev_end: float | None = prev0
-        seg_start = 0
-        run_start: int | None = None
+        cur_seg: list[str] = []
+        run_buf: list[str] = []
+        run_open = False
         run_prev_end = 0.0
         out: list | None = None
         seg_first: float | None = None
-        # charSpacing below the carriage-return window flushes between
-        # EVERY glyph pair (advanceX == tc < -0.2 * fontSize,
-        # pdf.worker.js:36617-36625): split at each adjacency and let
-        # show()'s cascade take the CR path (an adjacency split is
-        # output-neutral whenever the cascade would NOT flush)
-        per_glyph = any(ktc < -0.2 * c for c in cands)
+        # charSpacing below the carriage-return window (advanceX == tc
+        # < -0.2 * fontSize, pdf.worker.js:36617-36625) OR past the
+        # standalone-space window (tc > 0.6 * fontSize, spaceInFlowMax,
+        # pdf.worker.js:36641-36651) flushes between EVERY glyph pair:
+        # split at each adjacency and let show()'s cascade take the
+        # CR / standalone-" "-at-prevTransform path (an adjacency split
+        # is output-neutral whenever the cascade would NOT flush)
+        per_glyph = any(ktc < -0.2 * c_ or ktc > 0.6 * c_ for c_ in cands)
         for k in range(n):
             code = item[k]
-            sp = code == 0x20 or dec[k] == " "
-            px = start_x + wsum * kx + g * ktc + nsp * ktw
+            ch = dec[k]
+            sp = code == 0x20 or ch == " "
+            px = start_x + wsum * kx + (g - c) * ktc + nsp * ktw
             w = widths.get(code, dw)
+            if not sp and vb is not None and (
+                px + w * kraw < vb[0] or px > vb[2]
+            ):
+                # box-rejected: width-only advance, no cascade, run
+                # stays open, prevTransform/anchors untouched
+                nclip += 1
+                lclip = True
+                c += 1
+                wsum += w
+                g += 1
+                continue
+            lclip = False
             if sp:
-                if run_start is None and prev_end is not None:
-                    run_start = k
+                if not run_open and prev_end is not None:
+                    run_open = True
                     run_prev_end = prev_end
+                if run_open:
+                    run_buf.append(ch)
+                else:
+                    cur_seg.append(ch)
             else:
-                if run_start is not None:
+                if run_open:
                     a = px - run_prev_end
                     if (
-                        not all(0.102 * c < a <= 0.6 * c for c in cands)
+                        not all(0.102 * c_ < a <= 0.6 * c_ for c_ in cands)
                         and (out is None or len(out) < self.MAX_SEG_SPLITS)
                     ):
                         if out is None:
                             out = []
                         out.append(
-                            (seg_start, run_start, seg_first, run_prev_end)
+                            ("".join(cur_seg), seg_first, run_prev_end)
                         )
-                        seg_start = run_start
+                        cur_seg = run_buf
                         seg_first = None
-                    run_start = None
+                    else:
+                        cur_seg.extend(run_buf)
+                    run_buf = []
+                    run_open = False
                 elif (
-                    per_glyph and prev_end is not None and k > seg_start
+                    per_glyph and prev_end is not None
+                    and seg_first is not None
                     and (out is None or len(out) < self.MAX_SEG_SPLITS)
                 ):
                     if out is None:
                         out = []
-                    out.append((seg_start, k, seg_first, prev_end))
-                    seg_start = k
+                    out.append(("".join(cur_seg), seg_first, prev_end))
+                    cur_seg = []
                     seg_first = None
                 if seg_first is None:
                     seg_first = px
                 prev_end = px + w * kx
+                cur_seg.append(ch)
             wsum += w
             g += 1
             if code == 0x20:
                 nsp += 1
         if out is None:
             return None
-        out.append((seg_start, n, seg_first, prev_end))
-        return out
+        cur_seg.extend(run_buf)
+        out.append(("".join(cur_seg), seg_first, prev_end))
+        return out, nclip, lclip
 
     @staticmethod
     def _coalesce_tj(arr):
@@ -2187,15 +2251,20 @@ class _TextInterp:
                 joined = b"".join(pend)
                 pend = []
                 if joined:
-                    groups.append([joined, float(it), 0])
+                    # 4th field: the first kern's value — extraSpacing
+                    # riding the joined string's LAST glyph, dropped
+                    # when that glyph is box-rejected (pdf.js's reject
+                    # path translates scaledDim only,
+                    # pdf.worker.js:36704-36711)
+                    groups.append([joined, float(it), 0, float(it)])
                     kern_open = True
                 elif kern_open:
                     groups[-1][1] += float(it)
                     groups[-1][2] += 1
                 else:
-                    groups.append([b"", float(it), 1])
+                    groups.append([b"", float(it), 1, 0.0])
                     kern_open = True
-        groups.append([b"".join(pend), None, 0])
+        groups.append([b"".join(pend), None, 0, 0.0])
         return groups
 
     @staticmethod
@@ -2297,6 +2366,13 @@ class _TextInterp:
                     _flush_pend()
                     kern_row = list(row)
                     kern_row[1] = 0
+                    # f1 = this first kern's value: it is extraSpacing
+                    # on the flushed string's LAST glyph — dropped by
+                    # the consumers when that glyph was box-rejected
+                    # (pdf.js's reject path translates scaledDim only,
+                    # pdf.worker.js:36704-36711). Later merged kerns
+                    # run the !chars branch and always apply.
+                    kern_row[5] = row[4]
                     out.append(kern_row)
                 elif kern_row is not None:
                     # empty-join pend (or none): the kern ran with an
@@ -2309,6 +2385,7 @@ class _TextInterp:
                     pend = None
                     kern_row = list(row)
                     kern_row[1] = 1
+                    kern_row[5] = 0.0  # leading kern: nothing to ride
                     out.append(kern_row)
                 continue
             if kind == 8 and pend is not None:
@@ -2527,6 +2604,11 @@ class _TextInterp:
         # materializes only when the next group starts with a real
         # glyph; otherwise the leading-run machinery owns the decision
         tj_fake_pend = False
+        # the preceding element's FINAL glyph was box-rejected: the
+        # next kern row's riding component (f1) is dropped with it
+        # (pdf.js's reject path translates scaledDim only,
+        # pdf.worker.js:36704-36711)
+        tj_last_clip = False
         show = self.show
         lit, hexs = _parse_literal_string, _parse_hex_string
         for kind, flag, a, b, f0, f1, f2, f3 in ev.tolist():
@@ -2553,16 +2635,46 @@ class _TextInterp:
                 cprev: float | None = None
                 clipped_item = False
                 nclip = 0
+                lclip = False
+                segs = None
+                prev0 = tj_prev if kind == 6 else None
+                # seg-split FIRST (it box-rejects glyphs itself,
+                # mirroring pdf.js's test at the top of
+                # compareWithLastPosition); _clip_x is the inline-path
+                # fallback when no split point exists
                 if (
+                    fm.nbytes == 1 and size > 0
+                    and len(dec) == len(item)
+                    and (
+                        " " in dec[1:-1]
+                        or (prev0 is not None and dec[:1] == " ")
+                        or tc < 0.0
+                        or self._big_tc(tc, sx * tz, size * sx)
+                    )
+                ):
+                    r = self._seg_split(
+                        fm, item, dec, cur_x, size, sx * tz, tc, tw,
+                        size * sx, prev0=prev0,
+                    )
+                    if r is not None:
+                        segs, nclip, lclip = r
+                        if nclip:
+                            # TJ/pend bookkeeping below runs on the
+                            # VISIBLE text (pdf.js's ring only ever
+                            # saw emitted glyphs)
+                            dec = "".join(t for t, _f, _p in segs)
+                if segs is None and (
                     vb is not None
                     and fm.nbytes == 1
                     and len(dec) == len(item)
                     and (cur_x < vb[0] or cur_x + adv > vb[2])
                 ):
-                    dec, cprev, nclip = self._clip_x(
+                    dec, cprev, nclip, lclip = self._clip_x(
                         fm, item, dec, cur_x, size, sx * tz, tc, tw
                     )
-                    clipped_item = True
+                    # a straddle test that rejected NOTHING is normal
+                    # emission
+                    clipped_item = nclip > 0
                 # view-box-rejected glyphs advance by WIDTH ONLY —
                 # pdf.js's reject path translates scaledDim and skips
                 # the charSpacing translate (pdf.worker.js:36705-36711).
@@ -2570,14 +2682,26 @@ class _TextInterp:
                 # (whole item outside): only space glyphs keep tc+tw.
                 if nclip:
                     adv -= nclip * tc * sx * tz
-                if (
+                clip_y = (
                     fm.nbytes == 1 and vb is not None
                     and not vb[1] <= y + rise <= vb[3]
-                ):
+                )
+                if clip_y:
                     adv = (
                         fm.advance(item) / 1000.0 * size
                         + spaces * (tc + tw)
                     ) * sx * tz
+                if kind == 6:
+                    # a box-rejected FINAL glyph takes the next kern
+                    # row's riding extraSpacing (f1) down with it
+                    # (space glyphs never reject — their branch runs
+                    # before the box test)
+                    tj_last_clip = False
+                    if item and fm.nbytes == 1 and (clip_y or lclip):
+                        tj_last_clip = not (
+                            item[-1] == 0x20
+                            or fm.decode(item[-1:]) == " "
+                        )
                 lg = size > 0 and tc * tz > self.GAP_FRACTION * size
                 if kind == 6 and tj_fake_pend and dec:
                     if not dec.startswith(" "):
@@ -2589,21 +2713,6 @@ class _TextInterp:
                         t_run if dec.strip(" ")
                         else tj_tail_sp + dec.count(" ")
                     )
-                segs = None
-                prev0 = tj_prev if kind == 6 else None
-                if (
-                    fm.nbytes == 1 and size > 0 and not clipped_item
-                    and len(dec) == len(item)
-                    and (
-                        " " in dec[1:-1]
-                        or (prev0 is not None and dec[:1] == " ")
-                        or tc < 0.0
-                    )
-                ):
-                    segs = self._seg_split(
-                        fm, item, dec, cur_x, size, sx * tz, tc, tw,
-                        size * sx, prev0=prev0,
-                    )
                 if segs is not None:
                     # per-glyph item splitting at quad 0: out-of-window
                     # internal space runs end the item mid-string; each
@@ -2611,9 +2720,8 @@ class _TextInterp:
                     # _seg_split). TJ: the first segment completes the
                     # buffered group, the last becomes the new buffer.
                     sub = [
-                        (" ".join(dec[s0:s1]) if lg else dec[s0:s1],
-                         sfx, spv)
-                        for s0, s1, sfx, spv in segs
+                        (" ".join(t) if lg else t, sfx, spv)
+                        for t, sfx, spv in segs
                     ]
                     if kind == 6:
                         d0, f0_, p0 = sub[0]
@@ -2701,7 +2809,13 @@ class _TextInterp:
                         self.last_end_x = prev
             elif kind == 7:  # TJNUM kern (x textHScale: the kern rides
                 # charSpacing through translateTextMatrix)
-                cur_x -= f0 / 1000.0 * size * sx * tz
+                # f1 = the component riding the preceding string's LAST
+                # glyph as extraSpacing: when that glyph was
+                # box-rejected, pdf.js translates scaledDim only and
+                # the riding kern is LOST (pdf.worker.js:36704-36711)
+                kf0 = f0 - f1 if tj_last_clip else f0
+                tj_last_clip = False
+                cur_x -= kf0 / 1000.0 * size * sx * tz
                 if flag:
                     # flag = count of merged kerns that ran with an
                     # EMPTY buffer: each applied charSpacing in its
@@ -2717,7 +2831,7 @@ class _TextInterp:
                 # tighten: "(...Calibra ) 567 (tion)" reads
                 # "Calibration" in the reference output)
                 if size > 0:
-                    kern = f0 / 1000.0 * size
+                    kern = kf0 / 1000.0 * size
                     gap = None if tj_prev is None else cur_x - tj_prev
                     lim = size * sx
                     if gap is not None and (
@@ -2871,6 +2985,12 @@ class _TextInterp:
         fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
         xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
         fm = _ASCII_FM
+        # no Tf yet in THIS stream: pdf.js skips every text-showing op
+        # (Tj/TJ/'/") until state.font is set — including the op's side
+        # effects (the quotes' carriage return, "'s Tw/Tc assignment)
+        # (ensureStateFont + continue, pdf.worker.js:36911-36943); the
+        # engine models fonts per stream, so the gate is stream-local
+        have_font = False
         leading = 0.0
         rise = 0.0  # Ts text rise (pdf.js folds it into transform[5])
         # full text LINE MATRIX (Tm sets it, Td/TD/T* compose translations
@@ -3114,6 +3234,7 @@ class _TextInterp:
                 continue
             try:
                 if op == b"Tf" and len(stack) >= 2:
+                    have_font = True  # even when the size operand is junk
                     nfm = self._font_for(fonts_dict, str(stack[-2]))
                     nsize = float(stack[-1])
                     if nfm is not fm or nsize != size:
@@ -3207,7 +3328,10 @@ class _TextInterp:
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
                     cur_x, cross_v = _swapq(ax, ay)
-                elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                elif (
+                    op == b"Tj" and have_font
+                    and stack and isinstance(stack[-1], bytes)
+                ):
                     item = stack[-1]
                     dec = fm.decode(item)
                     if quad and fm.nbytes == 1 and len(dec) == len(item):
@@ -3218,7 +3342,21 @@ class _TextInterp:
                     cprev: float | None = None
                     clipped_item = False
                     nclip = 0
+                    lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                    segs = None
                     if (
+                        quad == 0 and fm.nbytes == 1 and size > 0
+                        and len(dec) == len(item)
+                        and (" " in dec[1:-1] or tc < 0.0
+                             or self._big_tc(tc, asx * tz, size * asx))
+                    ):
+                        r_ = self._seg_split(
+                            fm, item, dec, cur_x, size, asx * tz, tc, tw,
+                            size * asx,
+                        )
+                        if r_ is not None:
+                            segs, nclip, lclip = r_
+                    if segs is None and (
                         vb is not None
                         and quad == 0  # rotated: show() box-tests whole
                         and fm.nbytes == 1
@@ -3228,32 +3366,23 @@ class _TextInterp:
                             or cur_x + advance(item) > vb[2]
                         )
                     ):
-                        dec, cprev, nclip = self._clip_x(
+                        dec, cprev, nclip, lclip = self._clip_x(
                             fm, item, dec, cur_x, size, asx * tz, tc, tw
                         )
-                        clipped_item = True
-                    lg = size > 0 and tc * tz > self.GAP_FRACTION * size
-                    segs = None
-                    if (
-                        quad == 0 and fm.nbytes == 1 and size > 0
-                        and not clipped_item and len(dec) == len(item)
-                        and (" " in dec[1:-1] or tc < 0.0)
-                    ):
-                        segs = self._seg_split(
-                            fm, item, dec, cur_x, size, asx * tz, tc, tw,
-                            size * asx,
-                        )
+                        clipped_item = nclip > 0
                     if segs is not None:
                         # per-glyph item splitting at quad 0 (_seg_split)
                         sh0 = None
-                        for s0, s1, sfx, spv in segs:
-                            sd = (
-                                " ".join(dec[s0:s1]) if lg else dec[s0:s1]
-                            )
+                        for sd, sfx, spv in segs:
+                            if lg:
+                                sd = " ".join(sd)
                             r = _show_item(sd, spv, 0.0, fx=sfx)
                             if sh0 is None:
                                 sh0 = r
-                        cur_x += advance(item) if sh0 else advance_clip(item)
+                        cur_x += (
+                            advance(item) - nclip * tc * asx * tz
+                            if sh0 else advance_clip(item)
+                        )
                         stack.clear()
                         continue
                     if lg:
@@ -3281,7 +3410,7 @@ class _TextInterp:
                         ),
                         adv_clip=advance_clip(item),
                     )
-                elif op in (b"'", b'"'):
+                elif op in (b"'", b'"') and have_font:
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
@@ -3303,7 +3432,22 @@ class _TextInterp:
                         cprev = None
                         clipped_item = False
                         nclip = 0
+                        lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                        segs = None
                         if (
+                            quad == 0 and fm.nbytes == 1 and size > 0
+                            and len(dec) == len(item)
+                            and (" " in dec[1:-1] or tc < 0.0
+                                 or self._big_tc(tc, asx * tz,
+                                                 size * asx))
+                        ):
+                            r_ = self._seg_split(
+                                fm, item, dec, cur_x, size, asx * tz,
+                                tc, tw, size * asx,
+                            )
+                            if r_ is not None:
+                                segs, nclip, lclip = r_
+                        if segs is None and (
                             vb is not None
                             and quad == 0
                             and fm.nbytes == 1
@@ -3313,35 +3457,21 @@ class _TextInterp:
                                 or cur_x + advance(item) > vb[2]
                             )
                         ):
-                            dec, cprev, nclip = self._clip_x(
+                            dec, cprev, nclip, lclip = self._clip_x(
                                 fm, item, dec, cur_x, size, asx * tz, tc, tw
                             )
-                            clipped_item = True
-                        lg = size > 0 and tc * tz > self.GAP_FRACTION * size
-                        segs = None
-                        if (
-                            quad == 0 and fm.nbytes == 1 and size > 0
-                            and not clipped_item
-                            and len(dec) == len(item)
-                            and (" " in dec[1:-1] or tc < 0.0)
-                        ):
-                            segs = self._seg_split(
-                                fm, item, dec, cur_x, size, asx * tz,
-                                tc, tw, size * asx,
-                            )
+                            clipped_item = nclip > 0
                         if segs is not None:
                             sh0 = None
-                            for s0, s1, sfx, spv in segs:
-                                sd = (
-                                    " ".join(dec[s0:s1]) if lg
-                                    else dec[s0:s1]
-                                )
+                            for sd, sfx, spv in segs:
+                                if lg:
+                                    sd = " ".join(sd)
                                 r = _show_item(sd, spv, 0.0, fx=sfx)
                                 if sh0 is None:
                                     sh0 = r
                             cur_x += (
-                                advance(item) if sh0
-                                else advance_clip(item)
+                                advance(item) - nclip * tc * asx * tz
+                                if sh0 else advance_clip(item)
                             )
                             stack.clear()
                             continue
@@ -3373,7 +3503,8 @@ class _TextInterp:
                             adv_clip=advance_clip(item),
                         )
                 elif (
-                    op == b"TJ" and stack and isinstance(stack[-1], list)
+                    op == b"TJ" and have_font
+                    and stack and isinstance(stack[-1], list)
                     and quad
                 ):
                     # rotated quadrants: item anchors are VISIBLE through
@@ -3384,8 +3515,11 @@ class _TextInterp:
                     # behind one anchor. Run each element through the
                     # per-item compare; a big kern then takes the
                     # carriage-return / gap paths naturally.
-                    for item, tj_kern, tj_ntc in self._coalesce_tj(
-                        stack[-1]
+                    for item, tj_kern, tj_ntc, _tj_ride in (
+                        # the rotated paths clip item-level (show()'s
+                        # box test), so the riding-kern drop of the
+                        # quad-0 consumer does not apply here
+                        self._coalesce_tj(stack[-1])
                     ):
                         if item:
                             dec = fm.decode(item)
@@ -3411,7 +3545,10 @@ class _TextInterp:
                                 # merged empty-buffer kerns each applied
                                 # charSpacing too (!chars branch)
                                 cur_x += tj_ntc * tc * asx * tz
-                elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                elif (
+                    op == b"TJ" and have_font
+                    and stack and isinstance(stack[-1], list)
+                ):
                     buf: list[str] = []
                     start_x = cur_x
                     tjprev: float | None = None
@@ -3425,20 +3562,45 @@ class _TextInterp:
                     # deferred kern fake space (see the event consumer)
                     tj_fake = False
                     lgap = size > 0 and tc * tz > self.GAP_FRACTION * size
-                    for item, tj_kern, tj_ntc in self._coalesce_tj(
-                        stack[-1]
+                    for item, tj_kern, tj_ntc, tj_ride in (
+                        self._coalesce_tj(stack[-1])
                     ):
+                        ride_lost = False
                         if item:
                             dec = fm.decode(item)
-                            if tj_fake and dec:
-                                if not dec.startswith(" "):
-                                    buf.append(" ")
-                                tj_fake = False
                             vb = self.viewbox
                             cprev = None
                             clipped_item = False
                             nclip = 0
+                            segs = None
                             if (
+                                quad == 0
+                                and fm.nbytes == 1 and size > 0
+                                and len(dec) == len(item)
+                                and (
+                                    " " in dec[1:-1]
+                                    or (
+                                        tjprev is not None
+                                        and dec[:1] == " "
+                                    )
+                                    or tc < 0.0
+                                    or self._big_tc(
+                                        tc, asx * tz, size * asx
+                                    )
+                                )
+                            ):
+                                r_ = self._seg_split(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw, size * asx,
+                                    prev0=tjprev,
+                                )
+                                if r_ is not None:
+                                    segs, nclip, lclip = r_
+                                    if nclip:
+                                        dec = "".join(
+                                            t for t, _f, _p in segs
+                                        )
+                            if segs is None and (
                                 vb is not None
                                 and quad == 0
                                 and fm.nbytes == 1
@@ -3448,55 +3610,52 @@ class _TextInterp:
                                     or cur_x + advance(item) > vb[2]
                                 )
                             ):
-                                dec, cprev, nclip = self._clip_x(
+                                dec, cprev, nclip, lclip = self._clip_x(
                                     fm, item, dec, cur_x, size,
                                     asx * tz, tc, tw,
                                 )
-                                clipped_item = True
+                                clipped_item = nclip > 0
+                            if tj_fake and dec:
+                                if not dec.startswith(" "):
+                                    buf.append(" ")
+                                tj_fake = False
                             clip_y = (
                                 vb is not None and fm.nbytes == 1
                                 and not (
                                     vb[1] <= cross_v + arise <= vb[3]
                                 )
                             )
+                            # a box-rejected FINAL glyph takes the
+                            # group's kern (its riding extraSpacing)
+                            # down with it (pdf.js's reject path
+                            # translates scaledDim only,
+                            # pdf.worker.js:36704-36711); quad-0 only
+                            # (the rotated paths clip item-level)
+                            if quad == 0 and fm.nbytes == 1 and (
+                                clip_y or (nclip > 0 and lclip)
+                            ):
+                                ride_lost = not (
+                                    item[-1] == 0x20
+                                    or fm.decode(item[-1:]) == " "
+                                )
                             t_run = len(dec) - len(dec.rstrip(" "))
                             tail_sp = (
                                 t_run if dec.strip(" ")
                                 else tail_sp + dec.count(" ")
                             )
-                            segs = None
-                            if (
-                                fm.nbytes == 1 and size > 0
-                                and not clipped_item
-                                and len(dec) == len(item)
-                                and (
-                                    " " in dec[1:-1]
-                                    or (
-                                        tjprev is not None
-                                        and dec[:1] == " "
-                                    )
-                                    or tc < 0.0
-                                )
-                            ):
-                                segs = self._seg_split(
-                                    fm, item, dec, cur_x, size,
-                                    asx * tz, tc, tw, size * asx,
-                                    prev0=tjprev,
-                                )
                             if segs is not None:
                                 # per-glyph item splitting at quad 0
                                 # mid-TJ (_seg_split): seg 0 completes
                                 # the buffered group, the last becomes
                                 # the new buffer
                                 vv = cross_v + arise
-                                s0, s1, sfx, spv = segs[0]
-                                if dec[s0:s1].strip(" "):
+                                sd0, sfx, spv = segs[0]
+                                if sd0.strip(" "):
                                     # real glyphs precede the split:
                                     # the ring rolled
                                     tj_kill = False
                                 buf.append(
-                                    " ".join(dec[s0:s1]) if lgap
-                                    else dec[s0:s1]
+                                    " ".join(sd0) if lgap else sd0
                                 )
                                 fx0 = (
                                     tjfirst if tjfirst is not None
@@ -3516,10 +3675,9 @@ class _TextInterp:
                                     self.pending_space = True
                                     self.pending_multi = True
                                     tj_kill = False
-                                for s0m, s1m, sfm, spm in segs[1:-1]:
+                                for sdm, sfm, spm in segs[1:-1]:
                                     sd = (
-                                        " ".join(dec[s0m:s1m]) if lgap
-                                        else dec[s0m:s1m]
+                                        " ".join(sdm) if lgap else sdm
                                     )
                                     ddx, ddy = _swapq(sfm, vv)
                                     if self.show(sd, vv, sfm,
@@ -3527,17 +3685,16 @@ class _TextInterp:
                                                  dev_x=ddx, dev_y=ddy,
                                                  mat=matn):
                                         self.last_end_x = spm
-                                s0l, s1l, sfl, spl = segs[-1]
+                                sdl, sfl, spl = segs[-1]
                                 buf = [
-                                    " ".join(dec[s0l:s1l]) if lgap
-                                    else dec[s0l:s1l]
+                                    " ".join(sdl) if lgap else sdl
                                 ]
                                 tjfirst = sfl
                                 start_x = sfl
                                 tjprev = spl
                                 cur_x += (
-                                    advance(item) if sh0
-                                    else advance_clip(item)
+                                    advance(item) - nclip * tc * asx * tz
+                                    if sh0 else advance_clip(item)
                                 )
                             else:
                                 if clipped_item:
@@ -3569,7 +3726,13 @@ class _TextInterp:
                                 if prev is not None:
                                     tjprev = prev
                         if tj_kern is not None:
-                            cur_x -= tj_kern / 1000.0 * size * asx * tz
+                            # riding component lost with a box-rejected
+                            # final glyph (see ride_lost above)
+                            keff = (
+                                tj_kern - tj_ride if ride_lost
+                                else tj_kern
+                            )
+                            cur_x -= keff / 1000.0 * size * asx * tz
                             if tj_ntc:
                                 # tj_ntc merged kerns ran with an EMPTY
                                 # buffer: each applied charSpacing in
@@ -3577,7 +3740,7 @@ class _TextInterp:
                                 # pdf.worker.js:36663-36675)
                                 cur_x += tj_ntc * tc * asx * tz
                             if size > 0:
-                                kern = tj_kern / 1000.0 * size
+                                kern = keff / 1000.0 * size
                                 gap = (
                                     None if tjprev is None
                                     else cur_x - tjprev

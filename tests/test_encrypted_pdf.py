@@ -20,7 +20,7 @@ import numpy as np
 
 from pdf_parse_new_spark.kernels import crypt, pdfb
 
-OPS = b"BT 1 0 0 1 72 700 Tm (decrypted page text) Tj ET"
+OPS = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (decrypted page text) Tj ET"
 ID0 = bytes(range(16))
 TITLE = "Secret Title"
 

@@ -716,3 +716,239 @@ def test_tj_coalesce_three_way_path_identity():
             cinterp.AVAILABLE = True
         assert c_full["text"] == py["text"], f"seed {s}: C replay"
         assert c_lex["text"] == py["text"], f"seed {s}: event loop"
+
+
+# ---------------------------------------------------------------------------
+# round 4: big-Tc standalone splits x stale-rise anchors, clip-aware
+# seg-splitting on view-box straddles, and pre-Tf show dropping
+# ---------------------------------------------------------------------------
+
+def _tc_knife_edge(stream: bytes) -> bool:
+    """tc within an ulp-scale band of the 0.6*fs spaceInFlowMax (or
+    -0.2*fs negativeSpaceMax) boundary: pdf.js's own flush decision
+    there depends on accumulated-position rounding (advanceX =
+    (x + tc) - x wobbles +/- ulp(x) across a ~4e-16 gap), so
+    byte-equality is not well-defined — the generators skip these."""
+    import re as _re
+
+    tcs = [float(v) for v in _re.findall(rb"(-?[\d.]+) Tc", stream)]
+    fss = [float(v) for v in _re.findall(rb"/F\d (\d+) Tf", stream)]
+    return any(
+        f > 0 and (abs(t / f - 0.6) < 1e-9 or abs(t / f + 0.2) < 1e-9)
+        for t in tcs
+        for f in fss
+    )
+
+
+def _gen_bigtc_stream(rng: random.Random) -> bytes:
+    """charSpacing past spaceInFlowMax (tc > 0.6*fs): pdf.js flushes and
+    pushes a standalone " " anchored at prevTransform between EVERY
+    glyph pair (pdf.worker.js:36641-36651). With mid-line Ts toggles the
+    OPEN item keeps its first glyph's rise-anchored y (setTextRise never
+    flushes), so the first big-Tc item boundary after the rise change
+    exposes a y delta through pdf-parse's join — the round-3 residual
+    divergence class."""
+    while True:
+        fs = rng.choice([8, 10, 12])
+        ops = [b"BT", b"/F1 %d Tf" % fs, b"1 0 0 1 40 700 Tm"]
+        tc_mult = rng.choice([0.55, 0.59, 0.605, 0.65, 0.8, 1.2, 2.5])
+        ops.append(b"%.3f Tc" % (tc_mult * fs))
+        if rng.randrange(3) == 0:
+            ops.append(b"%.2f Tw" % rng.choice([0.0, 0.8, 2.0, -1.0]))
+        if rng.randrange(3) == 0:
+            ops.append(b"%.1f Tz" % rng.choice([80.0, 100.0, 120.0]))
+        for i in range(rng.randrange(8, 24)):
+            r = rng.randrange(10)
+            if r < 4:
+                ops.append(
+                    b"(%s) Tj"
+                    % rng.choice(WORDS)[: rng.randrange(1, 6)].encode()
+                )
+            elif r < 6:
+                ops.append(
+                    b"(%s %s) Tj"
+                    % (rng.choice(WORDS)[:3].encode(),
+                       rng.choice(WORDS)[:3].encode())
+                )
+            elif r == 6:
+                ops.append(b"%.2f Ts" % rng.choice([1.5, -1.2, 0.0, 0.4]))
+                ops.append(b"(%s) Tj" % rng.choice(WORDS)[:4].encode())
+                if rng.randrange(2):
+                    ops.append(b"0 Ts")
+            elif r == 7:
+                ops.append(
+                    b"%.2f %.3f Td"
+                    % (rng.uniform(0, 3), rng.uniform(-0.9, 0.9))
+                )
+            elif r == 8:
+                parts = []
+                for _ in range(rng.randrange(2, 6)):
+                    if rng.randrange(2):
+                        parts.append(
+                            b"(%s)" % rng.choice(WORDS)[:3].encode()
+                        )
+                    else:
+                        parts.append(
+                            b"%d"
+                            % rng.choice(
+                                [-8000, -2000, -600, -80, 80, 700, 3000]
+                            )
+                        )
+                ops.append(b"[%s] TJ" % b" ".join(parts))
+            elif r == 9 and rng.randrange(2):
+                ops.append(
+                    b"%.3f Tc" % (rng.choice([0.3, 0.55, 0.7, 1.5]) * fs)
+                )
+            else:
+                nfs = rng.choice([4, 6, 8, 14, 24, 40])
+                ops.append(b"/F%d %d Tf" % (rng.choice([1, 2]), nfs))
+                ops.append(b"(%s) Tj" % rng.choice(WORDS)[:4].encode())
+            if rng.randrange(12) == 0:
+                ops.append(b"1 0 0 1 40 %d Tm" % (700 - 20 * (i + 1)))
+                ops.append(b"%.3f Tc" % (tc_mult * fs))
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        if not _tc_knife_edge(stream):
+            return stream
+
+
+def _gen_clipseg_stream(rng: random.Random) -> bytes:
+    """Items straddling the view-box x edges: the box test sits at the
+    TOP of compareWithLastPosition (pdf.worker.js:36529-36536) — a
+    rejected glyph skips the whole flush/space cascade, advances by
+    width only (no charSpacing), and never moves prevTransform — so
+    seg-split decisions interleave with rejected glyphs."""
+    fs = rng.choice([8, 10, 12, 24])
+    x0 = rng.choice([520, 560, 590, 600, -30, -10, 5])
+    ops = [b"BT", b"/F1 %d Tf" % fs, b"1 0 0 1 %d 700 Tm" % x0]
+    tcm = rng.choice([0.0, 0.05, 0.2, 0.45, 0.65, 1.1, -0.25, -0.5])
+    ops.append(b"%.3f Tc" % (tcm * fs))
+    if rng.randrange(3) == 0:
+        ops.append(b"%.2f Tw" % rng.choice([0.8, 2.0, -1.0, 6.0]))
+    if rng.randrange(4) == 0:
+        ops.append(b"%.1f Tz" % rng.choice([80.0, 120.0]))
+    for _ in range(rng.randrange(4, 14)):
+        r = rng.randrange(8)
+        if r < 3:
+            ws = [
+                rng.choice(WORDS)[: rng.randrange(2, 5)]
+                for _ in range(rng.randrange(1, 4))
+            ]
+            ops.append(b"(%s) Tj" % " ".join(ws).encode())
+        elif r == 3:
+            ops.append(b"%.2f Ts" % rng.choice([1.5, -1.2, 0.4, 0.0]))
+        elif r == 4:
+            ops.append(
+                b"%.2f %.2f Td"
+                % (rng.uniform(-60, 10), rng.uniform(-0.8, 0.8))
+            )
+        elif r == 5:
+            parts = []
+            for _ in range(rng.randrange(2, 5)):
+                if rng.randrange(2):
+                    parts.append(b"(%s)" % rng.choice(WORDS)[:4].encode())
+                else:
+                    parts.append(
+                        b"%d" % rng.choice([-3000, -700, -80, 90, 1500])
+                    )
+            ops.append(b"[%s] TJ" % b" ".join(parts))
+        elif r == 6:
+            ops.append(
+                b"%.3f Tc" % (rng.choice([0.05, 0.45, 0.7, -0.3]) * fs)
+            )
+        else:
+            ops.append(
+                b"( %s  %s ) Tj"
+                % (rng.choice(WORDS)[:3].encode(),
+                   rng.choice(WORDS)[:3].encode())
+            )
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+# pinned minimal reproducers (reduced from hunt seeds s510007/s500292):
+# an item opened at rise 1.5 stays open through `0 Ts` (no flush), so
+# the big-Tc standalone flush inside (ome bet) exposes the stale
+# rise-anchored y -> REF breaks between 'o' and 'm'. The second variant
+# adds (psi) so the final 't' is box-rejected at the page edge — the
+# split machinery must keep working on actually-clipped items.
+_BIGTC_RISE_PINNED = (
+    b"BT\n/F1 10 Tf\n5.500 Tc\n[-8000 (the) -80] TJ\n1.50 Ts\n"
+    b"(sigm) Tj\n(thet) Tj\n/F2 24 Tf\n(sigm) Tj\n(gam) Tj\n(sigm) Tj\n"
+    b"0 Ts\n(mu) Tj\n15.000 Tc\n(ome bet) Tj\nET",
+    b"BT\n/F1 10 Tf\n5.500 Tc\n[-8000 (the) -80] TJ\n1.50 Ts\n"
+    b"(sigm) Tj\n(psi) Tj\n(thet) Tj\n/F2 24 Tf\n(sigm) Tj\n(gam) Tj\n"
+    b"(sigm) Tj\n0 Ts\n(mu) Tj\n15.000 Tc\n(ome bet) Tj\nET",
+)
+
+
+def test_bigtc_rise_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [_assemble(s) for s in _BIGTC_RISE_PINNED]
+        + [
+            _assemble(_gen_bigtc_stream(random.Random(510000 + s)))
+            for s in range(30)
+        ],
+    )
+
+
+def test_clip_straddle_seg_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_clipseg_stream(random.Random(600000 + s)))
+            for s in range(30)
+        ],
+    )
+
+
+# pre-Tf text-show ops are DROPPED — pdf.js's ensureStateFont bails out
+# of Tj/TJ/'/" (including the quotes' side effects) until setFont ran
+# (pdf.worker.js:36911-36943); verified against live node. The engine
+# models fonts per stream, so the gate is stream-local.
+_PRE_TF_STREAMS = (
+    b"BT 1 0 0 1 72 700 Tm (dropped) Tj /F1 12 Tf (kept) Tj ET",
+    b"BT 1 0 0 1 72 700 Tm [(dropped) -500 (too)] TJ "
+    b"/F1 12 Tf [(kept) -500 (also)] TJ ET",
+    b"BT 14 TL 1 0 0 1 72 700 Tm (dropped) ' /F1 12 Tf (kept) ' ET",
+    b"BT 1 0 0 1 72 700 Tm 2 1 (dropped) \" /F1 12 Tf (kept) Tj ET",
+    b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (all kept) Tj ET",
+)
+
+
+def test_pre_tf_shows_dropped_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path, [_assemble(s) for s in _PRE_TF_STREAMS]
+    )
+
+
+def test_round4_three_way_path_identity():
+    """Big-Tc rise splits, clip-straddle seg splits and pre-Tf drops
+    must hold across ALL THREE execution paths: C lexer + C replay, C
+    lexer + Python event loop, and the pure-Python interpreter."""
+    from pdf_parse_new_spark.kernels import cinterp
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    streams = (
+        list(_BIGTC_RISE_PINNED)
+        + list(_PRE_TF_STREAMS)
+        + [_gen_bigtc_stream(random.Random(510000 + s)) for s in range(15)]
+        + [_gen_clipseg_stream(random.Random(600000 + s)) for s in range(15)]
+    )
+    for i, stream in enumerate(streams):
+        raw = _assemble(stream)
+        c_full = pdfb.parse_pdf_bytes(raw)
+        cinterp.REPLAY = False
+        try:
+            c_lex = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.REPLAY = True
+        cinterp.AVAILABLE = False
+        try:
+            py = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.AVAILABLE = True
+        assert c_full["text"] == py["text"], f"stream {i}: C replay"
+        assert c_lex["text"] == py["text"], f"stream {i}: event loop"

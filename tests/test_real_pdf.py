@@ -187,7 +187,7 @@ def test_asciihex_and_filter_chains():
 
     from pdf_parse_new_spark.kernels import pdfb
 
-    ops = b"BT 1 0 0 1 72 700 Tm (hex filter works fine) Tj ET"
+    ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (hex filter works fine) Tj ET"
     # single ASCIIHexDecode
     hx = binascii.hexlify(ops) + b">"
     doc = _page_scaffold(
@@ -254,7 +254,7 @@ def test_xref_stream_with_png_predictor():
 
     from pdf_parse_new_spark.kernels import pdfb
 
-    ops = b"BT 1 0 0 1 72 700 Tm (predictor path) Tj ET"
+    ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (predictor path) Tj ET"
     bodies = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -482,7 +482,7 @@ def test_asciihex_odd_digit_stream():
     implies a trailing 0) — must decode, not drop the page (ADVICE r2)."""
     import binascii
 
-    ops = b"BT 1 0 0 1 72 700 Tm (odd hex ok) Tj ET "  # ends 0x20 -> "20"
+    ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (odd hex ok) Tj ET "  # ends 0x20 -> "20"
     hx = binascii.hexlify(ops)
     assert hx.endswith(b"0")
     hx = hx[:-1] + b">"  # drop the final '0': odd count, same meaning
@@ -499,7 +499,7 @@ def test_xref_stream_zero_width_field():
     7.5.8.2), not 1 (ADVICE r2 — only the first field defaults to 1)."""
     import zlib as z
 
-    ops = b"BT 1 0 0 1 72 700 Tm (zero width) Tj ET"
+    ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (zero width) Tj ET"
     bodies = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -534,7 +534,7 @@ def test_encrypted_trailer_in_xref_stream_detected():
     triggers (ADVICE r2: it was silently dropped -> garbage plaintext)."""
     import zlib as z
 
-    ops = b"BT 1 0 0 1 72 700 Tm (secret) Tj ET"
+    ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (secret) Tj ET"
     bodies = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
