@@ -1698,6 +1698,8 @@ class _TextInterp:
         # — not the scale of the incoming glyph.
         self.scale_flush = False
         self.item_size = 0.0
+        # FontMap a form inherits from its parent stream (see _INH_FONT)
+        self._inh_fm: FontMap | None = None
         # item_hsize: the item's CROSS-AXIS height — pdf.js's
         # textContentItem.height = hypot(trm[2], trm[3]), captured at
         # ensureTextContentItem and used for the EOL / 0.25
@@ -2403,7 +2405,18 @@ class _TextInterp:
         ev2 = _np.array([tuple(r) for r in rows], dtype=ev.dtype)
         return ev2, b"".join(chunks)
 
+    # reserved resource name for the text state a Form XObject inherits
+    # from its parent stream (pdf.js clones the whole eval state into the
+    # form run, paintXObject/stateManager — the form's shows use the
+    # page's current font when it sets none of its own). _do_xobject
+    # prepends synthetic `Tc/Tw/Tz/Tf` ops under this name so all three
+    # execution paths consume the inherited state through their normal
+    # operator machinery.
+    _INH_FONT = "pdfb-inherited-font"
+
     def _font_for(self, fonts_dict, name: str) -> FontMap:
+        if name == self._INH_FONT and self._inh_fm is not None:
+            return self._inh_fm
         ref = (fonts_dict or {}).get(name)
         if not isinstance(ref, Ref):  # inline font dict: id() keys are not
             return build_font_map(self.doc, ref)  # stable across gc — no cache
@@ -2450,6 +2463,9 @@ class _TextInterp:
             return None
         font_idx = _np.full(len(ev), -1, _np.int32)
         specs = [_ASCII_FM.cspec()]
+        # FontMap per spec index (0 = the pre-Tf ASCII default -> no
+        # font to inherit into forms)
+        fms: list = [None]
         fpos = _np.nonzero(ev["kind"] == cinterp.K_FONT)[0]
         if len(fpos):
             a_arr, b_arr = ev["a"], ev["b"]
@@ -2468,6 +2484,7 @@ class _TextInterp:
                     if sp is None:
                         return None
                     specs.append(sp)
+                    fms.append(fm)
                     idx = len(specs) - 1
                     by_span[raw] = idx
                 font_idx[i] = idx
@@ -2479,7 +2496,7 @@ class _TextInterp:
             toff[j * 257 : (j + 1) * 257] = sp[1] + base
             base += len(sp[0])
             widths[j * 256 : (j + 1) * 256] = sp[2]
-        return tbytes, toff, widths, font_idx
+        return tbytes, toff, widths, font_idx, fms
 
     def _replay_c(self, data: bytes, ev, plan, xobjs, resources,
                   depth: int, seen: frozenset, scratch: bytes = b"") -> None:
@@ -2487,7 +2504,7 @@ class _TextInterp:
         Form XObjects between C segments. Line-model state round-trips
         through the state vector so C segments and Python recursion
         compose (a Form may itself fall back to the Python replay)."""
-        tbytes, toff, widths, font_idx = plan
+        tbytes, toff, widths, font_idx, fms = plan
         st = _np.zeros(32, _np.float64)
         st[3] = 1.0  # sx
         st[6] = 1.0  # tz
@@ -2539,6 +2556,7 @@ class _TextInterp:
             if ret >= nev:
                 return
             if depth < self.MAX_DEPTH:
+                cf = int(st[14])
                 self._do_xobject(
                     xobjs,
                     _span_name(data, int(ev["a"][ret]), int(ev["b"][ret])),
@@ -2547,6 +2565,12 @@ class _TextInterp:
                         float(ev["f0"][ret]), 0.0, 0.0,
                         float(ev["f1"][ret]), float(ev["f2"][ret]),
                         float(ev["f3"][ret]),
+                    ),
+                    inherit=(
+                        (fms[cf], float(st[2]), float(st[4]),
+                         float(st[5]), float(st[6]))
+                        if 0 <= cf < len(fms) and fms[cf] is not None
+                        else None
                     ),
                 )
             i = ret + 1
@@ -2574,6 +2598,7 @@ class _TextInterp:
                 data, ev, plan, xobjs, res, depth, seen, scratch
             )
         fm = _ASCII_FM
+        ev_have_font = False  # a K_FONT ran (the form-inherit condition)
         y = rise = 0.0
         cur_x = 0.0
         size = 0.0
@@ -2967,6 +2992,7 @@ class _TextInterp:
                     # are unchanged (pdf.worker.js:36838-36843)
                     self.force_flush = True
                 fm, size = nfm, nsize
+                ev_have_font = True
             elif kind == 3:  # STATE
                 tc, tw, tz, rise = f0, f1, f2, f3
             elif kind == 10:  # SETY: partial Td/TD/Tm — y moved, cur_x stays
@@ -2977,6 +3003,10 @@ class _TextInterp:
                     self._do_xobject(
                         xobjs, _span_name(data, a, b), res, depth, seen,
                         cm=(f0, 0.0, 0.0, f1, f2, f3),
+                        inherit=(
+                            (fm, size, tc, tw, tz)
+                            if ev_have_font else None
+                        ),
                     )
 
     def _run_py(self, data: bytes, resources, depth: int = 0, seen: frozenset = frozenset()) -> None:
@@ -3838,6 +3868,10 @@ class _TextInterp:
                     self._do_xobject(
                         xobjs, str(stack[-1]), res, depth, seen,
                         cm=(cm_a, cm_b, cm_c, cm_d, cm_e, cm_f),
+                        inherit=(
+                            (fm, size, tc, tw, tz)
+                            if have_font else None
+                        ),
                     )
                 elif op == b"BT":
                     rise = 0.0
@@ -3898,7 +3932,8 @@ class _TextInterp:
 
     def _do_xobject(self, xobjs, name: str, parent_res, depth: int,
                     seen: frozenset,
-                    cm: tuple | None = None) -> None:
+                    cm: tuple | None = None,
+                    inherit: tuple | None = None) -> None:
         doc = self.doc
         ref = (xobjs or {}).get(name)
         key = ref.num if isinstance(ref, Ref) else None
@@ -3936,6 +3971,22 @@ class _TextInterp:
             body = (
                 " ".join(f"{v:.8f}" for v in cm) + " cm\n"
             ).encode("ascii") + body
+        # the form INHERITS the parent stream's text state (pdf.js clones
+        # the eval state into the form run): prepend the equivalent
+        # Tc/Tw/Tz/Tf ops so a form showing text without its own Tf keeps
+        # the page's font/size/spacing — and the pre-Tf gate stays armed.
+        # Verified vs live node (tests/test_node_differential.py).
+        # Residual corners (documented, ROADMAP): TL/Ts/Tm inheritance —
+        # leading is lexer-internal in the C path and rise crosses the
+        # events pre-scaled, so neither can round-trip consistently.
+        inh_prev = self._inh_fm
+        if inherit is not None and inherit[0] is not None:
+            ifm, isz, itc, itw, itz = inherit
+            body = (
+                "%.8f Tc %.8f Tw %.8f Tz /%s %.8f Tf\n"
+                % (itc, itw, itz * 100.0, self._INH_FONT, isz)
+            ).encode("ascii") + body
+            self._inh_fm = ifm
         # paintXObject flushes the page's item (pdf.worker.js:36950) and
         # recurses with a FRESH textContentItem closure: the form's first
         # glyph sees prevTransform == null (no CR/gap vs page text), and
@@ -3955,12 +4006,15 @@ class _TextInterp:
         self.glyph_mat = None
         self.pending_space = False
         self.pending_multi = False
-        self.run(
-            body,
-            xo.dict.get("Resources", parent_res),
-            depth + 1,
-            seen | ({key} if key is not None else set()),
-        )
+        try:
+            self.run(
+                body,
+                xo.dict.get("Resources", parent_res),
+                depth + 1,
+                seen | ({key} if key is not None else set()),
+            )
+        finally:
+            self._inh_fm = inh_prev
         self.glyph_y, self.last_end_x = prev_gy, prev_x
         self.glyph_mat = prev_mat
         self.pending_space = prev_pending

@@ -952,3 +952,76 @@ def test_round4_three_way_path_identity():
             cinterp.AVAILABLE = True
         assert c_full["text"] == py["text"], f"stream {i}: C replay"
         assert c_lex["text"] == py["text"], f"stream {i}: event loop"
+
+
+def test_form_inherits_text_state_byte_equal_vs_live_reference(tmp_path):
+    """pdf.js clones the eval state into a Form XObject run
+    (paintXObject/stateManager), so a form showing text WITHOUT its own
+    Tf keeps the page's font — and its charSpacing/wordSpacing/Tz. The
+    engine prepends equivalent synthetic ops under a reserved resource
+    name (_do_xobject inherit=...). Verified against live node."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (page text) Tj ET /Fm Do",
+                b"BT 1 0 0 1 72 650 Tm (inherited font text) Tj ET",
+            ),
+            _assemble_with_form(
+                b"",
+                b"/F1 12 Tf /Fm Do",
+                b"BT 1 0 0 1 72 650 Tm (inherited only) Tj ET",
+            ),
+            _assemble_with_form(
+                b"",
+                b"/Fm Do",
+                b"BT 1 0 0 1 72 650 Tm (never shown: no font anywhere) Tj ET",
+            ),
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 9 Tc 2 Tw 80 Tz 1 0 0 1 72 700 Tm (pg) Tj "
+                b"ET /Fm Do",
+                b"BT 1 0 0 1 72 650 Tm (spread out text inherits Tc Tw Tz)"
+                b" Tj ET",
+            ),
+            _assemble_with_form(
+                b"/Matrix [1 0 0 1 30 -40]",
+                b"BT /F1 10 Tf 0.5 Tc 1 0 0 1 72 700 Tm (before) Tj ET "
+                b"q 2 0 0 2 10 5 cm /Fm Do Q "
+                b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (after) Tj ET",
+                b"BT 1 0 0 1 20 20 Tm (inherited under matrix) Tj ET",
+            ),
+        ],
+    )
+
+
+def test_form_inherit_three_way_path_identity():
+    from pdf_parse_new_spark.kernels import cinterp
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    pdfs = [
+        _assemble_with_form(
+            b"",
+            b"BT /F1 12 Tf %.1f Tc 1 0 0 1 72 700 Tm (pg) Tj ET /Fm Do"
+            % tc,
+            b"BT 1 0 0 1 72 650 Tm (sun moon  star) Tj "
+            b"(tail) Tj ET",
+        )
+        for tc in (0.0, 0.5, 3.0, 9.0)
+    ]
+    for i, raw in enumerate(pdfs):
+        c_full = pdfb.parse_pdf_bytes(raw)
+        cinterp.REPLAY = False
+        try:
+            c_lex = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.REPLAY = True
+        cinterp.AVAILABLE = False
+        try:
+            py = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.AVAILABLE = True
+        assert c_full["text"] == py["text"], f"pdf {i}: C replay"
+        assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
