@@ -43,6 +43,7 @@ import zlib
 from pdf_parse_new_spark import spec
 from pdf_parse_new_spark.kernels import cinterp, cobj, crypt
 from pdf_parse_new_spark.kernels import bidi as _bidi_mod
+from pdf_parse_new_spark.kernels import cff as _cffmod
 from pdf_parse_new_spark.kernels import encodings as _encdata
 from pdf_parse_new_spark.kernels.pdfk import _RTL_RUN
 
@@ -942,6 +943,18 @@ _T1_ENC_STD = re.compile(rb"/Encoding\s+StandardEncoding\s+def")
 _T1_ENC_DUP = re.compile(rb"dup\s+(\d+)\s*/([^\s/\[\]{}()<>]+)\s+put")
 
 
+def _amend_winansi_names(table: dict[int, str]) -> None:
+    """adjustTrueTypeToUnicode's amend loop (pdf.worker.js:27541-27555):
+    every named WinAnsi charcode re-resolves through the glyph list."""
+    glyphs = _encdata.GLYPHS_UNICODE
+    for i, gname in enumerate(_encdata.WinAnsiEncoding):
+        if not gname:
+            continue
+        cp = glyphs.get(gname)
+        if cp is not None:
+            table[i] = chr(cp)
+
+
 def _type1_builtin_encoding(data: bytes):
     """The embedded Type1 program's /Encoding from its CLEARTEXT header
     (pdf.js Type1Parser.extractFontHeader, pdf.worker.js:27141-27169):
@@ -1384,13 +1397,45 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
                 if recs and all(
                     _isWinNameRecord(*r) for r in recs
                 ):
-                    glyphs = _encdata.GLYPHS_UNICODE
-                    for i, gname in enumerate(_encdata.WinAnsiEncoding):
-                        if not gname:
-                            continue
-                        cp = glyphs.get(gname)
-                        if cp is not None:
-                            table[i] = chr(cp)
+                    _amend_winansi_names(table)
+            elif font_file_kind == "cff":
+                # CFFFont._createBuiltInEncoding + adjustType1ToUnicode
+                # (pdf.worker.js:22110-22133, 29624): the CFF's own
+                # Encoding+charset glyph names win for charcodes the
+                # PDF-level encoding doesn't claim.  OpenType-wrapped
+                # programs (OTTO sfnt in FontFile3) instead run the
+                # TrueType checkAndRepair path, whose name-table gate is
+                # adjustTrueTypeToUnicode (pdf.worker.js:29608-29614).
+                try:
+                    prog = doc.decoded(font_file)
+                except Exception:  # noqa: BLE001
+                    prog = None
+                if prog and prog[:4] in (
+                    b"OTTO", b"\x00\x01\x00\x00", b"true", b"ttcf"
+                ):
+                    if (
+                        symbolic and not has_encoding
+                        and enc_names is not _encdata.WinAnsiEncoding
+                    ):
+                        recs = _ttf_name_records(prog)
+                        if recs and all(
+                            _isWinNameRecord(*r) for r in recs
+                        ):
+                            _amend_winansi_names(table)
+                elif prog:
+                    try:
+                        builtin_cff = _cffmod.cff_builtin_encoding(prog)
+                    except Exception:  # noqa: BLE001
+                        builtin_cff = None
+                    if builtin_cff:
+                        for code2, gname in builtin_cff.items():
+                            if has_encoding and (
+                                bname or code2 in diffs_names
+                            ):
+                                continue
+                            v = _unicode_for_glyph(gname)
+                            if v != -1:
+                                table[code2] = chr(v)
             elif font_file_kind == "t1":
                 # adjustType1ToUnicode (pdf.worker.js:27559-27589): the
                 # embedded program's built-in /Encoding glyph names win
