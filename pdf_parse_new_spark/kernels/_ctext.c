@@ -46,6 +46,12 @@ enum {
                    * replay refreshes the PEN (pdf.js recomputes the
                    * transform per glyph) while prevTransform keeps its
                    * old device point (it is never retransformed) */
+    K_INH = 13,   /* f0=leading f1=rise(RAW, unscaled) : emitted
+                   * immediately before every K_XOBJ so the Python
+                   * orchestrator can hand the lexer-internal text state
+                   * to the nested Form run (pdf.js clones the whole
+                   * eval state into paintXObject; leading/rise never
+                   * cross the other events un-scaled) */
     K_ROT = 12    /* emitted ONCE when the composed text x CTM matrix
                    * picks up rotation/skew (any of tm_b, tm_c, cm_b,
                    * cm_c nonzero): the event stream flattens the matrix
@@ -741,12 +747,17 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     EMIT(K_STR, st[nst - 1].flag, st[nst - 1].a,
                          st[nst - 1].b, 0, 0, 0, 0);
             } else if (oplen == 2 && op[0] == 'D' && op[1] == 'o') {
-                if (nst >= 1 && st[nst - 1].kind == OP_NAME)
+                if (nst >= 1 && st[nst - 1].kind == OP_NAME) {
                     /* carry the CURRENT ctm (diagonal + translate)
                      * so the nested form run composes page cm x
-                     * /Matrix like pdf.js's cloned state */
+                     * /Matrix like pdf.js's cloned state; K_INH rides
+                     * ahead with the lexer-internal leading + RAW rise
+                     * (the K_STATE rise is matrix-pre-scaled and can't
+                     * round-trip into a synthetic Ts) */
+                    EMIT(K_INH, 0, 0, 0, leading, rise, 0, 0);
                     EMIT(K_XOBJ, 0, st[nst - 1].a, st[nst - 1].b,
                          cm_a, cm_d, cm_e, cm_f);
+                }
             } else if (oplen == 1 && op[0] == 'q') {
                 if (qn < 64) {
                     qs[qn][0] = cm_a;
@@ -808,8 +819,10 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 tm_d = 1.0;
                 tm_e = 0.0;
                 tm_f = 0.0;
-                rise = 0.0;
-                /* leading/Tc/Tw/Tz persist across BT (spec table 103) */
+                /* leading/Tc/Tw/Tz AND rise persist across BT — pdf.js
+                 * beginText resets only the matrices; textRise lives in
+                 * the text state (verified vs live node: a 30 Ts set in
+                 * one BT block still lifts the next block's glyphs) */
                 EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
                 EMIT(K_ANCHOR, 0, 0, 0, TX_X(0.0, 0.0), TX_Y(0.0, 0.0), cm_a, cm_d);
             } else if (oplen == 2 && op[0] == 'B' && op[1] == 'I') {

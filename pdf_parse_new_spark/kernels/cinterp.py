@@ -40,6 +40,10 @@ K_TJSTART, K_TJSTR, K_TJNUM, K_TJEND, K_XOBJ, K_SETY = 5, 6, 7, 8, 9, 10
 # (the flattened events drop the 2x2 — callers re-run the stream through
 # the full-matrix Python interpreter)
 K_ROT = 12
+# K_INH precedes every K_XOBJ: f0 = leading, f1 = RAW rise — the text
+# state a Form XObject inherits that is otherwise lexer-internal
+# (leading) or matrix-pre-scaled in K_STATE (rise)
+K_INH = 13
 
 _lib = None
 AVAILABLE = False

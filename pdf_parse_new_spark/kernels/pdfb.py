@@ -2602,20 +2602,37 @@ class _TextInterp:
                 return
             if depth < self.MAX_DEPTH:
                 cf = int(st[14])
+                # the K_INH rider immediately ahead of every K_XOBJ
+                # carries the lexer-internal leading + RAW rise
+                itl = its = 0.0
+                if ret > 0 and int(ev["kind"][ret - 1]) == cinterp.K_INH:
+                    itl = float(ev["f0"][ret - 1])
+                    its = float(ev["f1"][ret - 1])
+                cma, cmd = float(ev["f0"][ret]), float(ev["f1"][ret])
+                cme, cmf = float(ev["f2"][ret]), float(ev["f3"][ret])
+                # reconstruct the parent's ADVANCED text matrix in TEXT
+                # space (pdf.js clones textMatrix into the form run; the
+                # flattened model keeps only the device pen + composed
+                # scales, so divide the CTM back out). Shows only
+                # translate tm, so the linear part is the line scales.
+                # Gated on an anchor having run: before any BT/Td/Tm the
+                # matrix is identity and there is nothing to clone.
+                itm = None
+                if cma and cmd and (ev["kind"][:ret] == cinterp.K_ANCHOR).any():
+                    itm = (
+                        float(st[3]) / cma, 0.0, 0.0, float(st[29]) / cmd,
+                        (float(st[1]) - cme) / cma,
+                        (float(st[0]) - cmf) / cmd,
+                    )
                 self._do_xobject(
                     xobjs,
                     _span_name(data, int(ev["a"][ret]), int(ev["b"][ret])),
                     resources, depth, seen,
-                    cm=(
-                        float(ev["f0"][ret]), 0.0, 0.0,
-                        float(ev["f1"][ret]), float(ev["f2"][ret]),
-                        float(ev["f3"][ret]),
-                    ),
+                    cm=(cma, 0.0, 0.0, cmd, cme, cmf),
                     inherit=(
-                        (fms[cf], float(st[2]), float(st[4]),
-                         float(st[5]), float(st[6]))
-                        if 0 <= cf < len(fms) and fms[cf] is not None
-                        else None
+                        fms[cf] if 0 <= cf < len(fms) else None,
+                        float(st[2]), float(st[4]),
+                        float(st[5]), float(st[6]), itl, its, itm,
                     ),
                 )
             i = ret + 1
@@ -2644,6 +2661,8 @@ class _TextInterp:
             )
         fm = _ASCII_FM
         ev_have_font = False  # a K_FONT ran (the form-inherit condition)
+        inh_tl = inh_ts = 0.0  # K_INH rider: leading + raw rise at Do
+        anch_seen = False  # a K_ANCHOR ran (tm-clone reconstruction gate)
         y = rise = 0.0
         cur_x = 0.0
         size = 0.0
@@ -2993,6 +3012,7 @@ class _TextInterp:
                 sx = f2
                 sy = f3
                 line_ox, line_oy = f0, f1
+                anch_seen = True
             elif kind == 11:  # CM: cm/Q mid-text — the PEN follows the
                 # new matrix (pdf.js derives positions from ctm x tm);
                 # prevTransform keeps its old device point
@@ -3043,14 +3063,25 @@ class _TextInterp:
             elif kind == 10:  # SETY: partial Td/TD/Tm — y moved, cur_x stays
                 y = f0
                 line_oy = f0
+            elif kind == 13:  # INH: leading + raw rise rider before Do
+                inh_tl, inh_ts = f0, f1
             elif kind == 9:  # XOBJ (Do)
                 if depth < self.MAX_DEPTH:
+                    # advanced text matrix in TEXT space for the clone
+                    # (divide the diagonal CTM back out of the device
+                    # pen/scales); see the _replay_c twin for rationale
+                    itm = None
+                    if f0 and f1 and anch_seen:
+                        itm = (
+                            sx / f0, 0.0, 0.0, sy / f1,
+                            (cur_x - f2) / f0, (y - f3) / f1,
+                        )
                     self._do_xobject(
                         xobjs, _span_name(data, a, b), res, depth, seen,
                         cm=(f0, 0.0, 0.0, f1, f2, f3),
                         inherit=(
-                            (fm, size, tc, tw, tz)
-                            if ev_have_font else None
+                            fm if ev_have_font else None,
+                            size, tc, tw, tz, inh_tl, inh_ts, itm,
                         ),
                     )
 
@@ -3910,25 +3941,51 @@ class _TextInterp:
                         self.pending_space = True
                         self.pending_multi = True
                 elif op == b"Do" and stack and depth < self.MAX_DEPTH:
+                    # advanced text matrix in TEXT space for the clone:
+                    # un-swap the compare-frame pen back to device, then
+                    # divide the full CTM out; the linear part is the
+                    # line matrix's (shows only translate tm)
+                    itm = None
+                    if quad == -1 and matn is not None:
+                        mdet = matn[0] * matn[3] - matn[1] * matn[2]
+                        pdx = pdy = None
+                        if mdet:
+                            pdx = (matn[3] * cur_x - matn[1] * cross_v) / mdet
+                            pdy = (matn[0] * cross_v - matn[2] * cur_x) / mdet
+                    else:
+                        pdx, pdy = _swapq(cur_x, cross_v)
+                    if pdx is not None:
+                        det = cm_a * cm_d - cm_b * cm_c
+                        if det:
+                            ptx, pty = pdx - cm_e, pdy - cm_f
+                            itm = (
+                                tm_a, tm_b, tm_c, tm_d,
+                                (ptx * cm_d - pty * cm_c) / det,
+                                (pty * cm_a - ptx * cm_b) / det,
+                            )
                     self._do_xobject(
                         xobjs, str(stack[-1]), res, depth, seen,
                         cm=(cm_a, cm_b, cm_c, cm_d, cm_e, cm_f),
                         inherit=(
-                            (fm, size, tc, tw, tz)
-                            if have_font else None
+                            fm if have_font else None,
+                            size, tc, tw, tz, leading, rise, itm,
                         ),
                     )
                 elif op == b"BT":
-                    rise = 0.0
-                    arise = 0.0
                     tm_a, tm_b, tm_c = 1.0, 0.0, 0.0
                     tm_d, tm_e, tm_f = 1.0, 0.0, 0.0
                     ax = cm_e
                     ay = cm_f
                     _requad()
+                    # leading/Tc/Tw/Tz AND rise are TEXT STATE (persist
+                    # across BT — pdf.js beginText resets only the
+                    # matrices; verified vs live node): refresh the
+                    # matrix-scaled rise offset under the reset tm
+                    if quad:
+                        arise = _swapq(rise * cC, rise * cD)[1]
+                    else:
+                        arise = rise * tm_d * cm_d
                     cur_x, cross_v = _swapq(ax, ay)
-                    # leading/Tc/Tw/Tz are TEXT STATE (persist across BT;
-                    # spec table 103) — only the matrices reset
                 elif op == b"cm" and len(stack) >= 6:
                     vals = [float(stack[i]) for i in range(-6, 0)]
                     ma, mb, mc, md, me, mf = vals
@@ -4018,20 +4075,39 @@ class _TextInterp:
             ).encode("ascii") + body
         # the form INHERITS the parent stream's text state (pdf.js clones
         # the eval state into the form run): prepend the equivalent
-        # Tc/Tw/Tz/Tf ops so a form showing text without its own Tf keeps
-        # the page's font/size/spacing — and the pre-Tf gate stays armed.
-        # Verified vs live node (tests/test_node_differential.py).
-        # Residual corners (documented, ROADMAP): TL/Ts/Tm inheritance —
-        # leading is lexer-internal in the C path and rise crosses the
-        # events pre-scaled, so neither can round-trip consistently.
+        # Tc/Tw/Tz/TL/Ts/Tf ops so a form showing text without its own
+        # state ops keeps the page's font/size/spacing/leading/rise —
+        # and the pre-Tf gate stays armed (the Tf op is emitted only
+        # when the parent had a font; the state ops inherit regardless,
+        # pdf.js clones unconditionally — verified vs live node: a
+        # parent's `40 TL 3 Tc` with NO Tf still shapes the form's T*
+        # and letter gaps). Verified in tests/test_node_differential.py.
         inh_prev = self._inh_fm
-        if inherit is not None and inherit[0] is not None:
-            ifm, isz, itc, itw, itz = inherit
-            body = (
-                "%.8f Tc %.8f Tw %.8f Tz /%s %.8f Tf\n"
-                % (itc, itw, itz * 100.0, self._INH_FONT, isz)
-            ).encode("ascii") + body
-            self._inh_fm = ifm
+        if inherit is not None:
+            ifm, isz, itc, itw, itz, itl, its, itm = inherit
+            ops = []
+            if itc != 0.0 or itw != 0.0 or itz != 1.0:
+                ops.append("%.8f Tc %.8f Tw %.8f Tz"
+                           % (itc, itw, itz * 100.0))
+            if itl != 0.0:
+                ops.append("%.8f TL" % itl)
+            if its != 0.0:
+                ops.append("%.8f Ts" % its)
+            if ifm is not None:
+                ops.append("/%s %.8f Tf" % (self._INH_FONT, isz))
+                self._inh_fm = ifm
+            # the cloned textMatrix: a form showing text before its own
+            # BT/Tm continues at the parent's pen (verified vs live
+            # node: mid-BT `(pre) Tj /Fm Do (post) Tj` with a bare-Tj
+            # form joins as one line). A form's own BT/Tm overrides it,
+            # exactly as pdf.js resets the cloned matrix there. Known
+            # residual: the cloned LINE matrix can lag tm after shows —
+            # Tm sets both, so a form leading with Td/T*/'/" composes
+            # with tm, not the parent's lm (no operator sets them apart).
+            if itm is not None and itm != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
+                ops.append("%.8f %.8f %.8f %.8f %.8f %.8f Tm" % itm)
+            if ops:
+                body = (" ".join(ops) + "\n").encode("ascii") + body
         # paintXObject flushes the page's item (pdf.worker.js:36950) and
         # recurses with a FRESH textContentItem closure: the form's first
         # glyph sees prevTransform == null (no CR/gap vs page text), and
@@ -4041,16 +4117,33 @@ class _TextInterp:
         # one that does advances it to its last item's anchor. After the
         # form, the page's own closure resumes with its pre-Do glyph
         # state (prevTransform/twoLastChars persist across next()).
+        # pdf.js recurses with a FRESH getTextContent closure: the form
+        # gets its own prevTransform (glyph_y/last_end_x/glyph_mat),
+        # twoLastChars ring (last_char + pending run memory) and
+        # textContentItem staleness (item_size/item_hsize/scale_flush);
+        # only the SINK (pieces/last_y/line_open) is shared. Save the
+        # page closure, run the form from closure-init state, restore —
+        # verified vs live node: a form's glyphs must not roll the
+        # page's ring (a post-form tracking-space decision reads the
+        # pre-Do glyphs) nor leave its stale item scale behind.
         prev_gy, prev_x = self.glyph_y, self.last_end_x
         prev_mat = self.glyph_mat
         prev_pending = self.pending_space
         prev_multi = self.pending_multi
+        prev_lc = self.last_char
+        prev_isz = self.item_size
+        prev_ihs = self.item_hsize
+        prev_sf = self.scale_flush
         self.force_flush = True
         self.glyph_y = None
         self.last_end_x = None
         self.glyph_mat = None
         self.pending_space = False
         self.pending_multi = False
+        self.last_char = ""
+        self.item_size = 0.0
+        self.item_hsize = 0.0
+        self.scale_flush = False
         try:
             self.run(
                 body,
@@ -4064,6 +4157,10 @@ class _TextInterp:
         self.glyph_mat = prev_mat
         self.pending_space = prev_pending
         self.pending_multi = prev_multi
+        self.last_char = prev_lc
+        self.item_size = prev_isz
+        self.item_hsize = prev_ihs
+        self.scale_flush = prev_sf
         self.force_flush = True  # form stream end flush (getTextContent tail)
 
 

@@ -1025,3 +1025,310 @@ def test_form_inherit_three_way_path_identity():
             cinterp.AVAILABLE = True
         assert c_full["text"] == py["text"], f"pdf {i}: C replay"
         assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
+
+
+# --------------------------------------------------------------------
+# Round-4 late additions: full text-STATE + text-MATRIX clone into Form
+# XObjects, rise persistence across BT, and page-closure isolation.
+# pdf.js clones the WHOLE eval state (paintXObject) and recurses
+# getTextContent with a FRESH closure over the SAME sink; beginText
+# resets only the matrices (textRise survives BT). All pinned against
+# live node; the hunt behind these ran 1,400 seeded docs with zero
+# divergence.
+# --------------------------------------------------------------------
+
+def test_rise_persists_across_bt_byte_equal_vs_live_reference(tmp_path):
+    """pdf.js beginText resets the text/line matrices ONLY — textRise
+    is text state and survives into the next BT block (a `30 Ts` set in
+    one block still lifts the following block's glyphs onto the raised
+    line). The engine used to reset rise at BT; this pins the fix."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (one) Tj 30 Ts (up) Tj"
+                b" ET BT /F1 12 Tf 1 0 0 1 72 700 Tm (two) Tj ET"
+            ),
+            _assemble(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (one) Tj 30 Ts (up) Tj"
+                b" 0 Ts ET BT /F1 12 Tf 1 0 0 1 72 700 Tm (two) Tj ET"
+            ),
+            _assemble(
+                b"BT /F1 10 Tf -8 Ts 1 0 0 1 72 700 Tm (sub) Tj ET "
+                b"BT /F1 10 Tf 1 0 0 1 72 692 Tm (base) Tj ET"
+            ),
+        ],
+    )
+
+
+def test_form_inherits_tl_ts_tm_byte_equal_vs_live_reference(tmp_path):
+    """The clone covers leading (T*/'/\" inside the form ride the
+    page's TL), rise (inherited Ts survives the form's own BT), the
+    no-font state case (a parent's `40 TL 3 Tc` with NO Tf still
+    shapes the form's output), and the text MATRIX: a form showing
+    text before its own BT/Tm continues at the parent's pen — mid-BT
+    `(pre) Tj /Fm Do (post) Tj` over a bare-Tj form reads as ONE
+    line. Form-local changes never leak back to the page."""
+    _run_differential(
+        tmp_path,
+        [
+            # TL into T* and into the quote operator
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 40 TL 1 0 0 1 72 700 Tm (page) Tj ET /Fm"
+                b" Do BT /F1 12 Tf 1 0 0 1 72 600 Tm (after) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 500 Tm (fa) Tj T* (fb) Tj ET",
+            ),
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 40 TL 1 0 0 1 72 700 Tm (page) Tj ET /Fm"
+                b" Do BT /F1 12 Tf 1 0 0 1 72 600 Tm (after) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 500 Tm (fa) Tj (fb) ' ET",
+            ),
+            # Ts into the form (and through the form's own BT)
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 8 Ts 1 0 0 1 72 700 Tm (page) Tj ET /Fm"
+                b" Do BT /F1 12 Tf 1 0 0 1 72 600 Tm (after) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (fa) Tj 0 Ts (fb) Tj"
+                b" ET",
+            ),
+            # no-font parent: TL and Tc still inherit
+            _assemble_with_form(
+                b"",
+                b"BT 40 TL 3 Tc ET /Fm Do BT /F1 12 Tf 1 0 0 1 72 600"
+                b" Tm (after) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 500 Tm (fa ab) Tj T* (fb) Tj"
+                b" ET",
+            ),
+            # cloned text matrix: bare-Tj form mid-BT joins the line
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (pre) Tj /Fm Do (post)"
+                b" Tj ET",
+                b"(inform) Tj",
+            ),
+            # form-local TL/Ts never leak back to the page
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 40 TL 1 0 0 1 72 700 Tm (p1) Tj ET /Fm"
+                b" Do BT /F1 12 Tf 1 0 0 1 72 600 Tm (p2) Tj T* (p3) Tj"
+                b" 0 0 Td (p4) Tj ET",
+                b"BT /F1 10 Tf 99 TL 20 Ts 1 0 0 1 300 300 Tm (f) Tj"
+                b" ET",
+            ),
+        ],
+    )
+
+
+def test_form_closure_isolation_byte_equal_vs_live_reference(tmp_path):
+    """The form's glyphs run in a FRESH recursive closure: they must
+    not roll the page's twoLastChars ring nor leave a stale item scale
+    behind. Distilled from the two hunt divergences at seeds
+    910362/910420: (a) a quote-CR parent whose post-form show read a
+    phantom pending space, (b) a letter-spaced parent whose post-form
+    tracking space vanished because the form's glyphs rolled the
+    ring."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_with_form(
+                b"",
+                b"BT /F1 8 Tf 40 TL 0.5 Tc 1 0 0 1 137 475 Tm (alpha)"
+                b" Tj (eta) ' /Fm Do (kappa) Tj ET BT /F1 12 Tf 1 0 0 1"
+                b" 72 246 Tm (theta) Tj ET",
+                b"12 TL 0.5 Tc (iota) Tj",
+            ),
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf -6 Ts 2 Tc 1 0 0 1 54 379 Tm (zeta) Tj"
+                b" /Fm Do (zeta) Tj ET BT /F1 12 Tf 1 0 0 1 72 514 Tm"
+                b" (theta) Tj T* (epsi) Tj ET",
+                b"(delta) Tj (eta) Tj",
+            ),
+        ],
+    )
+
+
+def _gen_form_inherit_stream(rng: random.Random):
+    """Random parent streams (state ops, mid-BT or post-ET Do, second
+    BT block) over random form shapes: classic BT forms, bare shows in
+    the clone window, own-Tm forms, T*/quote-first forms, own-state
+    forms — with random /Matrix values."""
+    words = WORDS
+
+    def state_ops(r):
+        ops = []
+        if r.random() < 0.5:
+            ops.append(b"%d TL" % r.choice([12, 20, 40]))
+        if r.random() < 0.4:
+            ops.append(b"%s Ts" % str(r.choice([4, 8, -6, 30])).encode())
+        if r.random() < 0.4:
+            ops.append(b"%s Tc" % str(r.choice([0.5, 2, 3])).encode())
+        if r.random() < 0.3:
+            ops.append(b"%s Tw" % str(r.choice([1, 4])).encode())
+        if r.random() < 0.3:
+            ops.append(b"%d Tz" % r.choice([50, 150, 200]))
+        return ops
+
+    outer = [b"BT"]
+    mid_do = rng.random() < 0.5
+    if rng.random() < 0.8:
+        outer.append(b"/F1 %d Tf" % rng.choice([8, 10, 12]))
+    outer += state_ops(rng)
+    outer.append(
+        b"1 0 0 1 %d %d Tm"
+        % (rng.randrange(40, 200), rng.randrange(300, 700))
+    )
+    for _ in range(rng.randrange(0, 3)):
+        outer.append(b"(%s) Tj" % rng.choice(words).encode())
+        if rng.random() < 0.3:
+            outer.append(b"T*")
+        if rng.random() < 0.2:
+            outer.append(b"(%s) '" % rng.choice(words).encode())
+    if mid_do:
+        outer.append(b"/Fm Do")
+        if rng.random() < 0.7:
+            outer.append(b"(%s) Tj" % rng.choice(words).encode())
+        outer.append(b"ET")
+    else:
+        outer += [b"ET", b"/Fm Do"]
+    if rng.random() < 0.6:
+        outer.append(
+            b"BT /F1 12 Tf 1 0 0 1 72 %d Tm (%s) Tj"
+            % (rng.randrange(100, 650), rng.choice(words).encode())
+        )
+        if rng.random() < 0.4:
+            outer.append(b"0 Ts")
+        if rng.random() < 0.3:
+            outer.append(b"T* (%s) Tj" % rng.choice(words).encode())
+        outer.append(b"ET")
+    form = []
+    shape = rng.randrange(5)
+    if shape == 0:
+        form.append(b"BT")
+        if rng.random() < 0.7:
+            form.append(b"/F1 %d Tf" % rng.choice([9, 11]))
+        if rng.random() < 0.5:
+            form.append(
+                b"1 0 0 1 %d %d Tm"
+                % (rng.randrange(30, 300), rng.randrange(100, 600))
+            )
+        form.append(b"(%s) Tj" % rng.choice(words).encode())
+        if rng.random() < 0.4:
+            form.append(b"T* (%s) Tj" % rng.choice(words).encode())
+        if rng.random() < 0.3:
+            form.append(b"(%s) '" % rng.choice(words).encode())
+        form.append(b"ET")
+    elif shape == 1:
+        form.append(b"(%s) Tj" % rng.choice(words).encode())
+        if rng.random() < 0.5:
+            form.append(b"(%s) Tj" % rng.choice(words).encode())
+    elif shape == 2:
+        form.append(
+            b"1 0 0 1 %d %d Tm (%s) Tj"
+            % (
+                rng.randrange(30, 300),
+                rng.randrange(100, 600),
+                rng.choice(words).encode(),
+            )
+        )
+    elif shape == 3:
+        form.append(
+            rng.choice([b"T* (%s) Tj", b"(%s) '"])
+            % rng.choice(words).encode()
+        )
+    else:
+        form += state_ops(rng)
+        form.append(b"(%s) Tj" % rng.choice(words).encode())
+    if rng.random() < 0.4:
+        form.insert(0, b"/F1 %d Tf" % rng.choice([7, 13]))
+    mat = rng.choice(
+        [
+            b"",
+            b"/Matrix [1 0 0 1 0 0]",
+            b"/Matrix [1 0 0 1 50 -20]",
+            b"/Matrix [0.5 0 0 0.5 100 100]",
+            b"/Matrix [2 0 0 2 -30 10]",
+        ]
+    )
+    return _assemble_with_form(mat, b" ".join(outer), b" ".join(form))
+
+
+def _gen_rise_bt_stream(rng: random.Random) -> bytes:
+    """Rise persistence across successive BT blocks + Td/T* interplay."""
+    ops = []
+    for _ in range(rng.randrange(2, 4)):
+        ops.append(b"BT /F1 %d Tf" % rng.choice([10, 12]))
+        ops.append(b"1 0 0 1 72 %d Tm" % rng.randrange(200, 700))
+        for _ in range(rng.randrange(1, 4)):
+            if rng.random() < 0.5:
+                ops.append(
+                    b"%s Ts" % str(rng.choice([0, 5, 8, -7, 30])).encode()
+                )
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+            if rng.random() < 0.3:
+                ops.append(b"T*")
+            if rng.random() < 0.2:
+                ops.append(b"0 -%d Td" % rng.choice([12, 14]))
+        ops.append(b"ET")
+    return _assemble(b" ".join(ops))
+
+
+def test_form_inherit_sweep_byte_equal_vs_live_reference(tmp_path):
+    """60 seeded docs over the inheritance decision space (the full
+    hunt ran 1,400 at these and neighbouring seeds, zero divergence)."""
+    docs = [
+        _gen_form_inherit_stream(random.Random(900000 + s))
+        for s in range(0, 60, 2)
+    ] + [
+        _gen_rise_bt_stream(random.Random(900001 + s))
+        for s in range(0, 60, 2)
+    ]
+    _run_differential(tmp_path, docs)
+
+
+def test_form_inherit_tm_three_way_path_identity():
+    from pdf_parse_new_spark.kernels import cinterp
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    pdfs = [
+        # clone-window form mid-BT (the reconstructed-tm path)
+        _assemble_with_form(
+            b"",
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (pre) Tj /Fm Do (post) Tj"
+            b" ET",
+            b"(inform) Tj",
+        ),
+        # inherited TL through the quote, inherited Ts through BT
+        _assemble_with_form(
+            b"",
+            b"BT /F1 12 Tf 40 TL 8 Ts 1 0 0 1 72 700 Tm (page) Tj ET"
+            b" /Fm Do",
+            b"BT /F1 10 Tf 1 0 0 1 72 500 Tm (fa) Tj (fb) ' 0 Ts (fc)"
+            b" Tj ET",
+        ),
+        # rise across BT with no form at all
+        _assemble(
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (one) Tj 30 Ts (up) Tj ET"
+            b" BT /F1 12 Tf 1 0 0 1 72 700 Tm (two) Tj ET"
+        ),
+    ] + [
+        _gen_form_inherit_stream(random.Random(905000 + s))
+        for s in range(20)
+    ]
+    for i, raw in enumerate(pdfs):
+        c_full = pdfb.parse_pdf_bytes(raw)
+        cinterp.REPLAY = False
+        try:
+            c_lex = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.REPLAY = True
+        cinterp.AVAILABLE = False
+        try:
+            py = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.AVAILABLE = True
+        assert c_full["text"] == py["text"], f"pdf {i}: C replay"
+        assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
