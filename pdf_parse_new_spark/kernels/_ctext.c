@@ -46,6 +46,13 @@ enum {
                    * replay refreshes the PEN (pdf.js recomputes the
                    * transform per glyph) while prevTransform keeps its
                    * old device point (it is never retransformed) */
+    K_QSAVE = 14,   /* q : the replay pushes its text-state snapshot
+                     * (pen/scales/tc/tw/tz/rise/font/size/line origin)
+                     * — pdf.js StateManager.save clones the WHOLE
+                     * TextState; the lexer keeps its own stack for the
+                     * lexer-internal half (cm/tm/leading/seen_tf) */
+    K_QRESTORE = 15, /* Q : the replay pops (flushing only when the
+                     * font or size changed, pdf.worker.js:37112) */
     K_INH = 13,   /* f0=leading f1=rise(RAW, unscaled) : emitted
                    * immediately before every K_XOBJ so the Python
                    * orchestrator can hand the lexer-internal text state
@@ -404,8 +411,18 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
      * coefficient — a documented translate+scale approximation (rotated
      * text keeps extracting, without word-gap geometry). */
     double cm_a = 1, cm_b = 0, cm_c = 0, cm_d = 1, cm_e = 0, cm_f = 0;
-    double qs[64][6];
+    /* q/Q stack: pdf.js's StateManager snapshots the WHOLE TextState.
+     * The lexer owns cm + tm + leading/rise + tc/tw/tz + the font gate;
+     * the replay snapshots its own half at the K_QSAVE/K_QRESTORE
+     * events. Depth past 64 only counts (qover) so deeper Q ops pair
+     * with their own q instead of desyncing the stored levels. */
+    typedef struct {
+        double cm[6], tm[6], tc, tw, tz, leading, rise;
+        int seen_tf;
+    } QSave;
+    QSave qs[64];
     int qn = 0;
+    long qover = 0;
 #define TX_X(LX, YY) (cm_a * (LX) + cm_c * (YY) + cm_e)
 #define TX_Y(LX, YY) (cm_b * (LX) + cm_d * (YY) + cm_f)
 
@@ -760,29 +777,36 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 }
             } else if (oplen == 1 && op[0] == 'q') {
                 if (qn < 64) {
-                    qs[qn][0] = cm_a;
-                    qs[qn][1] = cm_b;
-                    qs[qn][2] = cm_c;
-                    qs[qn][3] = cm_d;
-                    qs[qn][4] = cm_e;
-                    qs[qn][5] = cm_f;
+                    QSave *s = &qs[qn];
+                    s->cm[0] = cm_a; s->cm[1] = cm_b; s->cm[2] = cm_c;
+                    s->cm[3] = cm_d; s->cm[4] = cm_e; s->cm[5] = cm_f;
+                    s->tm[0] = tm_a; s->tm[1] = tm_b; s->tm[2] = tm_c;
+                    s->tm[3] = tm_d; s->tm[4] = tm_e; s->tm[5] = tm_f;
+                    s->tc = tc; s->tw = tw; s->tz = tz;
+                    s->leading = leading; s->rise = rise;
+                    s->seen_tf = seen_tf;
                     qn++;
+                    EMIT(K_QSAVE, 0, 0, 0, 0, 0, 0, 0);
+                } else {
+                    qover++;
                 }
             } else if (oplen == 1 && op[0] == 'Q') {
-                if (qn > 0) {
-                    qn--;
-                    cm_a = qs[qn][0];
-                    cm_b = qs[qn][1];
-                    cm_c = qs[qn][2];
-                    cm_d = qs[qn][3];
-                    cm_e = qs[qn][4];
-                    cm_f = qs[qn][5];
-                    CHECK_ROT();
-                    EMIT(K_CM, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f),
-                         tm_a * cm_a, tm_d * cm_d);
-                    if (rise != 0.0) /* refresh matrix-scaled rise */
-                        EMIT(K_STATE, 0, 0, 0, tc, tw, tz,
-                             rise * tm_d * cm_d);
+                if (qover > 0) {
+                    qover--;
+                } else if (qn > 0) {
+                    const QSave *s = &qs[--qn];
+                    cm_a = s->cm[0]; cm_b = s->cm[1]; cm_c = s->cm[2];
+                    cm_d = s->cm[3]; cm_e = s->cm[4]; cm_f = s->cm[5];
+                    tm_a = s->tm[0]; tm_b = s->tm[1]; tm_c = s->tm[2];
+                    tm_d = s->tm[3]; tm_e = s->tm[4]; tm_f = s->tm[5];
+                    tc = s->tc; tw = s->tw; tz = s->tz;
+                    leading = s->leading; rise = s->rise;
+                    seen_tf = s->seen_tf;
+                    /* the replay restores its own snapshot — pen, scales
+                     * and scaled rise were all taken under the very
+                     * matrices just restored, so no K_CM / K_STATE
+                     * refresh is needed (or correct) here */
+                    EMIT(K_QRESTORE, 0, 0, 0, 0, 0, 0, 0);
                 }
             } else if (oplen == 2 && op[0] == 'c' && op[1] == 'm') {
                 /* CTM' = m x CTM; applied only when all six operands
@@ -1410,8 +1434,19 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     const unsigned char *tbytes, const int32_t *toff,
                     const double *widths, double *state, unsigned char *out,
                     long ocap, long *out_len,
-                    const unsigned char *scratch)
+                    const unsigned char *scratch, double *qstate)
 {
+    /* qstate: [0] = depth, then 12 doubles per level (cur_x, y, sx, sy,
+     * tc, tw, tz, rise, size, cur_font, line_ox, line_oy) — the replay
+     * half of the q/Q TextState snapshot, round-tripped across segments
+     * like `state`. Worked on a local copy so a -1 (grow out) retry
+     * sees the entry state. */
+    double qst[1 + 64 * 12];
+    long qn_in = (long)qstate[0];
+    if (qn_in < 0 || qn_in > 64)
+        qn_in = 0;
+    memcpy(qst, qstate, sizeof(double) * (1 + 12 * (size_t)qn_in));
+    qst[0] = (double)qn_in;
     RState st;
     st.y = state[0];
     st.cur_x = state[1];
@@ -1867,6 +1902,36 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             st.y = e->f0;
             st.line_oy = e->f0;
             break;
+        case K_QSAVE: {
+            long qd = (long)qst[0];
+            if (qd < 64) {
+                double *q = qst + 1 + qd * 12;
+                q[0] = st.cur_x; q[1] = st.y;
+                q[2] = st.sx; q[3] = st.sy;
+                q[4] = st.tc; q[5] = st.tw; q[6] = st.tz; q[7] = st.rise;
+                q[8] = st.size; q[9] = (double)st.cur_font;
+                q[10] = st.line_ox; q[11] = st.line_oy;
+                qst[0] = (double)(qd + 1);
+            }
+            break;
+        }
+        case K_QRESTORE: {
+            long qd = (long)qst[0];
+            if (qd > 0) {
+                const double *q = qst + 1 + (qd - 1) * 12;
+                /* restore flushes ONLY on a font/size change
+                 * (pdf.worker.js:37112); no updateAdvanceScale runs */
+                if ((long)q[9] != st.cur_font || q[8] != st.size)
+                    st.force_flush = 1;
+                st.cur_x = q[0]; st.y = q[1];
+                st.sx = q[2]; st.sy = q[3];
+                st.tc = q[4]; st.tw = q[5]; st.tz = q[6]; st.rise = q[7];
+                st.size = q[8]; st.cur_font = (long)q[9];
+                st.line_ox = q[10]; st.line_oy = q[11];
+                qst[0] = (double)(qd - 1);
+            }
+            break;
+        }
         case K_XOBJ:
             ret = i;
             goto done;
@@ -1897,6 +1962,7 @@ done:
     state[20] = st.item_size;
     /* 21-25 (view box) are read-only inputs */
     state[29] = st.sy;
+    memcpy(qstate, qst, sizeof(double) * (1 + 12 * (size_t)(long)qst[0]));
     state[30] = st.item_hsize;
     state[27] = st.line_ox;
     state[28] = st.line_oy;

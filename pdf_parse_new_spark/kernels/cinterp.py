@@ -44,6 +44,13 @@ K_ROT = 12
 # state a Form XObject inherits that is otherwise lexer-internal
 # (leading) or matrix-pre-scaled in K_STATE (rise)
 K_INH = 13
+# q/Q snapshot the whole TextState (pdf.js StateManager). The lexer
+# restores its own half (cm/tm/leading/seen_tf) silently; consumers
+# push/pop theirs (pen, scales, tc/tw/tz, scaled rise, font, size,
+# line origin) at these payload-free markers, flushing on Q only when
+# the font or size changed (pdf.worker.js:37112).
+K_QSAVE = 14
+K_QRESTORE = 15
 
 _lib = None
 AVAILABLE = False
@@ -78,6 +85,7 @@ def _build() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_long,              # out, ocap
         ctypes.c_void_p,                             # out_len long*
         ctypes.c_char_p,                             # TJ scratch blob
+        ctypes.c_void_p,                             # q/Q stack double[1+64*12]
     ]
     return lib
 
@@ -117,11 +125,16 @@ def replay(
     state: np.ndarray,
     out: np.ndarray,
     scratch: bytes = b"",
+    qstate: np.ndarray | None = None,
 ) -> tuple[int, int]:
     """One replay segment. Returns (next_event_index, out_len); the index
     is len(ev) when the stream is done, the K_XOBJ event index when the
-    caller must recurse, or -1 when ``out`` was too small (state is
-    untouched — grow and retry)."""
+    caller must recurse, or -1 when ``out`` was too small (state and
+    qstate are untouched — grow and retry). ``qstate`` is the q/Q
+    TextState stack (float64[1 + 64*12], [0] = depth), round-tripped
+    across segments like ``state``."""
+    if qstate is None:
+        qstate = np.zeros(1 + 64 * 12, np.float64)
     out_len = ctypes.c_long(0)
     ret = _lib.pdftext_replay(
         data, len(data),
@@ -132,5 +145,6 @@ def replay(
         out.ctypes.data, len(out),
         ctypes.byref(out_len),
         scratch,
+        qstate.ctypes.data,
     )
     return int(ret), out_len.value

@@ -2462,7 +2462,13 @@ class _TextInterp:
     def _font_for(self, fonts_dict, name: str) -> FontMap:
         if name == self._INH_FONT and self._inh_fm is not None:
             return self._inh_fm
-        ref = (fonts_dict or {}).get(name)
+        return self._font_for_ref((fonts_dict or {}).get(name))
+
+    def _font_for_ref(self, ref) -> FontMap:
+        """FontMap for a direct font reference — the Tf path resolves
+        resource names here; ExtGState /Font entries (the `gs` operator,
+        pdf.js handleSetFont(null, gStateFont[0])) carry the ref
+        directly."""
         if not isinstance(ref, Ref):  # inline font dict: id() keys are not
             return build_font_map(self.doc, ref)  # stable across gc — no cache
         doc = self.doc
@@ -2493,10 +2499,33 @@ class _TextInterp:
         """Interpret one content stream. Dispatches to the C lexer + event
         replay when the compiled extension is available; the pure-Python
         interpreter below is the reference implementation and the fallback
-        (equivalence asserted by tests/test_ctext.py)."""
-        if cinterp.AVAILABLE:
+        (equivalence asserted by tests/test_ctext.py). Streams that can
+        set the font through an ExtGState (`gs` with a /Font entry —
+        pdf.js setGState -> handleSetFont) take the Python interpreter:
+        the C lexer cannot resolve resources, and the pattern is rare."""
+        if cinterp.AVAILABLE and not (
+            b"gs" in data and self._has_gs_font(resources)
+        ):
             return self._run_events(data, resources, depth, seen)
         return self._run_py(data, resources, depth, seen)
+
+    def _has_gs_font(self, resources) -> bool:
+        """True when any ExtGState entry of ``resources`` carries /Font
+        (bounded probe — a handful of entries in practice)."""
+        doc = self.doc
+        res = doc.resolve(resources)
+        if not isinstance(res, dict):
+            return False
+        extg = doc.resolve(res.get("ExtGState"))
+        if not isinstance(extg, dict):
+            return False
+        for i, v in enumerate(extg.values()):
+            if i >= 64:
+                return True  # absurdly wide: assume the worst, stay correct
+            gsd = doc.resolve(v)
+            if isinstance(gsd, dict) and gsd.get("Font") is not None:
+                return True
+        return False
 
     def _c_plan(self, ev, data: bytes, fonts_dict):
         """Per-stream tables for the full-C replay: a global translate
@@ -2557,6 +2586,7 @@ class _TextInterp:
             st[21:25] = self.viewbox
             st[25] = 1.0
         out = _np.empty(max(1024, 4 * len(data)), _np.uint8)
+        qst = _np.zeros(1 + 64 * 12, _np.float64)  # q/Q TextState stack
         i, nev = 0, len(ev)
         while True:
             st[8] = 0.0 if self.last_y is None else self.last_y
@@ -2576,7 +2606,7 @@ class _TextInterp:
             while True:
                 ret, olen = cinterp.replay(
                     data, ev, i, font_idx, tbytes, toff, widths, st, out,
-                    scratch,
+                    scratch, qst,
                 )
                 if ret >= 0:
                     break
@@ -2663,6 +2693,7 @@ class _TextInterp:
         ev_have_font = False  # a K_FONT ran (the form-inherit condition)
         inh_tl = inh_ts = 0.0  # K_INH rider: leading + raw rise at Do
         anch_seen = False  # a K_ANCHOR ran (tm-clone reconstruction gate)
+        ev_qstack: list[tuple] = []  # q/Q TextState snapshots (K_QSAVE)
         y = rise = 0.0
         cur_x = 0.0
         size = 0.0
@@ -3065,6 +3096,19 @@ class _TextInterp:
                 line_oy = f0
             elif kind == 13:  # INH: leading + raw rise rider before Do
                 inh_tl, inh_ts = f0, f1
+            elif kind == 14:  # QSAVE: q snapshots the whole TextState
+                ev_qstack.append((
+                    cur_x, y, sx, sy, tc, tw, tz, rise, size, fm,
+                    ev_have_font, line_ox, line_oy,
+                ))
+            elif kind == 15:  # QRESTORE: pop; flush ONLY on a font/size
+                # change (pdf.worker.js:37112, no updateAdvanceScale)
+                if ev_qstack:
+                    (cur_x, y, sx, sy, tc, tw, tz, rise, ssize, sfm,
+                     ev_have_font, line_ox, line_oy) = ev_qstack.pop()
+                    if sfm is not fm or ssize != size:
+                        self.force_flush = True
+                    fm, size = sfm, ssize
             elif kind == 9:  # XOBJ (Do)
                 if depth < self.MAX_DEPTH:
                     # advanced text matrix in TEXT space for the clone
@@ -3090,6 +3134,7 @@ class _TextInterp:
         res = doc.resolve(resources) or {}
         fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
         xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
+        extg = doc.resolve(res.get("ExtGState")) if isinstance(res, dict) else {}
         fm = _ASCII_FM
         # no Tf yet in THIS stream: pdf.js skips every text-showing op
         # (Tj/TJ/'/") until state.font is set — including the op's side
@@ -3250,8 +3295,15 @@ class _TextInterp:
                 ddx = ax + cA * p + rise * cC
                 ddy = ay + cB * p + rise * cD
                 cy = matn[2] * ddx + matn[3] * ddy
+                # compare x comes from the SAME rise-bearing device
+                # point as cy and the stored prevTransform (pdf.js's
+                # current and prev transforms both carry rise) — under
+                # shear the rise offset has a writing-axis component,
+                # and a rise-free pen x against a rise-bearing prev
+                # read as a phantom per-glyph gap
+                cmp_x = matn[0] * ddx + matn[1] * ddy
                 shown = self.show(
-                    dec, cy, cx, size * asx,
+                    dec, cy, cmp_x, size * asx,
                     quad=-1, dev_x=ddx, dev_y=ddy, mat=matn,
                     dev_w=dev_w, hsize=size * csy,
                 )
@@ -4009,24 +4061,56 @@ class _TextInterp:
                     _requad()
                     cur_x, cross_v = _swapq(ax, ay)
                     cur_x += progress * (asx / old_asx if old_asx else 1.0)
+                elif op == b"gs" and stack:
+                    gsd = (
+                        doc.resolve(extg.get(str(stack[-1])))
+                        if isinstance(extg, dict) else None
+                    )
+                    if isinstance(gsd, dict):
+                        gf = doc.resolve(gsd.get("Font"))
+                        if isinstance(gf, list) and len(gf) >= 2:
+                            try:
+                                nsize = float(doc.resolve(gf[1]))
+                            except (TypeError, ValueError):
+                                nsize = None
+                            if nsize is not None:
+                                # setGState with /Font flushes
+                                # UNCONDITIONALLY and sets the font by
+                                # REF (pdf.worker.js:37053-37062)
+                                self.force_flush = True
+                                fm = self._font_for_ref(gf[0])
+                                size = nsize
+                                have_font = True
                 elif op == b"q":
+                    # q/Q snapshot the WHOLE TextState (pdf.js
+                    # StateManager: ctm, text/line matrices, font,
+                    # Tc/Tw/Tz/TL/Ts — TextState.clone); the pen rewinds
+                    # with the restored matrices (verified vs live node:
+                    # `(a) Tj q ... Tm (b) Tj Q (c) Tj` puts c back on
+                    # a's line)
                     if len(qstack) < 64:
-                        qstack.append(
-                            (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f)
-                        )
+                        qstack.append((
+                            cm_a, cm_b, cm_c, cm_d, cm_e, cm_f,
+                            tm_a, tm_b, tm_c, tm_d, tm_e, tm_f,
+                            tc, tw, tz, leading, rise, arise,
+                            fm, size, have_font,
+                            ax, ay, cur_x, cross_v,
+                        ))
                 elif op == b"Q":
                     if qstack:
-                        progress = cur_x - _swapq(ax, ay)[0]
-                        old_asx = asx
-                        (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f) = qstack.pop()
-                        ax = cm_a * tm_e + cm_c * tm_f + cm_e
-                        ay = cm_b * tm_e + cm_d * tm_f + cm_f
+                        (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f,
+                         tm_a, tm_b, tm_c, tm_d, tm_e, tm_f,
+                         tc, tw, tz, leading, rise, arise,
+                         sfm, ssize, have_font,
+                         ax, ay, cur_x, cross_v) = qstack.pop()
+                        # restore flushes ONLY on a font/size change
+                        # (pdf.worker.js:37112); no updateAdvanceScale
+                        # runs at restore, so no scale_flush arming
+                        if sfm is not fm or ssize != size:
+                            self.force_flush = True
+                        fm, size = sfm, ssize
                         _requad()
-                        cur_x, cross_v = _swapq(ax, ay)
-                        cur_x += progress * (
-                            asx / old_asx if old_asx else 1.0
-                        )
-                # other operators (gs, re, colors, paths...) are no-ops
+                # other operators (re, colors, paths...) are no-ops
                 # for text extraction
             except (TypeError, ValueError):
                 pass

