@@ -764,17 +764,23 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     EMIT(K_STR, st[nst - 1].flag, st[nst - 1].a,
                          st[nst - 1].b, 0, 0, 0, 0);
             } else if (oplen == 2 && op[0] == 'D' && op[1] == 'o') {
+                /* paintXObject flushes BEFORE resolving anything —
+                 * images, missing names, junk operands all flush
+                 * (pdf.worker.js:36946); a zero span marks a non-name
+                 * operand (the consumer flushes, resolves nothing).
+                 * The CURRENT ctm (diagonal + translate) rides along
+                 * so the nested form run composes page cm x /Matrix
+                 * like pdf.js's cloned state; K_INH carries the
+                 * lexer-internal leading + RAW rise (the K_STATE rise
+                 * is matrix-pre-scaled and can't round-trip into a
+                 * synthetic Ts). */
+                long xa = 0, xb = 0;
                 if (nst >= 1 && st[nst - 1].kind == OP_NAME) {
-                    /* carry the CURRENT ctm (diagonal + translate)
-                     * so the nested form run composes page cm x
-                     * /Matrix like pdf.js's cloned state; K_INH rides
-                     * ahead with the lexer-internal leading + RAW rise
-                     * (the K_STATE rise is matrix-pre-scaled and can't
-                     * round-trip into a synthetic Ts) */
-                    EMIT(K_INH, 0, 0, 0, leading, rise, 0, 0);
-                    EMIT(K_XOBJ, 0, st[nst - 1].a, st[nst - 1].b,
-                         cm_a, cm_d, cm_e, cm_f);
+                    xa = st[nst - 1].a;
+                    xb = st[nst - 1].b;
                 }
+                EMIT(K_INH, 0, 0, 0, leading, rise, 0, 0);
+                EMIT(K_XOBJ, 0, xa, xb, cm_a, cm_d, cm_e, cm_f);
             } else if (oplen == 1 && op[0] == 'q') {
                 if (qn < 64) {
                     QSave *s = &qs[qn];

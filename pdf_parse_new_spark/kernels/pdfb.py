@@ -2630,6 +2630,9 @@ class _TextInterp:
             self.item_hsize = float(st[30])
             if ret >= nev:
                 return
+            # paintXObject flushes before resolving anything (images,
+            # missing names, junk operands — pdf.worker.js:36946)
+            self.force_flush = True
             if depth < self.MAX_DEPTH:
                 cf = int(st[14])
                 # the K_INH rider immediately ahead of every K_XOBJ
@@ -3110,6 +3113,9 @@ class _TextInterp:
                         self.force_flush = True
                     fm, size = sfm, ssize
             elif kind == 9:  # XOBJ (Do)
+                # paintXObject flushes before resolving anything
+                # (pdf.worker.js:36946)
+                self.force_flush = True
                 if depth < self.MAX_DEPTH:
                     # advanced text matrix in TEXT space for the clone
                     # (divide the diagonal CTM back out of the device
@@ -3992,7 +3998,14 @@ class _TextInterp:
                     if tj_kill:
                         self.pending_space = True
                         self.pending_multi = True
-                elif op == b"Do" and stack and depth < self.MAX_DEPTH:
+                elif op == b"Do":
+                    # paintXObject flushes before resolving anything
+                    # (pdf.worker.js:36946) — images, missing names and
+                    # junk operands included
+                    self.force_flush = True
+                    if not stack or depth >= self.MAX_DEPTH:
+                        stack.clear()
+                        continue
                     # advanced text matrix in TEXT space for the clone:
                     # un-swap the compare-frame pen back to device, then
                     # divide the full CTM out; the linear part is the

@@ -1556,3 +1556,67 @@ def test_qq_three_way_path_identity():
             cinterp.AVAILABLE = True
         assert c_full["text"] == py["text"], f"pdf {i}: C replay"
         assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
+
+
+def _assemble_with_image(content: bytes) -> bytes:
+    """Page with a 1x1 Image XObject at /Im — paintXObject flush
+    probes."""
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
+        b"stream\nA\nendstream"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << /Im 5 0 R >>"
+        b" >> /Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        img,
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref)
+    )
+    return bytes(out)
+
+
+def test_do_always_flushes_byte_equal_vs_live_reference(tmp_path):
+    """paintXObject flushes the open item BEFORE resolving anything
+    (pdf.worker.js:36946) — image XObjects, missing names and junk
+    operands all flush. Visible through the scale-change window: a
+    closed item skips updateAdvanceScale, so a tiny-positive-gap Tm
+    rescale after `/Im Do` continues in-flow (`abcd`) where an open
+    item would arm the zero-cascade standalone space (`ab cd`)."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_with_image(
+                b"BT /F1 1 Tf 10 0 0 10 72 700 Tm (ab) Tj /Im Do"
+                b" 8 0 0 8 83.42 700 Tm (cd) Tj ET"
+            ),
+            _assemble(
+                b"BT /F1 1 Tf 10 0 0 10 72 700 Tm (ab) Tj /Nope Do"
+                b" 8 0 0 8 83.42 700 Tm (cd) Tj ET"
+            ),
+            _assemble_with_image(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (ab ) Tj /Im Do (cd)"
+                b" Tj ET"
+            ),
+            _assemble_with_image(
+                b"BT /F1 1 Tf 10 0 0 10 72 700 Tm (ab) Tj /Im Do"
+                b" 8 0 0 8 83.12 700 Tm (cd) Tj ET"
+            ),
+        ],
+    )
