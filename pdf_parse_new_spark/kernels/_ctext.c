@@ -946,7 +946,8 @@ typedef struct {
  * count, 0x20 count and width sum. Returns 0, or -1 on overflow. */
 static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      long b, const unsigned char *tb, const int32_t *to,
-                     const double *w, unsigned char *out, long *olen,
+                     const double *w, const unsigned char *ct,
+                     unsigned char *out, long *olen,
                      long ocap, long *glyphs, long *spaces, double *wsum,
                      int lgap, const RState *rst, double start_x,
                      double *prev_x_out, int *have_prev,
@@ -954,6 +955,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      long *clipped,
                      SegRec *runs, int *nruns, int *runs_ok,
                      double prev0, int have_prev0,
+                     double zfb, int have_zfb, int zw_item,
                      double *lastseg_fx, int *lastseg_has,
                      long *tail_sp, int *last_reject, int *last_sp)
 {
@@ -974,6 +976,18 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         rstale_ = rst->item_size > 0.0 ? rst->item_size : rfs_;
         rpe_ = prev0;
         hrpe_ = have_prev0;
+        if (zw_item) {
+            /* zero-width glyphs stall prevTransform: run the compare
+             * per glyph for the whole item (pdf.js always does) and
+             * seed the anchor from the caller's prevTransform mirror;
+             * the caller passes lgap=0 — the gaps emerge from the
+             * cascade instead */
+            perglyph_ = 1;
+            if (!hrpe_ && have_zfb) {
+                rpe_ = zfb;
+                hrpe_ = 1;
+            }
+        }
         /* charSpacing below the CR window (advanceX == tc < -0.2*fs,
          * pdf.worker.js:36617-36625) OR past the standalone-space
          * window (tc > 0.6*fs, spaceInFlowMax,
@@ -1013,6 +1027,12 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
 #define PUTCODE(C)                                                           \
     do {                                                                     \
         unsigned char cc_ = (unsigned char)(C);                              \
+        if (ct[cc_] == 2)                                                    \
+            break; /* Cf: invisible format mark — pdf.js continues      */   \
+                   /* before ANY advance (pdf.worker.js:36684)          */   \
+        if (ct[cc_] == 3 && !zw_item)                                        \
+            return -2; /* zero-width glyph found: the caller restarts   */   \
+                       /* this item in zw mode (per-glyph, lgap off)    */   \
         long ta_ = to[cc_], tl_ = to[cc_ + 1] - ta_;                         \
         /* box-rejected glyphs advanced by WIDTH only (no charSpacing   */   \
         /* translate, pdf.worker.js:36705-36711) — they must not        */   \
@@ -1073,7 +1093,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                         segfx_ = 0.0;                                        \
                     }                                                        \
                     runopen_ = 0;                                            \
-                } else if (perglyph_ && hsegfx_ &&                           \
+                } else if (perglyph_ && hsegfx_ && hrpe_ &&                  \
                            *nruns < RP_MAX_RUNS) {                           \
                     /* CR-window charSpacing: adjacency split */             \
                     runs[*nruns].off = o;                                    \
@@ -1088,14 +1108,16 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                     segfx_ = px_;                                            \
                     hsegfx_ = 1;                                             \
                 }                                                            \
-                rpe_ = px_ + w[cc_] * kx;                                    \
-                hrpe_ = 1;                                                   \
+                if (w[cc_] != 0.0) { /* zero width: prevTransform stays */  \
+                    rpe_ = px_ + w[cc_] * kx;                                \
+                    hrpe_ = 1;                                               \
+                }                                                            \
             }                                                                \
         }                                                                    \
         *last_reject = 0;                                                    \
         *last_sp = sp_;                                                      \
         *wsum += w[cc_];                                                     \
-        if (cc_ == 0x20)                                                     \
+        if (sp_) /* Tw rides every whitespace-category glyph */              \
             (*spaces)++;                                                     \
         (*glyphs)++;                                                         \
         /* real trailing space GLYPHS (letter-gap join bytes don't     */   \
@@ -1105,7 +1127,8 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             (*tail_sp)++;                                                    \
         else                                                                 \
             *tail_sp = 0;                                                    \
-        if (!sp_) {                                                          \
+        if (!sp_ && w[cc_] != 0.0) {                                         \
+            /* pdf.js stores prevTransform only when scaledDim != 0 */       \
             *prev_x_out = px_ + w[cc_] * kx;                                 \
             *have_prev = 1;                                                  \
         }                                                                    \
@@ -1238,7 +1261,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
  * (last_y = the open item's anchor y). */
 static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
                    long mark, double ty, double tx, double size,
-                   double hsize)
+                   double hsize, int move_prev)
 {
     long o = *olen, m = o - mark;
     if (m == 0)
@@ -1323,7 +1346,15 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
     int space = 0, standalone = 0;
     int flush = st->force_flush;
     st->force_flush = 0;
-    if (st->scale_flush) {
+    if (have_adv && have_dyg && adv == 0.0 && dyg == 0.0) {
+        /* pdf.js equal-position shortcut (pdf.worker.js:36547-36549):
+         * append with NO cascade decisions; scale_flush stays armed.
+         * The RING-driven pend1 space still materializes at the append
+         * (saveLastChar, pdf.worker.js:36373-36378). */
+        space = st->pending_space && !st->pending_multi;
+        st->pending_space = 0;
+        st->pending_multi = 0;
+    } else if (st->scale_flush) {
         /* Tm scale change zeroed the item width: textOrientation ==
          * sign(0) == 0 — CR-flush (adv<0), standalone-space + flush
          * (adv>0), EOL (|dy| > height); adv EXACTLY 0 falls through
@@ -1345,7 +1376,14 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
             flush = 1;
         }
     } else if (!have_dyg) {
-        flush = 1; /* first glyph opens the first item */
+        /* null prevTransform: pdf.js returns true BEFORE any cascade
+         * (pdf.worker.js:36543-36545) — the glyph appends to the OPEN
+         * item even across Td/y jumps; with no open item this
+         * initializes the first one. The ring-driven pend1 space
+         * still applies. */
+        space = st->pending_space && !st->pending_multi;
+        st->pending_space = 0;
+        st->pending_multi = 0;
     } else if (ifs > 0.0 && have_adv) {
         double ady = fabs(dyg);
         if (adv < -0.2 * ifs) {
@@ -1428,8 +1466,13 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
     st->last_char = out[o - 1];
     st->pending_space = trail_raw > 0;
     st->pending_multi = trail_raw >= 2;
-    st->glyph_y = ty;
-    st->have_glyph_y = 1;
+    if (move_prev) {
+        /* prevTransform moves only for items that contained a
+         * nonzero-width non-space glyph (pdf.js stores it only when
+         * scaledDim != 0) — mirrors the caller's last_end_x gate */
+        st->glyph_y = ty;
+        st->have_glyph_y = 1;
+    }
     *olen = o;
     return 0;
 #undef RP_ARM
@@ -1440,7 +1483,8 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     const unsigned char *tbytes, const int32_t *toff,
                     const double *widths, double *state, unsigned char *out,
                     long ocap, long *out_len,
-                    const unsigned char *scratch, double *qstate)
+                    const unsigned char *scratch, double *qstate,
+                    const unsigned char *cats)
 {
     /* qstate: [0] = depth, then 12 doubles per level (cur_x, y, sx, sy,
      * tc, tw, tz, rise, size, cur_font, line_ox, line_oy) — the replay
@@ -1516,8 +1560,10 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             double wsum = 0.0;
             const int32_t *to = toff + st.cur_font * 257;
             const double *w = widths + st.cur_font * 256;
+            const unsigned char *fct = cats + st.cur_font * 256;
             int lgap = st.size > 0.0 &&
                        st.tc * st.tz > RP_GAP_FRACTION * st.size;
+            int zw_mode = 0;
             double prev_x = 0.0, first_x = 0.0;
             int have_prev = 0, have_first = 0;
             SegRec runs[RP_MAX_RUNS];
@@ -1532,15 +1578,36 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 hp0 = 1;
             }
             int last_reject = 0, last_sp = 0;
-            if (rp_decode(e->flag == 3 ? scratch : d, n, e->flag,
-                          e->a, e->b, tbytes, to, w, out,
-                          &olen, ocap, &glyphs, &spaces, &wsum, lgap,
+            for (;;) {
+                long olen0 = olen, tsp0 = tj_tail_sp;
+                glyphs = 0; spaces = 0; wsum = 0.0; clipped = 0;
+                prev_x = first_x = 0.0;
+                have_prev = have_first = 0;
+                nruns = 0; runs_ok = 1;
+                lastseg_fx = 0.0; lastseg_has = 0;
+                last_reject = 0; last_sp = 0;
+                int rc_ = rp_decode(e->flag == 3 ? scratch : d, n, e->flag,
+                          e->a, e->b, tbytes, to, w, fct, out,
+                          &olen, ocap, &glyphs, &spaces, &wsum, zw_mode ? 0 : lgap,
                           &st, st.cur_x, &prev_x, &have_prev,
                           &first_x, &have_first, &clipped,
                           runs, &nruns, &runs_ok, p0, hp0,
+                          st.last_end_x, st.have_last_end_x ? 1 : 0,
+                          zw_mode,
                           &lastseg_fx, &lastseg_has, &tj_tail_sp,
-                          &last_reject, &last_sp) < 0)
-                return -1;
+                          &last_reject, &last_sp);
+                if (rc_ == -2) {
+                    /* zero-width glyph mid-item: restart in zw mode
+                     * (per-glyph compare, letter-gap pre-join off) */
+                    olen = olen0;
+                    tj_tail_sp = tsp0;
+                    zw_mode = 1;
+                    continue;
+                }
+                if (rc_ < 0)
+                    return -1;
+                break;
+            }
             if (e->kind == K_TJSTR && tj_fake && olen > mark) {
                 /* deferred kern fake space lands only before a REAL
                  * first glyph; a leading space glyph owns the
@@ -1623,7 +1690,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         tx = runs[k].seg_first;
                     int rc = rp_show(&st, out, &olen, ocap - tl, base,
                                      st.y + st.rise, tx,
-                                     st.size * st.sx, RP_HS(&st));
+                                     st.size * st.sx, RP_HS(&st), 1);
                     if (rc < 0)
                         return -1;
                     if (rc != 2) {
@@ -1690,7 +1757,8 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         tx = lastseg_has ? lastseg_fx : st.cur_x;
                     int rc = rp_show(&st, out, &olen, ocap - tl, base,
                                      st.y + st.rise, tx,
-                                     st.size * st.sx, RP_HS(&st));
+                                     st.size * st.sx, RP_HS(&st),
+                                     k < nruns ? 1 : have_prev);
                     if (rc < 0)
                         return -1;
                     if (rc != 2) {
@@ -1718,7 +1786,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 int rc = rp_show(&st, out, &olen, ocap, mark,
                                  st.y + st.rise,
                                  have_first ? first_x : st.cur_x,
-                                 st.size * st.sx, RP_HS(&st));
+                                 st.size * st.sx, RP_HS(&st), have_prev);
                 if (rc < 0)
                     return -1;
                 st.cur_x += adv;
@@ -1761,7 +1829,8 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                                  tjmark < 0 ? olen : tjmark,
                                  st.y + st.rise,
                                  tj_have_first ? tj_first_x : tj_start_x,
-                                 st.size * st.sx, RP_HS(&st));
+                                 st.size * st.sx, RP_HS(&st),
+                                 tj_have_prev);
                 if (rc < 0)
                     return -1;
                 if (rc != 2) {
@@ -1873,7 +1942,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                              tjmark < 0 ? olen : tjmark,
                              st.y + st.rise,
                              tj_have_first ? tj_first_x : tj_start_x,
-                             st.size * st.sx, RP_HS(&st));
+                             st.size * st.sx, RP_HS(&st), tj_have_prev);
             if (rc < 0)
                 return -1;
             if (rc != 2 && tj_have_prev) {

@@ -86,6 +86,7 @@ def _build() -> ctypes.CDLL:
         ctypes.c_void_p,                             # out_len long*
         ctypes.c_char_p,                             # TJ scratch blob
         ctypes.c_void_p,                             # q/Q stack double[1+64*12]
+        ctypes.c_void_p,                             # glyph cats uint8[256*nfonts]
     ]
     return lib
 
@@ -126,6 +127,7 @@ def replay(
     out: np.ndarray,
     scratch: bytes = b"",
     qstate: np.ndarray | None = None,
+    cats: np.ndarray | None = None,
 ) -> tuple[int, int]:
     """One replay segment. Returns (next_event_index, out_len); the index
     is len(ev) when the stream is done, the K_XOBJ event index when the
@@ -135,6 +137,10 @@ def replay(
     across segments like ``state``."""
     if qstate is None:
         qstate = np.zeros(1 + 64 * 12, np.float64)
+    if cats is None:
+        # glyph categories per font slot (0 normal, 2 = Cf/invisible);
+        # sized for the widths table passed in
+        cats = np.zeros(len(widths) // 256 * 256 or 256, np.uint8)
     out_len = ctypes.c_long(0)
     ret = _lib.pdftext_replay(
         data, len(data),
@@ -146,5 +152,6 @@ def replay(
         ctypes.byref(out_len),
         scratch,
         qstate.ctypes.data,
+        cats.ctypes.data,
     )
     return int(ret), out_len.value

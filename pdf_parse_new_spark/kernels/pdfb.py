@@ -1115,6 +1115,7 @@ class FontMap:
     __slots__ = (
         "table", "nbytes", "widths", "default_width", "identity",
         "cid_ranges", "var_ranges", "_trans", "_warr", "_cspec",
+        "cf_codes", "_sp_arr", "_cf_arr", "_zw_arr", "zw_any",
     )
 
     def __init__(
@@ -1126,6 +1127,7 @@ class FontMap:
         identity: bool = False,
         cid_ranges: list[tuple[int, int, int]] | None = None,
         var_ranges: list[tuple[int, int, int]] | None = None,
+        cf_codes: set[int] | frozenset[int] | None = None,
     ) -> None:
         self.table, self.nbytes = table, nbytes
         self.widths = widths or {}
@@ -1133,6 +1135,14 @@ class FontMap:
         self.identity = identity
         self.cid_ranges = cid_ranges or []
         self.var_ranges = var_ranges or []
+        # Cf-category codes (invisible format marks — soft hyphen,
+        # ZWSP, directional marks): pdf.js `continue`s before ANY
+        # advance (pdf.worker.js:36684) — zero their widths so every
+        # aggregate advance path excludes them for free; tc exclusion
+        # rides on ncf()
+        self.cf_codes = frozenset(cf_codes or ())
+        for c in self.cf_codes:
+            self.widths[c] = 0.0
         # 1-byte fast path: one C-speed str.translate per show string
         # (None deletes — same as the per-byte t.get(c, "") fallback)
         self._trans = (
@@ -1147,7 +1157,55 @@ class FontMap:
             if self._trans is not None
             else None
         )
+        # per-code category fast arrays (1-byte fonts): ws glyphs take
+        # wordSpacing (pdf.js keys Tw on the GLYPH's whitespace
+        # category, not the byte — pdf.worker.js:36693-36697); cf
+        # glyphs contribute nothing at all
+        if nbytes == 1:
+            self._sp_arr = [
+                1 if (i == 0x20 or table.get(i) == " ") else 0
+                for i in range(256)
+            ]
+            self._cf_arr = [
+                1 if i in self.cf_codes else 0 for i in range(256)
+            ]
+            # zero-width NON-space glyphs stall prevTransform (pdf.js
+            # stores it only when scaledDim != 0), so every following
+            # glyph re-reads the stale gap — such items need the
+            # per-glyph compare (incomplete /Widths subset fonts)
+            self._zw_arr = [
+                1
+                if (
+                    self.widths.get(i, default_width) == 0.0
+                    and not self._sp_arr[i] and not self._cf_arr[i]
+                )
+                else 0
+                for i in range(256)
+            ]
+            self.zw_any = any(self._zw_arr)
+        else:
+            self._sp_arr = None
+            self._cf_arr = None
+            self._zw_arr = None
+            self.zw_any = False
         self._cspec: tuple | None | bool = False  # False = not built yet
+
+    def has_zw(self, s: bytes) -> bool:
+        """Any zero-width non-space glyph in the string (the
+        prevTransform stallers)."""
+        return self.zw_any and bool(sum(map(self._zw_arr.__getitem__, s)))
+
+    def nsp(self, s: bytes) -> int:
+        """Count of whitespace-category glyphs (the Tw recipients)."""
+        if self._sp_arr is None:
+            return 0
+        return sum(map(self._sp_arr.__getitem__, s))
+
+    def ncf(self, s: bytes) -> int:
+        """Count of Cf-category glyphs (excluded from charSpacing)."""
+        if self._cf_arr is None or not self.cf_codes:
+            return 0
+        return sum(map(self._cf_arr.__getitem__, s))
 
     def cspec(self) -> tuple | None:
         """Tables for the full-C replay (``pdftext_replay``):
@@ -1165,10 +1223,22 @@ class FontMap:
                     blobs = [e.encode("utf-8") for e in entries]
                     off = _np.zeros(257, _np.int32)
                     _np.cumsum([len(x) for x in blobs], out=off[1:])
+                    # per-code categories for the C walk: 2 = Cf
+                    # (invisible format mark, zero everything), 3 =
+                    # zero-width non-space glyph (prevTransform staller
+                    # — arms per-glyph compare + disables the letter-
+                    # gap pre-join for the whole font)
+                    cat_arr = _np.zeros(256, _np.uint8)
+                    for i in range(256):
+                        if self._cf_arr[i]:
+                            cat_arr[i] = 2
+                        elif self._zw_arr[i]:
+                            cat_arr[i] = 3
                     sp = (
                         b"".join(blobs),
                         off,
                         _np.array(self._warr, _np.float64),
+                        cat_arr,
                     )
             self._cspec = sp
         return sp
@@ -1274,6 +1344,15 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
             wv = doc.resolve(wv)
             if isinstance(wv, (int, float)):
                 widths[first + off] = float(wv) * wscale
+        # codes outside /Widths get the descriptor's /MissingWidth,
+        # default ZERO — not a nominal em fraction (pdf.worker.js:37518;
+        # incomplete /Widths arrays are common in subset fonts and the
+        # zero-advance glyphs shape the word-gap geometry)
+        fd_ = doc.resolve(font.get("FontDescriptor"))
+        mw_ = doc.resolve(fd_.get("MissingWidth")) if isinstance(fd_, dict) else None
+        default_width = (
+            float(mw_) if isinstance(mw_, (int, float)) else 0.0
+        )
     if subtype == "Type0":
         # CID fonts carry widths in the descendant font's /W + /DW
         dfs = doc.resolve(font.get("DescendantFonts"))
@@ -1532,15 +1611,41 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
         elif isinstance(std, dict):
             for code, uni in list(table.items()):
                 w = std.get(uni)
+                if w is None and uni:
+                    # the metric tables key ligatures by their EXPANDED
+                    # form ("fi"), while table entries here may still
+                    # carry the codepoint (expansion runs later)
+                    w = std.get(
+                        "".join(_LIGATURES.get(c, c) for c in uni)
+                    )
                 if w is not None:
                     widths[code] = w
             if widths:
                 default_width = 0.0  # pdf.js defaultWidth for table fonts
     if t1_space_codes:
         # applied AFTER /ToUnicode: pdf.js's space substitution runs in
-        # _charToGlyph and overwrites whatever toUnicode resolved
+        # _charToGlyph and overwrites whatever toUnicode resolved —
+        # including the WIDTH: `width ||= this._spaceWidth`
+        # (pdf.worker.js:29783), where _spaceWidth is the width of the
+        # first of space/minus/one/i/I resolvable through toUnicode
+        # (pdf.worker.js:29724-29752), else defaultWidth. Without the
+        # fill these glyphs advance 0 and the reference's inter-word
+        # gap (which materializes the space) never opens.
+        sw = 0.0
+        for uni in (" ", "−", "1", "i", "I"):
+            code = next(
+                (c for c, u in table.items() if u == uni and c > 0), 0
+            )
+            w = widths.get(code if code > 0 else ord(uni))
+            if w:
+                sw = w
+                break
+        if not sw:
+            sw = default_width
         for c in t1_space_codes:
             table[c] = " "
+            if not widths.get(c):
+                widths[c] = sw
     identity = False
     if not table:
         if subtype == "Type0":
@@ -1558,7 +1663,8 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
         # untranslated chars, so parity requires emitting them too
         for i in range(256):
             if not table.get(i):
-                table[i] = _normalize_glyph(chr(i))
+                table[i] = chr(i)  # raw; the category pass below
+                # normalizes (and flags chr(0xAD) etc. as Cf)
     # expand ligature codepoints the way the reference's text output does
     # (golden .txt has ASCII "efficiency", not U+FB03): done once per font
     # table, not per decoded string. Then normalize per pdf.js glyph
@@ -1568,15 +1674,22 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
     # glyph there), ideographic space — contributes a PLAIN SPACE to the
     # text; invisible format marks (Cf: ZWSP, soft hyphen's cousins,
     # directional marks) are skipped entirely.
-    table = {
-        k: _normalize_glyph(
-            "".join(_LIGATURES.get(c, c) for c in v) if v else v
-        )
-        for k, v in table.items()
-    }
+    norm_table: dict[int, str] = {}
+    cf_codes: set[int] = set()
+    for k, v in table.items():
+        lig = "".join(_LIGATURES.get(c, c) for c in v) if v else v
+        nv = _normalize_glyph(lig)
+        if lig and not nv:
+            # invisible format mark (Cf): pdf.js skips the glyph
+            # ENTIRELY — no width, no charSpacing, no ring update
+            # (pdf.worker.js:36684) — so the advance machinery needs
+            # the category, not just the empty decode
+            cf_codes.add(k)
+        norm_table[k] = nv
     return FontMap(
-        table, nbytes, widths, default_width,
+        norm_table, nbytes, widths, default_width,
         identity=identity, cid_ranges=cid_ranges, var_ranges=var_ranges,
+        cf_codes=cf_codes,
     )
 
 
@@ -1771,7 +1884,8 @@ class _TextInterp:
              dev_y: float | None = None,
              mat: tuple | None = None,
              dev_w: float = 0.0,
-             hsize: float | None = None) -> bool:
+             hsize: float | None = None,
+             move_prev: bool = True) -> bool:
         """Returns True when glyphs were emitted or position-tracked
         (the caller then updates last_end_x / prevTransform), False when
         the item was clipped by the view box.
@@ -1884,7 +1998,18 @@ class _TextInterp:
         standalone = False  # " " as its own item, anchored at glyph_y
         flush = self.force_flush
         self.force_flush = False
-        if self.scale_flush:
+        if adv == 0.0 and dyg == 0.0:
+            # pdf.js equal-position shortcut (lastPosX === posX &&
+            # lastPosY === posY, pdf.worker.js:36547-36549): the glyph
+            # appends with NO cascade decisions; an armed scale_flush
+            # stays armed. The RING-driven pend1 space still
+            # materializes at the append itself (saveLastChar,
+            # pdf.worker.js:36373-36378 — independent of the compare),
+            # so a zero-advance space glyph still separates words.
+            space = self.pending_space and not self.pending_multi
+            self.pending_space = False
+            self.pending_multi = False
+        elif self.scale_flush:
             # textOrientation == sign(0) == 0 — the zero-threshold
             # cascade (pdf.worker.js:36616-36655): CR-flush when
             # advanceX < 0; standalone space + flush when advanceX > 0
@@ -1913,7 +2038,15 @@ class _TextInterp:
             else:
                 flush = True
         elif dyg is None:
-            flush = True  # first glyph on the page opens the first item
+            # null prevTransform: pdf.js returns true BEFORE any cascade
+            # (pdf.worker.js:36543-36545) — the glyph appends to the
+            # OPEN item even across Td/y jumps (an all-zero-width line
+            # never sets prevTransform, and the next line's glyphs join
+            # its item with no EOL). With no open item this initializes
+            # the first one. The ring-driven pend1 space still applies.
+            space = self.pending_space and not self.pending_multi
+            self.pending_space = False
+            self.pending_multi = False
         elif ifs > 0.0 and adv is not None:
             ady = abs(dyg)
             if adv < -0.2 * ifs:
@@ -2003,8 +2136,13 @@ class _TextInterp:
         self.last_char = core[-1]
         self.pending_space = trail_n > 0
         self.pending_multi = trail_n >= 2
-        self.glyph_y = dev_y
-        self.glyph_mat = mat
+        if move_prev:
+            # prevTransform moves only for items that contained a
+            # nonzero-width non-space glyph (pdf.js stores it only when
+            # scaledDim != 0) — the caller passes the same condition it
+            # uses for last_end_x
+            self.glyph_y = dev_y
+            self.glyph_mat = mat
         return True
 
     def text(self) -> str:
@@ -2033,7 +2171,10 @@ class _TextInterp:
         nclip = 0
         last_clip = False
         w, dw = fm.widths, fm.default_width
+        cf = fm._cf_arr
         for i, code in enumerate(item):
+            if cf is not None and cf[code]:
+                continue  # Cf: invisible, zero advance (worker:36684)
             ch = dec[i] if i < len(dec) else ""
             gw = w.get(code, dw) / 1000.0 * size * sxz
             sp = ch == " " or code == 0x20
@@ -2045,9 +2186,11 @@ class _TextInterp:
             if sp or (x + gw_raw >= vb[0] and x <= vb[2]):
                 out.append(ch)
                 last_clip = False
-                if not sp:
-                    prev = x + gw  # prevTransform follows EMITTED glyphs
-                x += gw + (tc + (tw if code == 0x20 else 0.0)) * sxz
+                if not sp and gw:
+                    # prevTransform follows EMITTED glyphs with NONZERO
+                    # width (pdf.js stores it only when scaledDim != 0)
+                    prev = x + gw
+                x += gw + (tc + (tw if sp else 0.0)) * sxz
             else:
                 nclip += 1
                 last_clip = True
@@ -2065,14 +2208,20 @@ class _TextInterp:
         items. 1-byte fonts; multi-byte callers keep the item start."""
         n = len(item)
         aligned = len(dec) == n
+        cf = fm._cf_arr
         x = start_x
         for k in range(n):
             code = item[k]
-            if not (code == 0x20 or (aligned and dec[k] == " ")):
+            if cf is not None and cf[code]:
+                continue  # Cf: invisible, zero advance (worker:36684)
+            sp = code == 0x20 or (aligned and dec[k] == " ") or (
+                fm._sp_arr is not None and fm._sp_arr[code]
+            )
+            if not sp:
                 return x
             x += (
                 fm.widths.get(code, fm.default_width) / 1000.0 * size
-                + tc + (tw if code == 0x20 else 0.0)
+                + tc + tw
             ) * sxz
         return None
 
@@ -2086,18 +2235,29 @@ class _TextInterp:
         the whole-advance approximation."""
         n = len(item)
         aligned = len(dec) == n
+        sp_arr, cf = fm._sp_arr, fm._cf_arr
         k = n - 1
         while k >= 0 and (
             item[k] == 0x20 or (aligned and dec[k] == " ")
+            or (sp_arr is not None and sp_arr[item[k]])
+            or (cf is not None and cf[item[k]])
+            # ZERO-width glyphs never move prevTransform — pdf.js only
+            # stores it when scaledDim is nonzero (`if (scaledDim)
+            # textChunk.prevTransform = ...`); incomplete /Widths
+            # subsets leave it stuck and every following glyph reads
+            # the stale gap
+            or fm.widths.get(item[k], fm.default_width) == 0.0
         ):
             k -= 1
         if k < 0:
             return None
         prefix = item[: k + 1]
+        # tc applies to the k PRIOR glyphs minus the invisible Cf ones
+        # (pdf.js `continue`s before charSpacing, worker:36684)
         adv = (
             fm.advance(prefix) / 1000.0 * size
-            + k * tc
-            + prefix.count(0x20) * tw
+            + (k - fm.ncf(prefix)) * tc
+            + fm.nsp(prefix) * tw
         ) * sxz
         return start_x + adv
 
@@ -2119,7 +2279,9 @@ class _TextInterp:
 
     def _seg_split(self, fm: FontMap, item: bytes, dec: str, start_x: float,
                    size: float, sxz: float, tc: float, tw: float,
-                   fs: float, prev0: float | None = None):
+                   fs: float, prev0: float | None = None,
+                   fallback_prev: float | None = None,
+                   zw_mode: bool = False):
         """Per-glyph item splitting at quadrant 0 (VERDICT r3 missing #1).
 
         pdf.js runs compareWithLastPosition at every glyph
@@ -2199,9 +2361,25 @@ class _TextInterp:
         # CR / standalone-" "-at-prevTransform path (an adjacency split
         # is output-neutral whenever the cascade would NOT flush)
         per_glyph = any(ktc < -0.2 * c_ or ktc > 0.6 * c_ for c_ in cands)
+        if zw_mode:
+            # zero-width glyphs stall prevTransform, so every adjacency
+            # can read a stale gap: run the compare per glyph for the
+            # WHOLE item (pdf.js always does), show() re-deciding each
+            # pair exactly — the caller disables the letter-gap
+            # pre-join (those spaces emerge from the cascade instead).
+            # Cross-item staleness: seed the anchor from the caller's
+            # prevTransform mirror.
+            per_glyph = True
+            if prev_end is None:
+                prev_end = fallback_prev
+        cf = fm._cf_arr
+        di = 0  # dec index: Cf codes decode to "" and occupy no slot
         for k in range(n):
             code = item[k]
-            ch = dec[k]
+            if cf is not None and cf[code]:
+                continue  # Cf: invisible, zero advance (worker:36684)
+            ch = dec[di]
+            di += 1
             sp = code == 0x20 or ch == " "
             px = start_x + wsum * kx + (g - c) * ktc + nsp * ktw
             w = widths.get(code, dw)
@@ -2255,12 +2433,14 @@ class _TextInterp:
                     seg_first = None
                 if seg_first is None:
                     seg_first = px
-                prev_end = px + w * kx
+                if w:
+                    # zero-width glyphs never move prevTransform
+                    prev_end = px + w * kx
                 cur_seg.append(ch)
             wsum += w
             g += 1
-            if code == 0x20:
-                nsp += 1
+            if sp:
+                nsp += 1  # Tw rides every whitespace-category glyph
         if out is None:
             return None
         cur_seg.extend(run_buf)
@@ -2565,12 +2745,15 @@ class _TextInterp:
         tbytes = b"".join(sp[0] for sp in specs)
         toff = _np.empty(257 * len(specs), _np.int32)
         widths = _np.empty(256 * len(specs), _np.float64)
+        cats = _np.zeros(256 * len(specs), _np.uint8)
         base = 0
         for j, sp in enumerate(specs):
             toff[j * 257 : (j + 1) * 257] = sp[1] + base
             base += len(sp[0])
             widths[j * 256 : (j + 1) * 256] = sp[2]
-        return tbytes, toff, widths, font_idx, fms
+            if len(sp) > 3:
+                cats[j * 256 : (j + 1) * 256] = sp[3]
+        return tbytes, toff, widths, cats, font_idx, fms
 
     def _replay_c(self, data: bytes, ev, plan, xobjs, resources,
                   depth: int, seen: frozenset, scratch: bytes = b"") -> None:
@@ -2578,7 +2761,7 @@ class _TextInterp:
         Form XObjects between C segments. Line-model state round-trips
         through the state vector so C segments and Python recursion
         compose (a Form may itself fall back to the Python replay)."""
-        tbytes, toff, widths, font_idx, fms = plan
+        tbytes, toff, widths, cats, font_idx, fms = plan
         st = _np.zeros(32, _np.float64)
         st[3] = 1.0  # sx
         st[6] = 1.0  # tz
@@ -2606,7 +2789,7 @@ class _TextInterp:
             while True:
                 ret, olen = cinterp.replay(
                     data, ev, i, font_idx, tbytes, toff, widths, st, out,
-                    scratch, qst,
+                    scratch, qst, cats,
                 )
                 if ret >= 0:
                     break
@@ -2747,8 +2930,8 @@ class _TextInterp:
                     item = scratch[a:b]
                 else:
                     item = lit(data, a)[0]
-                glyphs = len(item) // fm.nbytes
-                spaces = item.count(0x20) if fm.nbytes == 1 else 0
+                glyphs = len(item) // fm.nbytes - fm.ncf(item)
+                spaces = fm.nsp(item)
                 adv = (
                     fm.advance(item) / 1000.0 * size + glyphs * tc
                     + spaces * tw
@@ -2761,23 +2944,31 @@ class _TextInterp:
                 lclip = False
                 segs = None
                 prev0 = tj_prev if kind == 6 else None
+                # zw staleness machinery is RTL-gated: per-glyph splits
+                # would fragment the bidi runs show() reorders per piece
+                zw_item = (
+                    fm.has_zw(item) and _RTL_RUN.search(dec) is None
+                )
                 # seg-split FIRST (it box-rejects glyphs itself,
                 # mirroring pdf.js's test at the top of
                 # compareWithLastPosition); _clip_x is the inline-path
                 # fallback when no split point exists
                 if (
                     fm.nbytes == 1 and size > 0
-                    and len(dec) == len(item)
+                    and len(dec) == len(item) - fm.ncf(item)
                     and (
                         " " in dec[1:-1]
                         or (prev0 is not None and dec[:1] == " ")
                         or tc < 0.0
                         or self._big_tc(tc, sx * tz, size * sx)
+                        or zw_item
                     )
                 ):
                     r = self._seg_split(
                         fm, item, dec, cur_x, size, sx * tz, tc, tw,
                         size * sx, prev0=prev0,
+                        fallback_prev=self.last_end_x,
+                        zw_mode=zw_item,
                     )
                     if r is not None:
                         segs, nclip, lclip = r
@@ -2825,7 +3016,8 @@ class _TextInterp:
                             item[-1] == 0x20
                             or fm.decode(item[-1:]) == " "
                         )
-                lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                lg = (size > 0 and tc * tz > self.GAP_FRACTION * size
+      and not zw_item)  # zw items: the cascade decides
                 if kind == 6 and tj_fake_pend and dec:
                     if not dec.startswith(" "):
                         tj_buf.append(" ")
@@ -2858,7 +3050,8 @@ class _TextInterp:
                         if show("".join(tj_buf), y + rise,
                                 fx0 if fx0 is not None else tj_start_x,
                                 size * sx,
-                                hsize=(size * abs(sy)) if sy else None):
+                                hsize=(size * abs(sy)) if sy else None,
+                                move_prev=p0 is not None):
                             self.last_end_x = p0
                         if tj_kill:
                             self.pending_space = True
@@ -2866,7 +3059,8 @@ class _TextInterp:
                             tj_kill = False
                         for dmid, fmid, pmid in sub[1:-1]:
                             if show(dmid, y + rise, fmid, size * sx,
-                                    hsize=(size * abs(sy)) if sy else None):
+                                    hsize=(size * abs(sy)) if sy else None,
+                                    move_prev=pmid is not None):
                                 self.last_end_x = pmid
                         dl, fl, pl = sub[-1]
                         tj_buf = [dl]
@@ -2877,7 +3071,8 @@ class _TextInterp:
                     else:
                         for dseg, fseg, pseg in sub:
                             if show(dseg, y + rise, fseg, size * sx,
-                                    hsize=(size * abs(sy)) if sy else None):
+                                    hsize=(size * abs(sy)) if sy else None,
+                                    move_prev=pseg is not None):
                                 self.last_end_x = pseg
                         cur_x += adv
                     continue
@@ -2922,7 +3117,8 @@ class _TextInterp:
                         dec, y + rise,
                         fx if fx is not None else cur_x,
                         size * sx,
-                    hsize=(size * abs(sy)) if sy else None,
+                        hsize=(size * abs(sy)) if sy else None,
+                        move_prev=prev is not None,
                     )
                     cur_x += adv
                     # prevTransform = after the last emitted NON-SPACE
@@ -2973,7 +3169,8 @@ class _TextInterp:
                                 tj_first if tj_first is not None
                                 else tj_start_x,
                                 size * sx,
-                            hsize=(size * abs(sy)) if sy else None,
+                                hsize=(size * abs(sy)) if sy else None,
+                                move_prev=tj_prev is not None,
                             )
                             and tj_prev is not None
                         ):
@@ -3070,7 +3267,8 @@ class _TextInterp:
                         "".join(tj_buf), y + rise,
                         tj_first if tj_first is not None else tj_start_x,
                         size * sx,
-                    hsize=(size * abs(sy)) if sy else None,
+                        hsize=(size * abs(sy)) if sy else None,
+                        move_prev=tj_prev is not None,
                     )
                     and tj_prev is not None
                 ):
@@ -3264,8 +3462,8 @@ class _TextInterp:
                 cur_x, cross_v = _swapq(ax, ay)
 
         def advance(item: bytes) -> float:
-            glyphs = len(item) // fm.nbytes
-            spaces = item.count(0x20) if fm.nbytes == 1 else 0
+            glyphs = len(item) // fm.nbytes - fm.ncf(item)
+            spaces = fm.nsp(item)
             return (
                 fm.advance(item) / 1000.0 * size + glyphs * tc + spaces * tw
             ) * asx * tz
@@ -3275,7 +3473,7 @@ class _TextInterp:
             # width only (pdf.js skips charSpacing on the reject path);
             # space glyphs keep width+tc+tw (whitespace branch precedes
             # the box test)
-            spaces = item.count(0x20) if fm.nbytes == 1 else 0
+            spaces = fm.nsp(item)
             return (
                 fm.advance(item) / 1000.0 * size + spaces * (tc + tw)
             ) * asx * tz
@@ -3312,6 +3510,7 @@ class _TextInterp:
                     dec, cy, cmp_x, size * asx,
                     quad=-1, dev_x=ddx, dev_y=ddy, mat=matn,
                     dev_w=dev_w, hsize=size * csy,
+                    move_prev=prev is not None,
                 )
                 cur_x += adv if shown or adv_clip is None else adv_clip
                 if shown and prev is not None:
@@ -3329,6 +3528,7 @@ class _TextInterp:
                 # hypot(trm[2], trm[3]) — |composed d| at quad 0, which
                 # differs from the x-scale under anisotropic matrices
                 dev_w=dev_w, hsize=size * csy,
+                move_prev=prev is not None,
             )
             cur_x += adv if shown or adv_clip is None else adv_clip
             if shown and prev is not None:
@@ -3365,8 +3565,11 @@ class _TextInterp:
                     # test — the TEXT-SPACE scaledDim (before hscale,
                     # untransformed), added to the device posX exactly
                     # as the reference does. A box-rejected glyph
-                    # advances by width only (no charSpacing).
-                    _show_item(ch, cur_x + w, w + tc * asx * tz,
+                    # advances by width only (no charSpacing). A ZERO-
+                    # width glyph never moves prevTransform (pdf.js
+                    # stores it only when scaledDim != 0).
+                    _show_item(ch, (cur_x + w) if wt else None,
+                               w + tc * asx * tz,
                                dev_w=wt, adv_clip=w)
         while pos < n:
             pos = _skip_ws(data, pos)
@@ -3506,17 +3709,26 @@ class _TextInterp:
                     cprev: float | None = None
                     clipped_item = False
                     nclip = 0
-                    lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                    zw_item = (
+                        fm.has_zw(item)
+                        and _RTL_RUN.search(dec) is None
+                    )
+                    lg = (
+                        size > 0 and tc * tz > self.GAP_FRACTION * size
+                        and not zw_item  # zw: the cascade decides
+                    )
                     segs = None
                     if (
                         quad == 0 and fm.nbytes == 1 and size > 0
-                        and len(dec) == len(item)
+                        and len(dec) == len(item) - fm.ncf(item)
                         and (" " in dec[1:-1] or tc < 0.0
-                             or self._big_tc(tc, asx * tz, size * asx))
+                             or self._big_tc(tc, asx * tz, size * asx)
+                             or zw_item)
                     ):
                         r_ = self._seg_split(
                             fm, item, dec, cur_x, size, asx * tz, tc, tw,
-                            size * asx,
+                            size * asx, fallback_prev=self.last_end_x,
+                            zw_mode=zw_item,
                         )
                         if r_ is not None:
                             segs, nclip, lclip = r_
@@ -3596,18 +3808,29 @@ class _TextInterp:
                         cprev = None
                         clipped_item = False
                         nclip = 0
-                        lg = size > 0 and tc * tz > self.GAP_FRACTION * size
+                        zw_item = (
+                            fm.has_zw(item)
+                            and _RTL_RUN.search(dec) is None
+                        )
+                        lg = (
+                            size > 0
+                            and tc * tz > self.GAP_FRACTION * size
+                            and not zw_item  # zw: the cascade decides
+                        )
                         segs = None
                         if (
                             quad == 0 and fm.nbytes == 1 and size > 0
-                            and len(dec) == len(item)
+                            and len(dec) == len(item) - fm.ncf(item)
                             and (" " in dec[1:-1] or tc < 0.0
                                  or self._big_tc(tc, asx * tz,
-                                                 size * asx))
+                                                 size * asx)
+                                 or zw_item)
                         ):
                             r_ = self._seg_split(
                                 fm, item, dec, cur_x, size, asx * tz,
                                 tc, tw, size * asx,
+                                fallback_prev=self.last_end_x,
+                                zw_mode=zw_item,
                             )
                             if r_ is not None:
                                 segs, nclip, lclip = r_
@@ -3725,13 +3948,21 @@ class _TextInterp:
                     tj_kill = False
                     # deferred kern fake space (see the event consumer)
                     tj_fake = False
-                    lgap = size > 0 and tc * tz > self.GAP_FRACTION * size
+                    lgap = (
+                        size > 0 and tc * tz > self.GAP_FRACTION * size
+                    )
                     for item, tj_kern, tj_ntc, tj_ride in (
                         self._coalesce_tj(stack[-1])
                     ):
                         ride_lost = False
                         if item:
                             dec = fm.decode(item)
+                            # zw elements: the cascade decides the gaps
+                            zw_item = (
+                                fm.has_zw(item)
+                                and _RTL_RUN.search(dec) is None
+                            )
+                            lgap_el = lgap and not zw_item
                             vb = self.viewbox
                             cprev = None
                             clipped_item = False
@@ -3740,7 +3971,7 @@ class _TextInterp:
                             if (
                                 quad == 0
                                 and fm.nbytes == 1 and size > 0
-                                and len(dec) == len(item)
+                                and len(dec) == len(item) - fm.ncf(item)
                                 and (
                                     " " in dec[1:-1]
                                     or (
@@ -3751,12 +3982,15 @@ class _TextInterp:
                                     or self._big_tc(
                                         tc, asx * tz, size * asx
                                     )
+                                    or zw_item
                                 )
                             ):
                                 r_ = self._seg_split(
                                     fm, item, dec, cur_x, size,
                                     asx * tz, tc, tw, size * asx,
                                     prev0=tjprev,
+                                    fallback_prev=self.last_end_x,
+                                    zw_mode=zw_item,
                                 )
                                 if r_ is not None:
                                     segs, nclip, lclip = r_
@@ -3819,7 +4053,7 @@ class _TextInterp:
                                     # the ring rolled
                                     tj_kill = False
                                 buf.append(
-                                    " ".join(sd0) if lgap else sd0
+                                    " ".join(sd0) if lgap_el else sd0
                                 )
                                 fx0 = (
                                     tjfirst if tjfirst is not None
@@ -3832,7 +4066,8 @@ class _TextInterp:
                                 sh0 = self.show("".join(buf), vv, tj_cx,
                                                 size * asx, quad=quad,
                                                 dev_x=ddx, dev_y=ddy,
-                                                mat=matn)
+                                                mat=matn,
+                                                move_prev=spv is not None)
                                 if sh0:
                                     self.last_end_x = spv
                                 if tj_kill:
@@ -3841,17 +4076,18 @@ class _TextInterp:
                                     tj_kill = False
                                 for sdm, sfm, spm in segs[1:-1]:
                                     sd = (
-                                        " ".join(sdm) if lgap else sdm
+                                        " ".join(sdm) if lgap_el else sdm
                                     )
                                     ddx, ddy = _swapq(sfm, vv)
                                     if self.show(sd, vv, sfm,
                                                  size * asx, quad=quad,
                                                  dev_x=ddx, dev_y=ddy,
-                                                 mat=matn):
+                                                 mat=matn,
+                                                 move_prev=spm is not None):
                                         self.last_end_x = spm
                                 sdl, sfl, spl = segs[-1]
                                 buf = [
-                                    " ".join(sdl) if lgap else sdl
+                                    " ".join(sdl) if lgap_el else sdl
                                 ]
                                 tjfirst = sfl
                                 start_x = sfl
@@ -3874,7 +4110,7 @@ class _TextInterp:
                                         - tc * asx * tz
                                         if item else None
                                     )
-                                buf.append(" ".join(dec) if lgap else dec)
+                                buf.append(" ".join(dec) if lgap_el else dec)
                                 if dec.strip(" "):
                                     tj_kill = False
                                 if tjfirst is None and fm.nbytes == 1:
@@ -3928,6 +4164,7 @@ class _TextInterp:
                                             size * asx, quad=quad,
                                             dev_x=ddx, dev_y=ddy,
                                             mat=matn,
+                                            move_prev=tjprev is not None,
                                         )
                                         and tjprev is not None
                                     ):
@@ -3991,6 +4228,7 @@ class _TextInterp:
                         self.show(
                             "".join(buf), vv, tj_cx, size * asx,
                             quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
+                            move_prev=tjprev is not None,
                         )
                         and tjprev is not None
                     ):
