@@ -1851,6 +1851,14 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             } else if (st.size > 0.0) {
                 double kern = kf0 / 1000.0 * st.size;
                 long base = tjmark < 0 ? 0 : tjmark;
+                /* leading kerns: pdf.js's advanceX compares against
+                 * the ONE page-level prevTransform — fall back to it
+                 * for the kill/fake decisions */
+                int have_g2 = tj_have_prev || st.have_last_end_x;
+                double g2 = tj_have_prev ? st.cur_x - tj_prev_x
+                            : st.have_last_end_x
+                                ? st.cur_x - st.last_end_x
+                                : 0.0;
                 if (olen > base && out[olen - 1] == ' ') {
                     /* pdf.js buffers NO space glyphs: the trailing
                      * run's fate is decided ONCE at the next glyph
@@ -1867,12 +1875,11 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                      * glyph anchors the buffer yet. */
                     long nreal = tj_tail_sp > 0 ? tj_tail_sp : 1;
                     int kill;
-                    if (tj_have_prev) {
-                        double g = st.cur_x - tj_prev_x;
+                    if (have_g2) {
                         double lim = st.size * st.sx;
-                        kill = g <= 0.03 * lim ||
+                        kill = g2 <= 0.03 * lim ||
                                (nreal != 1 &&
-                                g <= RP_GAP_FRACTION * lim);
+                                g2 <= RP_GAP_FRACTION * lim);
                     } else {
                         double w_sp = widths[st.cur_font * 256 + 32] /
                                       1000.0 * st.size;
@@ -1891,9 +1898,16 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         tj_tail_sp = 0;
                         tj_kill = 1;
                     }
-                } else if (((1.0 + (double)e->flag) * st.tc - kern) *
-                               st.tz >
-                           RP_GAP_FRACTION * st.size) {
+                } else if (have_g2
+                               ? g2 > RP_GAP_FRACTION * st.size * st.sx
+                               : ((1.0 + (double)e->flag) * st.tc -
+                                  kern) *
+                                         st.tz >
+                                     RP_GAP_FRACTION * st.size) {
+                    /* the POSITION gap (cur_x - tj_prev_x) is pdf.js's
+                     * advanceX at the next glyph — the kern-value
+                     * formula ignores Td rewinds between elements and
+                     * stays only as the no-anchor fallback */
                     tj_fake = 1;
                 }
             }

@@ -3152,6 +3152,13 @@ class _TextInterp:
                 if size > 0:
                     kern = kf0 / 1000.0 * size
                     gap = None if tj_prev is None else cur_x - tj_prev
+                    # leading kerns have no TJ-internal anchor, but
+                    # pdf.js's advanceX at the next glyph compares
+                    # against the ONE page-level prevTransform — fall
+                    # back to it for the kill/fake decisions
+                    gap2 = gap
+                    if gap2 is None and self.last_end_x is not None:
+                        gap2 = cur_x - self.last_end_x
                     lim = size * sx
                     if gap is not None and (
                         gap < -0.2 * lim or gap > 0.6 * lim
@@ -3200,10 +3207,10 @@ class _TextInterp:
                         # here; the width formula is the fallback when
                         # no real glyph anchors the buffer yet.
                         n_real = tj_tail_sp if tj_tail_sp > 0 else 1
-                        if gap is not None:
-                            kill = gap <= 0.03 * lim or (
+                        if gap2 is not None:
+                            kill = gap2 <= 0.03 * lim or (
                                 n_real != 1
-                                and gap <= self.GAP_FRACTION * lim
+                                and gap2 <= self.GAP_FRACTION * lim
                             )
                         else:
                             w_sp = (
@@ -3224,7 +3231,16 @@ class _TextInterp:
                             tj_buf[-1] = tj_buf[-1].rstrip(" ")
                             tj_tail_sp = 0
                             tj_kill = True
-                    elif ((1 + flag) * tc - kern) * tz > self.GAP_FRACTION * size:
+                    elif (
+                        gap2 > self.GAP_FRACTION * lim
+                        if gap2 is not None
+                        else ((1 + flag) * tc - kern) * tz
+                        > self.GAP_FRACTION * size
+                    ):
+                        # the POSITION gap (cur_x - tj_prev) is pdf.js's
+                        # advanceX at the next glyph — the kern-value
+                        # formula ignores Td rewinds between elements
+                        # and stays only as the no-anchor fallback
                         tj_fake_pend = True
             elif kind == 1:  # ANCHOR: new line origin
                 if (
@@ -4145,6 +4161,15 @@ class _TextInterp:
                                     None if tjprev is None
                                     else cur_x - tjprev
                                 )
+                                # leading kerns: fall back to the
+                                # page-level prevTransform (see the
+                                # event consumer's K_TJNUM)
+                                gap2 = gap
+                                if (
+                                    gap2 is None
+                                    and self.last_end_x is not None
+                                ):
+                                    gap2 = cur_x - self.last_end_x
                                 lim = size * asx
                                 if gap is not None and (
                                     gap < -0.2 * lim or gap > 0.6 * lim
@@ -4185,10 +4210,10 @@ class _TextInterp:
                                     n_real = (
                                         tail_sp if tail_sp > 0 else 1
                                     )
-                                    if gap is not None:
-                                        kill = gap <= 0.03 * lim or (
+                                    if gap2 is not None:
+                                        kill = gap2 <= 0.03 * lim or (
                                             n_real != 1
-                                            and gap
+                                            and gap2
                                             <= self.GAP_FRACTION * lim
                                         )
                                     else:
@@ -4217,8 +4242,10 @@ class _TextInterp:
                                         tail_sp = 0
                                         tj_kill = True
                                 elif (
-                                    ((1 + tj_ntc) * tc - kern) * tz
-                                    > self.GAP_FRACTION * size
+                                    gap2 > self.GAP_FRACTION * lim
+                                    if gap2 is not None
+                                    else ((1 + tj_ntc) * tc - kern)
+                                    * tz > self.GAP_FRACTION * size
                                 ):
                                     tj_fake = True
                     vv = cross_v + arise

@@ -1807,3 +1807,37 @@ def test_category_three_way_path_identity():
             cinterp.AVAILABLE = True
         assert c_full["text"] == py["text"], f"pdf {i}: C replay"
         assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
+
+
+def test_kern_gap_positional_with_td_rewinds_byte_equal_vs_live_reference(
+    tmp_path,
+):
+    """pdf.js decides the kern fake-space at the NEXT glyph's compare —
+    a POSITION gap against the one page-level prevTransform. A
+    kern-value formula misses intervening Td rewinds: sub-point Td
+    moves between the anchoring show and a leading-kern TJ pull the
+    pen back, and the true gap (0.35pt here) sits in the continue
+    window while the kern+Tc arithmetic alone reads a space. Found by
+    a fresh-seed sweep of the big-Tc generator."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(
+                b"BT\n/F1 8 Tf\n1 0 0 1 40 700 Tm\n4.400 Tc\n-1.00 Tw"
+                b"\n1.42 0.755 Td\n(nu) Tj\n0.15 0.334 Td\n0.54 0.484"
+                b" Td\n[-600 80 (kap) -8000 -2000] TJ\n(ga) Tj"
+                b"\n(mu mu) Tj\nET"
+            ),
+            _assemble(
+                b"BT\n/F1 8 Tf\n1 0 0 1 40 700 Tm\n4.400 Tc"
+                b"\n1.42 0.755 Td\n(nu) Tj\n0.15 0.334 Td\n0.54 0.484"
+                b" Td\n[-600 80 (kap)] TJ\nET"
+            ),
+            # single pre-merged kern (the value formula's happy case)
+            _assemble(
+                b"BT\n/F1 8 Tf\n1 0 0 1 40 700 Tm\n4.400 Tc"
+                b"\n1.42 0.755 Td\n(nu) Tj\n0.15 0.334 Td\n0.54 0.484"
+                b" Td\n[-520 (kap)] TJ\nET"
+            ),
+        ],
+    )
