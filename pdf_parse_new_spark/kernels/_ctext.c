@@ -722,6 +722,15 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                         tz = (st[nst - 1].cv != 0.0 ? st[nst - 1].cv
                                                     : 100.0) /
                              100.0;
+                        if (tz < 0.0 && !rot_emitted) {
+                            /* negative Tz mirrors the writing
+                             * direction (pdf.js rotate == 180 via the
+                             * textHScale sign): the flattened events
+                             * can't carry it — delegate the stream to
+                             * the full-matrix Python interpreter */
+                            EMIT(K_ROT, 0, 0, 0, 0, 0, 0, 0);
+                            rot_emitted = 1;
+                        }
                         EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
                     }
                     break;

@@ -1856,6 +1856,14 @@ class _TextInterp:
         # — not the scale of the incoming glyph.
         self.scale_flush = False
         self.item_size = 0.0
+        # sign of the open item's RUNNING width — pdf.js multiplies
+        # every cascade threshold by textOrientation = sign(width);
+        # mirrored glyphs (negative textHScale) accumulate negative
+        # width, so an item OPENED under a negative Tz compares with
+        # inverted windows. Like item_size, the compare reads the
+        # STALE value across flushes (ensureTextContentItem re-inits
+        # only at the next append).
+        self.item_osign = 1
         # FontMap a form inherits from its parent stream (see _INH_FONT)
         self._inh_fm: FontMap | None = None
         # item_hsize: the item's CROSS-AXIS height — pdf.js's
@@ -1885,7 +1893,8 @@ class _TextInterp:
              mat: tuple | None = None,
              dev_w: float = 0.0,
              hsize: float | None = None,
-             move_prev: bool = True) -> bool:
+             move_prev: bool = True,
+             mirror: bool = False) -> bool:
         """Returns True when glyphs were emitted or position-tracked
         (the caller then updates last_end_x / prevTransform), False when
         the item was clipped by the view box.
@@ -2047,6 +2056,27 @@ class _TextInterp:
             space = self.pending_space and not self.pending_multi
             self.pending_space = False
             self.pending_multi = False
+        elif self.item_osign < 0 and ifs > 0.0 and adv is not None:
+            # negative-orientation item (opened under a negative Tz):
+            # pdf.js multiplies every threshold by textOrientation =
+            # sign(width). The CR window flips to advanceX < +0.2*fs
+            # (small letter gaps CR-flush into their own items, joined
+            # by the pdf-parse render with no space); the notASpace/
+            # tracking/in-flow windows invert to unreachable for a
+            # positive advance, so anything larger falls through
+            # addFakeSpaces' outside-window path: flush + standalone
+            # " " at prevTransform, ring reset.
+            ady = abs(dyg)
+            self.pending_space = False
+            self.pending_multi = False
+            if adv < 0.2 * ifs:
+                flush = True
+            elif ady > ihs:
+                flush = True
+            else:
+                space = True
+                standalone = True
+                flush = True
         elif ifs > 0.0 and adv is not None:
             ady = abs(dyg)
             if adv < -0.2 * ifs:
@@ -2131,6 +2161,7 @@ class _TextInterp:
             self.last_y = dev_y
             self.item_size = fs
             self.item_hsize = hs
+            self.item_osign = -1 if mirror else 1
         self.pieces.append(core)
         self.line_open = True
         self.last_char = core[-1]
@@ -3371,7 +3402,8 @@ class _TextInterp:
         size = 0.0
         tc = 0.0  # Tc char spacing (text-space units, added per glyph)
         tw = 0.0  # Tw word spacing (added per 0x20 byte, 1-byte fonts)
-        tz = 1.0  # Tz horizontal scaling (percent / 100, scales advances)
+        tz = 1.0  # Tz horizontal scaling MAGNITUDE (percent / 100)
+        tz_mirror = False  # negative Tz: x-mirror -> 180-quadrant frame
         # graphics-state CTM (q/Q/cm): the working coordinates ay/ax/asx
         # that shows see are TRANSFORMED at anchor points, mirroring the
         # C lexer's emit-time transform — absolute positions like the
@@ -3428,8 +3460,12 @@ class _TextInterp:
             # inverse-rotated frame of each point's own matrix
             # (applyInverseRotation, pdf.worker.js:36521-36524).
             nonlocal quad, cA, cB, cC, cD, asx, matn, csy, arise
-            cA = tm_a * cm_a + tm_b * cm_c
-            cB = tm_a * cm_b + tm_b * cm_d
+            # pdf.js folds textHScale into the X COLUMN of the composed
+            # transform (tsm = [fs*hs, 0, 0, fs, 0, rise]) — a negative
+            # Tz mirrors the writing direction and the quadrant flips
+            s_ = -1.0 if tz_mirror else 1.0
+            cA = (tm_a * cm_a + tm_b * cm_c) * s_
+            cB = (tm_a * cm_b + tm_b * cm_d) * s_
             cC = tm_c * cm_a + tm_d * cm_c
             cD = tm_c * cm_b + tm_d * cm_d
             if cB == 0.0 and cC == 0.0:
@@ -3527,6 +3563,7 @@ class _TextInterp:
                     quad=-1, dev_x=ddx, dev_y=ddy, mat=matn,
                     dev_w=dev_w, hsize=size * csy,
                     move_prev=prev is not None,
+                    mirror=tz_mirror,
                 )
                 cur_x += adv if shown or adv_clip is None else adv_clip
                 if shown and prev is not None:
@@ -3545,6 +3582,7 @@ class _TextInterp:
                 # differs from the x-scale under anisotropic matrices
                 dev_w=dev_w, hsize=size * csy,
                 move_prev=prev is not None,
+                mirror=tz_mirror,
             )
             cur_x += adv if shown or adv_clip is None else adv_clip
             if shown and prev is not None:
@@ -3704,7 +3742,33 @@ class _TextInterp:
                 elif op == b"Tw" and stack:
                     tw = float(stack[-1])
                 elif op == b"Tz" and stack:
-                    tz = (float(stack[-1]) or 100.0) / 100.0
+                    # negative Tz mirrors the writing direction:
+                    # pdf.js's composed transform gets m[0] < 0 and the
+                    # compare runs in the 180 quadrant — fold the SIGN
+                    # into the quadrant frame, keep the magnitude in
+                    # the advance math
+                    tzv = (float(stack[-1]) or 100.0) / 100.0
+                    tz = abs(tzv)
+                    if (tzv < 0.0) != tz_mirror:
+                        # the pen keeps its DEVICE position through the
+                        # flip — only the compare frame changes: unswap
+                        # under the OLD quadrant, reswap under the new
+                        if quad == -1 and matn is not None:
+                            md_ = matn[0] * matn[3] - matn[1] * matn[2]
+                            if md_:
+                                pdx_ = (
+                                    matn[3] * cur_x - matn[1] * cross_v
+                                ) / md_
+                                pdy_ = (
+                                    matn[0] * cross_v - matn[2] * cur_x
+                                ) / md_
+                            else:
+                                pdx_, pdy_ = ax, ay
+                        else:
+                            pdx_, pdy_ = _swapq(cur_x, cross_v)
+                        tz_mirror = tzv < 0.0
+                        _requad()
+                        cur_x, cross_v = _swapq(pdx_, pdy_)
                 elif op == b"T*":
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
@@ -4083,7 +4147,8 @@ class _TextInterp:
                                                 size * asx, quad=quad,
                                                 dev_x=ddx, dev_y=ddy,
                                                 mat=matn,
-                                                move_prev=spv is not None)
+                                                move_prev=spv is not None,
+                                                mirror=tz_mirror)
                                 if sh0:
                                     self.last_end_x = spv
                                 if tj_kill:
@@ -4099,7 +4164,8 @@ class _TextInterp:
                                                  size * asx, quad=quad,
                                                  dev_x=ddx, dev_y=ddy,
                                                  mat=matn,
-                                                 move_prev=spm is not None):
+                                                 move_prev=spm is not None,
+                                                 mirror=tz_mirror):
                                         self.last_end_x = spm
                                 sdl, sfl, spl = segs[-1]
                                 buf = [
@@ -4190,6 +4256,7 @@ class _TextInterp:
                                             dev_x=ddx, dev_y=ddy,
                                             mat=matn,
                                             move_prev=tjprev is not None,
+                                            mirror=tz_mirror,
                                         )
                                         and tjprev is not None
                                     ):
@@ -4256,6 +4323,7 @@ class _TextInterp:
                             "".join(buf), vv, tj_cx, size * asx,
                             quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
                             move_prev=tjprev is not None,
+                            mirror=tz_mirror,
                         )
                         and tjprev is not None
                     ):
@@ -4298,7 +4366,9 @@ class _TextInterp:
                         cm=(cm_a, cm_b, cm_c, cm_d, cm_e, cm_f),
                         inherit=(
                             fm if have_font else None,
-                            size, tc, tw, tz, leading, rise, itm,
+                            size, tc, tw,
+                            -tz if tz_mirror else tz,
+                            leading, rise, itm,
                         ),
                     )
                 elif op == b"BT":
@@ -4371,6 +4441,7 @@ class _TextInterp:
                             cm_a, cm_b, cm_c, cm_d, cm_e, cm_f,
                             tm_a, tm_b, tm_c, tm_d, tm_e, tm_f,
                             tc, tw, tz, leading, rise, arise,
+                            tz_mirror,
                             fm, size, have_font,
                             ax, ay, cur_x, cross_v,
                         ))
@@ -4379,6 +4450,7 @@ class _TextInterp:
                         (cm_a, cm_b, cm_c, cm_d, cm_e, cm_f,
                          tm_a, tm_b, tm_c, tm_d, tm_e, tm_f,
                          tc, tw, tz, leading, rise, arise,
+                         tz_mirror,
                          sfm, ssize, have_font,
                          ax, ay, cur_x, cross_v) = qstack.pop()
                         # restore flushes ONLY on a font/size change

@@ -1841,3 +1841,94 @@ def test_kern_gap_positional_with_td_rewinds_byte_equal_vs_live_reference(
             ),
         ],
     )
+
+
+def _gen_tzneg_stream(rng: random.Random) -> bytes:
+    """Negative-Tz (mirrored writing) soup: sign flips mid-line, q/Q
+    wrapped flips, kerned TJ groups and Tc under mirror."""
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    ops = [b"BT /F1 %d Tf" % rng.choice([8, 10, 12])]
+    for _ in range(rng.randrange(3, 9)):
+        k = rng.randrange(7)
+        if k == 0:
+            ops.append(b"%d Tz" % rng.choice([-100, -120, -50, 100, 150, -80]))
+        elif k == 1:
+            ops.append(b"%s Tc" % str(rng.choice([0, 0.5, 2])).encode())
+        elif k == 2:
+            ops.append(
+                b"1 0 0 1 %d %d Tm"
+                % (rng.randrange(100, 500), rng.randrange(100, 700))
+            )
+        elif k == 3:
+            ops.append(
+                b"T*" if rng.random() < 0.4
+                else b"0 -%d Td" % rng.choice([12, 14])
+            )
+        elif k == 4 and rng.random() < 0.5:
+            ops += [b"q", b"%d Tz" % rng.choice([-100, 200]),
+                    b"(%s) Tj" % rng.choice(words).encode(), b"Q"]
+        elif k == 5:
+            ops.append(
+                b"[(%s) %d (%s)] TJ"
+                % (rng.choice(words).encode(), rng.randrange(-400, 400),
+                   rng.choice(words).encode())
+            )
+        else:
+            ops.append(
+                b"(%s %s) Tj"
+                % (rng.choice(words).encode(), rng.choice(words).encode())
+            )
+    ops.append(b"ET")
+    return _assemble(b" ".join(ops))
+
+
+def test_negative_tz_byte_equal_vs_live_reference(tmp_path):
+    """Negative Tz mirrors the writing direction: pdf.js's composed
+    transform gets m[0] < 0 (rotate 180 through the textHScale sign)
+    and — the subtle part — the cascade thresholds multiply by the
+    ITEM's textOrientation = sign(width): an item OPENED under the
+    mirror compares with inverted windows (small gaps CR-flush, larger
+    ones flush + standalone space), while a mirrored run CONTINUING a
+    positive-width item keeps the normal windows (in-flow fake
+    spaces). The engine folds the Tz sign into the quadrant frame,
+    keeps the magnitude in the advance math, preserves the device pen
+    across sign flips, and tracks the stale item-orientation sign.
+    370 hunt docs clean; these pin the distilled shapes."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(
+                b"BT /F1 12 Tf -100 Tz 1 0 0 1 300 700 Tm (mirror"
+                b" text) Tj ET"
+            ),
+            # mirrored run CONTINUING a positive item: in-flow spaces
+            _assemble(
+                b"BT /F1 8 Tf [(delta) 133 (gamma)] TJ 2 Tc -120 Tz"
+                b" [(epsi) 20 (epsi)] TJ ET"
+            ),
+            # fresh item under mirror: CR-flush chain (joined output)
+            _assemble(
+                b"BT /F1 8 Tf 2 Tc (gamma delta) Tj -50 Tz 1 0 0 1 466"
+                b" 356 Tm T* q 200 Tz (delta) Tj Q (alpha epsi) Tj ET"
+            ),
+            # fresh item under mirror, gaps past the CR window:
+            # standalone-space chain (spaced output)
+            _assemble(
+                b"BT /F1 8 Tf 0 -12 Td (delta delta) Tj 0 -12 Td"
+                b" 1 0 0 1 190 384 Tm 2 Tc q -100 Tz (gamma) Tj Q"
+                b" 0.5 Tc 0 -12 Td ET"
+            ),
+            # sign flip preserves the device pen mid-line
+            _assemble(
+                b"BT /F1 10 Tf (zeta beta) Tj 1 0 0 1 320 431 Tm -50"
+                b" Tz (epsi beta) Tj ET"
+            ),
+        ],
+    )
+
+
+def test_negative_tz_sweep_byte_equal_vs_live_reference(tmp_path):
+    docs = [
+        _gen_tzneg_stream(random.Random(1400000 + s)) for s in range(40)
+    ]
+    _run_differential(tmp_path, docs)
