@@ -362,7 +362,13 @@ static long skip_inline_image(const unsigned char *d, long pos, long n)
         nev++;                                                               \
     } while (0)
 
-long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
+/* lmseed: NULL, or 2 doubles — the parent stream's LINE-matrix e/f at a
+ * Form XObject Do (pdf.js clones textMatrix AND textLineMatrix; the
+ * synthetic Tm prelude can only seed both together). One-shot pending
+ * value: the first Td, TD, T-star, ' or " before any full Tm/BT composes
+ * against it instead of tm_e/f; q/Q snapshot it with the TextState. */
+long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
+                       const double *lmseed)
 {
     long nev = 0;
     Operand st[MAXOPS];
@@ -383,6 +389,25 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
      * real font size in the matrix and Td deltas stay unit-scaled) */
     double tm_a = 1.0, tm_b = 0.0, tm_c = 0.0, tm_d = 1.0;
     double tm_e = 0.0, tm_f = 0.0;
+    /* cloned LINE matrix lagging tm (see lmseed above): pending until a
+     * Td-family op consumes it or a full Tm/BT overwrites both matrices */
+    double plm_e = 0.0, plm_f = 0.0;
+    int have_plm = 0;
+    /* the seed ARMS at the stream's first full Tm — _do_xobject always
+     * prepends the cloned-tm synthetic Tm when it passes a seed, and the
+     * clone describes the state AFTER that Tm (pdf.js has no such op;
+     * later Tms are the form's own and overwrite both matrices) */
+    int seed_pending = lmseed != NULL;
+    double seed_e = lmseed ? lmseed[0] : 0.0;
+    double seed_f = lmseed ? lmseed[1] : 0.0;
+#define CONSUME_PLM()                                                        \
+    do {                                                                     \
+        if (have_plm) {                                                      \
+            tm_e = plm_e;                                                    \
+            tm_f = plm_f;                                                    \
+            have_plm = 0;                                                    \
+        }                                                                    \
+    } while (0)
     double leading = 0.0, rise = 0.0;
 #define LM_TRANSLATE(TXV, TYV)                                               \
     do {                                                                     \
@@ -418,6 +443,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
      * with their own q instead of desyncing the stored levels. */
     typedef struct {
         double cm[6], tm[6], tc, tw, tz, leading, rise;
+        double plm_e, plm_f;
+        int have_plm;
         int seen_tf;
     } QSave;
     QSave qs[64];
@@ -642,6 +669,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     break;
                 case 'd': /* tx ty Td : y converts first, then x */
                     if (nst >= 2 && st[nst - 1].conv) {
+                        CONSUME_PLM();
                         LM_TRANSLATE(0.0, st[nst - 1].cv);
                         if (st[nst - 2].conv) {
                             LM_TRANSLATE(st[nst - 2].cv, 0.0);
@@ -654,6 +682,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 case 'D': /* tx ty TD : leading+y first, then x */
                     if (nst >= 2 && st[nst - 1].conv) {
                         leading = -st[nst - 1].cv;
+                        CONSUME_PLM();
                         LM_TRANSLATE(0.0, st[nst - 1].cv);
                         if (st[nst - 2].conv) {
                             LM_TRANSLATE(st[nst - 2].cv, 0.0);
@@ -667,8 +696,22 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     if (nst >= 6 && st[nst - 1].conv) {
                         tm_f = st[nst - 1].cv;
                         if (!st[nst - 2].conv) {
+                            /* partial Tm aborted after the lm_f == tm_f
+                             * assignment: the pending clone keeps its e
+                             * but takes the new f (one-matrix fallback
+                             * semantics) */
+                            if (have_plm)
+                                plm_f = tm_f;
                             EMIT(K_SETY, 0, 0, 0, TX_Y(tm_e, tm_f), 0, 0, 0);
                         } else {
+                            if (seed_pending) { /* arm the lm clone */
+                                plm_e = seed_e;
+                                plm_f = seed_f;
+                                have_plm = 1;
+                                seed_pending = 0;
+                            } else {
+                                have_plm = 0;
+                            }
                             tm_e = st[nst - 2].cv;
                             if (st[nst - 6].conv && st[nst - 5].conv &&
                                 st[nst - 4].conv && st[nst - 3].conv) {
@@ -735,6 +778,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     }
                     break;
                 case '*':
+                    CONSUME_PLM();
                     LM_TRANSLATE(0.0, -leading);
                     EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
                     break;
@@ -752,6 +796,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
             } else if (oplen == 1 && (op[0] == '\'' || op[0] == '"') &&
                        seen_tf) {
                 int abort_show = 0;
+                CONSUME_PLM();
                 LM_TRANSLATE(0.0, -leading);
                 EMIT(K_ANCHOR, 0, 0, 0, TX_X(tm_e, tm_f), TX_Y(tm_e, tm_f), tm_a * cm_a, tm_d * cm_d);
                 if (op[0] == '"' && nst >= 3) {
@@ -788,7 +833,11 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     xa = st[nst - 1].a;
                     xb = st[nst - 1].b;
                 }
-                EMIT(K_INH, 0, 0, 0, leading, rise, 0, 0);
+                /* f2/f3: the parent's LINE matrix e/f in TEXT space (the
+                 * pending clone when one is still armed) — the nested
+                 * run's lmseed */
+                EMIT(K_INH, 0, 0, 0, leading, rise,
+                     have_plm ? plm_e : tm_e, have_plm ? plm_f : tm_f);
                 EMIT(K_XOBJ, 0, xa, xb, cm_a, cm_d, cm_e, cm_f);
             } else if (oplen == 1 && op[0] == 'q') {
                 if (qn < 64) {
@@ -799,6 +848,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     s->tm[3] = tm_d; s->tm[4] = tm_e; s->tm[5] = tm_f;
                     s->tc = tc; s->tw = tw; s->tz = tz;
                     s->leading = leading; s->rise = rise;
+                    s->plm_e = plm_e; s->plm_f = plm_f;
+                    s->have_plm = have_plm;
                     s->seen_tf = seen_tf;
                     qn++;
                     EMIT(K_QSAVE, 0, 0, 0, 0, 0, 0, 0);
@@ -816,6 +867,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                     tm_d = s->tm[3]; tm_e = s->tm[4]; tm_f = s->tm[5];
                     tc = s->tc; tw = s->tw; tz = s->tz;
                     leading = s->leading; rise = s->rise;
+                    plm_e = s->plm_e; plm_f = s->plm_f;
+                    have_plm = s->have_plm;
                     seen_tf = s->seen_tf;
                     /* the replay restores its own snapshot — pen, scales
                      * and scaled rise were all taken under the very
@@ -858,6 +911,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
                 tm_d = 1.0;
                 tm_e = 0.0;
                 tm_f = 0.0;
+                have_plm = 0; /* beginText resets BOTH matrices */
+                seed_pending = 0;
                 /* leading/Tc/Tw/Tz AND rise persist across BT — pdf.js
                  * beginText resets only the matrices; textRise lives in
                  * the text state (verified vs live node: a 30 Ts set in
@@ -883,6 +938,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap)
 #undef TX_X
 #undef TX_Y
 #undef LM_TRANSLATE
+#undef CONSUME_PLM
 }
 
 /* ------------------------------------------------------------------ *

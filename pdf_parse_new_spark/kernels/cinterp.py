@@ -73,6 +73,7 @@ def _build() -> ctypes.CDLL:
     lib.pdftext_interpret.restype = ctypes.c_long
     lib.pdftext_interpret.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p,  # lmseed: NULL or double[2] (cloned lm e/f)
     ]
     lib.pdftext_replay.restype = ctypes.c_long
     lib.pdftext_replay.argtypes = [
@@ -99,12 +100,24 @@ if os.environ.get("PDF_PARSE_DISABLE_CTEXT", "") != "1":
         AVAILABLE = False
 
 
-def interpret(data: bytes) -> np.ndarray:
-    """Run the C lexer/state machine; returns the event record array."""
+def interpret(data: bytes, lm_seed: tuple | None = None) -> np.ndarray:
+    """Run the C lexer/state machine; returns the event record array.
+    ``lm_seed`` carries a Form XObject's cloned line-matrix e/f (pdf.js
+    clones textLineMatrix separately from textMatrix; the synthetic Tm
+    prelude can only set both) — one-shot, consumed by the stream's
+    first Td/TD/T*/'/" before any full Tm/BT."""
+    seed_ptr = None
+    if lm_seed is not None:
+        seed_arr = np.array(
+            [float(lm_seed[0]), float(lm_seed[1])], np.float64
+        )
+        seed_ptr = seed_arr.ctypes.data
     cap = max(256, len(data) // 2 + 64)
     while True:
         buf = np.empty(cap, dtype=EV_DTYPE)
-        n = _lib.pdftext_interpret(data, len(data), buf.ctypes.data, cap)
+        n = _lib.pdftext_interpret(
+            data, len(data), buf.ctypes.data, cap, seed_ptr
+        )
         if n >= 0:
             return buf[:n]
         cap *= 2

@@ -2706,7 +2706,9 @@ class _TextInterp:
             doc.font_map_cache[ref.num] = fm
         return fm
 
-    def run(self, data: bytes, resources, depth: int = 0, seen: frozenset = frozenset()) -> None:
+    def run(self, data: bytes, resources, depth: int = 0,
+            seen: frozenset = frozenset(),
+            lm_seed: tuple | None = None) -> None:
         """Interpret one content stream. Dispatches to the C lexer + event
         replay when the compiled extension is available; the pure-Python
         interpreter below is the reference implementation and the fallback
@@ -2717,8 +2719,8 @@ class _TextInterp:
         if cinterp.AVAILABLE and not (
             b"gs" in data and self._has_gs_font(resources)
         ):
-            return self._run_events(data, resources, depth, seen)
-        return self._run_py(data, resources, depth, seen)
+            return self._run_events(data, resources, depth, seen, lm_seed)
+        return self._run_py(data, resources, depth, seen, lm_seed)
 
     def _has_gs_font(self, resources) -> bool:
         """True when any ExtGState entry of ``resources`` carries /Font
@@ -2852,9 +2854,14 @@ class _TextInterp:
                 # the K_INH rider immediately ahead of every K_XOBJ
                 # carries the lexer-internal leading + RAW rise
                 itl = its = 0.0
+                ilm = (0.0, 0.0)
                 if ret > 0 and int(ev["kind"][ret - 1]) == cinterp.K_INH:
                     itl = float(ev["f0"][ret - 1])
                     its = float(ev["f1"][ret - 1])
+                    ilm = (
+                        float(ev["f2"][ret - 1]),
+                        float(ev["f3"][ret - 1]),
+                    )
                 cma, cmd = float(ev["f0"][ret]), float(ev["f1"][ret])
                 cme, cmf = float(ev["f2"][ret]), float(ev["f3"][ret])
                 # reconstruct the parent's ADVANCED text matrix in TEXT
@@ -2880,24 +2887,26 @@ class _TextInterp:
                         fms[cf] if 0 <= cf < len(fms) else None,
                         float(st[2]), float(st[4]),
                         float(st[5]), float(st[6]), itl, its, itm,
+                        ilm,
                     ),
                 )
             i = ret + 1
 
     def _run_events(self, data: bytes, resources, depth: int,
-                    seen: frozenset) -> None:
+                    seen: frozenset,
+                    lm_seed: tuple | None = None) -> None:
         doc = self.doc
         res = doc.resolve(resources) or {}
         fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
         xobjs = doc.resolve(res.get("XObject")) if isinstance(res, dict) else {}
-        ev = cinterp.interpret(data)
+        ev = cinterp.interpret(data, lm_seed)
         if (ev["kind"] == cinterp.K_ROT).any():
             # rotated/skewed matrix: the flattened events carry only
             # translate+scale, so quadrant-faithful assembly (pdf.js's
             # compareWithLastPosition axis swap) needs the full-matrix
             # interpreter. Rare in practice — rotation-0 streams keep
             # the C fast paths.
-            return self._run_py(data, resources, depth, seen)
+            return self._run_py(data, resources, depth, seen, lm_seed)
         scratch = b""
         if self._tj_rewrite_needed(ev, data):
             ev, scratch = self._tj_rewrite(ev, data)
@@ -2909,6 +2918,7 @@ class _TextInterp:
         fm = _ASCII_FM
         ev_have_font = False  # a K_FONT ran (the form-inherit condition)
         inh_tl = inh_ts = 0.0  # K_INH rider: leading + raw rise at Do
+        inh_lm = (0.0, 0.0)  # K_INH rider: parent lm e/f (text space)
         anch_seen = False  # a K_ANCHOR ran (tm-clone reconstruction gate)
         ev_qstack: list[tuple] = []  # q/Q TextState snapshots (K_QSAVE)
         y = rise = 0.0
@@ -3344,6 +3354,7 @@ class _TextInterp:
                 line_oy = f0
             elif kind == 13:  # INH: leading + raw rise rider before Do
                 inh_tl, inh_ts = f0, f1
+                inh_lm = (f2, f3)  # parent LINE matrix e/f (text space)
             elif kind == 14:  # QSAVE: q snapshots the whole TextState
                 ev_qstack.append((
                     cur_x, y, sx, sy, tc, tw, tz, rise, size, fm,
@@ -3377,10 +3388,13 @@ class _TextInterp:
                         inherit=(
                             fm if ev_have_font else None,
                             size, tc, tw, tz, inh_tl, inh_ts, itm,
+                            inh_lm,
                         ),
                     )
 
-    def _run_py(self, data: bytes, resources, depth: int = 0, seen: frozenset = frozenset()) -> None:
+    def _run_py(self, data: bytes, resources, depth: int = 0,
+                seen: frozenset = frozenset(),
+                lm_seed: tuple | None = None) -> None:
         doc = self.doc
         res = doc.resolve(resources) or {}
         fonts_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
@@ -3398,6 +3412,15 @@ class _TextInterp:
         # full text LINE MATRIX (Tm sets it, Td/TD/T* compose translations
         # into it — offsets are unscaled text units the matrix multiplies)
         tm_a, tm_b, tm_c, tm_d, tm_e, tm_f = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
+        # cloned LINE matrix lagging tm (a Form XObject's lm_seed —
+        # pdf.js clones textLineMatrix separately from textMatrix):
+        # the seed ARMS at the stream's first full Tm (always the
+        # synthetic cloned-tm prelude; the clone describes the state
+        # AFTER it). Once armed, it is a one-shot pending e/f the first
+        # Td/TD/T*/'/" composes against; a later full Tm/BT overwrites
+        # both matrices and drops it; q/Q snapshot it.
+        plm: tuple | None = None
+        seed_pending: tuple | None = lm_seed
         cur_x = 0.0
         size = 0.0
         tc = 0.0  # Tc char spacing (text-space units, added per glyph)
@@ -3663,6 +3686,9 @@ class _TextInterp:
                     fm, size = nfm, nsize
                 elif op == b"Td" and len(stack) >= 2:
                     ty = float(stack[-1])
+                    if plm is not None:  # compose against the cloned lm
+                        tm_e, tm_f = plm
+                        plm = None
                     # y leg first (C K_SETY): visible even if the x
                     # operand fails to convert below
                     tm_e += ty * tm_c
@@ -3678,6 +3704,9 @@ class _TextInterp:
                 elif op == b"TD" and len(stack) >= 2:
                     ty = float(stack[-1])
                     leading = -ty
+                    if plm is not None:  # compose against the cloned lm
+                        tm_e, tm_f = plm
+                        plm = None
                     tm_e += ty * tm_c
                     tm_f += ty * tm_d
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
@@ -3690,9 +3719,17 @@ class _TextInterp:
                     cur_x, cross_v = _swapq(ax, ay)
                 elif op == b"Tm" and len(stack) >= 6:
                     tm_f = float(stack[-1])
+                    # a partial Tm (e fails below) aborts after the
+                    # lm_f == tm_f assignment: the pending clone keeps
+                    # its e but takes the new f
+                    if plm is not None:
+                        plm = (plm[0], tm_f)
                     ay = cm_b * tm_e + cm_d * tm_f + cm_f
                     _sety()
                     tm_e = float(stack[-2])
+                    # full Tm sets BOTH matrices — except the first one,
+                    # the synthetic clone prelude, which ARMS the seed
+                    plm, seed_pending = seed_pending, None
                     try:
                         va = float(stack[-6])
                         vb = float(stack[-5])
@@ -3770,6 +3807,9 @@ class _TextInterp:
                         _requad()
                         cur_x, cross_v = _swapq(pdx_, pdy_)
                 elif op == b"T*":
+                    if plm is not None:  # compose against the cloned lm
+                        tm_e, tm_f = plm
+                        plm = None
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
@@ -3867,6 +3907,9 @@ class _TextInterp:
                         adv_clip=advance_clip(item),
                     )
                 elif op in (b"'", b'"') and have_font:
+                    if plm is not None:  # compose against the cloned lm
+                        tm_e, tm_f = plm
+                        plm = None
                     tm_e += -leading * tm_c
                     tm_f += -leading * tm_d
                     ax = cm_a * tm_e + cm_c * tm_f + cm_e
@@ -4369,11 +4412,13 @@ class _TextInterp:
                             size, tc, tw,
                             -tz if tz_mirror else tz,
                             leading, rise, itm,
+                            plm if plm is not None else (tm_e, tm_f),
                         ),
                     )
                 elif op == b"BT":
                     tm_a, tm_b, tm_c = 1.0, 0.0, 0.0
                     tm_d, tm_e, tm_f = 1.0, 0.0, 0.0
+                    plm = seed_pending = None  # BT resets BOTH matrices
                     ax = cm_e
                     ay = cm_f
                     _requad()
@@ -4444,6 +4489,7 @@ class _TextInterp:
                             tz_mirror,
                             fm, size, have_font,
                             ax, ay, cur_x, cross_v,
+                            plm,
                         ))
                 elif op == b"Q":
                     if qstack:
@@ -4452,7 +4498,8 @@ class _TextInterp:
                          tc, tw, tz, leading, rise, arise,
                          tz_mirror,
                          sfm, ssize, have_font,
-                         ax, ay, cur_x, cross_v) = qstack.pop()
+                         ax, ay, cur_x, cross_v,
+                         plm) = qstack.pop()
                         # restore flushes ONLY on a font/size change
                         # (pdf.worker.js:37112); no updateAdvanceScale
                         # runs at restore, so no scale_flush arming
@@ -4517,8 +4564,9 @@ class _TextInterp:
         # parent's `40 TL 3 Tc` with NO Tf still shapes the form's T*
         # and letter gaps). Verified in tests/test_node_differential.py.
         inh_prev = self._inh_fm
+        lm_seed: tuple | None = None
         if inherit is not None:
-            ifm, isz, itc, itw, itz, itl, its, itm = inherit
+            ifm, isz, itc, itw, itz, itl, its, itm, ilm = inherit
             ops = []
             if itc != 0.0 or itw != 0.0 or itz != 1.0:
                 ops.append("%.8f Tc %.8f Tw %.8f Tz"
@@ -4534,12 +4582,18 @@ class _TextInterp:
             # BT/Tm continues at the parent's pen (verified vs live
             # node: mid-BT `(pre) Tj /Fm Do (post) Tj` with a bare-Tj
             # form joins as one line). A form's own BT/Tm overrides it,
-            # exactly as pdf.js resets the cloned matrix there. Known
-            # residual: the cloned LINE matrix can lag tm after shows —
-            # Tm sets both, so a form leading with Td/T*/'/" composes
-            # with tm, not the parent's lm (no operator sets them apart).
+            # exactly as pdf.js resets the cloned matrix there. The
+            # cloned LINE matrix lags tm after shows (Tm sets both; no
+            # content-stream op sets them apart), so ``ilm`` rides as a
+            # native one-shot lm_seed the nested run's first Td/TD/T*/
+            # '/" composes against — pdf.js clones textLineMatrix too.
             if itm is not None and itm != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
                 ops.append("%.8f %.8f %.8f %.8f %.8f %.8f Tm" % itm)
+            if (
+                itm is not None and ilm is not None
+                and (ilm[0] != itm[4] or ilm[1] != itm[5])
+            ):
+                lm_seed = (ilm[0], ilm[1])
             if ops:
                 body = (" ".join(ops) + "\n").encode("ascii") + body
         # paintXObject flushes the page's item (pdf.worker.js:36950) and
@@ -4584,6 +4638,7 @@ class _TextInterp:
                 xo.dict.get("Resources", parent_res),
                 depth + 1,
                 seen | ({key} if key is not None else set()),
+                lm_seed=lm_seed,
             )
         finally:
             self._inh_fm = inh_prev
