@@ -1932,3 +1932,168 @@ def test_negative_tz_sweep_byte_equal_vs_live_reference(tmp_path):
         _gen_tzneg_stream(random.Random(1400000 + s)) for s in range(40)
     ]
     _run_differential(tmp_path, docs)
+
+
+# --------------------------------------------------------------------
+# The cloned LINE matrix lags the text matrix (pdf.js clones
+# textLineMatrix SEPARATELY from textMatrix into a Form XObject run —
+# pdf.worker.js clone of the eval state). After a show the advanced tm
+# sits away from lm, so a form composing Td/TD/T*/'/" BEFORE any
+# BT/full-Tm of its own must anchor at the parent's lm, not its pen.
+# The engine seeds the nested run with a one-shot lm (the K_INH rider
+# f2/f3 + the lm_seed plumbing); these pin that machinery.
+# --------------------------------------------------------------------
+
+
+def _gen_form_lm_stream(rng: random.Random) -> bytes:
+    """Random quad-0 parents whose pen is displaced from lm at Do
+    (TJ kerns both ways, multi-shows, Tc), over random clone-window
+    form prefixes (bare show then Td — the load-bearing shape — plus
+    Td/TD/T*/quote-first and q/Q wrapped variants), with and without
+    a form /Matrix."""
+    words = WORDS
+    w = lambda: rng.choice(words).encode()
+    kern = rng.choice((-12000, -5000, -900, 300, 900, 2000, 5000,
+                       8000, 12000))
+    outer = [b"BT /F1 %d Tf" % rng.choice((8, 10, 12))]
+    if rng.random() < 0.4:
+        outer.append(b"%d TL" % rng.choice((12, 20, 40)))
+    if rng.random() < 0.3:
+        outer.append(b"%.1f Tc" % rng.choice((0.5, 1.5)))
+    outer.append(b"1 0 0 1 %d 700 Tm" % rng.randrange(100, 400))
+    outer.append(b"[(%s) %d (%s)] TJ" % (w(), kern, w()))
+    if rng.random() < 0.4:
+        outer.append(b"(%s) Tj" % w())
+    post = rng.random() < 0.8
+    outer.append(b"/Fm Do" + (b" (post) Tj ET" if post else b" ET"))
+
+    tdx = rng.choice((0, 0, 5, -8, 30))
+    tdy = rng.choice((0, 0, -14, 12))
+    prefix = rng.choice((
+        b"(%s) Tj %d %d Td (%s) Tj" % (w(), tdx, tdy, w()),
+        b"%d %d Td (%s) Tj" % (tdx, tdy, w()),
+        b"%d %d TD (%s) Tj" % (tdx, tdy, w()),
+        b"T* (%s) Tj" % w(),
+        b"(%s) '" % w(),
+        b"q %d %d Td (%s) Tj Q %d %d Td (%s) Tj"
+        % (tdx, tdy, w(), tdx, tdy, w()),
+        b"(%s) Tj (%s) Tj %d %d Td (%s) Tj"
+        % (w(), w(), tdx, tdy, w()),
+    ))
+    form = [prefix]
+    if rng.random() < 0.3:  # form's own Tm afterwards drops the seed
+        form.append(b"1 0 0 1 %d %d Tm (%s) Tj"
+                    % (rng.randrange(72, 400), rng.randrange(100, 600),
+                       w()))
+    mat = b""
+    if rng.random() < 0.25:
+        mat = b"/Matrix [1 0 0 1 %d %d]" % (
+            rng.randrange(-50, 50), rng.randrange(-50, 50))
+    return _assemble_with_form(mat, b" ".join(outer), b" ".join(form))
+
+
+def test_form_lm_clone_byte_equal_vs_live_reference(tmp_path):
+    """Pinned load-bearing shapes: a form-local show advances the
+    cloned tm away from the cloned lm, so the following `0 0 Td` must
+    rewind to the PARENT's lm (x=200 here) — with the parent's pen
+    itself kerned far backward, the pre-fix engine (Td against tm)
+    joined what the reference breaks. Plus the partial-Tm fallback and
+    post-ET Do edges."""
+    _run_differential(
+        tmp_path,
+        [
+            # the three shapes that diverged pre-fix (kern 5000/8000/
+            # 12000 x show-then-Td), kept verbatim
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 1 0 0 1 200 700 Tm [(abcd) %d (ef)] TJ"
+                b" /Fm Do (post) Tj ET" % k,
+                b"(pre) Tj 0 0 Td (gamma) Tj",
+            )
+            for k in (5000, 8000, 12000)
+        ]
+        + [
+            # T*-first with TL: y from lm, not pen
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 40 TL 1 0 0 1 200 700 Tm [(abcd) 8000"
+                b" (ef)] TJ /Fm Do (post) Tj ET",
+                b"T* (gamma) Tj",
+            ),
+            # quote-first rides the seed through the leading translate
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 14 TL 1 0 0 1 200 700 Tm [(abcd) 8000"
+                b" (ef)] TJ /Fm Do (post) Tj ET",
+                b"(gamma) '",
+            ),
+            # q/Q snapshot the pending seed
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 1 0 0 1 200 700 Tm [(abcd) 8000 (ef)]"
+                b" TJ /Fm Do (post) Tj ET",
+                b"q (g0) Tj 0 0 Td (g1) Tj Q (g2) Tj 0 0 Td (g3) Tj",
+            ),
+            # the form's own full Tm drops the seed
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 1 0 0 1 200 700 Tm [(abcd) 8000 (ef)]"
+                b" TJ /Fm Do (post) Tj ET",
+                b"(pre) Tj 1 0 0 1 300 300 Tm 0 0 Td (gamma) Tj",
+            ),
+            # form BT resets both matrices, seed dropped
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 1 0 0 1 200 700 Tm [(abcd) 8000 (ef)]"
+                b" TJ /Fm Do (post) Tj ET",
+                b"BT /F1 10 Tf (pre) Tj 0 0 Td (gamma) Tj ET",
+            ),
+        ],
+    )
+
+
+def test_form_lm_sweep_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded docs over the lm-vs-tm clone decision space (the
+    fresh-seed hunt behind this ran larger batches at neighbouring
+    seeds, zero divergence)."""
+    docs = [
+        _gen_form_lm_stream(random.Random(1500000 + s)) for s in range(40)
+    ]
+    _run_differential(tmp_path, docs)
+
+
+def test_form_lm_three_way_path_identity():
+    from pdf_parse_new_spark.kernels import cinterp
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    pdfs = [
+        _assemble_with_form(
+            b"",
+            b"BT /F1 12 Tf 1 0 0 1 200 700 Tm [(abcd) %d (ef)] TJ"
+            b" /Fm Do (post) Tj ET" % k,
+            form,
+        )
+        for k in (-5000, 2000, 8000)
+        for form in (
+            b"(pre) Tj 0 0 Td (gamma) Tj",
+            b"T* (gamma) Tj",
+            b"q (g0) Tj 0 0 Td (g1) Tj Q 0 0 Td (g2) Tj",
+        )
+    ] + [
+        _gen_form_lm_stream(random.Random(1505000 + s)) for s in range(20)
+    ]
+    for i, raw in enumerate(pdfs):
+        c_full = pdfb.parse_pdf_bytes(raw)
+        cinterp.REPLAY = False
+        try:
+            c_lex = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.REPLAY = True
+        cinterp.AVAILABLE = False
+        try:
+            py = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.AVAILABLE = True
+        assert c_full["text"] == py["text"], f"pdf {i}: C replay"
+        assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
