@@ -2123,3 +2123,205 @@ done:
     *out_len = olen;
     return ret;
 }
+
+/* ------------------------------------------------------------------ *
+ * pdftext_coalesce_tj — C twin of _TextInterp._coalesce_tj_events
+ * (pdfb.py): rewrite a TJ region's events so a run of K_TJSTR rows
+ * becomes ONE flag-3 row spanning the scratch blob, zero kerns
+ * vanish, CONSECUTIVE kerns merge (f0 summed, flag = count of kerns
+ * that ran with an EMPTY buffer — each applies charSpacing via the
+ * !chars branch, pdf.worker.js:36663-36675), and a kern row's f1
+ * carries the FIRST kern's value (extraSpacing riding the flushed
+ * string's last glyph). The Python implementation remains the
+ * reference; byte-identity of (events, scratch) is pinned by
+ * test_ctext.py. Returns the output row count (<= nev; the caller
+ * sizes out at nev) or -1 when scratch overflows (cannot happen at
+ * scap >= n: every decode shrinks or preserves its source span).
+ * ------------------------------------------------------------------ */
+
+static long cz_decode(const unsigned char *d, long n, int flag,
+                      long a, long b, unsigned char *out, long cap,
+                      long o)
+{
+    /* one TJ string element -> raw bytes at out+o; returns the new
+     * offset or -1 on overflow. Mirrors _parse_hex_string (odd final
+     * digit pads with 0) and _parse_literal_string (octal 1-3 digits,
+     * line continuations, unknown escape stands for itself). */
+#define PUTB(C)                                                              \
+    do {                                                                     \
+        if (o >= cap)                                                        \
+            return -1;                                                       \
+        out[o++] = (unsigned char)(C);                                       \
+    } while (0)
+    if (flag == 0) { /* escape-free literal: raw slice between delims */
+        long len = b - a - 2;
+        if (len > 0) {
+            if (o + len > cap)
+                return -1;
+            memcpy(out + o, d + a + 1, len);
+            o += len;
+        }
+    } else if (flag == 1) { /* hex string */
+        int hi = -1;
+        for (long i = a + 1; i < b - 1; i++) {
+            unsigned char c = d[i];
+            int v;
+            if (c >= '0' && c <= '9')
+                v = c - '0';
+            else if (c >= 'A' && c <= 'F')
+                v = c - 'A' + 10;
+            else if (c >= 'a' && c <= 'f')
+                v = c - 'a' + 10;
+            else
+                continue;
+            if (hi < 0) {
+                hi = v;
+            } else {
+                PUTB((hi << 4) | v);
+                hi = -1;
+            }
+        }
+        if (hi >= 0)
+            PUTB(hi << 4);
+    } else { /* complex literal: full unescape */
+        long pos = a + 1, depth = 1;
+        while (pos < n) {
+            unsigned char c = d[pos];
+            if (c == '\\') {
+                pos++;
+                if (pos >= n)
+                    break;
+                unsigned char e = d[pos];
+                if (e == 'n') {
+                    PUTB('\n');
+                    pos++;
+                } else if (e == 'r') {
+                    PUTB('\r');
+                    pos++;
+                } else if (e == 't') {
+                    PUTB('\t');
+                    pos++;
+                } else if (e == 'b') {
+                    PUTB('\b');
+                    pos++;
+                } else if (e == 'f') {
+                    PUTB('\f');
+                    pos++;
+                } else if (e == '(' || e == ')' || e == '\\') {
+                    PUTB(e);
+                    pos++;
+                } else if (e >= '0' && e <= '7') {
+                    int v = e - '0', k = 1;
+                    pos++;
+                    while (pos < n && k < 3 && d[pos] >= '0' &&
+                           d[pos] <= '7') {
+                        v = v * 8 + (d[pos] - '0');
+                        k++;
+                        pos++;
+                    }
+                    PUTB(v & 0xFF);
+                } else if (e == '\r' || e == '\n') {
+                    pos++;
+                    if (e == '\r' && pos < n && d[pos] == '\n')
+                        pos++;
+                } else {
+                    PUTB(e);
+                    pos++;
+                }
+            } else if (c == '(') {
+                depth++;
+                PUTB(c);
+                pos++;
+            } else if (c == ')') {
+                depth--;
+                if (depth == 0)
+                    break;
+                PUTB(c);
+                pos++;
+            } else {
+                PUTB(c);
+                pos++;
+            }
+        }
+    }
+#undef PUTB
+    return o;
+}
+
+long pdftext_coalesce_tj(const unsigned char *d, long n,
+                         const Ev *ev, long nev,
+                         Ev *out, unsigned char *scratch, long scap,
+                         long *scratch_len)
+{
+    long c = 0;          /* output rows */
+    long cur = 0;        /* scratch write offset */
+    int pend_open = 0;   /* an unflushed K_TJSTR run exists */
+    long pend_start = 0; /* its scratch start (rollback point) */
+    long pend_row = -1;  /* its FIRST input row (f0..f3 template) */
+    long kern_idx = -1;  /* last emitted kern row (merge target) */
+    for (long i = 0; i < nev; i++) {
+        const Ev *e = &ev[i];
+        if (e->kind == K_TJSTR) {
+            if (!pend_open) {
+                pend_open = 1;
+                pend_start = cur;
+                pend_row = i;
+            }
+            cur = cz_decode(d, n, e->flag, e->a, e->b, scratch, scap, cur);
+            if (cur < 0)
+                return -1;
+            /* kern_idx NOT reset: an all-empty pend joins to "" at the
+             * next kern, which then merges with the open kern chain */
+            continue;
+        }
+        if (e->kind == K_TJNUM) {
+            if (e->f0 == 0.0)
+                continue; /* zero kern skipped (item !== 0) */
+            if (pend_open && cur > pend_start) {
+                out[c] = ev[pend_row];
+                out[c].flag = 3;
+                out[c].a = pend_start;
+                out[c].b = cur;
+                c++;
+                pend_open = 0;
+                out[c] = *e;
+                out[c].flag = 0;
+                out[c].f1 = e->f0; /* extraSpacing on the last glyph */
+                kern_idx = c;
+                c++;
+            } else if (kern_idx >= 0) {
+                /* empty-join pend (or none): the kern ran with an
+                 * EMPTY buffer — merge into the open chain */
+                if (pend_open) {
+                    cur = pend_start; /* discard the empty decode */
+                    pend_open = 0;
+                }
+                out[kern_idx].f0 += e->f0;
+                out[kern_idx].flag += 1;
+            } else {
+                if (pend_open) {
+                    cur = pend_start;
+                    pend_open = 0;
+                }
+                out[c] = *e;
+                out[c].flag = 1;  /* ran with an empty buffer */
+                out[c].f1 = 0.0;  /* leading kern: nothing to ride */
+                kern_idx = c;
+                c++;
+            }
+            continue;
+        }
+        if (e->kind == K_TJEND && pend_open) {
+            out[c] = ev[pend_row];
+            out[c].flag = 3;
+            out[c].a = pend_start;
+            out[c].b = cur;
+            c++;
+            pend_open = 0;
+        }
+        kern_idx = -1;
+        out[c++] = *e;
+    }
+    *scratch_len = cur;
+    return c;
+}

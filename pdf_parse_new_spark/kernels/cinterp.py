@@ -89,6 +89,14 @@ def _build() -> ctypes.CDLL:
         ctypes.c_void_p,                             # q/Q stack double[1+64*12]
         ctypes.c_void_p,                             # glyph cats uint8[256*nfonts]
     ]
+    lib.pdftext_coalesce_tj.restype = ctypes.c_long
+    lib.pdftext_coalesce_tj.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,              # data, n
+        ctypes.c_void_p, ctypes.c_long,              # ev, nev
+        ctypes.c_void_p,                             # out Ev[nev]
+        ctypes.c_void_p, ctypes.c_long,              # scratch, scap
+        ctypes.POINTER(ctypes.c_long),               # scratch_len out
+    ]
     return lib
 
 
@@ -168,3 +176,23 @@ def replay(
         cats.ctypes.data,
     )
     return int(ret), out_len.value
+
+
+def coalesce_tj(data: bytes, ev: np.ndarray):
+    """C twin of ``_TextInterp._coalesce_tj_events`` — returns the
+    rewritten ``(events, scratch_blob)`` or None when the C pass bails
+    (scratch overflow; cannot happen at cap >= len(data), kept as a
+    defensive fallback trigger). The Python implementation in pdfb.py
+    stays the reference; (events, scratch) identity is pinned in
+    test_ctext.py."""
+    out = np.empty(max(1, len(ev)), dtype=EV_DTYPE)
+    scratch = np.empty(len(data) + 16, np.uint8)
+    slen = ctypes.c_long(0)
+    cnt = _lib.pdftext_coalesce_tj(
+        data, len(data), ev.ctypes.data, len(ev),
+        out.ctypes.data, scratch.ctypes.data, len(scratch),
+        ctypes.byref(slen),
+    )
+    if cnt < 0:
+        return None
+    return out[:cnt], scratch[: slen.value].tobytes()

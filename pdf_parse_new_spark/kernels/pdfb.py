@@ -428,6 +428,9 @@ class Document:
         # font maps are immutable per font object: cache at DOCUMENT scope
         # so multi-page docs build each map once, not once per page
         self.font_map_cache: dict[int, "FontMap"] = {}
+        # assembled C-replay font tables keyed on the ordered cspec
+        # identity tuple (pages repeat font sets; see _c_plan)
+        self.c_plan_cache: dict[tuple, tuple] = {}
         self._ckey: bytes | None = None
         self.handler: crypt.StandardSecurityHandler | None = None
         self._encrypt_num = -1
@@ -2655,7 +2658,15 @@ class _TextInterp:
     def _tj_rewrite(self, ev, data):
         """Rewrite the event array for TJ coalescing; returns
         ``(ev2, scratch)`` with ``ev2`` in the same record dtype and
-        ``scratch`` the joined-bytes blob flag-3 rows index into."""
+        ``scratch`` the joined-bytes blob flag-3 rows index into.
+        Dispatches to the C twin (``pdftext_coalesce_tj``) when the
+        extension is loaded — the row-at-a-time pass below is the
+        reference implementation and the fallback; (events, scratch)
+        identity between the two is pinned in test_ctext.py."""
+        if cinterp.AVAILABLE:
+            res = cinterp.coalesce_tj(data, ev)
+            if res is not None:
+                return res
         chunks: list[bytes] = []
         rows = self._coalesce_tj_events(ev.tolist(), data, chunks)
         ev2 = _np.array([tuple(r) for r in rows], dtype=ev.dtype)
@@ -2775,6 +2786,16 @@ class _TextInterp:
                     idx = len(specs) - 1
                     by_span[raw] = idx
                 font_idx[i] = idx
+        # the assembled tables depend only on the spec sequence — pages
+        # of one document overwhelmingly repeat the same font sets, so
+        # the concatenated blobs are cached document-scoped. FontMaps
+        # are immutable and doc-cached, so identity keys are stable for
+        # the document's lifetime; font_idx stays per-stream.
+        key = tuple(id(sp) for sp in specs)
+        cached = self.doc.c_plan_cache.get(key)
+        if cached is not None:
+            _, tbytes, toff, widths, cats = cached
+            return tbytes, toff, widths, cats, font_idx, fms
         tbytes = b"".join(sp[0] for sp in specs)
         toff = _np.empty(257 * len(specs), _np.int32)
         widths = _np.empty(256 * len(specs), _np.float64)
@@ -2786,6 +2807,10 @@ class _TextInterp:
             widths[j * 256 : (j + 1) * 256] = sp[2]
             if len(sp) > 3:
                 cats[j * 256 : (j + 1) * 256] = sp[3]
+        # the entry holds the spec tuples so their ids stay reserved for
+        # the cache's (document) lifetime — id reuse after gc would
+        # otherwise alias the key
+        self.doc.c_plan_cache[key] = (specs, tbytes, toff, widths, cats)
         return tbytes, toff, widths, cats, font_idx, fms
 
     def _replay_c(self, data: bytes, ev, plan, xobjs, resources,

@@ -242,3 +242,44 @@ def test_random_token_soup_paths_identical():
         doc = _scaffold(ops.encode("latin-1"))
         c, py = _both(doc)
         assert c["text"] == py["text"], (trial, ops)
+
+
+def test_coalesce_tj_c_twin_identical_to_python():
+    """pdftext_coalesce_tj must produce the EXACT (events, scratch)
+    the pure-Python _coalesce_tj_events builds — the event rewrite
+    feeds both replay paths, so a single differing field (merged kern
+    sums, empty-buffer counts, blob spans, the odd-digit hex pad)
+    would silently fork the engines. 300 seeded streams over the TJ
+    decision space + operator soup."""
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    import os
+    import random
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_node_differential as T
+
+    for s in range(300):
+        rng = random.Random(31337 + s)
+        content = (
+            T._gen_tj_coalesce_stream(rng)
+            if s % 2 == 0
+            else T._gen_stream(rng)
+        )
+        ev = cinterp.interpret(content)
+        chunks: list[bytes] = []
+        rows = pdfb._TextInterp._coalesce_tj_events(
+            ev.tolist(), content, chunks
+        )
+        pyev = np.array([tuple(r) for r in rows], dtype=ev.dtype)
+        pysc = b"".join(chunks)
+        res = cinterp.coalesce_tj(content, ev)
+        assert res is not None
+        cev, csc = res
+        assert len(cev) == len(pyev), s
+        if len(pyev):
+            assert (cev == pyev).all(), s
+        assert csc == pysc, s
