@@ -2325,3 +2325,462 @@ long pdftext_coalesce_tj(const unsigned char *d, long n,
     *scratch_len = cur;
     return c;
 }
+
+/* ------------------------------------------------------------------ *
+ * pdfs_tokenize — C twin of the SYNTHETIC-dialect clause tokenizer
+ * (kernels/pdfk.py _tokenize + _CLAUSE). One scan over the UTF-8
+ * bytes of a mini-PDF content stream, reproducing the leftmost-first
+ * alternation of the Python regex exactly for byte dispatch, clause
+ * order (tj, arr, Td/TD, Tm, TL, Ts, T*, ', ", Tf, BT, then atomic
+ * skips), the \s+ separators (Python str \s over ASCII incl.
+ * \x1c-\x1f), and the _unescape/_bidi-free decode (bidi is applied
+ * by the Python wrapper only when the blob is non-ASCII, matching
+ * _bidi's own isascii fast path). Decoded item text goes into `blob`
+ * (UTF-8; octal/hex bytes 0x80-0xFF re-encode as the 2-byte latin-1
+ * codepoints Python's chr()/latin-1 decode produces); `offs[i]` is
+ * item i's END offset, `ys`/`scales` the baseline and Tf scale.
+ *
+ * Conservative bails (return -3 -> caller runs the Python reference):
+ * a byte >= 0x80 at operator level (Python \s matches U+00A0 etc.,
+ * byte-wise scanning would diverge) and any '[' whose full
+ * `arr \s+ TJ` clause does not match greedily (failed clauses enter
+ * regex-backtracking territory where the Python engine may find an
+ * exotic shorter match). Well-formed generator output never bails.
+ * Returns the item count, or -1/-2 on blob/item overflow.
+ * ------------------------------------------------------------------ */
+
+static int sws(unsigned char c)
+{
+    /* Python str-mode \s restricted to ASCII: space, \t-\r, \x1c-\x1f */
+    return c == ' ' || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f);
+}
+
+static long sk_lit(const unsigned char *d, long p, long n)
+{
+    /* synthetic literal \((?:\\.|[^\\()])*\) — NO nesting: a bare '('
+     * inside fails the string. p at '(' -> end after ')', or -1. */
+    long q = p + 1;
+    while (q < n) {
+        unsigned char c = d[q];
+        if (c == '\\')
+            q += 2; /* \\. with re.S: backslash + any byte */
+        else if (c == ')')
+            return q + 1;
+        else if (c == '(')
+            return -1;
+        else
+            q++;
+    }
+    return -1;
+}
+
+static long sk_hex(const unsigned char *d, long p, long n)
+{
+    /* <[0-9A-Fa-f \t\r\n]*> — any other byte fails. */
+    long q = p + 1;
+    while (q < n) {
+        unsigned char c = d[q];
+        if (c == '>')
+            return q + 1;
+        if ((c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') ||
+            (c >= 'a' && c <= 'f') || c == ' ' || c == '\t' ||
+            c == '\r' || c == '\n')
+            q++;
+        else
+            return -1;
+    }
+    return -1;
+}
+
+static long sk_str(const unsigned char *d, long p, long n)
+{
+    if (d[p] == '(')
+        return sk_lit(d, p, n);
+    if (d[p] == '<')
+        return sk_hex(d, p, n);
+    return -1;
+}
+
+/* emit one codepoint 0-255 as UTF-8 (chr(v) / latin-1 decode twin) */
+#define SK_PUTCP(V)                                                          \
+    do {                                                                     \
+        unsigned int v_ = (V);                                               \
+        if (v_ < 0x80) {                                                     \
+            if (w >= bcap)                                                   \
+                return -1;                                                   \
+            blob[w++] = (unsigned char)v_;                                   \
+        } else {                                                             \
+            if (w + 2 > bcap)                                                \
+                return -1;                                                   \
+            blob[w++] = (unsigned char)(0xC0 | (v_ >> 6));                   \
+            blob[w++] = (unsigned char)(0x80 | (v_ & 0x3F));                 \
+        }                                                                    \
+    } while (0)
+
+long pdfs_tokenize(const unsigned char *d, long n,
+                   unsigned char *blob, long bcap, long *blen,
+                   long *offs, double *ys, double *scales, long icap,
+                   double neg_thresh)
+{
+    double y = 0.0, leading = 0.0, scale = 0.0, rise = 0.0;
+    long it = 0;
+    long w = 0;
+    long p = 0;
+
+    /* decode a string span [a, b) incl. delimiters into blob; returns 0
+     * or -1 on overflow. Mirrors _unescape: hex pairs (odd pads 0) via
+     * latin-1; literal octal \1-3 digits & 0xFF, \CR/\LF/\CRLF vanish,
+     * n/r/t map, every other escaped char stands for itself (the
+     * synthetic _ESC has no b/f!), multi-byte chars copied whole. */
+#define SK_EMIT_STR(A, B)                                                    \
+    do {                                                                     \
+        long a_ = (A), b_ = (B);                                             \
+        if (d[a_] == '<') {                                                  \
+            int hi_ = -1;                                                    \
+            for (long i_ = a_ + 1; i_ < b_ - 1; i_++) {                      \
+                unsigned char hc_ = d[i_];                                   \
+                int hv_;                                                     \
+                if (hc_ >= '0' && hc_ <= '9')                                \
+                    hv_ = hc_ - '0';                                         \
+                else if (hc_ >= 'A' && hc_ <= 'F')                           \
+                    hv_ = hc_ - 'A' + 10;                                    \
+                else if (hc_ >= 'a' && hc_ <= 'f')                           \
+                    hv_ = hc_ - 'a' + 10;                                    \
+                else                                                         \
+                    continue;                                                \
+                if (hi_ < 0) {                                               \
+                    hi_ = hv_;                                               \
+                } else {                                                     \
+                    SK_PUTCP((hi_ << 4) | hv_);                              \
+                    hi_ = -1;                                                \
+                }                                                            \
+            }                                                                \
+            if (hi_ >= 0)                                                    \
+                SK_PUTCP(hi_ << 4);                                          \
+        } else {                                                             \
+            long q_ = a_ + 1, e_ = b_ - 1;                                   \
+            while (q_ < e_) {                                                \
+                unsigned char sc_ = d[q_];                                   \
+                if (sc_ != '\\') {                                           \
+                    /* non-escape byte: verbatim (source is UTF-8, so    \
+                     * multi-byte chars pass through unchanged) */           \
+                    if (w >= bcap)                                           \
+                        return -1;                                           \
+                    blob[w++] = sc_;                                         \
+                    q_++;                                                    \
+                    continue;                                                \
+                }                                                            \
+                q_++;                                                        \
+                if (q_ >= e_) {                                              \
+                    /* lone trailing backslash: no escape matches — the  \
+                     * char stays literal in the Python sub */               \
+                    SK_PUTCP('\\');                                          \
+                    break;                                                   \
+                }                                                            \
+                unsigned char ec_ = d[q_];                                   \
+                if (ec_ >= '0' && ec_ <= '7') {                              \
+                    int ov_ = ec_ - '0', k_ = 1;                             \
+                    q_++;                                                    \
+                    while (q_ < e_ && k_ < 3 && d[q_] >= '0' &&              \
+                           d[q_] <= '7') {                                   \
+                        ov_ = ov_ * 8 + (d[q_] - '0');                       \
+                        k_++;                                                \
+                        q_++;                                                \
+                    }                                                        \
+                    SK_PUTCP(ov_ & 0xFF);                                    \
+                } else if (ec_ == '\r') {                                    \
+                    q_++;                                                    \
+                    if (q_ < e_ && d[q_] == '\n')                            \
+                        q_++;                                                \
+                } else if (ec_ == '\n') {                                    \
+                    q_++;                                                    \
+                } else if (ec_ == 'n') {                                     \
+                    SK_PUTCP('\n');                                          \
+                    q_++;                                                    \
+                } else if (ec_ == 'r') {                                     \
+                    SK_PUTCP('\r');                                          \
+                    q_++;                                                    \
+                } else if (ec_ == 't') {                                     \
+                    SK_PUTCP('\t');                                          \
+                    q_++;                                                    \
+                } else {                                                     \
+                    /* self-escape or unknown: the char stands for       \
+                     * itself; copy a full UTF-8 sequence */                 \
+                    if (w >= bcap)                                           \
+                        return -1;                                           \
+                    blob[w++] = ec_;                                         \
+                    q_++;                                                    \
+                    if (ec_ >= 0x80)                                         \
+                        while (q_ < e_ && (d[q_] & 0xC0) == 0x80) {          \
+                            if (w >= bcap)                                   \
+                                return -1;                                   \
+                            blob[w++] = d[q_++];                             \
+                        }                                                    \
+                }                                                            \
+            }                                                                \
+        }                                                                    \
+    } while (0)
+
+#define SK_ITEM()                                                            \
+    do {                                                                     \
+        if (it >= icap)                                                      \
+            return -2;                                                       \
+        offs[it] = w;                                                        \
+        ys[it] = y + rise;                                                   \
+        scales[it] = scale;                                                  \
+        it++;                                                                \
+    } while (0)
+
+    while (p < n) {
+        unsigned char c = d[p];
+        if (sws(c)) {
+            p++;
+            continue;
+        }
+        if (c >= 0x80)
+            return -3; /* Unicode \s / char classes: Python fallback */
+        if (c == '(' || c == '<') {
+            long e = sk_str(d, p, n);
+            if (e < 0) {
+                p++;
+                continue;
+            }
+            long q = e;
+            while (q < n && sws(d[q]))
+                q++;
+            if (q > e && q + 1 < n && d[q] == 'T' && d[q + 1] == 'j') {
+                SK_EMIT_STR(p, e);
+                SK_ITEM();
+                p = q + 2;
+                continue;
+            }
+            if (q > e && q < n && d[q] == '\'') {
+                y -= leading;
+                SK_EMIT_STR(p, e);
+                SK_ITEM();
+                p = q + 1;
+                continue;
+            }
+            p = e; /* skip-STR: consumed, no action */
+            continue;
+        }
+        if (c == '[') {
+            /* arr clause: \[(?:\\.|LIT|[^\]])*\] \s+ TJ — greedy walk;
+             * any failure is regex-backtracking territory -> bail */
+            long q = p + 1;
+            long close = -1;
+            while (q < n) {
+                unsigned char ac = d[q];
+                if (ac == '\\') {
+                    q += 2;
+                } else if (ac == ']') {
+                    close = q;
+                    break;
+                } else if (ac == '(') {
+                    long le = sk_lit(d, q, n);
+                    q = (le > 0) ? le : q + 1; /* failed LIT: [^\]] */
+                } else {
+                    q++;
+                }
+            }
+            if (close < 0)
+                return -3;
+            long r = close + 1;
+            while (r < n && sws(d[r]))
+                r++;
+            if (!(r > close + 1 && r + 1 < n && d[r] == 'T' &&
+                  d[r + 1] == 'J'))
+                return -3;
+            /* elements: _ARR_TOK over the inner span — STR (lit OR hex)
+             * unescapes into the item; NUM < -TJ_SPACE_THRESHOLD adds
+             * one space; anything else advances one byte */
+            {
+                long i2 = p + 1;
+                while (i2 < close) {
+                    unsigned char ec = d[i2];
+                    if (ec == '(' || ec == '<') {
+                        long se = sk_str(d, i2, n);
+                        if (se > 0 && se <= close) {
+                            SK_EMIT_STR(i2, se);
+                            i2 = se;
+                            continue;
+                        }
+                        /* a string span crossing ] cannot happen: the
+                         * greedy walk above consumed it whole, so close
+                         * sits outside every LIT — hex is unnested */
+                        if (se > close)
+                            return -3;
+                        i2++;
+                        continue;
+                    }
+                    if (ec == '-' || ec == '+' || ec == '.' ||
+                        (ec >= '0' && ec <= '9')) {
+                        double nv;
+                        long ne = scan_number(d, i2, close, &nv);
+                        if (ne > i2) {
+                            if (nv < neg_thresh)
+                                SK_PUTCP(' ');
+                            i2 = ne;
+                            continue;
+                        }
+                    }
+                    i2++;
+                }
+            }
+            SK_ITEM();
+            p = r + 2;
+            continue;
+        }
+        if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+            double v1;
+            long e1 = scan_number(d, p, n, &v1);
+            if (e1 == p) {
+                p++; /* bare sign/dot: no alternative matches */
+                continue;
+            }
+            long q = e1;
+            while (q < n && sws(d[q]))
+                q++;
+            if (q > e1) {
+                double v2;
+                long e2 = scan_number(d, q, n, &v2);
+                if (e2 > q) {
+                    /* 1) NUM NUM T[dD] */
+                    long r = e2;
+                    while (r < n && sws(d[r]))
+                        r++;
+                    if (r > e2 && r + 1 < n && d[r] == 'T' &&
+                        (d[r + 1] == 'd' || d[r + 1] == 'D')) {
+                        if (d[r + 1] == 'D')
+                            leading = -v2;
+                        y += v2;
+                        p = r + 2;
+                        continue;
+                    }
+                    /* 2) six NUMs then Tm */
+                    {
+                        long t = e2;
+                        double v6 = v2;
+                        int k, okm = 1;
+                        for (k = 2; k < 6; k++) {
+                            long ws = t;
+                            while (ws < n && sws(d[ws]))
+                                ws++;
+                            if (ws == t) {
+                                okm = 0;
+                                break;
+                            }
+                            double vk;
+                            long ek = scan_number(d, ws, n, &vk);
+                            if (ek == ws) {
+                                okm = 0;
+                                break;
+                            }
+                            v6 = vk;
+                            t = ek;
+                        }
+                        if (okm) {
+                            long ws = t;
+                            while (ws < n && sws(d[ws]))
+                                ws++;
+                            if (ws > t && ws + 1 < n && d[ws] == 'T' &&
+                                d[ws + 1] == 'm') {
+                                y = v6;
+                                p = ws + 2;
+                                continue;
+                            }
+                        }
+                    }
+                    /* 5) NUM NUM STR " (quote-2; aw/ac ignored) */
+                    if (r > e2 && r < n && (d[r] == '(' || d[r] == '<')) {
+                        long se = sk_str(d, r, n);
+                        if (se > 0) {
+                            long u = se;
+                            while (u < n && sws(d[u]))
+                                u++;
+                            if (u > se && u < n && d[u] == '"') {
+                                y -= leading;
+                                SK_EMIT_STR(r, se);
+                                SK_ITEM();
+                                p = u + 1;
+                                continue;
+                            }
+                        }
+                    }
+                }
+                /* 3) NUM TL   4) NUM Ts  (single-number clauses) */
+                if (q + 1 < n && d[q] == 'T' && d[q + 1] == 'L') {
+                    leading = v1;
+                    p = q + 2;
+                    continue;
+                }
+                if (q + 1 < n && d[q] == 'T' && d[q + 1] == 's') {
+                    rise = v1;
+                    p = q + 2;
+                    continue;
+                }
+            }
+            p = e1; /* skip-NUM */
+            continue;
+        }
+        if (c == '/') {
+            long q = p + 1;
+            while (q < n &&
+                   ((d[q] >= 'A' && d[q] <= 'Z') ||
+                    (d[q] >= 'a' && d[q] <= 'z') ||
+                    (d[q] >= '0' && d[q] <= '9')))
+                q++;
+            if (q == p + 1) {
+                p++; /* bare slash matches nothing */
+                continue;
+            }
+            long r = q;
+            while (r < n && sws(d[r]))
+                r++;
+            if (r > q) {
+                double fv;
+                long e2 = scan_number(d, r, n, &fv);
+                if (e2 > r) {
+                    long t = e2;
+                    while (t < n && sws(d[t]))
+                        t++;
+                    if (t > e2 && t + 1 < n && d[t] == 'T' &&
+                        d[t + 1] == 'f') {
+                        scale = fv;
+                        p = t + 2;
+                        continue;
+                    }
+                }
+            }
+            p = q; /* skip-name */
+            continue;
+        }
+        if (c == 'T' && p + 1 < n && d[p + 1] == '*') {
+            y -= leading;
+            p += 2;
+            continue;
+        }
+        if (c == 'B' && p + 1 < n && d[p + 1] == 'T') {
+            y = 0.0;
+            rise = 0.0;
+            p += 2;
+            continue;
+        }
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+            c == '\'' || c == '"' || c == '*') {
+            p++;
+            while (p < n &&
+                   ((d[p] >= 'A' && d[p] <= 'Z') ||
+                    (d[p] >= 'a' && d[p] <= 'z') || d[p] == '\'' ||
+                    d[p] == '"' || d[p] == '*'))
+                p++;
+            continue;
+        }
+        p++;
+    }
+    *blen = w;
+    return it;
+#undef SK_EMIT_STR
+#undef SK_ITEM
+}
+#undef SK_PUTCP

@@ -97,6 +97,16 @@ def _build() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_long,              # scratch, scap
         ctypes.POINTER(ctypes.c_long),               # scratch_len out
     ]
+    lib.pdfs_tokenize.restype = ctypes.c_long
+    lib.pdfs_tokenize.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,              # data, n
+        ctypes.c_void_p, ctypes.c_long,              # blob, bcap
+        ctypes.POINTER(ctypes.c_long),               # blen out
+        ctypes.c_void_p,                             # offs int64[icap]
+        ctypes.c_void_p, ctypes.c_void_p,            # ys, scales
+        ctypes.c_long,                               # icap
+        ctypes.c_double,                             # -TJ_SPACE_THRESHOLD
+    ]
     return lib
 
 
@@ -196,3 +206,50 @@ def coalesce_tj(data: bytes, ev: np.ndarray):
     if cnt < 0:
         return None
     return out[:cnt], scratch[: slen.value].tobytes()
+
+
+# reused scratch for pdfs_tokenize (grow-on-demand): Spark Python
+# workers are single-threaded processes, and the caller consumes the
+# returned VIEWS before its next call (documented contract below)
+_TK_BLOB = np.empty(1 << 16, np.uint8)
+_TK_OFFS = np.empty(1 << 12, np.int64)
+_TK_YS = np.empty(1 << 12, np.float64)
+_TK_SC = np.empty(1 << 12, np.float64)
+
+
+def pdfs_tokenize(data: bytes, neg_thresh: float):
+    """C twin of the synthetic-dialect clause tokenizer
+    (``pdfk._tokenize``). Returns ``(blob_bytes, end_offsets, ys,
+    scales)`` — the caller slices/decodes items and applies bidi — or
+    None when the C scan bails (non-ASCII at operator level, a
+    malformed TJ array, or a capacity miss): the Python tokenizer is
+    the reference and the fallback; item-level identity is pinned in
+    test_kernels.py.
+
+    The three numeric returns are VIEWS into module-level scratch —
+    valid only until the next call (the sole caller copies them out
+    immediately)."""
+    global _TK_BLOB, _TK_OFFS, _TK_YS, _TK_SC
+    n = len(data)
+    if n + 16 > len(_TK_BLOB):
+        _TK_BLOB = np.empty(n + 16, np.uint8)
+    icap = n // 4 + 8
+    if icap > len(_TK_OFFS):
+        _TK_OFFS = np.empty(icap, np.int64)
+        _TK_YS = np.empty(icap, np.float64)
+        _TK_SC = np.empty(icap, np.float64)
+    blen = ctypes.c_long(0)
+    ret = _lib.pdfs_tokenize(
+        data, n, _TK_BLOB.ctypes.data, len(_TK_BLOB), ctypes.byref(blen),
+        _TK_OFFS.ctypes.data, _TK_YS.ctypes.data, _TK_SC.ctypes.data,
+        len(_TK_OFFS),
+        ctypes.c_double(neg_thresh),
+    )
+    if ret < 0:
+        return None
+    return (
+        _TK_BLOB[: blen.value].tobytes(),
+        _TK_OFFS[:ret],
+        _TK_YS[:ret],
+        _TK_SC[:ret],
+    )

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pdf_parse_new_spark import spec
+from pdf_parse_new_spark.kernels import cinterp as _cinterp
 
 _OBJ = re.compile(r"(\d+) 0 obj\b")
 _CONTENTS = re.compile(r"/Contents (\d+) 0 R")
@@ -122,7 +123,37 @@ def _tokenize(stream: str) -> tuple[list[str], list[float], list[float]]:
 
     Font scale comes from the Tf operator (the reference exposes it as
     ``transform[0]``, consumed by the title-only custom render example,
-    test/examples/09-custom-render.js:62-79)."""
+    test/examples/09-custom-render.js:62-79).
+
+    Dispatches to the C twin (``pdfs_tokenize`` in ``_ctext.c``) when
+    the extension is loaded; the clause loop below is the reference
+    implementation and the fallback (the C scan bails back here on
+    non-ASCII operator-level bytes and malformed TJ arrays). Item-level
+    identity is pinned in test_kernels.py."""
+    if _cinterp.AVAILABLE:
+        try:
+            data = stream.encode("utf-8")
+        except UnicodeEncodeError:  # lone surrogates: reference path
+            data = None
+        if data is not None:
+            res = _cinterp.pdfs_tokenize(data, -spec.TJ_SPACE_THRESHOLD)
+            if res is not None:
+                blob, offs, ys_a, scales_a = res
+                out: list[str] = []
+                prev = 0
+                if blob.isascii():
+                    # one decode, then char==byte offsets slice the str
+                    s = blob.decode("ascii")
+                    for end in offs.tolist():
+                        out.append(s[prev:end])
+                        prev = end
+                else:
+                    # bidi exactly as the clause loop applies it per
+                    # item (_bidi itself fast-paths ASCII items)
+                    for end in offs.tolist():
+                        out.append(_bidi(blob[prev:end].decode("utf-8")))
+                        prev = end
+                return out, ys_a.tolist(), scales_a.tolist()
     strs: list[str] = []
     ys: list[float] = []
     scales: list[float] = []

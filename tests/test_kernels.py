@@ -315,3 +315,57 @@ def test_cr_line_continuation_all_eols():
         assert pdfk._unescape(lit) == "line", repr(eol)
         assert oracle._unescape(lit) == "line", repr(eol)
         assert pdfb.parse_object(lit.encode("latin-1"), 0)[0] == b"line"
+
+
+def test_pdfs_tokenize_c_twin_identical_to_python():
+    """The C synthetic-dialect tokenizer (pdfs_tokenize) must produce
+    the EXACT (strs, ys, scales) the clause-regex reference builds —
+    item text (escapes, hex, octal, bidi), baselines (Td/TD/Tm/TL/T*/
+    Ts accumulation order) and Tf scales. Seeded fixture documents +
+    adversarial clause shapes; bail cases (malformed arrays, non-ASCII
+    operator bytes) route to the Python path and are trivially equal —
+    included to pin that the bail fires instead of diverging."""
+    import random
+
+    from pdf_parse_new_spark.kernels import cinterp, pdfk
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+
+    streams = [
+        "BT (hello) Tj ET",
+        "(a) Tj 0 -14 Td (b) Tj 5 -14 TD (c) Tj T* (d) Tj",
+        "1 0 0 1 72 700 Tm (x) Tj 14 TL (y) ' 3 4 (z) \"",
+        "[(ab) -300 (cd) 120 (ef)] TJ",
+        "[(a\\)b) -300 <48 65 6c> 5.5 (c)] TJ",
+        "(oct \\101\\53\\7) Tj",
+        "(cont\\\r\ninues) Tj (esc \\n\\r\\t\\q\\() Tj",
+        "<4 8 6 5> Tj <486> Tj",
+        "/F1 9 Tf (scaled) Tj /F2 -2.5 Tf (neg) Tj",
+        "8 Ts (up) Tj 0 Ts (down) Tj BT (reset) Tj",
+        "(str) (no op) Tj 12 (lone num) 3 4 Td (after) Tj",
+        "T* ' \" * ** BTx xBT TdD (w) Tj",
+        "1 2 3 4 5 6 Tm (six) Tj 1 2 3 Tm (three) Tj",
+        "[(unclosed] TJ",      # malformed array: C bails -> same result
+        "[ (a) 5 ] x",         # array without TJ: bail
+        "(café naïve) Tj",   # non-ASCII payload text
+        "(שלום abc) Tj",  # RTL: bidi applies
+        "  (nbsp ws) Tj",  # Unicode \s at operator level: bail
+        "(trail\\) Tj",
+        "() Tj [] TJ (x) Tj",
+    ] + [
+        # seeded fixture documents exercise the full generator surface
+        fixtures.build_pdf(__import__("random").Random(5000 + s), 3)
+        for s in range(40)
+    ]
+    for i, st in enumerate(streams):
+        with_c = pdfk._tokenize(st)
+        avail = cinterp.AVAILABLE
+        cinterp.AVAILABLE = False
+        try:
+            without_c = pdfk._tokenize(st)
+        finally:
+            cinterp.AVAILABLE = avail
+        assert with_c[0] == without_c[0], (i, st[:80])
+        assert with_c[1] == without_c[1], (i, st[:80])
+        assert with_c[2] == without_c[2], (i, st[:80])
