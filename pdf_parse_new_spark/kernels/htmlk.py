@@ -111,7 +111,10 @@ def extract(texts: pd.Series) -> pd.DataFrame:
         link_inner.str.replace(_TAG_RE, "", regex=True).str.strip().str.len()
     )
     tlen = flat["text"].str.len()
-    n_words = flat["text"].str.split(" ").str.len().clip(lower=1)
+    # len(s.split(" ")) == s.count(" ") + 1 exactly (split on EVERY
+    # occurrence counts empty fields), without materializing the lists;
+    # the +1 also makes the old clip(lower=1) a no-op
+    n_words = flat["text"].str.count(" ") + 1
     tag_count = flat["inner"].str.count("<")
     keep = (
         (tlen >= spec.HTML_MIN_TEXT_LEN)
