@@ -1938,24 +1938,18 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                      * (cur_x - tj_prev_x) IS pdf.js's advanceX here;
                      * the width formula is the fallback when no real
                      * glyph anchors the buffer yet. */
+                    /* NO anchor at all (null page-level prevTransform
+                     * — an all-zero-width prefix): pdf.js's compare at
+                     * the next glyph early-returns TRUE
+                     * (pdf.worker.js:36543-36545) before notASpace /
+                     * shouldAddWhitepsace — the kern makes NO decision */
                     long nreal = tj_tail_sp > 0 ? tj_tail_sp : 1;
-                    int kill;
+                    int kill = 0;
                     if (have_g2) {
                         double lim = st.size * st.sx;
                         kill = g2 <= 0.03 * lim ||
                                (nreal != 1 &&
                                 g2 <= RP_GAP_FRACTION * lim);
-                    } else {
-                        double w_sp = widths[st.cur_font * 256 + 32] /
-                                      1000.0 * st.size;
-                        double gap_sp =
-                            ((double)nreal *
-                                 (w_sp + st.tc + st.tw) +
-                             (1.0 + (double)e->flag) * st.tc - kern) *
-                            st.tz;
-                        kill = gap_sp <= 0.03 * st.size ||
-                               (nreal != 1 &&
-                                gap_sp <= RP_GAP_FRACTION * st.size);
                     }
                     if (kill) {
                         while (olen > base && out[olen - 1] == ' ')
@@ -1963,16 +1957,12 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         tj_tail_sp = 0;
                         tj_kill = 1;
                     }
-                } else if (have_g2
-                               ? g2 > RP_GAP_FRACTION * st.size * st.sx
-                               : ((1.0 + (double)e->flag) * st.tc -
-                                  kern) *
-                                         st.tz >
-                                     RP_GAP_FRACTION * st.size) {
+                } else if (have_g2 &&
+                           g2 > RP_GAP_FRACTION * st.size * st.sx) {
                     /* the POSITION gap (cur_x - tj_prev_x) is pdf.js's
-                     * advanceX at the next glyph — the kern-value
-                     * formula ignores Td rewinds between elements and
-                     * stays only as the no-anchor fallback */
+                     * advanceX at the next glyph; with a null
+                     * prevTransform the compare never runs, so a
+                     * no-anchor kern adds nothing */
                     tj_fake = 1;
                 }
             }

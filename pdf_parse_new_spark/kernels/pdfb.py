@@ -3272,6 +3272,12 @@ class _TextInterp:
                         # gap (cur_x - tj_prev) IS pdf.js's advanceX
                         # here; the width formula is the fallback when
                         # no real glyph anchors the buffer yet.
+                        # NO anchor at all (null page-level
+                        # prevTransform — an all-zero-width prefix):
+                        # pdf.js's compare at the next glyph
+                        # early-returns TRUE (pdf.worker.js:36543-36545)
+                        # before notASpace/shouldAddWhitepsace, so the
+                        # kern makes NO decision — no kill, no fake
                         n_real = tj_tail_sp if tj_tail_sp > 0 else 1
                         if gap2 is not None:
                             kill = gap2 <= 0.03 * lim or (
@@ -3279,34 +3285,16 @@ class _TextInterp:
                                 and gap2 <= self.GAP_FRACTION * lim
                             )
                         else:
-                            w_sp = (
-                                fm.widths.get(32, fm.default_width)
-                                / 1000.0 * size
-                                if fm.nbytes == 1
-                                else 0.5 * size
-                            )
-                            gap_sp = (
-                                n_real * (w_sp + tc + tw)
-                                + (1 + flag) * tc - kern
-                            ) * tz
-                            kill = gap_sp <= 0.03 * size or (
-                                n_real != 1
-                                and gap_sp <= self.GAP_FRACTION * size
-                            )
+                            kill = False
                         if kill:
                             tj_buf[-1] = tj_buf[-1].rstrip(" ")
                             tj_tail_sp = 0
                             tj_kill = True
-                    elif (
-                        gap2 > self.GAP_FRACTION * lim
-                        if gap2 is not None
-                        else ((1 + flag) * tc - kern) * tz
-                        > self.GAP_FRACTION * size
-                    ):
+                    elif gap2 is not None and gap2 > self.GAP_FRACTION * lim:
                         # the POSITION gap (cur_x - tj_prev) is pdf.js's
-                        # advanceX at the next glyph — the kern-value
-                        # formula ignores Td rewinds between elements
-                        # and stays only as the no-anchor fallback
+                        # advanceX at the next glyph; with a null
+                        # prevTransform the compare never runs, so a
+                        # no-anchor kern adds nothing
                         tj_fake_pend = True
             elif kind == 1:  # ANCHOR: new line origin
                 if (
@@ -4341,7 +4329,10 @@ class _TextInterp:
                                     tj_fake = False
                                 elif buf and buf[-1].endswith(" "):
                                     # run-fate bands: see the event
-                                    # consumer's K_TJNUM
+                                    # consumer's K_TJNUM. With NO
+                                    # anchor (null page prevTransform)
+                                    # pdf.js's compare early-returns —
+                                    # no kill, no fake
                                     n_real = (
                                         tail_sp if tail_sp > 0 else 1
                                     )
@@ -4352,35 +4343,14 @@ class _TextInterp:
                                             <= self.GAP_FRACTION * lim
                                         )
                                     else:
-                                        w_sp = (
-                                            fm.widths.get(
-                                                32, fm.default_width
-                                            ) / 1000.0 * size
-                                            if fm.nbytes == 1
-                                            else 0.5 * size
-                                        )
-                                        gap_sp = (
-                                            n_real * (w_sp + tc + tw)
-                                            + (1 + tj_ntc) * tc - kern
-                                        ) * tz
-                                        kill = (
-                                            gap_sp <= 0.03 * size
-                                            or (
-                                                n_real != 1
-                                                and gap_sp
-                                                <= self.GAP_FRACTION
-                                                * size
-                                            )
-                                        )
+                                        kill = False
                                     if kill:
                                         buf[-1] = buf[-1].rstrip(" ")
                                         tail_sp = 0
                                         tj_kill = True
                                 elif (
-                                    gap2 > self.GAP_FRACTION * lim
-                                    if gap2 is not None
-                                    else ((1 + tj_ntc) * tc - kern)
-                                    * tz > self.GAP_FRACTION * size
+                                    gap2 is not None
+                                    and gap2 > self.GAP_FRACTION * lim
                                 ):
                                     tj_fake = True
                     vv = cross_v + arise

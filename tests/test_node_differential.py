@@ -2097,3 +2097,47 @@ def test_form_lm_three_way_path_identity():
             cinterp.AVAILABLE = True
         assert c_full["text"] == py["text"], f"pdf {i}: C replay"
         assert c_lex["text"] == py["text"], f"pdf {i}: event loop"
+
+
+def test_no_anchor_kern_makes_no_decision_byte_equal_vs_live_reference(
+    tmp_path,
+):
+    """With a NULL page-level prevTransform (an all-zero-width glyph
+    prefix — /Widths subset misses a-z), pdf.js's compare at the next
+    glyph early-returns TRUE (pdf.worker.js:36543-36545) before
+    notASpace/shouldAddWhitepsace ever run, so a TJ kern can neither
+    add a fake space nor kill a pending run. The engine's kern-value
+    fallback used to fire here (distilled from the degenerate
+    zero-width hunt, 45/200 -> 32/200 after the fix)."""
+    w = [278] * 38  # 32..69 only; a-z zero width
+    _run_differential(
+        tmp_path,
+        [
+            # in-flow-window kern between zero-width items: NO space
+            _assemble_with_tounicode(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm [(b) -120 (aA) 300"
+                b" (DD) 62] TJ 0.5 Tc ET",
+                [(0x41, b"200D"), (0x42, b"00A0"), (0x44, b"00AD"),
+                 (0x45, b"0020")], w,
+            ),
+            # leading kern on a fresh page: no anchor -> no decision
+            _assemble_with_tounicode(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm [ -300 (ab) -120"
+                b" (cd)] TJ ET",
+                [(0x45, b"0020")], w,
+            ),
+            # kern after a pending zero-width space run: no kill either
+            _assemble_with_tounicode(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm [(abE) -48 (cd)] TJ"
+                b" ET",
+                [(0x45, b"0020")], w,
+            ),
+            # once a REAL-width glyph anchors (C = visible x at 278),
+            # the positional path takes over unchanged
+            _assemble_with_tounicode(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (C) Tj [(ab) -900"
+                b" (cd)] TJ ET",
+                [(0x43, b"0078"), (0x45, b"0020")], w,
+            ),
+        ],
+    )
