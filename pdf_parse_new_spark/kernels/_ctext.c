@@ -1158,9 +1158,12 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                         segfx_ = 0.0;                                        \
                     }                                                        \
                     runopen_ = 0;                                            \
-                } else if (perglyph_ && hsegfx_ && hrpe_ &&                  \
-                           *nruns < RP_MAX_RUNS) {                           \
-                    /* CR-window charSpacing: adjacency split */             \
+                } else if ((perglyph_ || *last_reject) && hsegfx_ &&         \
+                           hrpe_ && *nruns < RP_MAX_RUNS) {                  \
+                    /* CR-window charSpacing adjacency split — OR a     */   \
+                    /* kept glyph right after a box-reject: pdf.js's    */   \
+                    /* compare sees the skipped width vs the unmoved    */   \
+                    /* prevTransform; the cascade takes the band        */   \
                     runs[*nruns].off = o;                                    \
                     runs[*nruns].seg_first = segfx_;                         \
                     runs[*nruns].has_first = hsegfx_;                        \

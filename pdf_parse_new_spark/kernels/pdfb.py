@@ -2428,6 +2428,13 @@ class _TextInterp:
                 wsum += w
                 g += 1
                 continue
+            # a kept glyph right after a reject: pdf.js's compare sees
+            # the skipped width as advanceX vs the unmoved prevTransform
+            # — split the adjacency and let show()'s cascade take the
+            # notASpace / in-flow " " / standalone / CR band exactly
+            # (an adjacency split is output-neutral when the cascade
+            # would do nothing)
+            prev_rej = lclip
             lclip = False
             if sp:
                 if not run_open and prev_end is not None:
@@ -2456,7 +2463,7 @@ class _TextInterp:
                     run_buf = []
                     run_open = False
                 elif (
-                    per_glyph and prev_end is not None
+                    (per_glyph or prev_rej) and prev_end is not None
                     and seg_first is not None
                     and (out is None or len(out) < self.MAX_SEG_SPLITS)
                 ):
@@ -3028,6 +3035,11 @@ class _TextInterp:
                         or tc < 0.0
                         or self._big_tc(tc, sx * tz, size * sx)
                         or zw_item
+                        # x-straddle: a rejected glyph's gap can split
+                        or (
+                            vb is not None
+                            and (cur_x < vb[0] or cur_x + adv > vb[2])
+                        )
                     )
                 ):
                     r = self._seg_split(
@@ -3856,7 +3868,10 @@ class _TextInterp:
                         and len(dec) == len(item) - fm.ncf(item)
                         and (" " in dec[1:-1] or tc < 0.0
                              or self._big_tc(tc, asx * tz, size * asx)
-                             or zw_item)
+                             or zw_item
+                             or (vb is not None and (
+                                 cur_x < vb[0]
+                                 or cur_x + advance(item) > vb[2])))
                     ):
                         r_ = self._seg_split(
                             fm, item, dec, cur_x, size, asx * tz, tc, tw,
@@ -3960,7 +3975,11 @@ class _TextInterp:
                             and (" " in dec[1:-1] or tc < 0.0
                                  or self._big_tc(tc, asx * tz,
                                                  size * asx)
-                                 or zw_item)
+                                 or zw_item
+                                 or (vb is not None and (
+                                     cur_x < vb[0]
+                                     or cur_x + advance(item)
+                                     > vb[2])))
                         ):
                             r_ = self._seg_split(
                                 fm, item, dec, cur_x, size, asx * tz,
@@ -4119,6 +4138,10 @@ class _TextInterp:
                                         tc, asx * tz, size * asx
                                     )
                                     or zw_item
+                                    or (vb is not None and (
+                                        cur_x < vb[0]
+                                        or cur_x + advance(item)
+                                        > vb[2]))
                                 )
                             ):
                                 r_ = self._seg_split(

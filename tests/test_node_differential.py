@@ -2141,3 +2141,44 @@ def test_no_anchor_kern_makes_no_decision_byte_equal_vs_live_reference(
             ),
         ],
     )
+
+
+def test_clipped_glyph_gap_spaces_byte_equal_vs_live_reference(tmp_path):
+    """A box-rejected glyph advances the pen but never moves
+    prevTransform, so the next KEPT glyph's compare sees the skipped
+    width as advanceX — pdf.js pushes an in-flow " " INSIDE the item
+    (addFakeSpaces, worker:36759-36767) or flushes on the wider bands.
+    Under a scaled CTM the text-space-width box test (worker:36531)
+    rejects interior glyphs of ordinary words near the page edge:
+    `(alpha)` at device x=-6.5 under `0.5 cm` reads "a pha" in the
+    reference. The engine's clip path dropped the glyph but never
+    split, emitting "apha". Distilled from a fresh-seed q/Q hunt
+    (seed 9900024); a 300-doc scaled-straddle hunt ran clean after
+    the fix."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(
+                b"BT /F1 12 Tf 0.5 0 0 0.5 -34 34 cm 1 0 0 1 55 638"
+                b" Tm (alpha) Tj ET"
+            ),
+            # right-edge straddle under scale
+            _assemble(
+                b"BT /F1 12 Tf 0.5 0 0 0.5 300 34 cm 1 0 0 1 590 638"
+                b" Tm (alphabet) Tj ET"
+            ),
+            # deep scale-down: many glyphs clip, gaps across them
+            _assemble(
+                b"BT /F1 12 Tf 0.25 0 0 0.25 -8 34 cm 1 0 0 1 0 638"
+                b" Tm (wide letters here) Tj ET"
+            ),
+            # the originating shape: q/Q + quote + TJ kerns after the
+            # clipped-glyph item
+            _assemble(
+                b"BT /F1 12 Tf 1 0 0 1 111 416 Tm 0.5 0 0 0.5 -34 34"
+                b" cm q Q (rho) Tj 0 -11 Td 1 0 0 1 55 638 Tm T*"
+                b" (alpha) ' [(beta) -397 (omicron)] TJ (tau) Tj"
+                b" [(omicron) -144 (epsilon)] TJ ET"
+            ),
+        ],
+    )
