@@ -963,7 +963,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
  *   12 line_open  13 last_char(byte)  14 cur_font  15 pending_space
  *   16 glyph_y  17 have_glyph_y  18 force_flush  19 scale_flush
  *   20 item_size  21-24 view box  25 have_vb  26 pending_multi
- *   27 line_ox  28 line_oy  29 sy  30 item_hsize  (31 free)
+ *   27 line_ox  28 line_oy  29 sy  30 item_hsize  31 wreg
  * Returns: nev when done, the K_XOBJ event index to hand to Python,
  * or -1 when `out` is full (caller grows and retries; state intact).
  */
@@ -981,6 +981,13 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
 
 typedef struct {
     double y, cur_x, size, sx, sy, line_ox, line_oy, tc, tw, tz, rise;
+    /* wreg: pdf.js textContentItem.width — the WIDTH REGISTER.
+     * Tracked EXACTLY (appended glyph widths + absorbed compare
+     * advances); the C replay keeps the historical decision bands and
+     * DEFERS the page to the Python model (return -3) whenever a
+     * decision would read a register <= 0, where the new zero/negative
+     * orientation semantics apply. */
+    double wreg;
     double last_y, last_end_x, glyph_y, item_size, item_hsize;
     double vb0, vb1, vb2, vb3; /* page view box (pdf.js viewBox clip) */
     int have_last_y, have_last_end_x, have_glyph_y, have_vb;
@@ -1004,6 +1011,8 @@ typedef struct {
     long off;
     double seg_first, prev_end;
     int has_first;
+    double segw;  /* the segment's WIDTH-REGISTER contribution */
+    int hadw;     /* appended a width!=0 glyph (prevTransform moved) */
 } SegRec;
 
 /* decode ONE string item (span a..b, flag as in K_STR) through the
@@ -1022,7 +1031,9 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                      double prev0, int have_prev0,
                      double zfb, int have_zfb, int zw_item,
                      double *lastseg_fx, int *lastseg_has,
-                     long *tail_sp, int *last_reject, int *last_sp)
+                     long *tail_sp, int *last_reject, int *last_sp,
+                     double reg0, double *lastseg_w, int *lastseg_hadw,
+                     int *defer, int *last_cf, double *premin)
 {
     long o = *olen;
     long start_ = o; /* letter-gap spaces only between this item's chars */
@@ -1035,6 +1046,18 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
     double runprev_ = 0.0, rpe_ = 0.0, segfx_ = 0.0;
     long runoff_ = 0;
     double rfs_ = 0.0, rstale_ = 0.0;
+    /* live WIDTH REGISTER through the walk (reg0 = the caller's value
+     * at this item's first glyph) and the current segment's
+     * contribution; a compare reading a register <= 0 DEFERS the page
+     * (the zero/negative orientation bands live in Python only) */
+    double wlive_ = reg0, segw_ = 0.0;
+    int hadw_ = 0;
+    int runnull_ = 0;
+    long runcnt_ = 0;
+    if (defer)
+        *defer = 0;
+    if (last_cf)
+        *last_cf = 0;
     if (runs) {
         *nruns = 0;
         rfs_ = rst->size * rst->sx;
@@ -1092,9 +1115,14 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
 #define PUTCODE(C)                                                           \
     do {                                                                     \
         unsigned char cc_ = (unsigned char)(C);                              \
-        if (ct[cc_] == 2)                                                    \
+        if (ct[cc_] == 2) {                                                  \
+            if (last_cf)                                                     \
+                *last_cf = 1; /* a kern riding a Cf FINAL glyph is     */   \
+                              /* LOST (skip precedes charSpacing)      */   \
             break; /* Cf: invisible format mark — pdf.js continues      */   \
-                   /* before ANY advance (pdf.worker.js:36684)          */   \
+        }          /* before ANY advance (pdf.worker.js:36684)          */   \
+        if (last_cf)                                                         \
+            *last_cf = 0;                                                    \
         if (ct[cc_] == 3 && !zw_item)                                        \
             return -2; /* zero-width glyph found: the caller restarts   */   \
                        /* this item in zw mode (per-glyph, lgap off)    */   \
@@ -1142,10 +1170,32 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                     runopen_ = 1;                                            \
                     runoff_ = o;                                             \
                     runprev_ = rpe_;                                         \
+                    runnull_ = 0;                                            \
+                } else if (!runopen_ && hsegfx_) {                           \
+                    /* INTERNAL run with a NULL anchor: the fate is    */   \
+                    /* ring-driven (one " " for a single glyph, a 2+   */   \
+                    /* run vanishes) — new-model territory, DEFER at   */   \
+                    /* 2+ (a single space matches the literal join)    */   \
+                    runopen_ = 1;                                            \
+                    runoff_ = o;                                             \
+                    runnull_ = 1;                                            \
+                    runcnt_ = 0;                                             \
                 }                                                            \
+                if (runopen_ && runnull_)                                    \
+                    runcnt_++;                                               \
             } else {                                                         \
-                if (runopen_) {                                              \
+                if (runopen_ && runnull_) {                                  \
+                    if (runcnt_ >= 2 && defer)                               \
+                        *defer = 1;                                          \
+                    runopen_ = 0;                                            \
+                    runnull_ = 0;                                            \
+                } else if (runopen_) {                                       \
                     double a_ = px_ - runprev_;                              \
+                    if (wlive_ <= 0.0 && defer)                              \
+                        *defer = 1; /* zero/neg register run compare */      \
+                    if (*nruns == 0 && premin &&                             \
+                        wlive_ - reg0 < *premin)                             \
+                        *premin = wlive_ - reg0;                             \
                     if (!(0.102 * rstale_ < a_ && a_ <= 0.6 * rstale_ &&     \
                           0.102 * rfs_ < a_ && a_ <= 0.6 * rfs_) &&          \
                         *nruns < RP_MAX_RUNS) {                              \
@@ -1153,9 +1203,18 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                         runs[*nruns].seg_first = segfx_;                     \
                         runs[*nruns].has_first = hsegfx_;                    \
                         runs[*nruns].prev_end = runprev_;                    \
+                        runs[*nruns].segw = segw_;                           \
+                        runs[*nruns].hadw = hadw_;                           \
                         (*nruns)++;                                          \
                         hsegfx_ = 0;                                         \
                         segfx_ = 0.0;                                        \
+                        segw_ = 0.0;                                         \
+                        hadw_ = 0;                                           \
+                        wlive_ = 0.0; /* new item: register re-zeroes */     \
+                    } else {                                                 \
+                        /* in-flow run: width += advanceX */                 \
+                        wlive_ += a_;                                        \
+                        segw_ += a_;                                         \
                     }                                                        \
                     runopen_ = 0;                                            \
                 } else if ((perglyph_ || *last_reject) && hsegfx_ &&         \
@@ -1168,9 +1227,25 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                     runs[*nruns].seg_first = segfx_;                         \
                     runs[*nruns].has_first = hsegfx_;                        \
                     runs[*nruns].prev_end = rpe_;                            \
+                    runs[*nruns].segw = segw_;                               \
+                    runs[*nruns].hadw = hadw_;                               \
                     (*nruns)++;                                              \
                     hsegfx_ = 0;                                             \
                     segfx_ = 0.0;                                            \
+                    segw_ = 0.0;                                             \
+                    hadw_ = 0;                                               \
+                    wlive_ = 0.0; /* new item: register re-zeroes */         \
+                } else if (hrpe_ && hsegfx_ && px_ != rpe_) {                \
+                    /* quiet INTRA-segment adjacency gap: width +=     */   \
+                    /* advanceX (pdf.worker.js:36641); a register <= 0 */   \
+                    /* here would split in the new model — defer       */   \
+                    if (wlive_ <= 0.0 && defer)                              \
+                        *defer = 1;                                          \
+                    if (*nruns == 0 && premin &&                             \
+                        wlive_ - reg0 < *premin)                             \
+                        *premin = wlive_ - reg0;                             \
+                    wlive_ += px_ - rpe_;                                    \
+                    segw_ += px_ - rpe_;                                     \
                 }                                                            \
                 if (!hsegfx_) {                                              \
                     segfx_ = px_;                                            \
@@ -1179,7 +1254,10 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                 if (w[cc_] != 0.0) { /* zero width: prevTransform stays */  \
                     rpe_ = px_ + w[cc_] * kx;                                \
                     hrpe_ = 1;                                               \
+                    hadw_ = 1;                                               \
                 }                                                            \
+                wlive_ += w[cc_] * kx;                                       \
+                segw_ += w[cc_] * kx;                                        \
             }                                                                \
         }                                                                    \
         *last_reject = 0;                                                    \
@@ -1316,9 +1394,53 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
     if (runs) {
         *lastseg_fx = segfx_;
         *lastseg_has = hsegfx_;
+        if (lastseg_w)
+            *lastseg_w = segw_;
+        if (lastseg_hadw)
+            *lastseg_hadw = hadw_;
+        if (runopen_ && runnull_ && runcnt_ >= 2 && defer)
+            *defer = 0 + *defer; /* trailing null run: pend machinery
+                                    owns it (show's trail arm) — no
+                                    defer needed */
     }
     *olen = o;
     return 0;
+}
+
+/* the width register a deferred TJ-group boundary compare leaves
+ * behind: 0 when the compare will FLUSH (the next ensure resets the
+ * register), wreg + gap when it absorbs, wreg untouched when it never
+ * runs (null prevTransform / equal position). Mirrors
+ * _TextInterp._tj_boundary_stale — used for the live mid-TJ register
+ * model only, never for emission. */
+static double rp_boundary_stale(const RState *st, double tx, double dev_y,
+                                double fs, double hs)
+{
+    if (st->force_flush || !st->line_open)
+        return 0.0;
+    if (st->scale_flush)
+        return 0.0;
+    if (!st->have_last_end_x || !st->have_glyph_y)
+        return st->wreg;
+    double adv = tx - st->last_end_x;
+    double dyg = dev_y - st->glyph_y;
+    if (adv == 0.0 && dyg == 0.0)
+        return st->wreg;
+    double ifs = st->item_size > 0.0 ? st->item_size : fs;
+    double ihs = st->item_hsize > 0.0 ? st->item_hsize
+                                      : (hs > 0.0 ? hs : fs);
+    if (ifs <= 0.0)
+        return fabs(dyg) > RP_Y_TOL ? 0.0 : st->wreg;
+    if (ihs > 0.0 && fabs(dyg) > 0.25 * ihs)
+        return 0.0; /* vertical-shift flush */
+    if (st->wreg <= 0.0)
+        return 0.0; /* degenerate windows: any nonzero gap flushes */
+    if (adv < -0.2 * ifs || adv > 0.6 * ifs)
+        return 0.0; /* CR / outside-window flush */
+    int pend1 = st->pending_space && !st->pending_multi;
+    if (pend1 && 0.03 * ifs < adv && adv <= RP_GAP_FRACTION * ifs)
+        return 0.0; /* shouldAddWhitepsace standalone flush */
+    return st->wreg + adv; /* absorbed: width += advanceX */
 }
 
 /* the show() assembly over the staged region [mark, *olen): the
@@ -1329,7 +1451,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
  * (last_y = the open item's anchor y). */
 static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
                    long mark, double ty, double tx, double size,
-                   double hsize, int move_prev)
+                   double hsize, int move_prev, double seg_w)
 {
     long o = *olen, m = o - mark;
     if (m == 0)
@@ -1454,6 +1576,10 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         st->pending_multi = 0;
     } else if (ifs > 0.0 && have_adv) {
         double ady = fabs(dyg);
+        if (st->wreg <= 0.0 && adv != 0.0)
+            return -3; /* zero/negative width register: the degenerate
+                          orientation bands live in the Python model —
+                          DEFER the page */
         if (adv < -0.2 * ifs) {
             /* carriage return (NEGATIVE_SPACE_FACTOR) */
             st->pending_space = 0;
@@ -1480,6 +1606,10 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
                 flush = 1;
             } else if (space) {
                 standalone = adv > 0.6 * ifs || flush || !st->line_open;
+                if (!standalone)
+                    st->wreg += adv; /* in-flow: width += advanceX */
+            } else {
+                st->wreg += adv; /* quiet absorb: width += advanceX */
             }
             st->pending_space = 0;
             st->pending_multi = 0;
@@ -1522,6 +1652,9 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
         st->have_last_y = 1;
         st->item_size = fs;
         st->item_hsize = hs;
+        st->wreg = seg_w; /* ensureTextContentItem resets the register */
+    } else {
+        st->wreg += seg_w;
     }
     if (np) {
         if (o + np > ocap)
@@ -1595,6 +1728,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
     st.have_vb = state[25] != 0.0;
     st.sy = state[29];
     st.item_hsize = state[30];
+    st.wreg = state[31];
     st.line_ox = state[27];
     st.line_oy = state[28];
 
@@ -1617,6 +1751,21 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
      * materializes only when the next group starts with a real glyph;
      * otherwise the leading-run machinery owns the decision. */
     int tj_fake = 0;
+    /* live WIDTH-REGISTER model for the buffered group (mirrors the
+     * Python consumers): tj_wacc = contribution since the last flush,
+     * tj_stale = what the deferred group-boundary compare leaves of
+     * st.wreg (rp_boundary_stale), tj_gabs = cumulative kern gap
+     * already absorbed (gap2 is measured from a fixed anchor, so
+     * successive kern rows see cumulative values). */
+    double tj_wacc = 0.0, tj_stale = 0.0, tj_gabs = 0.0;
+    /* tj_tailw: the CURRENT boundary's provisional absorb inside
+     * tj_wacc — pdf.js only runs width += advanceX at the NEXT real
+     * glyph's compare, so a show that hands the buffer off (TJ end /
+     * mid-TJ kern flush) excludes it; the next show's own boundary
+     * compare re-derives the gap from positions. Reset when a real
+     * glyph consumes the boundary (mirrors the Python consumers). */
+    double tj_tailw = 0.0;
+    int tj_bpend = 1;
     long ret = nev;
 
     for (long i = start; i < nev; i++) {
@@ -1646,6 +1795,13 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 hp0 = 1;
             }
             int last_reject = 0, last_sp = 0;
+            long tj_tsp_pre = tj_tail_sp; /* buffer tail BEFORE this
+                                             element (the join rule) */
+            double lastseg_w = 0.0, premin = 1e300;
+            int lastseg_hadw = 0, defer_ = 0, last_cf = 0;
+            double reg0 = e->kind == K_TJSTR
+                              ? (tj_bpend ? st.wreg : tj_stale) + tj_wacc
+                              : st.wreg;
             for (;;) {
                 long olen0 = olen, tsp0 = tj_tail_sp;
                 glyphs = 0; spaces = 0; wsum = 0.0; clipped = 0;
@@ -1654,6 +1810,8 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 nruns = 0; runs_ok = 1;
                 lastseg_fx = 0.0; lastseg_has = 0;
                 last_reject = 0; last_sp = 0;
+                lastseg_w = 0.0; premin = 1e300;
+                lastseg_hadw = 0; defer_ = 0; last_cf = 0;
                 int rc_ = rp_decode(e->flag == 3 ? scratch : d, n, e->flag,
                           e->a, e->b, tbytes, to, w, fct, out,
                           &olen, ocap, &glyphs, &spaces, &wsum, zw_mode ? 0 : lgap,
@@ -1663,18 +1821,63 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                           st.last_end_x, st.have_last_end_x ? 1 : 0,
                           zw_mode,
                           &lastseg_fx, &lastseg_has, &tj_tail_sp,
-                          &last_reject, &last_sp);
+                          &last_reject, &last_sp,
+                          reg0, &lastseg_w, &lastseg_hadw,
+                          &defer_, &last_cf, &premin);
                 if (rc_ == -2) {
-                    /* zero-width glyph mid-item: restart in zw mode
-                     * (per-glyph compare, letter-gap pre-join off) */
-                    olen = olen0;
-                    tj_tail_sp = tsp0;
-                    zw_mode = 1;
-                    continue;
+                    /* zero-width non-space glyph: the width register
+                     * stays 0 through it and the whole zero/negative
+                     * orientation model applies — DEFER the page to
+                     * the exact Python implementation */
+                    (void)olen0;
+                    (void)tsp0;
+                    (void)zw_mode;
+                    return -3;
                 }
                 if (rc_ < 0)
                     return -1;
                 break;
+            }
+            if (defer_)
+                return -3; /* register-sensitive walk construct */
+            if (e->kind == K_TJSTR && !tj_have_prev &&
+                !st.have_last_end_x && have_first) {
+                /* NULL-anchor ring across the buffer join: a
+                 * whitespace run spanning the buffer tail and this
+                 * element's lead reaches the next real glyph with
+                 * pdf.js's ring at [' ',' '] when 2+ glyphs were
+                 * saved — new-model territory, DEFER */
+                long lead_ = 0;
+                for (long q = mark; q < olen && out[q] == ' '; q++)
+                    lead_++;
+                if (tj_tsp_pre + lead_ >= 2)
+                    return -3;
+            }
+            if (last_cf && e->kind == K_TJSTR && i + 1 < nev &&
+                ev[i + 1].kind == K_TJNUM)
+                return -3; /* a kern riding a Cf FINAL glyph is LOST
+                              (pdf.worker.js:36684-36687) */
+            if (e->kind == K_TJSTR) {
+                if (tj_bpend && have_first) {
+                    /* first real glyph of this buffered group: decide
+                     * what the deferred boundary compare leaves of
+                     * the stale register */
+                    tj_stale = rp_boundary_stale(
+                        &st, first_x, st.y + st.rise,
+                        st.size * st.sx, RP_HS(&st));
+                    tj_bpend = 0;
+                }
+                double true0 =
+                    (tj_bpend ? st.wreg : tj_stale) + tj_wacc;
+                if (premin < 1e299 && true0 + premin <= 0.0)
+                    return -3; /* pre-split walk decision would read a
+                                  non-positive register */
+            } else if (have_first) {
+                double true0 = rp_boundary_stale(
+                    &st, first_x, st.y + st.rise,
+                    st.size * st.sx, RP_HS(&st));
+                if (premin < 1e299 && true0 + premin <= 0.0)
+                    return -3;
             }
             if (e->kind == K_TJSTR && tj_fake && olen > mark) {
                 /* deferred kern fake space lands only before a REAL
@@ -1758,7 +1961,11 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         tx = runs[k].seg_first;
                     int rc = rp_show(&st, out, &olen, ocap - tl, base,
                                      st.y + st.rise, tx,
-                                     st.size * st.sx, RP_HS(&st), 1);
+                                     st.size * st.sx, RP_HS(&st), 1,
+                                     k == 0 ? tj_wacc + runs[0].segw
+                                            : runs[k].segw);
+                    if (rc == -3)
+                        return -3;
                     if (rc < 0)
                         return -1;
                     if (rc != 2) {
@@ -1789,9 +1996,27 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     tj_prev_x = prev_x;
                     tj_have_prev = 1;
                 }
+                /* the NEW buffer (the last segment) has its own
+                 * pending boundary vs the freshly-shown item */
+                tj_wacc = lastseg_w;
+                tj_gabs = 0.0;
+                tj_tailw = 0.0;
+                if (lastseg_has) {
+                    tj_stale = rp_boundary_stale(
+                        &st, lastseg_fx, st.y + st.rise,
+                        st.size * st.sx, RP_HS(&st));
+                    tj_bpend = 0;
+                } else {
+                    tj_bpend = 1;
+                }
                 st.cur_x += adv;
             } else if (e->kind == K_TJSTR) {
                 st.cur_x += adv; /* stays staged until K_TJEND */
+                tj_wacc += lastseg_w;
+                if (have_first) {
+                    tj_gabs = 0.0; /* real glyph re-anchors the gap */
+                    tj_tailw = 0.0;
+                }
                 if (have_prev) {
                     tj_prev_x = prev_x;
                     tj_have_prev = 1;
@@ -1826,7 +2051,11 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     int rc = rp_show(&st, out, &olen, ocap - tl, base,
                                      st.y + st.rise, tx,
                                      st.size * st.sx, RP_HS(&st),
-                                     k < nruns ? 1 : have_prev);
+                                     k < nruns ? 1 : have_prev,
+                                     k < nruns ? runs[k].segw
+                                               : lastseg_w);
+                    if (rc == -3)
+                        return -3;
                     if (rc < 0)
                         return -1;
                     if (rc != 2) {
@@ -1854,7 +2083,10 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                 int rc = rp_show(&st, out, &olen, ocap, mark,
                                  st.y + st.rise,
                                  have_first ? first_x : st.cur_x,
-                                 st.size * st.sx, RP_HS(&st), have_prev);
+                                 st.size * st.sx, RP_HS(&st), have_prev,
+                                 lastseg_w);
+                if (rc == -3)
+                    return -3;
                 if (rc < 0)
                     return -1;
                 st.cur_x += adv;
@@ -1884,49 +2116,78 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             st.cur_x -= kf0 / 1000.0 * st.size * st.sx * st.tz;
             if (e->flag)
                 st.cur_x += (double)e->flag * st.tc * st.sx * st.tz;
-            if (st.size > 0.0 && tj_have_prev &&
-                (st.cur_x - tj_prev_x < -0.2 * st.size * st.sx ||
-                 st.cur_x - tj_prev_x > 0.6 * st.size * st.sx)) {
-                /* the kern leaves the in-flow window: pdf.js FLUSHES
-                 * mid-TJ (carriage return / standalone space) and the
-                 * next element's item anchors at the CURRENT pen —
-                 * visible through the pdf-parse join whenever anchors
-                 * differ. End the buffered segment here; the next show
-                 * takes the CR/standalone path naturally. */
-                int rc = rp_show(&st, out, &olen, ocap,
-                                 tjmark < 0 ? olen : tjmark,
-                                 st.y + st.rise,
-                                 tj_have_first ? tj_first_x : tj_start_x,
-                                 st.size * st.sx, RP_HS(&st),
-                                 tj_have_prev);
-                if (rc < 0)
-                    return -1;
-                if (rc != 2) {
-                    st.last_end_x = tj_prev_x;
-                    st.have_last_end_x = 1;
-                }
-                if (tj_kill) {
-                    st.pending_space = 1;
-                    st.pending_multi = 1;
-                    tj_kill = 0;
-                }
-                tjmark = olen;
-                tj_start_x = st.cur_x;
-                tj_have_prev = 0;
-                tj_have_first = 0;
-                tj_tail_sp = 0;
-                tj_fake = 0;
-            } else if (st.size > 0.0) {
-                double kern = kf0 / 1000.0 * st.size;
-                long base = tjmark < 0 ? 0 : tjmark;
-                /* leading kerns: pdf.js's advanceX compares against
-                 * the ONE page-level prevTransform — fall back to it
-                 * for the kill/fake decisions */
+            if (st.size > 0.0) {
+                long base0 = tjmark < 0 ? 0 : tjmark;
+                /* pdf.js's advanceX compares against the ONE
+                 * page-level prevTransform — local buffer anchor
+                 * first, page-level fallback (there is only one
+                 * prevTransform; the flush band sees it too) */
                 int have_g2 = tj_have_prev || st.have_last_end_x;
                 double g2 = tj_have_prev ? st.cur_x - tj_prev_x
                             : st.have_last_end_x
                                 ? st.cur_x - st.last_end_x
                                 : 0.0;
+                double lim = st.size * st.sx;
+                /* excluding the provisional absorb: pdf.js's
+                 * compare hasn't run yet */
+                double reg_k =
+                    (tj_bpend ? st.wreg : tj_stale) + tj_wacc -
+                    tj_tailw;
+                /* a kept SINGLE trailing space in the
+                 * shouldAddWhitepsace window is a FLUSH in pdf.js
+                 * (flushTextContentItem + pushWhitespace) — flush
+                 * eagerly so the register restarts; the pend
+                 * machinery re-materializes the standalone space */
+                long nreal0 = tj_tail_sp > 0 ? tj_tail_sp : 1;
+                int keep1 = olen > base0 && out[olen - 1] == ' ' &&
+                            have_g2 && reg_k > 0.0 &&
+                            0.03 * lim < g2 &&
+                            g2 <= RP_GAP_FRACTION * lim && nreal0 == 1;
+                if (have_g2 && reg_k <= 0.0 && g2 != 0.0)
+                    return -3; /* zero/negative register kern compare:
+                                  the degenerate bands live in Python */
+                if (have_g2 &&
+                    (keep1 || g2 < -0.2 * lim || g2 > 0.6 * lim)) {
+                    /* the kern leaves the in-flow window: pdf.js
+                     * FLUSHES mid-TJ (carriage return / standalone
+                     * space) and the next element's item anchors at
+                     * the CURRENT pen. End the buffered segment; the
+                     * next show takes the CR/standalone path. */
+                    int rc = rp_show(&st, out, &olen, ocap,
+                                     tjmark < 0 ? olen : tjmark,
+                                     st.y + st.rise,
+                                     tj_have_first ? tj_first_x
+                                                   : tj_start_x,
+                                     st.size * st.sx, RP_HS(&st),
+                                     tj_have_prev, tj_wacc - tj_tailw);
+                    if (rc == -3)
+                        return -3;
+                    if (rc < 0)
+                        return -1;
+                    if (rc != 2 && tj_have_prev) {
+                        st.last_end_x = tj_prev_x;
+                        st.have_last_end_x = 1;
+                    }
+                    if (tj_kill) {
+                        st.pending_space = 1;
+                        st.pending_multi = 1;
+                        tj_kill = 0;
+                    }
+                    tjmark = olen;
+                    tj_start_x = st.cur_x;
+                    tj_have_prev = 0;
+                    tj_have_first = 0;
+                    tj_wacc = 0.0;
+                    tj_bpend = 1;
+                    tj_gabs = 0.0;
+                    tj_tailw = 0.0;
+                    tj_tail_sp = 0;
+                    tj_fake = 0;
+                    break;
+                }
+                double kern = kf0 / 1000.0 * st.size;
+                long base = base0;
+                (void)kern;
                 if (olen > base && out[olen - 1] == ' ') {
                     /* pdf.js buffers NO space glyphs: the trailing
                      * run's fate is decided ONCE at the next glyph
@@ -1949,10 +2210,22 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                     long nreal = tj_tail_sp > 0 ? tj_tail_sp : 1;
                     int kill = 0;
                     if (have_g2) {
-                        double lim = st.size * st.sx;
                         kill = g2 <= 0.03 * lim ||
                                (nreal != 1 &&
                                 g2 <= RP_GAP_FRACTION * lim);
+                        if (kill || g2 > RP_GAP_FRACTION * lim) {
+                            /* killed (tracking-else) and in-flow
+                             * outcomes absorb the gap — incrementally
+                             * (g2 is cumulative from a fixed anchor)
+                             * and only once the boundary is resolved
+                             * (while pending, rp_boundary_stale owns
+                             * the whole gap) */
+                            if (!tj_bpend) {
+                                tj_wacc += g2 - tj_gabs;
+                                tj_tailw += g2 - tj_gabs;
+                            }
+                            tj_gabs = g2;
+                        }
                     }
                     if (kill) {
                         while (olen > base && out[olen - 1] == ' ')
@@ -1967,16 +2240,31 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                      * prevTransform the compare never runs, so a
                      * no-anchor kern adds nothing */
                     tj_fake = 1;
+                    if (!tj_bpend) {
+                        tj_wacc += g2 - tj_gabs; /* in-flow absorb */
+                        tj_tailw += g2 - tj_gabs;
+                    }
+                    tj_gabs = g2;
+                } else if (have_g2 && g2 != 0.0) {
+                    /* quiet kern gap: absorbed (width += advanceX) */
+                    if (!tj_bpend) {
+                        tj_wacc += g2 - tj_gabs;
+                        tj_tailw += g2 - tj_gabs;
+                    }
+                    tj_gabs = g2;
                 }
             }
             break;
         }
         case K_ANCHOR:
             if (e->flag == 1 && e->f2 != st.sx && st.line_open &&
-                !st.force_flush)
+                !st.force_flush) {
                 st.scale_flush = 1; /* updateAdvanceScale zeroes the open
                                        item's width; it early-returns on a
                                        closed (flushed) item */
+                st.wreg = 0.0; /* the register stays zero until the
+                                  next append re-opens the item */
+            }
             st.cur_x = e->f0;
             st.y = e->f1;
             st.sx = e->f2;
@@ -2005,6 +2293,10 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             tj_start_x = st.cur_x;
             tj_have_prev = 0;
             tj_have_first = 0;
+            tj_wacc = 0.0;
+            tj_bpend = 1;
+            tj_gabs = 0.0;
+            tj_tailw = 0.0;
             tj_tail_sp = 0;
             tj_kill = 0;
             tj_fake = 0;
@@ -2014,7 +2306,10 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                              tjmark < 0 ? olen : tjmark,
                              st.y + st.rise,
                              tj_have_first ? tj_first_x : tj_start_x,
-                             st.size * st.sx, RP_HS(&st), tj_have_prev);
+                             st.size * st.sx, RP_HS(&st), tj_have_prev,
+                             tj_wacc - tj_tailw);
+            if (rc == -3)
+                return -3;
             if (rc < 0)
                 return -1;
             if (rc != 2 && tj_have_prev) {
@@ -2109,6 +2404,7 @@ done:
     state[20] = st.item_size;
     /* 21-25 (view box) are read-only inputs */
     state[29] = st.sy;
+    state[31] = st.wreg;
     memcpy(qstate, qst, sizeof(double) * (1 + 12 * (size_t)(long)qst[0]));
     state[30] = st.item_hsize;
     state[27] = st.line_ox;

@@ -1806,6 +1806,13 @@ def _span_name(data: bytes, a: int, b: int) -> str:
     return raw.decode("latin-1")
 
 
+class _CDefer(Exception):
+    """The C replay hit a construct whose semantics need the exact
+    width-register model (zero-width glyphs, register <= 0 at a
+    decision, Cf-riding kerns, null-anchor whitespace runs) — the
+    caller re-runs the PAGE through the Python implementation."""
+
+
 class _TextInterp:
     """Content-stream text interpreter. Recurses into Form XObjects on
     ``Do`` (figure labels live there; pdf.js PartialEvaluator does the same),
@@ -1859,6 +1866,22 @@ class _TextInterp:
         # — not the scale of the incoming glyph.
         self.scale_flush = False
         self.item_size = 0.0
+        # item_wreg: the WIDTH REGISTER — pdf.js's
+        # textContentItem.width. It starts at 0 (ensureTextContentItem)
+        # and grows by each appended glyph's scaledDim plus every
+        # ABSORBED compare advance (the tracking-band else and the
+        # in-flow fake-space paths run width += advanceX, which can be
+        # negative: a tightened kern absorbed over a zero-width run
+        # drives the register negative). textOrientation =
+        # Math.sign(width) multiplies every cascade threshold, so
+        # register == 0 degenerates every band (any positive advance
+        # falls outside addFakeSpaces' empty in-flow window: flush +
+        # standalone " " at prevTransform; any negative advance takes
+        # the carriage-return band) and register < 0 inverts them (the
+        # negative-Tz orientation). Like item_size, the register is
+        # STALE across flushes (flushTextContentItem never resets
+        # width; only the next ensureTextContentItem does).
+        self.item_wreg = 0.0
         # sign of the open item's RUNNING width — pdf.js multiplies
         # every cascade threshold by textOrientation = sign(width);
         # mirrored glyphs (negative textHScale) accumulate negative
@@ -1869,6 +1892,9 @@ class _TextInterp:
         self.item_osign = 1
         # FontMap a form inherits from its parent stream (see _INH_FONT)
         self._inh_fm: FontMap | None = None
+        # no_c: this page deferred out of the C replay (_CDefer) —
+        # the rerun takes the Python consumers throughout
+        self.no_c = False
         # item_hsize: the item's CROSS-AXIS height — pdf.js's
         # textContentItem.height = hypot(trm[2], trm[3]), captured at
         # ensureTextContentItem and used for the EOL / 0.25
@@ -1897,7 +1923,8 @@ class _TextInterp:
              dev_w: float = 0.0,
              hsize: float | None = None,
              move_prev: bool = True,
-             mirror: bool = False) -> bool:
+             mirror: bool = False,
+             seg_w: float | None = None) -> bool:
         """Returns True when glyphs were emitted or position-tracked
         (the caller then updates last_end_x / prevTransform), False when
         the item was clipped by the view box.
@@ -2059,8 +2086,37 @@ class _TextInterp:
             space = self.pending_space and not self.pending_multi
             self.pending_space = False
             self.pending_multi = False
-        elif self.item_osign < 0 and ifs > 0.0 and adv is not None:
-            # negative-orientation item (opened under a negative Tz):
+        elif self.item_wreg == 0.0 and ifs > 0.0 and adv is not None:
+            # zero width register (an all-zero-width open item, or the
+            # stale width of a flushed one): textOrientation ==
+            # Math.sign(0) == 0 and every cascade threshold degenerates
+            # (pdf.worker.js:36616-36655) — any negative advance takes
+            # the carriage-return band (or appendEOL past 0.5*height;
+            # both flush), any positive advance falls outside
+            # addFakeSpaces' empty [0, 0] in-flow window (flush +
+            # standalone " " at prevTransform, ring reset), and an
+            # advance of EXACTLY zero resets the ring and absorbs
+            # (width += 0): the item continues.
+            ady = abs(dyg)
+            self.pending_space = False
+            self.pending_multi = False
+            if adv < 0:
+                flush = True
+            elif ady > ihs:
+                flush = True
+            elif adv > 0:
+                space = True
+                standalone = True
+                flush = True
+            # adv == 0: item continues (vertical-shift check below
+            # still applies)
+        elif (
+            (self.item_osign < 0 or self.item_wreg < 0.0)
+            and ifs > 0.0 and adv is not None
+        ):
+            # negative-orientation item (opened under a negative Tz,
+            # or whose register went negative through absorbed
+            # tightened-kern advances over zero-width runs):
             # pdf.js multiplies every threshold by textOrientation =
             # sign(width). The CR window flips to advanceX < +0.2*fs
             # (small letter gaps CR-flush into their own items, joined
@@ -2121,6 +2177,15 @@ class _TextInterp:
                     standalone = (
                         adv > 0.6 * ifs or flush or not self.line_open
                     )
+                    if not standalone:
+                        # in-flow fake space: pdf.js ALSO absorbs the
+                        # advance into the width register
+                        # (pdf.worker.js:36641-36651)
+                        self.item_wreg += adv
+                else:
+                    # quiet gap (notASpace / tracking absorb): pdf.js
+                    # runs width += advanceX (pdf.worker.js:36641)
+                    self.item_wreg += adv
                 self.pending_space = False
                 self.pending_multi = False
                 if adv > 0.6 * ifs or ady > 0.25 * ihs:
@@ -2165,6 +2230,22 @@ class _TextInterp:
             self.item_size = fs
             self.item_hsize = hs
             self.item_osign = -1 if mirror else 1
+            # ensureTextContentItem resets the width register; the
+            # append contributes the segment's own glyph widths plus
+            # its internally-absorbed gaps (seg_w). Callers that can't
+            # compute it pass None: derive zero when no emitted glyph
+            # had scaledDim != 0 (the move_prev condition), else a
+            # positive stand-in (sign-exact, magnitude approximate —
+            # the rotated per-glyph paths).
+            self.item_wreg = (
+                seg_w if seg_w is not None
+                else (0.0 if not move_prev else (fs if fs > 0 else 1.0))
+            )
+        else:
+            self.item_wreg += (
+                seg_w if seg_w is not None
+                else (0.0 if not move_prev else (fs if fs > 0 else 1.0))
+            )
         self.pieces.append(core)
         self.line_open = True
         self.last_char = core[-1]
@@ -2311,11 +2392,100 @@ class _TextInterp:
         stale = self.item_size if self.item_size > 0 else fs
         return ktc > 0.6 * stale or ktc > 0.6 * fs
 
+    def _inline_wcontrib(self, fm, item: bytes, dec: str, adv: float,
+                         tc: float, tw: float, sxz: float,
+                         kx: float, anchored: bool = True) -> float:
+        """WIDTH-REGISTER contribution of an element appended on the
+        inline (no-split) path: appended glyph widths + absorbed
+        intra-element gaps, accumulated ADDITIVELY the way pdf.js does
+        (width += scaledDim per glyph, width += advanceX per absorbed
+        compare) so an all-zero-width element contributes an EXACT
+        zero — a subtractive formula leaves float dust that flips
+        textOrientation. Edge whitespace runs are excluded (a leading
+        run belongs to the deferred boundary compare's gap, a trailing
+        run to the next compare's); internal in-flow runs stay
+        included (pdf.worker.js:36641-36651)."""
+        if not dec.strip(" "):
+            return 0.0
+        if fm.nbytes != 1 or len(dec) != len(item) - fm.ncf(item):
+            # multi-byte / ligature decodes: advance-based estimate
+            return adv - tc * sxz
+        widths, dw = fm.widths, fm.default_width
+        cf = fm._cf_arr
+        ktcw = (tc + tw) * sxz
+        ktc = tc * sxz
+        contrib = 0.0
+        pend_gap = None  # gap since the last real glyph; None = lead
+        di = 0
+        for code in item:
+            if cf is not None and cf[code]:
+                continue  # Cf: invisible, zero advance
+            ch = dec[di]
+            di += 1
+            w = widths.get(code, dw)
+            if code == 0x20 or ch == " ":
+                if pend_gap is not None:
+                    pend_gap += w * kx + ktcw
+            else:
+                if (
+                    pend_gap is not None and pend_gap != 0.0
+                    and anchored
+                ):
+                    # absorbed quiet/in-flow gap — only when a
+                    # prevTransform anchors the compare (pdf.js
+                    # early-returns on a null prev: no absorb)
+                    contrib += pend_gap
+                contrib += w * kx
+                pend_gap = ktc
+                if w:
+                    anchored = True
+        return contrib
+
+    def _tj_boundary_stale(self, tx: float | None, dev_y: float,
+                           fs: float, hs: float | None) -> float:
+        """The width register a deferred TJ-group boundary compare
+        leaves behind: 0.0 when the compare will FLUSH (the next
+        ensureTextContentItem resets the register), item_wreg + gap
+        when it absorbs, item_wreg untouched when it never runs (null
+        prevTransform / equal position). Mirrors show()'s flush
+        outcomes — used ONLY for the live mid-TJ register model, never
+        for emission."""
+        if self.force_flush or not self.line_open:
+            return 0.0
+        if self.scale_flush:
+            return 0.0  # register zeroed by updateAdvanceScale
+        gx, gy = self.last_end_x, self.glyph_y
+        if gx is None or gy is None or tx is None:
+            return self.item_wreg  # null prev: appends, no compare
+        adv = tx - gx
+        dyg = dev_y - gy
+        if adv == 0.0 and dyg == 0.0:
+            return self.item_wreg  # equal-position shortcut
+        ifs = self.item_size if self.item_size > 0 else fs
+        ihs = self.item_hsize if self.item_hsize > 0 else (
+            hs if hs is not None and hs > 0 else fs
+        )
+        if ifs <= 0.0:
+            return 0.0 if abs(dyg) > spec.Y_TOLERANCE else self.item_wreg
+        if ihs > 0.0 and abs(dyg) > 0.25 * ihs:
+            return 0.0  # vertical-shift flush
+        if self.item_wreg == 0.0:
+            return 0.0  # flush at any nonzero gap; 0 absorb keeps 0
+        if self.item_osign < 0 or self.item_wreg < 0.0:
+            return 0.0  # inverted windows: every nonzero gap flushes
+        if adv < -0.2 * ifs or adv > 0.6 * ifs:
+            return 0.0  # CR / outside-window flush
+        pend1 = self.pending_space and not self.pending_multi
+        if pend1 and 0.03 * ifs < adv <= self.GAP_FRACTION * ifs:
+            return 0.0  # shouldAddWhitepsace standalone flush
+        return self.item_wreg + adv  # absorbed (width += advanceX)
+
     def _seg_split(self, fm: FontMap, item: bytes, dec: str, start_x: float,
                    size: float, sxz: float, tc: float, tw: float,
                    fs: float, prev0: float | None = None,
                    fallback_prev: float | None = None,
-                   zw_mode: bool = False):
+                   zw_mode: bool = False,
+                   reg0: float | None = None):
         """Per-glyph item splitting at quadrant 0 (VERDICT r3 missing #1).
 
         pdf.js runs compareWithLastPosition at every glyph
@@ -2395,6 +2565,20 @@ class _TextInterp:
         # CR / standalone-" "-at-prevTransform path (an adjacency split
         # is output-neutral whenever the cascade would NOT flush)
         per_glyph = any(ktc < -0.2 * c_ or ktc > 0.6 * c_ for c_ in cands)
+        # reg0: the caller's live WIDTH REGISTER (pdf.js
+        # textContentItem.width) at this item's first glyph.
+        # textOrientation = sign(register) multiplies every band
+        # threshold, so while the register is <= 0 every space run and
+        # every nonzero glyph adjacency splits (show()'s zero/negative
+        # register branches decide flush / CR / standalone " "
+        # exactly). The walk evolves it like pdf.js does: appended
+        # glyph widths grow it, absorbed quiet/in-flow gaps add
+        # (possibly negative) advances, and each split re-zeroes it
+        # (the new segment re-runs ensureTextContentItem). None = a
+        # positive stand-in (callers without the live value).
+        reg_live = reg0 if reg0 is not None else (fs if fs > 0 else 1.0)
+        if reg_live <= 0.0 and prev_end is None:
+            prev_end = fallback_prev
         if zw_mode:
             # zero-width glyphs stall prevTransform, so every adjacency
             # can read a stale gap: run the compare per glyph for the
@@ -2408,6 +2592,9 @@ class _TextInterp:
                 prev_end = fallback_prev
         cf = fm._cf_arr
         di = 0  # dec index: Cf codes decode to "" and occupy no slot
+        seg_hadw = False  # current segment appended a width!=0 glyph
+        seg_wacc = 0.0  # current segment's register contribution
+        rewrote = False  # a null-anchor run was dropped (text changed)
         for k in range(n):
             code = item[k]
             if cf is not None and cf[code]:
@@ -2442,50 +2629,118 @@ class _TextInterp:
                     run_prev_end = prev_end
                 if run_open:
                     run_buf.append(ch)
+                elif cur_seg or seg_first is not None:
+                    # INTERNAL run with a NULL anchor (no prevTransform
+                    # anywhere — an all-zero-width prefix): pdf.js's
+                    # compare at the next glyph early-returns before
+                    # any band, so the run's fate is purely ring-driven
+                    # (saveLastChar, pdf.worker.js:36373-36378): ONE
+                    # whitespace glyph materializes " " at the append,
+                    # a run of 2+ leaves the ring [' ',' '] and vanishes
+                    run_open = True
+                    run_prev_end = None  # marks the null-anchor run
+                    run_buf.append(ch)
                 else:
                     cur_seg.append(ch)
             else:
-                if run_open:
+                if run_open and run_prev_end is None:
+                    # null-anchor internal run (see above): ring-driven
+                    # fate — exactly one saved space materializes, a
+                    # multi-glyph run leaves the ring at [' ',' ']
+                    if len(run_buf) == 1:
+                        cur_seg.append(" ")
+                    else:
+                        rewrote = True  # text changed: must return segs
+                    run_buf = []
+                    run_open = False
+                elif run_open:
                     a = px - run_prev_end
                     if (
-                        not all(0.102 * c_ < a <= 0.6 * c_ for c_ in cands)
+                        (
+                            # register <= 0: the in-flow window is
+                            # empty (orientation 0) or inverted
+                            # (orientation -1) — every run splits
+                            reg_live <= 0.0
+                            or not all(
+                                0.102 * c_ < a <= 0.6 * c_ for c_ in cands
+                            )
+                        )
                         and (out is None or len(out) < self.MAX_SEG_SPLITS)
                     ):
                         if out is None:
                             out = []
                         out.append(
-                            ("".join(cur_seg), seg_first, run_prev_end)
+                            ("".join(cur_seg), seg_first, run_prev_end,
+                             seg_hadw, seg_wacc)
                         )
                         cur_seg = run_buf
                         seg_first = None
+                        seg_hadw = False
+                        seg_wacc = 0.0
+                        reg_live = 0.0  # new item: register re-zeroes
                     else:
+                        # in-flow run: pdf.js absorbs the advance into
+                        # the width register (width += advanceX)
                         cur_seg.extend(run_buf)
+                        reg_live += a
+                        seg_wacc += a
                     run_buf = []
                     run_open = False
                 elif (
-                    (per_glyph or prev_rej) and prev_end is not None
+                    (
+                        per_glyph or prev_rej
+                        # register <= 0: any nonzero adjacency gap
+                        # flushes (equal positions take pdf.js's
+                        # shortcut — no decision, no split needed)
+                        or (reg_live <= 0.0 and px != prev_end)
+                    )
+                    and prev_end is not None
                     and seg_first is not None
                     and (out is None or len(out) < self.MAX_SEG_SPLITS)
                 ):
                     if out is None:
                         out = []
-                    out.append(("".join(cur_seg), seg_first, prev_end))
+                    out.append(
+                        ("".join(cur_seg), seg_first, prev_end,
+                         seg_hadw, seg_wacc)
+                    )
                     cur_seg = []
                     seg_first = None
+                    seg_hadw = False
+                    seg_wacc = 0.0
+                    reg_live = 0.0  # new item: register re-zeroes
+                elif (
+                    prev_end is not None and px != prev_end
+                    and seg_first is not None
+                ):
+                    # quiet INTRA-segment adjacency gap (charSpacing
+                    # within the absorb windows): pdf.js width +=
+                    # advanceX. The item-boundary compare (seg_first
+                    # None) belongs to the caller — its kern band /
+                    # show()-time cascade decides AND absorbs it.
+                    reg_live += px - prev_end
+                    seg_wacc += px - prev_end
                 if seg_first is None:
                     seg_first = px
                 if w:
                     # zero-width glyphs never move prevTransform
                     prev_end = px + w * kx
+                    seg_hadw = True
+                reg_live += w * kx
+                seg_wacc += w * kx
                 cur_seg.append(ch)
             wsum += w
             g += 1
             if sp:
                 nsp += 1  # Tw rides every whitespace-category glyph
-        if out is None:
+        if out is None and not rewrote:
             return None
+        if out is None:
+            out = []
         cur_seg.extend(run_buf)
-        out.append(("".join(cur_seg), seg_first, prev_end))
+        out.append(
+            ("".join(cur_seg), seg_first, prev_end, seg_hadw, seg_wacc)
+        )
         return out, nclip, lclip
 
     @staticmethod
@@ -2764,7 +3019,7 @@ class _TextInterp:
         for every K_FONT event. None when any font used by the stream
         can't take the C path (multi-byte, RTL-capable, failed build) —
         the caller then replays the events in Python."""
-        if not cinterp.REPLAY:
+        if not cinterp.REPLAY or self.no_c:
             return None
         font_idx = _np.full(len(ev), -1, _np.int32)
         specs = [_ASCII_FM.cspec()]
@@ -2851,11 +3106,18 @@ class _TextInterp:
             st[19] = 1.0 if self.scale_flush else 0.0
             st[20] = self.item_size
             st[30] = self.item_hsize
+            st[31] = self.item_wreg
             while True:
                 ret, olen = cinterp.replay(
                     data, ev, i, font_idx, tbytes, toff, widths, st, out,
                     scratch, qst, cats,
                 )
+                if ret == -3:
+                    # width-register-sensitive construct: the page is
+                    # re-run through the exact Python model (the
+                    # per-page interp is discarded, so partial state
+                    # and already-committed pieces don't matter)
+                    raise _CDefer()
                 if ret >= 0:
                     break
                 out = _np.empty(len(out) * 2, _np.uint8)
@@ -2876,6 +3138,7 @@ class _TextInterp:
             self.scale_flush = bool(st[19])
             self.item_size = float(st[20])
             self.item_hsize = float(st[30])
+            self.item_wreg = float(st[31])
             if ret >= nev:
                 return
             # paintXObject flushes before resolving anything (images,
@@ -2977,6 +3240,33 @@ class _TextInterp:
         # MULTI run right after the buffer itself is shown (the show's
         # own decision must still see the pre-TJ pend state).
         tj_kill = False
+        # the buffered group appended a width!=0 glyph since the last
+        # flush (tj_prev carries VALUES across all-zero-width segments,
+        # so it can't stand in for prevTransform movement)
+        tj_hadw = False
+        # the buffered group's WIDTH-REGISTER contribution since the
+        # last flush: appended glyph widths + absorbed quiet/in-flow
+        # gaps (kern rows included). The live register mid-TJ is
+        # tj_stale + tj_wacc, where tj_stale is what the DEFERRED
+        # group-boundary compare leaves of item_wreg (0 on flush,
+        # item_wreg + gap on absorb) — evaluated at the group's first
+        # real glyph (_tj_boundary_stale)
+        tj_wacc = 0.0
+        tj_stale = 0.0
+        tj_bpend = True  # boundary not yet evaluated for this buffer
+        # cumulative kern gap already absorbed since the last real-
+        # glyph append (gap2 is measured from a FIXED anchor, so
+        # successive kern rows see cumulative values — absorb deltas)
+        tj_gabs = 0.0
+        # the CURRENT (unconsumed) boundary's absorbed contribution
+        # inside tj_wacc: pdf.js only runs width += advanceX at the
+        # NEXT real glyph's compare, so until one arrives the eager
+        # absorb is provisional — a show() that hands the buffer off
+        # (TJ end / mid-TJ kern flush) must exclude it, because the
+        # next show's own boundary compare re-derives the same gap
+        # from positions (tx - last_end_x) and absorbs it there.
+        # Reset to 0 when a real glyph consumes the boundary.
+        tj_tailw = 0.0
         # deferred kern fake space: pdf.js only decides at the NEXT
         # real glyph — if the next group leads with space glyphs their
         # advances (tw can be negative!) change the gap, so the space
@@ -3022,6 +3312,30 @@ class _TextInterp:
                 zw_item = (
                     fm.has_zw(item) and _RTL_RUN.search(dec) is None
                 )
+                if kind == 6 and tj_bpend and dec.strip(" "):
+                    # first real glyph of this buffered group: decide
+                    # what the deferred boundary compare leaves of the
+                    # stale register
+                    fxp = (
+                        self._first_x(
+                            fm, item, dec, cur_x, size, sx * tz, tc, tw
+                        )
+                        if fm.nbytes == 1 else None
+                    )
+                    tj_stale = self._tj_boundary_stale(
+                        fxp if fxp is not None else cur_x, y + rise,
+                        size * sx, (size * abs(sy)) if sy else None,
+                    )
+                    tj_bpend = False
+                # the live width register at this element's first
+                # glyph: textOrientation = sign(register), so a
+                # non-positive register makes every nonzero intra-item
+                # gap flush — run the per-glyph walk
+                reg0_el = (
+                    (tj_stale if not tj_bpend else self.item_wreg)
+                    + tj_wacc
+                    if kind == 6 else self.item_wreg
+                )
                 # seg-split FIRST (it box-rejects glyphs itself,
                 # mirroring pdf.js's test at the top of
                 # compareWithLastPosition); _clip_x is the inline-path
@@ -3035,6 +3349,7 @@ class _TextInterp:
                         or tc < 0.0
                         or self._big_tc(tc, sx * tz, size * sx)
                         or zw_item
+                        or reg0_el <= 0.0
                         # x-straddle: a rejected glyph's gap can split
                         or (
                             vb is not None
@@ -3047,6 +3362,7 @@ class _TextInterp:
                         size * sx, prev0=prev0,
                         fallback_prev=self.last_end_x,
                         zw_mode=zw_item,
+                        reg0=reg0_el,
                     )
                     if r is not None:
                         segs, nclip, lclip = r
@@ -3054,7 +3370,9 @@ class _TextInterp:
                             # TJ/pend bookkeeping below runs on the
                             # VISIBLE text (pdf.js's ring only ever
                             # saw emitted glyphs)
-                            dec = "".join(t for t, _f, _p in segs)
+                            dec = "".join(
+                                t for t, _f, _p, _h, _w in segs
+                            )
                 if segs is None and (
                     vb is not None
                     and fm.nbytes == 1
@@ -3094,8 +3412,42 @@ class _TextInterp:
                             item[-1] == 0x20
                             or fm.decode(item[-1:]) == " "
                         )
+                    if (
+                        item and fm.nbytes == 1
+                        and fm._cf_arr is not None
+                        and fm._cf_arr[item[-1]]
+                    ):
+                        # Cf final glyph (soft hyphen / ZWJ): pdf.js
+                        # skips isInvisibleFormatMark BEFORE computing
+                        # charSpacing, so the riding extraSpacing is
+                        # LOST with it (pdf.worker.js:36684-36687)
+                        tj_last_clip = True
                 lg = (size > 0 and tc * tz > self.GAP_FRACTION * size
       and not zw_item)  # zw items: the cascade decides
+                if kind == 6 and dec and tj_prev is None \
+                        and self.last_end_x is None:
+                    # NULL-anchor ring across the buffer join: a
+                    # whitespace run spanning the buffer tail and this
+                    # element's lead reaches the next real glyph with
+                    # pdf.js's ring at [' ',' '] when 2+ glyphs were
+                    # saved — no space materializes (saveLastChar,
+                    # pdf.worker.js:36373-36378); exactly one saved
+                    # glyph pushes the single " " the literal join
+                    # already keeps
+                    txt0 = segs[0][0] if segs is not None else dec
+                    lead = len(txt0) - len(txt0.lstrip(" "))
+                    if txt0.strip(" ") and tj_tail_sp + lead >= 2:
+                        if tj_tail_sp and tj_buf:
+                            tj_buf[-1] = tj_buf[-1].rstrip(" ")
+                        if lead:
+                            if segs is not None:
+                                t0_, f0s, p0s, h0s, w0s = segs[0]
+                                segs[0] = (
+                                    t0_.lstrip(" "), f0s, p0s, h0s, w0s
+                                )
+                            else:
+                                dec = dec.lstrip(" ")
+                        tj_tail_sp = 0
                 if kind == 6 and tj_fake_pend and dec:
                     if not dec.startswith(" "):
                         tj_buf.append(" ")
@@ -3113,11 +3465,30 @@ class _TextInterp:
                     # _seg_split). TJ: the first segment completes the
                     # buffered group, the last becomes the new buffer.
                     sub = [
-                        (" ".join(t) if lg else t, sfx, spv)
-                        for t, sfx, spv in segs
+                        (" ".join(t) if lg else t, sfx, spv, hw, sw)
+                        for t, sfx, spv, hw, sw in segs
                     ]
+                    if kind == 6 and len(sub) == 1:
+                        # no split point — the walk only REWROTE the
+                        # text (null-anchor run): plain append, using
+                        # the walk's own first/prev values
+                        d0, f0_, p0, h0, w0 = sub[0]
+                        tj_buf.append(d0)
+                        if d0.strip(" "):
+                            tj_kill = False
+                        if tj_first is None:
+                            tj_first = f0_
+                        cur_x += adv
+                        tj_wacc += w0
+                        if d0.strip(" "):
+                            tj_gabs = 0.0
+                            tj_tailw = 0.0
+                        if p0 is not None and h0:
+                            tj_prev = p0
+                            tj_hadw = True
+                        continue
                     if kind == 6:
-                        d0, f0_, p0 = sub[0]
+                        d0, f0_, p0, h0, w0 = sub[0]
                         if d0.strip(" "):
                             # real glyphs of THIS item precede the
                             # split: the ring rolled — the killed-run
@@ -3129,28 +3500,51 @@ class _TextInterp:
                                 fx0 if fx0 is not None else tj_start_x,
                                 size * sx,
                                 hsize=(size * abs(sy)) if sy else None,
-                                move_prev=p0 is not None):
+                                # prevTransform moves only on a
+                                # width!=0 glyph — a carried VALUE
+                                # (all-zero-width segment) must not
+                                # refresh glyph_y to this line
+                                move_prev=(
+                                    p0 is not None and (tj_hadw or h0)
+                                ),
+                                seg_w=tj_wacc + w0):
                             self.last_end_x = p0
                         if tj_kill:
                             self.pending_space = True
                             self.pending_multi = True
                             tj_kill = False
-                        for dmid, fmid, pmid in sub[1:-1]:
+                        for dmid, fmid, pmid, hmid, wmid in sub[1:-1]:
                             if show(dmid, y + rise, fmid, size * sx,
                                     hsize=(size * abs(sy)) if sy else None,
-                                    move_prev=pmid is not None):
+                                    move_prev=pmid is not None and hmid,
+                                    seg_w=wmid):
                                 self.last_end_x = pmid
-                        dl, fl, pl = sub[-1]
+                        dl, fl, pl, hl, wl = sub[-1]
                         tj_buf = [dl]
                         tj_first = fl
                         tj_start_x = fl
                         tj_prev = pl
+                        tj_hadw = hl
+                        tj_wacc = wl
+                        tj_gabs = 0.0
+                        tj_tailw = 0.0
+                        # the NEW buffer (the last segment) has its own
+                        # pending boundary vs the freshly-shown item
+                        if dl.strip(" "):
+                            tj_stale = self._tj_boundary_stale(
+                                fl, y + rise, size * sx,
+                                (size * abs(sy)) if sy else None,
+                            )
+                            tj_bpend = False
+                        else:
+                            tj_bpend = True
                         cur_x += adv
                     else:
-                        for dseg, fseg, pseg in sub:
+                        for dseg, fseg, pseg, hseg, wseg in sub:
                             if show(dseg, y + rise, fseg, size * sx,
                                     hsize=(size * abs(sy)) if sy else None,
-                                    move_prev=pseg is not None):
+                                    move_prev=pseg is not None and hseg,
+                                    seg_w=wseg):
                                 self.last_end_x = pseg
                         cur_x += adv
                     continue
@@ -3181,8 +3575,22 @@ class _TextInterp:
                             fm, item, dec, cur_x, size, sx * tz, tc, tw
                         )
                     cur_x += adv
+                    tj_wacc += self._inline_wcontrib(
+                        fm, item, dec, adv, tc, tw, sx * tz,
+                        size / 1000.0 * sx * tz,
+                        anchored=(
+                            tj_prev is not None
+                            or self.last_end_x is not None
+                        ),
+                    )
+                    if dec.strip(" "):
+                        tj_gabs = 0.0
+                        tj_tailw = 0.0
                     if prev is not None:
                         tj_prev = prev
+                        # _prev_x is per-item: non-None means THIS
+                        # element emitted a width!=0 glyph
+                        tj_hadw = True
                 else:
                     fx = (
                         self._first_x(
@@ -3197,6 +3605,11 @@ class _TextInterp:
                         size * sx,
                         hsize=(size * abs(sy)) if sy else None,
                         move_prev=prev is not None,
+                        seg_w=self._inline_wcontrib(
+                            fm, item, dec, adv, tc, tw, sx * tz,
+                            size / 1000.0 * sx * tz,
+                            anchored=self.last_end_x is not None,
+                        ),
                     )
                     cur_x += adv
                     # prevTransform = after the last emitted NON-SPACE
@@ -3233,13 +3646,40 @@ class _TextInterp:
                     # leading kerns have no TJ-internal anchor, but
                     # pdf.js's advanceX at the next glyph compares
                     # against the ONE page-level prevTransform — fall
-                    # back to it for the kill/fake decisions
+                    # back to it for every decision (there is only one
+                    # prevTransform; the flush bands see it too)
                     gap2 = gap
                     if gap2 is None and self.last_end_x is not None:
                         gap2 = cur_x - self.last_end_x
                     lim = size * sx
-                    if gap is not None and (
-                        gap < -0.2 * lim or gap > 0.6 * lim
+                    # live width register at the next glyph's compare:
+                    # a non-positive register degenerates/inverts every
+                    # window — ANY nonzero gap flushes (show()'s zero/
+                    # negative register branches then take the CR /
+                    # standalone-space band exactly)
+                    # EXCLUDING the current boundary's provisional
+                    # absorb (tj_tailw): pdf.js's compare — which
+                    # hasn't run yet — reads the register from before
+                    # any of this boundary's width += advanceX
+                    reg_k = (
+                        tj_stale if not tj_bpend else self.item_wreg
+                    ) + tj_wacc - tj_tailw
+                    # a kept SINGLE trailing space in the
+                    # shouldAddWhitepsace window is a FLUSH in pdf.js
+                    # (flushTextContentItem + pushWhitespace,
+                    # pdf.worker.js:36634-36639) — flush eagerly so
+                    # the register restarts; the pend machinery then
+                    # re-materializes the standalone space
+                    keep1 = (
+                        tj_buf and tj_buf[-1].endswith(" ")
+                        and gap2 is not None and reg_k > 0.0
+                        and 0.03 * lim < gap2 <= self.GAP_FRACTION * lim
+                        and (tj_tail_sp if tj_tail_sp > 0 else 1) == 1
+                    )
+                    if gap2 is not None and (
+                        keep1
+                        or (reg_k <= 0.0 and gap2 != 0.0)
+                        or gap2 < -0.2 * lim or gap2 > 0.6 * lim
                     ):
                         # the kern leaves the in-flow window: pdf.js
                         # FLUSHES mid-TJ (carriage return / standalone
@@ -3255,7 +3695,11 @@ class _TextInterp:
                                 else tj_start_x,
                                 size * sx,
                                 hsize=(size * abs(sy)) if sy else None,
-                                move_prev=tj_prev is not None,
+                                move_prev=tj_hadw,
+                                # an unconsumed earlier absorb stays
+                                # with the boundary: the next show's
+                                # compare re-derives it from positions
+                                seg_w=tj_wacc - tj_tailw,
                             )
                             and tj_prev is not None
                         ):
@@ -3268,6 +3712,11 @@ class _TextInterp:
                         tj_start_x = cur_x
                         tj_prev = None
                         tj_first = None
+                        tj_hadw = False
+                        tj_wacc = 0.0
+                        tj_bpend = True
+                        tj_gabs = 0.0
+                        tj_tailw = 0.0
                         tj_tail_sp = 0
                         tj_fake_pend = False
                     elif tj_buf and tj_buf[-1].endswith(" "):
@@ -3296,6 +3745,20 @@ class _TextInterp:
                                 n_real != 1
                                 and gap2 <= self.GAP_FRACTION * lim
                             )
+                            if kill or gap2 > self.GAP_FRACTION * lim:
+                                # killed (tracking-else) and in-flow
+                                # outcomes absorb the gap into the
+                                # width register (width += advanceX,
+                                # pdf.worker.js:36641-36651) —
+                                # incrementally (gap2 is cumulative
+                                # from a fixed anchor) and only once
+                                # the boundary is resolved (while
+                                # pending, _tj_boundary_stale owns
+                                # the whole gap)
+                                if not tj_bpend:
+                                    tj_wacc += gap2 - tj_gabs
+                                    tj_tailw += gap2 - tj_gabs
+                                tj_gabs = gap2
                         else:
                             kill = False
                         if kill:
@@ -3308,6 +3771,16 @@ class _TextInterp:
                         # prevTransform the compare never runs, so a
                         # no-anchor kern adds nothing
                         tj_fake_pend = True
+                        if not tj_bpend:
+                            tj_wacc += gap2 - tj_gabs  # in-flow absorb
+                            tj_tailw += gap2 - tj_gabs
+                        tj_gabs = gap2
+                    elif gap2 is not None and gap2 != 0.0:
+                        # quiet kern gap: absorbed (width += advanceX)
+                        if not tj_bpend:
+                            tj_wacc += gap2 - tj_gabs
+                            tj_tailw += gap2 - tj_gabs
+                        tj_gabs = gap2
             elif kind == 1:  # ANCHOR: new line origin
                 if (
                     flag == 1 and f2 != sx and self.line_open
@@ -3319,7 +3792,10 @@ class _TextInterp:
                     # (pdf.worker.js updateAdvanceScale) — after a
                     # deferred flush (Tf/Do/stream end arms force_flush)
                     # the item is closed, so the scale change is a no-op.
+                    # The width register is now zero and STAYS zero until
+                    # the next append re-opens the item (item_wreg).
                     self.scale_flush = True
+                    self.item_wreg = 0.0
                 cur_x = f0
                 y = f1
                 sx = f2
@@ -3340,6 +3816,11 @@ class _TextInterp:
                 tj_start_x = cur_x
                 tj_prev = None
                 tj_first = None
+                tj_hadw = False
+                tj_wacc = 0.0
+                tj_bpend = True
+                tj_gabs = 0.0
+                tj_tailw = 0.0
                 tj_tail_sp = 0
                 tj_kill = False
                 tj_fake_pend = False
@@ -3350,7 +3831,12 @@ class _TextInterp:
                         tj_first if tj_first is not None else tj_start_x,
                         size * sx,
                         hsize=(size * abs(sy)) if sy else None,
-                        move_prev=tj_prev is not None,
+                        move_prev=tj_hadw,
+                        # a trailing kern's provisional absorb stays
+                        # with the boundary — the NEXT show's compare
+                        # re-derives it from tx - last_end_x (pdf.js
+                        # only absorbs at that compare)
+                        seg_w=tj_wacc - tj_tailw,
                     )
                     and tj_prev is not None
                 ):
@@ -3581,7 +4067,8 @@ class _TextInterp:
         def _show_item(dec: str, prev: float | None, adv: float,
                        fx: float | None = None,
                        dev_w: float = 0.0,
-                       adv_clip: float | None = None) -> bool:
+                       adv_clip: float | None = None,
+                       seg_w: float | None = None) -> bool:
             # one item through the assembler: compute compare-frame +
             # device coordinates for the CURRENT matrix mode, show,
             # advance the pen, update prevTransform. fx = the first
@@ -3612,6 +4099,7 @@ class _TextInterp:
                     dev_w=dev_w, hsize=size * csy,
                     move_prev=prev is not None,
                     mirror=tz_mirror,
+                    seg_w=seg_w,
                 )
                 cur_x += adv if shown or adv_clip is None else adv_clip
                 if shown and prev is not None:
@@ -3631,6 +4119,7 @@ class _TextInterp:
                 dev_w=dev_w, hsize=size * csy,
                 move_prev=prev is not None,
                 mirror=tz_mirror,
+                seg_w=seg_w,
             )
             cur_x += adv if shown or adv_clip is None else adv_clip
             if shown and prev is not None:
@@ -3787,6 +4276,7 @@ class _TextInterp:
                         # pdf.js compares the hypot-based scale, which a
                         # pure rotation change leaves untouched)
                         self.scale_flush = True
+                        self.item_wreg = 0.0
                     cur_x, cross_v = _swapq(ax, ay)
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
@@ -3863,12 +4353,14 @@ class _TextInterp:
                         and not zw_item  # zw: the cascade decides
                     )
                     segs = None
+                    reg0_el = self.item_wreg
                     if (
                         quad == 0 and fm.nbytes == 1 and size > 0
                         and len(dec) == len(item) - fm.ncf(item)
                         and (" " in dec[1:-1] or tc < 0.0
                              or self._big_tc(tc, asx * tz, size * asx)
                              or zw_item
+                             or reg0_el <= 0.0
                              or (vb is not None and (
                                  cur_x < vb[0]
                                  or cur_x + advance(item) > vb[2])))
@@ -3877,6 +4369,7 @@ class _TextInterp:
                             fm, item, dec, cur_x, size, asx * tz, tc, tw,
                             size * asx, fallback_prev=self.last_end_x,
                             zw_mode=zw_item,
+                            reg0=reg0_el,
                         )
                         if r_ is not None:
                             segs, nclip, lclip = r_
@@ -3897,10 +4390,14 @@ class _TextInterp:
                     if segs is not None:
                         # per-glyph item splitting at quad 0 (_seg_split)
                         sh0 = None
-                        for sd, sfx, spv in segs:
+                        for sd, sfx, spv, shw, sww in segs:
                             if lg:
                                 sd = " ".join(sd)
-                            r = _show_item(sd, spv, 0.0, fx=sfx)
+                            # carried prev VALUES (all-zero-width
+                            # segments) must not move prevTransform
+                            r = _show_item(sd, spv if shw else None,
+                                           0.0, fx=sfx,
+                                           seg_w=sww)
                             if sh0 is None:
                                 sh0 = r
                         cur_x += (
@@ -3933,6 +4430,11 @@ class _TextInterp:
                             else None
                         ),
                         adv_clip=advance_clip(item),
+                        seg_w=self._inline_wcontrib(
+                            fm, item, dec, advance(item), tc, tw,
+                            asx * tz, size / 1000.0 * asx * tz,
+                            anchored=self.last_end_x is not None,
+                        ),
                     )
                 elif op in (b"'", b'"') and have_font:
                     if plm is not None:  # compose against the cloned lm
@@ -3969,6 +4471,7 @@ class _TextInterp:
                             and not zw_item  # zw: the cascade decides
                         )
                         segs = None
+                        reg0_el = self.item_wreg
                         if (
                             quad == 0 and fm.nbytes == 1 and size > 0
                             and len(dec) == len(item) - fm.ncf(item)
@@ -3976,6 +4479,7 @@ class _TextInterp:
                                  or self._big_tc(tc, asx * tz,
                                                  size * asx)
                                  or zw_item
+                                 or reg0_el <= 0.0
                                  or (vb is not None and (
                                      cur_x < vb[0]
                                      or cur_x + advance(item)
@@ -3986,6 +4490,7 @@ class _TextInterp:
                                 tc, tw, size * asx,
                                 fallback_prev=self.last_end_x,
                                 zw_mode=zw_item,
+                                reg0=reg0_el,
                             )
                             if r_ is not None:
                                 segs, nclip, lclip = r_
@@ -4005,10 +4510,12 @@ class _TextInterp:
                             clipped_item = nclip > 0
                         if segs is not None:
                             sh0 = None
-                            for sd, sfx, spv in segs:
+                            for sd, sfx, spv, shw, sww in segs:
                                 if lg:
                                     sd = " ".join(sd)
-                                r = _show_item(sd, spv, 0.0, fx=sfx)
+                                r = _show_item(sd, spv if shw else None,
+                                               0.0, fx=sfx,
+                                               seg_w=sww)
                                 if sh0 is None:
                                     sh0 = r
                             cur_x += (
@@ -4043,6 +4550,11 @@ class _TextInterp:
                                 else None
                             ),
                             adv_clip=advance_clip(item),
+                            seg_w=self._inline_wcontrib(
+                                fm, item, dec, advance(item), tc, tw,
+                                asx * tz, size / 1000.0 * asx * tz,
+                                anchored=self.last_end_x is not None,
+                            ),
                         )
                 elif (
                     op == b"TJ" and have_font
@@ -4095,6 +4607,17 @@ class _TextInterp:
                     start_x = cur_x
                     tjprev: float | None = None
                     tjfirst: float | None = None
+                    # buffered group appended a width!=0 glyph since
+                    # the last flush (see the event consumer's tj_hadw)
+                    tjhadw = False
+                    # buffered register contribution (see tj_wacc)
+                    tjwacc = 0.0
+                    tjstale = 0.0
+                    tjbpend = True  # deferred boundary not evaluated
+                    tjgabs = 0.0  # cumulative kern gap absorbed
+                    # current boundary's provisional absorb inside
+                    # tjwacc (see the event consumer's tj_tailw)
+                    tjtailw = 0.0
                     # real trailing space GLYPHS behind the buffer tail
                     # (letter-gap join spaces don't count: pdf.js's
                     # twoLastChars ring only ever saw the glyphs)
@@ -4123,6 +4646,24 @@ class _TextInterp:
                             clipped_item = False
                             nclip = 0
                             segs = None
+                            if tjbpend and dec.strip(" "):
+                                fxp = (
+                                    self._first_x(
+                                        fm, item, dec, cur_x, size,
+                                        asx * tz, tc, tw,
+                                    )
+                                    if fm.nbytes == 1 else None
+                                )
+                                tjstale = self._tj_boundary_stale(
+                                    fxp if fxp is not None else cur_x,
+                                    cross_v + arise, size * asx,
+                                    size * csy if csy else None,
+                                )
+                                tjbpend = False
+                            reg0_el = (
+                                tjstale if not tjbpend
+                                else self.item_wreg
+                            ) + tjwacc
                             if (
                                 quad == 0
                                 and fm.nbytes == 1 and size > 0
@@ -4138,6 +4679,7 @@ class _TextInterp:
                                         tc, asx * tz, size * asx
                                     )
                                     or zw_item
+                                    or reg0_el <= 0.0
                                     or (vb is not None and (
                                         cur_x < vb[0]
                                         or cur_x + advance(item)
@@ -4150,12 +4692,14 @@ class _TextInterp:
                                     prev0=tjprev,
                                     fallback_prev=self.last_end_x,
                                     zw_mode=zw_item,
+                                    reg0=reg0_el,
                                 )
                                 if r_ is not None:
                                     segs, nclip, lclip = r_
                                     if nclip:
                                         dec = "".join(
-                                            t for t, _f, _p in segs
+                                            t for t, _f, _p, _h, _w
+                                            in segs
                                         )
                             if segs is None and (
                                 vb is not None
@@ -4172,6 +4716,34 @@ class _TextInterp:
                                     asx * tz, tc, tw,
                                 )
                                 clipped_item = nclip > 0
+                            if dec and tjprev is None \
+                                    and self.last_end_x is None:
+                                # NULL-anchor ring across the buffer
+                                # join (see the event consumer)
+                                txt0 = (
+                                    segs[0][0] if segs is not None
+                                    else dec
+                                )
+                                lead = (
+                                    len(txt0) - len(txt0.lstrip(" "))
+                                )
+                                if (
+                                    txt0.strip(" ")
+                                    and tail_sp + lead >= 2
+                                ):
+                                    if tail_sp and buf:
+                                        buf[-1] = buf[-1].rstrip(" ")
+                                    if lead:
+                                        if segs is not None:
+                                            (t0_, f0s, p0s, h0s,
+                                             w0s) = segs[0]
+                                            segs[0] = (
+                                                t0_.lstrip(" "),
+                                                f0s, p0s, h0s, w0s,
+                                            )
+                                        else:
+                                            dec = dec.lstrip(" ")
+                                    tail_sp = 0
                             if tj_fake and dec:
                                 if not dec.startswith(" "):
                                     buf.append(" ")
@@ -4195,18 +4767,50 @@ class _TextInterp:
                                     item[-1] == 0x20
                                     or fm.decode(item[-1:]) == " "
                                 )
+                            if (
+                                item and fm.nbytes == 1
+                                and fm._cf_arr is not None
+                                and fm._cf_arr[item[-1]]
+                            ):
+                                # Cf final glyph loses the riding
+                                # kern (see the event consumer)
+                                ride_lost = True
                             t_run = len(dec) - len(dec.rstrip(" "))
                             tail_sp = (
                                 t_run if dec.strip(" ")
                                 else tail_sp + dec.count(" ")
                             )
-                            if segs is not None:
+                            if segs is not None and len(segs) == 1:
+                                # no split point — the walk only
+                                # REWROTE the text (null-anchor run):
+                                # plain append
+                                sd0, sfx, spv, sh0w, sw0 = segs[0]
+                                buf.append(
+                                    " ".join(sd0) if lgap_el else sd0
+                                )
+                                if sd0.strip(" "):
+                                    tj_kill = False
+                                if tjfirst is None:
+                                    tjfirst = sfx
+                                cur_x += (
+                                    advance_clip(item) if clip_y
+                                    else advance(item)
+                                    - nclip * tc * asx * tz
+                                )
+                                tjwacc += sw0
+                                if sd0.strip(" "):
+                                    tjgabs = 0.0
+                                    tjtailw = 0.0
+                                if spv is not None and sh0w:
+                                    tjprev = spv
+                                    tjhadw = True
+                            elif segs is not None:
                                 # per-glyph item splitting at quad 0
                                 # mid-TJ (_seg_split): seg 0 completes
                                 # the buffered group, the last becomes
                                 # the new buffer
                                 vv = cross_v + arise
-                                sd0, sfx, spv = segs[0]
+                                sd0, sfx, spv, sh0w, sw0 = segs[0]
                                 if sd0.strip(" "):
                                     # real glyphs precede the split:
                                     # the ring rolled
@@ -4226,15 +4830,19 @@ class _TextInterp:
                                                 size * asx, quad=quad,
                                                 dev_x=ddx, dev_y=ddy,
                                                 mat=matn,
-                                                move_prev=spv is not None,
-                                                mirror=tz_mirror)
+                                                move_prev=(
+                                                    spv is not None
+                                                    and (tjhadw or sh0w)
+                                                ),
+                                                mirror=tz_mirror,
+                                                seg_w=tjwacc + sw0)
                                 if sh0:
                                     self.last_end_x = spv
                                 if tj_kill:
                                     self.pending_space = True
                                     self.pending_multi = True
                                     tj_kill = False
-                                for sdm, sfm, spm in segs[1:-1]:
+                                for sdm, sfm, spm, shwm, swm in segs[1:-1]:
                                     sd = (
                                         " ".join(sdm) if lgap_el else sdm
                                     )
@@ -4243,16 +4851,32 @@ class _TextInterp:
                                                  size * asx, quad=quad,
                                                  dev_x=ddx, dev_y=ddy,
                                                  mat=matn,
-                                                 move_prev=spm is not None,
-                                                 mirror=tz_mirror):
+                                                 move_prev=(
+                                                     spm is not None
+                                                     and shwm),
+                                                 mirror=tz_mirror,
+                                                 seg_w=swm):
                                         self.last_end_x = spm
-                                sdl, sfl, spl = segs[-1]
+                                sdl, sfl, spl, shwl, swl = segs[-1]
                                 buf = [
                                     " ".join(sdl) if lgap_el else sdl
                                 ]
                                 tjfirst = sfl
                                 start_x = sfl
                                 tjprev = spl
+                                tjhadw = shwl
+                                tjwacc = swl
+                                tjgabs = 0.0
+                                tjtailw = 0.0
+                                if sdl.strip(" "):
+                                    tjstale = self._tj_boundary_stale(
+                                        sfl, cross_v + arise,
+                                        size * asx,
+                                        size * csy if csy else None,
+                                    )
+                                    tjbpend = False
+                                else:
+                                    tjbpend = True
                                 cur_x += (
                                     advance(item) - nclip * tc * asx * tz
                                     if sh0 else advance_clip(item)
@@ -4284,8 +4908,23 @@ class _TextInterp:
                                     else advance(item)
                                     - nclip * tc * asx * tz
                                 )
+                                tjwacc += self._inline_wcontrib(
+                                    fm, item, dec, advance(item),
+                                    tc, tw, asx * tz,
+                                    size / 1000.0 * asx * tz,
+                                    anchored=(
+                                        tjprev is not None
+                                        or self.last_end_x is not None
+                                    ),
+                                )
+                                if dec.strip(" "):
+                                    tjgabs = 0.0
+                                    tjtailw = 0.0
                                 if prev is not None:
                                     tjprev = prev
+                                    # per-item _prev_x: non-None means
+                                    # a width!=0 glyph was emitted
+                                    tjhadw = True
                         if tj_kern is not None:
                             # riding component lost with a box-rejected
                             # final glyph (see ride_lost above)
@@ -4316,8 +4955,30 @@ class _TextInterp:
                                 ):
                                     gap2 = cur_x - self.last_end_x
                                 lim = size * asx
-                                if gap is not None and (
-                                    gap < -0.2 * lim or gap > 0.6 * lim
+                                # non-positive live register: any
+                                # nonzero gap flushes (see the event
+                                # consumer)
+                                # excluding the provisional
+                                # absorb (see the event consumer)
+                                reg_k = (
+                                    tjstale if not tjbpend
+                                    else self.item_wreg
+                                ) + tjwacc - tjtailw
+                                keep1 = (
+                                    buf and buf[-1].endswith(" ")
+                                    and gap2 is not None
+                                    and reg_k > 0.0
+                                    and 0.03 * lim < gap2
+                                    <= self.GAP_FRACTION * lim
+                                    and (
+                                        tail_sp if tail_sp > 0 else 1
+                                    ) == 1
+                                )
+                                if gap2 is not None and (
+                                    keep1
+                                    or (reg_k <= 0.0 and gap2 != 0.0)
+                                    or gap2 < -0.2 * lim
+                                    or gap2 > 0.6 * lim
                                 ):
                                     # flush-window kern: split the
                                     # buffered segment (see the event
@@ -4334,8 +4995,9 @@ class _TextInterp:
                                             size * asx, quad=quad,
                                             dev_x=ddx, dev_y=ddy,
                                             mat=matn,
-                                            move_prev=tjprev is not None,
+                                            move_prev=tjhadw,
                                             mirror=tz_mirror,
+                                            seg_w=tjwacc - tjtailw,
                                         )
                                         and tjprev is not None
                                     ):
@@ -4348,6 +5010,11 @@ class _TextInterp:
                                     start_x = cur_x
                                     tjprev = None
                                     tjfirst = None
+                                    tjhadw = False
+                                    tjwacc = 0.0
+                                    tjbpend = True
+                                    tjgabs = 0.0
+                                    tjtailw = 0.0
                                     tail_sp = 0
                                     tj_fake = False
                                 elif buf and buf[-1].endswith(" "):
@@ -4365,6 +5032,17 @@ class _TextInterp:
                                             and gap2
                                             <= self.GAP_FRACTION * lim
                                         )
+                                        if (
+                                            kill
+                                            or gap2
+                                            > self.GAP_FRACTION * lim
+                                        ):
+                                            # absorbed outcomes (see
+                                            # the event consumer)
+                                            if not tjbpend:
+                                                tjwacc += gap2 - tjgabs
+                                                tjtailw += gap2 - tjgabs
+                                            tjgabs = gap2
                                     else:
                                         kill = False
                                     if kill:
@@ -4376,6 +5054,16 @@ class _TextInterp:
                                     and gap2 > self.GAP_FRACTION * lim
                                 ):
                                     tj_fake = True
+                                    if not tjbpend:
+                                        tjwacc += gap2 - tjgabs
+                                        tjtailw += gap2 - tjgabs
+                                    tjgabs = gap2
+                                elif gap2 is not None and gap2 != 0.0:
+                                    # quiet kern gap absorbed
+                                    if not tjbpend:
+                                        tjwacc += gap2 - tjgabs
+                                        tjtailw += gap2 - tjgabs
+                                    tjgabs = gap2
                     vv = cross_v + arise
                     tj_cx = tjfirst if tjfirst is not None else start_x
                     ddx, ddy = _swapq(tj_cx, vv)
@@ -4383,8 +5071,11 @@ class _TextInterp:
                         self.show(
                             "".join(buf), vv, tj_cx, size * asx,
                             quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
-                            move_prev=tjprev is not None,
+                            move_prev=tjhadw,
                             mirror=tz_mirror,
+                            # trailing provisional absorb stays with
+                            # the boundary (see the event consumer)
+                            seg_w=tjwacc - tjtailw,
                         )
                         and tjprev is not None
                     ):
@@ -4720,7 +5411,15 @@ def _page_text(doc: Document, page: dict, resources) -> str:
     if not data:
         return ""
     interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
-    interp.run(data, resources)
+    try:
+        interp.run(data, resources)
+    except _CDefer:
+        # the C replay flagged a width-register-sensitive construct:
+        # re-run the whole page through the exact Python model (the
+        # interp is per-page, so discarding it is a clean rollback)
+        interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
+        interp.no_c = True
+        interp.run(data, resources)
     return interp.text()
 
 

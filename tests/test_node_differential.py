@@ -2182,3 +2182,198 @@ def test_clipped_glyph_gap_spaces_byte_equal_vs_live_reference(tmp_path):
             ),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# WIDTH-REGISTER model (pdf.js textContentItem.width): textOrientation =
+# sign(width) multiplies every cascade threshold, so an all-zero-width
+# item degenerates every band (flush + standalone " " at prevTransform
+# for any positive advance, CR for any negative) and absorbed tightened
+# kerns (width += advanceX, pdf.worker.js:36641-36651) can drive the
+# register NEGATIVE, inverting the windows. Distilled from two 200-doc
+# hunts (seeds 5150000/6210000) that went 43/200 -> 0/200 divergent.
+
+_ZWREG_PAIRS = [
+    (0x41, b"2003"), (0x42, b"0009"), (0x43, b"0078"), (0x44, b"0020"),
+    (0x45, b"00AD"), (0x46, b"200D"), (0x47, b"0079"),
+]
+_ZWREG_W = [278] * 38  # codes 32..69 only: a-z all zero-width
+
+
+def _gen_zwreg_stream(rng: random.Random) -> bytes:
+    """Degenerate all-zero-width-letter font (sparse /Widths,
+    MissingWidth 0) mixing whitespace-category and Cf ToUnicode maps
+    with TJ kerns — every gap decision runs against a zero register."""
+    words = "abc hij defg hijk abcd ab h".split()
+    ops = []
+    n = rng.randrange(4, 12)
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.40:
+            parts = []
+            for _ in range(rng.randrange(2, 5)):
+                wd = rng.choice(words)
+                if rng.random() < 0.6:
+                    cap = rng.choice(b"ABCDEFG")
+                    pos = rng.randrange(len(wd) + 1)
+                    wd = wd[:pos] + chr(cap) + wd[pos:]
+                parts.append(b"(%s)" % wd.encode())
+                k = rng.choice([-400, -180, -90, -48, 62, 86, 150, 300])
+                parts.append(str(k).encode())
+            ops.append(b"[" + b" ".join(parts[:-1]) + b"] TJ")
+        elif r < 0.65:
+            wd = rng.choice(words)
+            if rng.random() < 0.6:
+                cap = rng.choice(b"ABCDEFG")
+                pos = rng.randrange(len(wd) + 1)
+                wd = wd[:pos] + chr(cap) + wd[pos:]
+            ops.append(b"(%s) Tj" % wd.encode())
+        elif r < 0.75:
+            ops.append(b"0 -%d Td" % rng.randrange(10, 18))
+        elif r < 0.85:
+            ops.append(b"%d %d Td" % (rng.randrange(-30, 60),
+                                      rng.randrange(-4, 4)))
+        elif r < 0.92:
+            ops.append(b"%s Tc" % str(rng.choice([0, 0.5, 1.5, 3.0])).encode())
+        else:
+            ops.append(b"(%s) '" % rng.choice(words).encode())
+    content = b" ".join(
+        [b"BT", b"/F1 12 Tf", b"1 0 0 1 72 700 Tm"] + ops + [b"ET"]
+    )
+    return _assemble_with_tounicode(content, _ZWREG_PAIRS, _ZWREG_W)
+
+
+_NZREG_W = [
+    180 if chr(c) in "il.'|:;," else (222 if chr(c) in "jft" else 500)
+    for c in range(32, 123)
+]
+
+
+def _gen_nzreg_stream(rng: random.Random) -> bytes:
+    """NO zero-width glyphs: narrow widths (180/200/222) + tight kerns
+    so absorbed negative gaps flip the register sign without any
+    zero-width glyph (the C replay must catch these natively — no
+    zw-defer shortcut)."""
+    words = "alpha beta gamma delta".split()
+    narrow = "ili jil l.i ilj i l t,l".split()
+    ops = []
+    n = rng.randrange(4, 12)
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.40:
+            parts = []
+            for _ in range(rng.randrange(2, 5)):
+                wd = rng.choice(narrow if rng.random() < 0.7 else words)
+                if rng.random() < 0.6:
+                    cap = rng.choice(b"ABCDEFG")
+                    pos = rng.randrange(len(wd) + 1)
+                    wd = wd[:pos] + chr(cap) + wd[pos:]
+                parts.append(b"(%s)" % wd.encode())
+                k = rng.choice([-400, -180, -90, -48, 62, 86, 120,
+                                150, 170, 190, 300])
+                parts.append(str(k).encode())
+            ops.append(b"[" + b" ".join(parts[:-1]) + b"] TJ")
+        elif r < 0.65:
+            wd = rng.choice(narrow if rng.random() < 0.5 else words)
+            if rng.random() < 0.6:
+                cap = rng.choice(b"ABCDEFG")
+                pos = rng.randrange(len(wd) + 1)
+                wd = wd[:pos] + chr(cap) + wd[pos:]
+            ops.append(b"(%s) Tj" % wd.encode())
+        elif r < 0.75:
+            ops.append(b"0 -%d Td" % rng.randrange(10, 18))
+        elif r < 0.85:
+            ops.append(b"%d %d Td" % (rng.randrange(-30, 60),
+                                      rng.randrange(-4, 4)))
+        elif r < 0.92:
+            ops.append(b"%s Tc" % str(rng.choice(
+                [0, 0.5, 1.5, -0.5, -1.0, -2.0])).encode())
+        else:
+            ops.append(b"(%s) '" % rng.choice(narrow).encode())
+    content = b" ".join(
+        [b"BT", b"/F1 12 Tf", b"1 0 0 1 72 700 Tm"] + ops + [b"ET"]
+    )
+    return _assemble_with_tounicode(content, _ZWREG_PAIRS, _NZREG_W)
+
+
+def test_zero_register_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [_gen_zwreg_stream(random.Random(5150000 + s)) for s in range(30)],
+    )
+
+
+def test_negative_register_streams_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [_gen_nzreg_stream(random.Random(6210000 + s)) for s in range(30)],
+    )
+
+
+def test_register_minimals_byte_equal_vs_live_reference(tmp_path):
+    """Distilled minimal reproducers from the register hunts — one per
+    closed divergence class (see pdfb._TextInterp.item_wreg)."""
+    mins = [
+        # boundary flush via the page-level prevTransform fallback
+        b"[(k)] TJ 0 -15 Td (C) Tj [(jB) -400 (j)] TJ",
+        # zero register: flush + standalone " " at prevTransform
+        b"[(C)] TJ () ' [(B) -90 (bc)] TJ",
+        # null-anchor ring: a 2+ whitespace run vanishes
+        b"[(kD) (Bb)] TJ",
+        b"[(kD) -90 (Bb)] TJ",
+        b"[(bA) -90 (Ah)] TJ",
+        # absorbed negative gaps drive the register NEGATIVE
+        b"[(C) 150] TJ [(jk) -180 (ab)] TJ",
+        b"[(C) 62 (defg)] TJ [(hB) 86 (k)] TJ",
+        b"[150 (C)] TJ (hij) ' [(hB) 62 (jk)] TJ",
+        b"(B) Tj [(C)] TJ () ' [-400 (h) -180 (fg)] TJ",
+        # kept single space = shouldAddWhitepsace FLUSH (register resets)
+        b"[(C) 86 (D) 150 (ij)] TJ",
+        b"[(C) 86 (abD) 150 (ij)] TJ",
+        # a kern riding a Cf FINAL glyph is LOST (skip precedes
+        # charSpacing, pdf.worker.js:36684-36687)
+        b"(C) Tj [-180 -180] TJ [300] TJ [(E) -180 (k)] TJ",
+        b"(B) Tj [(C)] TJ (k) ' [-400 (E) -180 (g)] TJ",
+        # anchored-contribution rule (internal gaps absorb only with a
+        # prevTransform): CR flush at the right register value
+        b"(k) ' 0 -12 Td (dAg) Tj (C) Tj [150 (fGg)] TJ",
+    ]
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_with_tounicode(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm " + m + b" ET",
+                _ZWREG_PAIRS, _ZWREG_W,
+            )
+            for m in mins
+        ],
+    )
+
+
+def test_register_three_way_path_identity():
+    """C replay (with its defer-to-Python escape hatch), C-lexer +
+    Python consumer, and pure-Python interpreter agree byte-for-byte
+    on both register generators."""
+    from pdf_parse_new_spark.kernels import cinterp
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    docs = [_gen_zwreg_stream(random.Random(9000 + s)) for s in range(12)]
+    docs += [_gen_nzreg_stream(random.Random(9100 + s)) for s in range(12)]
+    for raw in docs:
+        c_full = pdfb.parse_pdf_bytes(raw)["text"]
+        cinterp.REPLAY = False
+        try:
+            c_lex = pdfb.parse_pdf_bytes(raw)["text"]
+        finally:
+            cinterp.REPLAY = True
+        import os
+        os.environ["PDF_PARSE_DISABLE_CTEXT"] = "1"
+        try:
+            avail = cinterp.AVAILABLE
+            cinterp.AVAILABLE = False
+            py = pdfb.parse_pdf_bytes(raw)["text"]
+        finally:
+            cinterp.AVAILABLE = avail
+            os.environ.pop("PDF_PARSE_DISABLE_CTEXT", None)
+        assert c_full == c_lex == py
