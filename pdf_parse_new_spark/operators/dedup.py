@@ -237,6 +237,68 @@ def simhash(col: Column, bits: int = 64) -> Column:
     )
 
 
+def simhash_md5(col: Column) -> Column:
+    """SimHash whose per-token 64-bit hash is the first 16 hex chars of
+    ``md5(token)`` — bit-for-bit expressible in ANSI SQL (DuckDB oracle
+    twin), unlike the ``xxhash64`` fast path in :func:`simhash`.
+
+    Returns the signature as a 16-hex-char string; bit ``b`` (0 = MSB of
+    the first hex char) is the majority vote of bit ``b`` across the
+    distinct word tokens' hashes.  The hash is carried as two exact
+    32-bit halves so every shift is a power-of-two double division
+    (exact up to 2**31 — no long-shift builtin needed inside the lambda).
+    Same JVM-only single-``aggregate`` shape as :func:`simhash`:
+    one scan of the token array accumulating all 64 bit-counts."""
+    toks = F.array_distinct(F.split(col, " "))
+    n = F.size(toks)
+    halves = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+            .cast("long").alias("lo"),
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(63))
+    zero = F.transform(idx, lambda _: F.lit(0).cast("long"))
+
+    def _bit(h: Column, b: Column) -> Column:
+        word = F.when(b < 32, h.hi).otherwise(h.lo)
+        shift = F.when(b < 32, 31 - b).otherwise(63 - b).cast("double")
+        return F.floor(word / F.pow(F.lit(2.0), shift)).cast("long") % 2
+
+    counts = F.aggregate(
+        halves, zero,
+        lambda acc, h: F.zip_with(acc, idx, lambda a, b: a + _bit(h, b)),
+    )
+
+    def _word(lo_b: int, hi_b: int) -> Column:
+        terms = F.zip_with(
+            counts, idx,
+            lambda c, b: F.when(
+                (b >= lo_b) & (b <= hi_b) & (c * 2 >= n),
+                F.pow(F.lit(2.0), (31 - (b - lo_b)).cast("double"))
+                .cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    return F.format_string("%08x%08x", _word(0, 31), _word(32, 63))
+
+
+def simhash_md5_buckets(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        prefix_hex: int = 4) -> DataFrame:
+    """doc -> (simhash_hex, bucket = leading ``prefix_hex`` hex chars) —
+    the oracle-checkable twin of :func:`simhash_buckets` (same banded
+    hamming-search layout, md5-derived bits)."""
+    out = df.select(
+        F.col(id_col), simhash_md5(F.col(text_col)).alias("simhash_hex")
+    )
+    return out.withColumn("bucket", F.substring("simhash_hex", 1, prefix_hex))
+
+
 def simhash_buckets(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", prefix_bits: int = 16) -> DataFrame:
     """doc -> (simhash, bucket = top prefix_bits) for banded hamming search."""

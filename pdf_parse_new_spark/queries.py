@@ -749,12 +749,63 @@ def q_extract_conversations(spark, sf_dir):
     return out.withColumn("meta", F.to_json("meta"))
 
 
+def q_simhash_md5(spark, sf_dir):
+    """Oracle-checkable SimHash: md5-derived bits (dedup.simhash_md5),
+    identical bit arithmetic re-expressed in DuckDB SQL — the value twin
+    that the xxhash64 fast path (simhash_buckets) cannot have."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_md5_buckets(d).orderBy("doc_id")
+
+
+SQL_SIMHASH_MD5 = """
+WITH docs AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, len(toks) AS n, unnest(toks) AS t FROM docs
+),
+h AS (
+  SELECT doc_id, n,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS lo
+  FROM tok
+),
+bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+cnt AS (
+  SELECT doc_id, n, bits.b,
+         SUM(CASE WHEN bits.b < 32
+             THEN (hi // CAST(POWER(2, 31 - bits.b) AS BIGINT)) % 2
+             ELSE (lo // CAST(POWER(2, 63 - bits.b) AS BIGINT)) % 2
+             END) AS c
+  FROM h, bits GROUP BY doc_id, n, bits.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN b < 32 AND 2 * c >= n
+             THEN CAST(POWER(2, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sig_hi,
+         CAST(SUM(CASE WHEN b >= 32 AND 2 * c >= n
+             THEN CAST(POWER(2, 63 - b) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sig_lo
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id,
+       printf('%08x%08x', sig_hi, sig_lo) AS simhash_hex,
+       substr(printf('%08x%08x', sig_hi, sig_lo), 1, 4) AS bucket
+FROM sig ORDER BY doc_id
+"""
+
+
 def q_simhash_buckets(spark, sf_dir):
-    """rows-only justification: simhash is built on Spark's xxhash64, which
-    DuckDB does not implement, so no value oracle is possible; internal
-    invariants (bucket == unsigned simhash >> 48, determinism across runs)
-    are value-checked in tests/test_training_ops.py, and near-dup hamming
-    ordering is unit-tested."""
+    """rows-only justification: THIS entry is the xxhash64 fast path, which
+    DuckDB does not implement — but the algorithm itself IS value-oracled
+    via the md5-bits twin (simhash_md5, hash-green), which shares the whole
+    majority-vote/banding structure and differs only in the per-token hash
+    primitive. Internal invariants here (bucket == unsigned simhash >> 48,
+    determinism across runs) are value-checked in
+    tests/test_training_ops.py, and near-dup hamming ordering is
+    unit-tested."""
     d = load(spark, sf_dir, "documents")
     return dedup.simhash_buckets(d)
 
@@ -1109,6 +1160,7 @@ SQL_CHECKED = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
+    "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

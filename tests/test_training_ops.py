@@ -236,6 +236,43 @@ def test_simhash_bucket_invariant(spark, docs):
         assert bucket == (sh & ((1 << 64) - 1)) >> 48
 
 
+def test_simhash_md5_matches_pure_python(spark):
+    # the oracle-checkable SimHash (md5-derived bits): pin the Spark
+    # expression against an independent hashlib re-derivation, hairy
+    # tokenizations included (empty string, doubled/leading spaces)
+    import hashlib
+
+    def py_simhash(text: str) -> str:
+        toks = list(dict.fromkeys(text.split(" ")))
+        n = len(toks)
+        counts = [0] * 64
+        for t in toks:
+            v = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                counts[b] += (v >> (63 - b)) & 1
+        sig = 0
+        for b in range(64):
+            if counts[b] * 2 >= n:
+                sig |= 1 << (63 - b)
+        return f"{sig:016x}"
+
+    texts = [
+        "the quick brown fox", "the quick brown fox", "the quick brown cat",
+        "", " ", "a  b", " lead", "trail ", "one",
+        "x " * 40, "unicode café naïve 中文",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.simhash_hex, r.bucket)
+        for r in dedup.simhash_md5_buckets(df).collect()
+    }
+    for i, t in enumerate(texts):
+        want = py_simhash(t)
+        assert got[i] == (want, want[:4]), (i, t, got[i], want)
+
+
 def test_multimodal_real_ppm_decode(spark):
     # uncompressed P6 image decodes for REAL: header + numpy grid feature
     import numpy as np
