@@ -189,3 +189,35 @@ def lang_id_expr(col: Column) -> Column:
             cond = cond & (scores[lang] >= scores[other])
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
     return expr.otherwise(pred)
+
+
+# --- PII scrubbing (training-data safety pass) -------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB
+# oracle): no lookaround, no backrefs. Order matters: emails first so the
+# phone/IP passes never see the user part of an address.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}-\d{3}-\d{4}"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) occurrence counts — JVM regex, one scan
+    per pattern at codegen speed."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), 0)),
+        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), 0)),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), 0)),
+    )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails -> <EMAIL>, IPv4s -> <IP>, phone numbers -> <PHONE>.
+
+    Pure ``regexp_replace`` chain (whole-stage codegen; the 100-TB path is a
+    projection at scan speed, no shuffle). The email pass runs first so an
+    address's digit runs can't half-match the phone/IP patterns afterwards.
+    """
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

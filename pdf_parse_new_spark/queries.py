@@ -749,6 +749,59 @@ def q_extract_conversations(spark, sf_dir):
     return out.withColumn("meta", F.to_json("meta"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails/IPv4/phones -> typed placeholders) over
+    documents salted with deterministic doc_id-derived PII — the same
+    injection expression runs in the DuckDB oracle, so the value hash
+    verifies the regex scrubbing itself on non-trivial input. The scrub is
+    a pure regexp_replace projection (codegen, no shuffle) — the 100-TB
+    shape is scan speed."""
+    d = load(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or "),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".16."),
+        (F.col("doc_id") % 250).cast("string"), F.lit(".9 tel +"),
+        (F.col("doc_id") % 900 + 100).cast("string"), F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    )
+    n_em, n_ip, n_ph = textstats.pii_counts(salted)
+    return d.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_ph.alias("n_phones"),
+        textstats.scrub_pii(salted).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+SQL_PII_SCRUB = r"""
+WITH salted AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@mail.example.org or ', CAST(doc_id % 200 AS VARCHAR),
+                '.16.', CAST(doc_id % 250 AS VARCHAR), '.9 tel +',
+                CAST(doc_id % 900 + 100 AS VARCHAR), '-555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                ' end') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(t, '\+?\d{3}-\d{3}-\d{4}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+FROM salted ORDER BY doc_id
+"""
+
+
 def q_simhash_md5(spark, sf_dir):
     """Oracle-checkable SimHash: md5-derived bits (dedup.simhash_md5),
     identical bit arithmetic re-expressed in DuckDB SQL — the value twin
@@ -1161,6 +1214,7 @@ SQL_CHECKED = {
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

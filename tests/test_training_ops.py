@@ -273,6 +273,39 @@ def test_simhash_md5_matches_pure_python(spark):
         assert got[i] == (want, want[:4]), (i, t, got[i], want)
 
 
+def test_pii_scrub_and_counts(spark):
+    cases = [
+        # (raw, scrubbed, n_emails, n_ips, n_phones)
+        ("mail a.b+c_d%e@sub.example.co.uk now",
+         "mail <EMAIL> now", 1, 0, 0),
+        ("ip 10.0.255.1 edge", "ip <IP> edge", 0, 1, 0),
+        ("v1.2.3.4.5 is a version, not an ip 1.2.3.4 done",
+         # 'v1' blocks the leading \b, so the match starts at '2' and
+         # takes '2.3.4.5' — Java and RE2 agree (parity probed directly
+         # against DuckDB); the invariant is engine parity
+         "v1.<IP> is a version, not an ip <IP> done", 0, 2, 0),
+        ("call +123-555-0000 or 321-555-9999.",
+         "call <PHONE> or <PHONE>.", 0, 0, 2),
+        ("user9@x.io at 8.8.8.8 tel 100-555-0001",
+         "<EMAIL> at <IP> tel <PHONE>", 1, 1, 1),
+        ("no pii here", "no pii here", 0, 0, 0),
+        ("", "", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, t string"
+    )
+    n_em, n_ip, n_ph = textstats.pii_counts(F.col("t"))
+    got = {
+        r.i: (r.s, r.e, r.p, r.h)
+        for r in df.select(
+            "i", textstats.scrub_pii(F.col("t")).alias("s"),
+            n_em.alias("e"), n_ip.alias("p"), n_ph.alias("h")
+        ).collect()
+    }
+    for i, (_, want, e, p, h) in enumerate(cases):
+        assert got[i] == (want, e, p, h), (i, cases[i], got[i])
+
+
 def test_multimodal_real_ppm_decode(spark):
     # uncompressed P6 image decodes for REAL: header + numpy grid feature
     import numpy as np
