@@ -4130,7 +4130,7 @@ class _TextInterp:
                     self.last_end_x = prev
             return shown
 
-        def _show_glyphs(item: bytes, dec: str) -> None:
+        def _show_glyphs(item: bytes, dec: str, extra: float = 0.0) -> None:
             # PER-GLYPH path for rotated/sheared 1-byte items: pdf.js
             # runs compareWithLastPosition per glyph, and under rotation
             # its mid-item flushes (letter-spacing fake spaces past
@@ -4141,27 +4141,48 @@ class _TextInterp:
             # line) cannot reproduce. Letter-spacing gaps emerge from
             # the compare itself, so the " ".join pre-pass must NOT run
             # before this.
+            #
+            # EXACT pdf.js arithmetic order: band decisions at exact
+            # threshold values (e.g. tc*|tz| == 0.2*fs, the tzneg
+            # register minimal) ride on last-ulp position rounding, so
+            # the pen must track pdf.js's tm[4] accumulation bit-for-
+            # bit: scale = fontMatrix[0]*fontSize, scaledDim = w*scale,
+            # and the glyph-width and charSpacing advances land as
+            # SEPARATE adds (pdf.worker.js:36718/36733) of sign-flipped
+            # device addends — negation is exact, so when the composed
+            # advance scale is 1 the compare-frame pen equals -tm[4]
+            # (or +tm[4]) exactly. `extra` is a trailing TJ kern's
+            # extraSpacing (kern * -fs/1000), folded into the LAST
+            # glyph's charSpacing like buildTextContentItem does.
+            nonlocal cur_x
+            scale = 0.001 * size
+            n_g = len(dec)
             for i, ch in enumerate(dec):
                 code = item[i]
-                wt = fm.widths.get(code, fm.default_width) / 1000.0 * size
-                w = wt * asx * tz
+                wt = fm.widths.get(code, fm.default_width) * scale
+                cs = tc + extra if i + 1 == n_g else tc
                 if ch == " ":
-                    # whitespace glyph: position advances by
-                    # width + charSpacing + wordSpacing; the pending
-                    # space arms via show's edge-space handling
-                    _show_item(" ", None, w + (tc + tw) * asx * tz)
-                else:
-                    # prevTransform excludes the trailing charSpacing;
-                    # dev_w = pdf.js's glyphWidth for the left-edge box
-                    # test — the TEXT-SPACE scaledDim (before hscale,
-                    # untransformed), added to the device posX exactly
-                    # as the reference does. A box-rejected glyph
-                    # advances by width only (no charSpacing). A ZERO-
-                    # width glyph never moves prevTransform (pdf.js
-                    # stores it only when scaledDim != 0).
-                    _show_item(ch, (cur_x + w) if wt else None,
-                               w + tc * asx * tz,
-                               dev_w=wt, adv_clip=w)
+                    # whitespace glyph: ONE summed translate of
+                    # charSpacing + scaledDim + wordSpacing
+                    # (pdf.worker.js:36695); the pending space arms via
+                    # show's edge-space handling
+                    _show_item(" ", None, 0.0)
+                    cur_x += ((cs + (wt + tw)) * tz) * asx
+                    continue
+                # prevTransform excludes the trailing charSpacing;
+                # dev_w = pdf.js's glyphWidth for the left-edge box
+                # test — the TEXT-SPACE scaledDim (before hscale,
+                # untransformed), added to the device posX exactly
+                # as the reference does. A box-rejected glyph
+                # advances by width only (no charSpacing). A ZERO-
+                # width glyph never moves prevTransform (pdf.js
+                # stores it only when scaledDim != 0).
+                w = (wt * tz) * asx
+                shown = _show_item(ch, (cur_x + w) if wt else None, 0.0,
+                                   dev_w=wt)
+                cur_x += w
+                if shown and cs:
+                    cur_x += (cs * tz) * asx
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
@@ -4569,36 +4590,57 @@ class _TextInterp:
                     # behind one anchor. Run each element through the
                     # per-item compare; a big kern then takes the
                     # carriage-return / gap paths naturally.
-                    for item, tj_kern, tj_ntc, _tj_ride in (
-                        # the rotated paths clip item-level (show()'s
-                        # box test), so the riding-kern drop of the
-                        # quad-0 consumer does not apply here
-                        self._coalesce_tj(stack[-1])
-                    ):
-                        if item:
-                            dec = fm.decode(item)
-                            if (
-                                fm.nbytes == 1
-                                and len(dec) == len(item)
-                            ):
-                                _show_glyphs(item, dec)
+                    # raw showSpacedText walk (pdf.worker.js:36888-36906)
+                    # with pdf.js's exact structure: adjacent strings
+                    # JOIN in the buffer, each nonzero number flushes
+                    # the buffer with extraSpacing = kern * -fs/1000
+                    # folded into the last glyph's charSpacing, an
+                    # empty-buffer kern translates (tc + extra) * hs
+                    # (the !chars branch), and a ZERO kern is skipped
+                    # entirely (item !== 0). The riding-kern drop of
+                    # the quad-0 consumer does not apply here (the
+                    # rotated paths clip item-level via show's box
+                    # test).
+                    sf_tj = -size / 1000.0
+
+                    def _flush_rot(joined: bytes, extra: float) -> None:
+                        nonlocal cur_x
+                        dec = fm.decode(joined)
+                        if fm.nbytes == 1 and len(dec) == len(joined):
+                            _show_glyphs(joined, dec, extra=extra)
+                            return
+                        # item-level fallback (multibyte / Cf-bearing):
+                        # the historical approximation — tc applies per
+                        # glyph inside advance(), the kern lands as a
+                        # separate pen move after the item
+                        if (
+                            size > 0
+                            and tc * tz > self.GAP_FRACTION * size
+                        ):
+                            dec = " ".join(dec)
+                        prev = (
+                            cur_x + advance(joined) - tc * asx * tz
+                            if joined else None
+                        )
+                        _show_item(dec, prev, advance(joined))
+                        if extra:
+                            cur_x += (extra * tz) * asx
+
+                    tjbuf = b""
+                    for el in stack[-1]:
+                        if isinstance(el, bytes):
+                            tjbuf += el
+                        elif isinstance(el, (int, float)) and el != 0:
+                            extra = el * sf_tj
+                            if tjbuf:
+                                _flush_rot(tjbuf, extra)
+                                tjbuf = b""
                             else:
-                                if (
-                                    size > 0
-                                    and tc * tz > self.GAP_FRACTION * size
-                                ):
-                                    dec = " ".join(dec)
-                                prev = (
-                                    cur_x + advance(item) - tc * asx * tz
-                                    if item else None
-                                )
-                                _show_item(dec, prev, advance(item))
-                        if tj_kern is not None:
-                            cur_x -= tj_kern / 1000.0 * size * asx * tz
-                            if tj_ntc:
-                                # merged empty-buffer kerns each applied
-                                # charSpacing too (!chars branch)
-                                cur_x += tj_ntc * tc * asx * tz
+                                # bare kern: charSpacing rides along
+                                # (tc + extra, ONE summed translate)
+                                cur_x += ((tc + extra) * tz) * asx
+                    if tjbuf:
+                        _flush_rot(tjbuf, 0.0)
                 elif (
                     op == b"TJ" and have_font
                     and stack and isinstance(stack[-1], list)

@@ -749,6 +749,65 @@ def q_extract_conversations(spark, sf_dir):
     return out.withColumn("meta", F.to_json("meta"))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms: explode -> per-doc term counts ->
+    corpus document frequencies -> idf join -> per-doc ranking window.
+    100-TB shape: both aggregations are partial+final on unskewed keys
+    (doc_id x word, then word), the df table is vocabulary-sized (fits a
+    broadcast at any realistic vocab; Catalyst/AQE picks it), and the
+    final window partitions by doc_id — no global sort anywhere."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar probe, driver-side by design
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(df_, "word").select(
+        "doc_id", "word", "tf", "df",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "word", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (word), n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, word, tf, df, tfidf
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass (emails/IPv4/phones -> typed placeholders) over
     documents salted with deterministic doc_id-derived PII — the same
@@ -1215,6 +1274,7 @@ SQL_CHECKED = {
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):
