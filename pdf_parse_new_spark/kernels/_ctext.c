@@ -1054,6 +1054,15 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
     int hadw_ = 0;
     int runnull_ = 0;
     long runcnt_ = 0;
+    /* letter-gap join spaces WITHHELD before space glyphs: pdf.js's
+     * compare never runs at a whitespace-category glyph (the ws branch
+     * skips it, pdf.worker.js:36693-36703), so no fake space lands
+     * between the last real glyph and a trailing space run — the ring
+     * sees exactly the real glyphs. A withheld join materializes only
+     * when a later REAL glyph arrives (inner run; order within the
+     * all-space run is immaterial) and is DISCARDED at item end
+     * (trailing run). Twin of pdfb._lgap_join. */
+    long pendj_ = 0;
     if (defer)
         *defer = 0;
     if (last_cf)
@@ -1281,13 +1290,22 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         if (lgap) {                                                          \
             /* charSpacing > trackingSpaceMin: a fake space between     */   \
             /* every char pair (pdf.worker.js:36633-36651); runs        */   \
-            /* collapse in rp_show                                      */   \
+            /* collapse in rp_show. Joins landing BEFORE a space glyph  */   \
+            /* are WITHHELD (pendj_): they materialize only when a      */   \
+            /* later real glyph arrives, so a trailing real-space run   */   \
+            /* stays exactly as wide as the ring pdf.js saved           */   \
             for (long bi_ = 0; bi_ < tl_; bi_++) {                           \
                 unsigned char bb_ = tb[ta_ + bi_];                           \
                 if ((bb_ & 0xC0) != 0x80 && o > start_) {                    \
-                    if (o + 1 > ocap)                                        \
-                        return -1;                                           \
-                    out[o++] = ' ';                                          \
+                    if (sp_) {                                               \
+                        pendj_++;                                            \
+                    } else {                                                 \
+                        if (o + pendj_ + 1 > ocap)                           \
+                            return -1;                                       \
+                        for (; pendj_ > 0; pendj_--)                         \
+                            out[o++] = ' ';                                  \
+                        out[o++] = ' ';                                      \
+                    }                                                        \
                 }                                                            \
                 if (o + 1 > ocap)                                            \
                     return -1;                                               \

@@ -1915,6 +1915,20 @@ class _TextInterp:
     # 0.102 x fontSize read as spaces ("in Fig", not "inFig")
     GAP_FRACTION = 0.102
 
+    @staticmethod
+    def _lgap_join(dec: str) -> str:
+        """Letter-gap fake-space join, EXCLUDING the trailing real-space
+        run: pdf.js's compare never runs at a space glyph (the
+        whitespace branch skips it before compareWithLastPosition,
+        pdf.worker.js:36693-36703), so no fake space can land between
+        the last real glyph and a trailing space — the twoLastChars
+        ring sees exactly the real trailing glyphs. A joined trailing
+        2-run would make the pend machinery vanish a space the
+        reference keeps (distilled: '1.50 Tc [(a ) 567 (c)] TJ' reads
+        'a c' in the reference, 'ac' with the naive join)."""
+        core = dec.rstrip(" ")
+        return " ".join(core) + dec[len(core):]
+
     def show(self, s: str, ty: float, tx: float | None = None,
              size: float = 0.0, quad: int = 0,
              dev_x: float | None = None,
@@ -2272,19 +2286,28 @@ class _TextInterp:
         keeps only its visible part. Space glyphs are exempt (whitespace
         branch precedes the box test). Gated to the rare straddle case
         by the caller; 1-byte fonts only (the C path mirrors this).
-        Returns (visible_dec, prev_x, n_clipped, last_clipped) — a
-        CLIPPED glyph advances by its width ONLY (pdf.js's reject path
-        translates scaledDim and skips the charSpacing translate,
-        pdf.worker.js:36705-36711), so the caller subtracts
-        n_clipped * tc from the item advance; ``last_clipped`` is True
-        when the item's FINAL glyph was rejected — a TJ kern riding
-        that glyph as extraSpacing is then dropped with it."""
+        Returns (visible_dec, prev_x, n_clipped, last_clipped,
+        first_vis_x) — a CLIPPED glyph advances by its width ONLY
+        (pdf.js's reject path translates scaledDim and skips the
+        charSpacing translate, pdf.worker.js:36705-36711), so the
+        caller subtracts n_clipped * tc from the item advance;
+        ``last_clipped`` is True when the item's FINAL glyph was
+        rejected — a TJ kern riding that glyph as extraSpacing is then
+        dropped with it. ``first_vis_x`` is the first VISIBLE non-space
+        glyph's pen x — the position where pdf.js's compare actually
+        runs: leading rejected glyphs advance the pen width-only with
+        NO compare, so an item whose head straddles the left edge
+        anchors at its first surviving glyph, not at the item start
+        (distilled: '-50 Tz (epsi) Tj 200 Tz (delta) Tj' reads
+        'ep elta' in the reference — the advance at 'e' is +7.51 from
+        the surviving glyph, not -3.61 from the clipped 'd')."""
         vb = self.viewbox
         out = []
         x = start_x
         prev: float | None = None
         nclip = 0
         last_clip = False
+        fvx: float | None = None
         w, dw = fm.widths, fm.default_width
         cf = fm._cf_arr
         for i, code in enumerate(item):
@@ -2301,6 +2324,8 @@ class _TextInterp:
             if sp or (x + gw_raw >= vb[0] and x <= vb[2]):
                 out.append(ch)
                 last_clip = False
+                if not sp and fvx is None:
+                    fvx = x
                 if not sp and gw:
                     # prevTransform follows EMITTED glyphs with NONZERO
                     # width (pdf.js stores it only when scaledDim != 0)
@@ -2310,7 +2335,7 @@ class _TextInterp:
                 nclip += 1
                 last_clip = True
                 x += gw  # clipped: width only, no charSpacing
-        return "".join(out), prev, nclip, last_clip
+        return "".join(out), prev, nclip, last_clip, fvx
 
 
     def _first_x(self, fm: FontMap, item: bytes, dec: str, start_x: float,
@@ -3302,6 +3327,7 @@ class _TextInterp:
                 dec = fm.decode(item)
                 vb = self.viewbox
                 cprev: float | None = None
+                cfvx: float | None = None
                 clipped_item = False
                 nclip = 0
                 lclip = False
@@ -3379,7 +3405,7 @@ class _TextInterp:
                     and len(dec) == len(item)
                     and (cur_x < vb[0] or cur_x + adv > vb[2])
                 ):
-                    dec, cprev, nclip, lclip = self._clip_x(
+                    dec, cprev, nclip, lclip, cfvx = self._clip_x(
                         fm, item, dec, cur_x, size, sx * tz, tc, tw
                     )
                     # a straddle test that rejected NOTHING is normal
@@ -3465,7 +3491,7 @@ class _TextInterp:
                     # _seg_split). TJ: the first segment completes the
                     # buffered group, the last becomes the new buffer.
                     sub = [
-                        (" ".join(t) if lg else t, sfx, spv, hw, sw)
+                        (self._lgap_join(t) if lg else t, sfx, spv, hw, sw)
                         for t, sfx, spv, hw, sw in segs
                     ]
                     if kind == 6 and len(sub) == 1:
@@ -3554,8 +3580,8 @@ class _TextInterp:
                     # glyph pair -> a fake space between each
                     # (letter-spaced headings, pdf.worker.js:36633-36651;
                     # the Tz factor rides the translate, the thresholds
-                    # don't)
-                    dec = " ".join(dec)
+                    # don't; trailing real spaces stay unjoined)
+                    dec = self._lgap_join(dec)
                 if clipped_item:
                     prev = cprev
                 elif fm.nbytes == 1:
@@ -3571,8 +3597,11 @@ class _TextInterp:
                         # memory dies unconsumed
                         tj_kill = False
                     if tj_first is None and fm.nbytes == 1:
-                        tj_first = self._first_x(
-                            fm, item, dec, cur_x, size, sx * tz, tc, tw
+                        tj_first = (
+                            cfvx if clipped_item else self._first_x(
+                                fm, item, dec, cur_x, size, sx * tz,
+                                tc, tw,
+                            )
                         )
                     cur_x += adv
                     tj_wacc += self._inline_wcontrib(
@@ -3592,12 +3621,18 @@ class _TextInterp:
                         # element emitted a width!=0 glyph
                         tj_hadw = True
                 else:
+                    # leading box-rejected glyphs advance width-only
+                    # with NO compare: the anchor is the first VISIBLE
+                    # glyph (pdf.js returns false before the cascade)
                     fx = (
-                        self._first_x(
-                            fm, item, dec, cur_x, size, sx * tz, tc, tw
+                        cfvx if clipped_item else (
+                            self._first_x(
+                                fm, item, dec, cur_x, size, sx * tz,
+                                tc, tw,
+                            )
+                            if fm.nbytes == 1
+                            else None
                         )
-                        if fm.nbytes == 1
-                        else None
                     )
                     shown = show(
                         dec, y + rise,
@@ -4363,6 +4398,7 @@ class _TextInterp:
                         continue
                     vb = self.viewbox
                     cprev: float | None = None
+                    cfvx: float | None = None
                     clipped_item = False
                     nclip = 0
                     zw_item = (
@@ -4404,7 +4440,7 @@ class _TextInterp:
                             or cur_x + advance(item) > vb[2]
                         )
                     ):
-                        dec, cprev, nclip, lclip = self._clip_x(
+                        dec, cprev, nclip, lclip, cfvx = self._clip_x(
                             fm, item, dec, cur_x, size, asx * tz, tc, tw
                         )
                         clipped_item = nclip > 0
@@ -4413,7 +4449,7 @@ class _TextInterp:
                         sh0 = None
                         for sd, sfx, spv, shw, sww in segs:
                             if lg:
-                                sd = " ".join(sd)
+                                sd = self._lgap_join(sd)
                             # carried prev VALUES (all-zero-width
                             # segments) must not move prevTransform
                             r = _show_item(sd, spv if shw else None,
@@ -4428,7 +4464,8 @@ class _TextInterp:
                         stack.clear()
                         continue
                     if lg:
-                        dec = " ".join(dec)  # letter-spacing fake spaces
+                        # letter-spacing fake spaces
+                        dec = self._lgap_join(dec)
                     if clipped_item:
                         prev = cprev
                     elif fm.nbytes == 1:
@@ -4443,12 +4480,14 @@ class _TextInterp:
                     _show_item(
                         dec, prev, advance(item) - nclip * tc * asx * tz,
                         fx=(
-                            self._first_x(
-                                fm, item, dec, cur_x, size, asx * tz,
-                                tc, tw,
+                            cfvx if clipped_item else (
+                                self._first_x(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw,
+                                )
+                                if fm.nbytes == 1
+                                else None
                             )
-                            if fm.nbytes == 1
-                            else None
                         ),
                         adv_clip=advance_clip(item),
                         seg_w=self._inline_wcontrib(
@@ -4480,6 +4519,7 @@ class _TextInterp:
                         dec = fm.decode(item)
                         vb = self.viewbox
                         cprev = None
+                        cfvx = None
                         clipped_item = False
                         nclip = 0
                         zw_item = (
@@ -4525,15 +4565,18 @@ class _TextInterp:
                                 or cur_x + advance(item) > vb[2]
                             )
                         ):
-                            dec, cprev, nclip, lclip = self._clip_x(
-                                fm, item, dec, cur_x, size, asx * tz, tc, tw
+                            dec, cprev, nclip, lclip, cfvx = (
+                                self._clip_x(
+                                    fm, item, dec, cur_x, size,
+                                    asx * tz, tc, tw,
+                                )
                             )
                             clipped_item = nclip > 0
                         if segs is not None:
                             sh0 = None
                             for sd, sfx, spv, shw, sww in segs:
                                 if lg:
-                                    sd = " ".join(sd)
+                                    sd = self._lgap_join(sd)
                                 r = _show_item(sd, spv if shw else None,
                                                0.0, fx=sfx,
                                                seg_w=sww)
@@ -4546,7 +4589,7 @@ class _TextInterp:
                             stack.clear()
                             continue
                         if lg:
-                            dec = " ".join(dec)
+                            dec = self._lgap_join(dec)
                         if clipped_item:
                             prev = cprev
                         elif fm.nbytes == 1:
@@ -4563,12 +4606,14 @@ class _TextInterp:
                             dec, prev,
                             advance(item) - nclip * tc * asx * tz,
                             fx=(
-                                self._first_x(
-                                    fm, item, dec, cur_x, size,
-                                    asx * tz, tc, tw,
+                                cfvx if clipped_item else (
+                                    self._first_x(
+                                        fm, item, dec, cur_x, size,
+                                        asx * tz, tc, tw,
+                                    )
+                                    if fm.nbytes == 1
+                                    else None
                                 )
-                                if fm.nbytes == 1
-                                else None
                             ),
                             adv_clip=advance_clip(item),
                             seg_w=self._inline_wcontrib(
@@ -4617,7 +4662,7 @@ class _TextInterp:
                             size > 0
                             and tc * tz > self.GAP_FRACTION * size
                         ):
-                            dec = " ".join(dec)
+                            dec = self._lgap_join(dec)
                         prev = (
                             cur_x + advance(joined) - tc * asx * tz
                             if joined else None
@@ -4685,6 +4730,7 @@ class _TextInterp:
                             lgap_el = lgap and not zw_item
                             vb = self.viewbox
                             cprev = None
+                            cfvx = None
                             clipped_item = False
                             nclip = 0
                             segs = None
@@ -4753,9 +4799,11 @@ class _TextInterp:
                                     or cur_x + advance(item) > vb[2]
                                 )
                             ):
-                                dec, cprev, nclip, lclip = self._clip_x(
-                                    fm, item, dec, cur_x, size,
-                                    asx * tz, tc, tw,
+                                dec, cprev, nclip, lclip, cfvx = (
+                                    self._clip_x(
+                                        fm, item, dec, cur_x, size,
+                                        asx * tz, tc, tw,
+                                    )
                                 )
                                 clipped_item = nclip > 0
                             if dec and tjprev is None \
@@ -4828,7 +4876,8 @@ class _TextInterp:
                                 # plain append
                                 sd0, sfx, spv, sh0w, sw0 = segs[0]
                                 buf.append(
-                                    " ".join(sd0) if lgap_el else sd0
+                                    self._lgap_join(sd0)
+                                    if lgap_el else sd0
                                 )
                                 if sd0.strip(" "):
                                     tj_kill = False
@@ -4858,7 +4907,8 @@ class _TextInterp:
                                     # the ring rolled
                                     tj_kill = False
                                 buf.append(
-                                    " ".join(sd0) if lgap_el else sd0
+                                    self._lgap_join(sd0)
+                                    if lgap_el else sd0
                                 )
                                 fx0 = (
                                     tjfirst if tjfirst is not None
@@ -4886,7 +4936,8 @@ class _TextInterp:
                                     tj_kill = False
                                 for sdm, sfm, spm, shwm, swm in segs[1:-1]:
                                     sd = (
-                                        " ".join(sdm) if lgap_el else sdm
+                                        self._lgap_join(sdm)
+                                        if lgap_el else sdm
                                     )
                                     ddx, ddy = _swapq(sfm, vv)
                                     if self.show(sd, vv, sfm,
@@ -4901,7 +4952,8 @@ class _TextInterp:
                                         self.last_end_x = spm
                                 sdl, sfl, spl, shwl, swl = segs[-1]
                                 buf = [
-                                    " ".join(sdl) if lgap_el else sdl
+                                    self._lgap_join(sdl)
+                                    if lgap_el else sdl
                                 ]
                                 tjfirst = sfl
                                 start_x = sfl
@@ -4937,13 +4989,16 @@ class _TextInterp:
                                         - tc * asx * tz
                                         if item else None
                                     )
-                                buf.append(" ".join(dec) if lgap_el else dec)
+                                buf.append(self._lgap_join(dec) if lgap_el else dec)
                                 if dec.strip(" "):
                                     tj_kill = False
                                 if tjfirst is None and fm.nbytes == 1:
-                                    tjfirst = self._first_x(
-                                        fm, item, dec, cur_x, size,
-                                        asx * tz, tc, tw,
+                                    tjfirst = (
+                                        cfvx if clipped_item
+                                        else self._first_x(
+                                            fm, item, dec, cur_x, size,
+                                            asx * tz, tc, tw,
+                                        )
                                     )
                                 cur_x += (
                                     advance_clip(item) if clip_y

@@ -2377,3 +2377,41 @@ def test_register_three_way_path_identity():
             cinterp.AVAILABLE = avail
             os.environ.pop("PDF_PARSE_DISABLE_CTEXT", None)
         assert c_full == c_lex == py
+
+
+def test_lgap_trailing_space_and_clip_anchor_byte_equal_vs_live_reference(
+    tmp_path,
+):
+    """Two classes distilled from round-4 fresh-seed hunts:
+
+    1. letter-gap join before a TRAILING real space: pdf.js's compare
+       never runs at a space glyph, so no fake space lands between the
+       last real glyph and a trailing space — a joined 2-run made the
+       pend machinery vanish a space the reference keeps
+       (pdfb._lgap_join / the C pendj_ withhold).
+    2. leading box-rejected glyphs advance width-only with NO compare:
+       the item anchors at its first VISIBLE glyph (_clip_x first_vis_x)
+       — anchoring at the clipped item start flipped a +7.51 fake-space
+       advance into a -3.61 carriage return.
+    """
+    mins = [
+        # class 1: lgap + trailing space + TJ kern (d0316 distillate)
+        b"/F1 8 Tf 1.50 Tc [(a ) 567 (c)] TJ",
+        b"/F1 8 Tf 1.50 Tc [(sigma ) 567 (chi)] TJ",
+        b"/F1 8 Tf 1.50 Tc [(a ) 500 (c)] TJ",
+        b"/F1 8 Tf 1.50 Tc [(a ) 700 (c)] TJ",
+        b"/F1 8 Tf 1.50 Tc [(ab ) 567 (c)] TJ",
+        b"/F1 8 Tf 1.50 Tc (a ) Tj [567 (c)] TJ",
+        b"/F1 8 Tf 0.00 Tc (phi) Tj 1.50 Tc (beta  x) Tj "
+        b"[(sigma ) 567 (chi)] TJ",
+        # class 2: leading clipped glyphs anchor at first visible
+        # glyph (d0126 distillate; mirror moves the pen left of vb0)
+        b"/F1 10 Tf -50 Tz (epsi) Tj 200 Tz (delta) Tj",
+        b"/F1 10 Tf -50 Tz (epsi gamma) Tj 0.5 Tc q 200 Tz (delta) Tj Q",
+        b"/F1 10 Tf -50 Tz (epsi gamma) Tj 2 Tc 0.5 Tc q 200 Tz "
+        b"(delta) Tj Q -120 Tz 1 0 0 1 190 433 Tm (delta zeta) Tj",
+    ]
+    _run_differential(
+        tmp_path,
+        [_assemble(b"BT " + m + b" ET") for m in mins],
+    )
