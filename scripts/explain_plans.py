@@ -43,6 +43,16 @@ NOTES = {
     "shard) feeding a per-shard running-sum window; pack assignment is "
     "pure integer arithmetic in whole-stage codegen after the window — "
     "shards pack independently, no global sort",
+    "pii_scrub": "PII redaction as a pure regexp_replace/extract_all "
+    "projection inside whole-stage codegen — zero Exchange beyond the "
+    "driver-determinism orderBy; at 100 TB this runs at scan speed",
+    "simhash_md5": "oracle-checkable SimHash: md5 halves + 64-bit "
+    "majority vote as ONE aggregate() pass over the token array — "
+    "JVM higher-order functions, a pure projection, no shuffle",
+    "tfidf_topk": "two partial+final aggregate pairs (doc_id x word "
+    "term counts, then vocabulary document frequencies), df joined "
+    "back (vocabulary-sized side — AQE broadcasts at runtime), per-doc "
+    "ranking window; no global sort beyond the determinism orderBy",
 }
 
 
