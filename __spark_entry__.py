@@ -7,7 +7,7 @@ per-source conversation) and runs per-conversation main-content extraction
 conversation.
 
 ``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
-31 DuckDB-checked queries covering SURVEY §2 operator families plus the
+41 DuckDB-checked queries covering SURVEY §2 operator families plus the
 training-data extensions (incl. the exact prefix-filtered Jaccard and
 containment joins, whose all-pairs DuckDB twins double as losslessness
 proofs; dup_clusters: alternating-star connected components over the
@@ -15,7 +15,11 @@ near-dup edge set vs a recursive-CTE closure; repetition: Gopher-style
 repetition quality filters; decontaminate: eval-set n-gram leakage
 flagging; doc_split: deterministic hash-bucket train/val/test
 assignment; doc_pack: fixed-token-budget sequence packing vs the same
-window arithmetic in DuckDB), and 10
+window arithmetic in DuckDB; asof_join: the temporal as-of join in the
+union-window shape, no join operator; range_join: interval-bucketed band
+join; unigram_ll: corpus LM scoring; source_mix: deterministic
+data-mixing rebalance; lexical_diversity: TTR/hapax quality signals;
+events_windowed: the epoch-aligned tumbling-window rollup), and 10
 rows-only entries for the non-SQL extraction/LSH kernels
 (incl. real_pdf_corpus: the reference's own binary PDF test corpus
 through the real-dialect parser; real_pdf_files: path/URL ingest with

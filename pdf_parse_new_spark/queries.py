@@ -1239,6 +1239,287 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join (the time-series/temporal-join operator Spark lacks as a
+    built-in): for every purchase event, the most recent signup of the same
+    user at-or-before the purchase. Implemented the scale-safe way — NOT an
+    inequality join (which degenerates to a per-user cross product): both
+    event streams union into one shuffle on user_id, a single ordered window
+    pass carries the last-seen signup ts forward (``last(..., ignorenulls)``
+    over rows-unbounded-preceding), and purchases read it where they stand.
+    Ties at the same timestamp order signup-before-purchase so an exact-ts
+    signup is visible, matching the oracle's ``s.ts <= p.ts``. One shuffle,
+    O(n log n_partition) sort, no join at all — the pandas ``merge_asof`` /
+    Flink temporal-join shape at any scale. Rows with no prior signup keep
+    -1 (coalesced so both engines agree on null handling)."""
+    e = load(spark, sf_dir, "events")
+    src = e.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    is_signup = F.col("event_type") == "signup"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            is_signup.cast("int").desc(),
+            F.col("event_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.last(
+        F.when(is_signup, F.col("ts")), ignorenulls=True
+    ).over(w)
+    secs = F.unix_timestamp("ts") - F.unix_timestamp("signup_ts")
+    return (
+        src.withColumn("signup_ts", last_signup)
+        .filter(~is_signup)
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(secs, F.lit(-1)).alias("secs_since_signup"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT max(s.ts) FROM s
+           WHERE s.user_id = p.user_id AND s.ts <= p.ts) AS signup_ts
+  FROM p)
+SELECT event_id, user_id,
+       coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(signup_ts)) AS BIGINT), -1)
+         AS secs_since_signup
+FROM j ORDER BY event_id
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Range join via interval bucketing (the published band-join trick;
+    DuckDB/KDB call it a window/band join): for each error event, how many
+    clicks the same user made in the preceding 5 minutes. A naive
+    ``c.ts BETWEEN e.ts - 5min AND e.ts`` inequality join gives Spark no
+    equi-key and explodes into a per-user cross product; instead each click
+    is replicated into its 5-minute epoch bucket and the next one, the join
+    runs on the (user_id, bucket) EQUI-key, and the exact range predicate
+    prunes the candidates. Each row joins against at most two buckets, so
+    candidate fan-out is bounded by bucket occupancy — shuffle-partitioned,
+    skew-safe, no cartesian at any scale."""
+    e = load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.floor(F.unix_timestamp("ts") / 300).alias("bin"),
+    )
+    cbin = F.floor(F.unix_timestamp("c_ts") / 300)
+    clk = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"))
+        .withColumn("bin", F.explode(F.array(cbin, cbin + 1)))
+    )
+    j = err.join(
+        clk,
+        (err.user_id == clk.c_uid)
+        & (err.bin == clk.bin)
+        & (clk.c_ts >= err.e_ts - F.expr("INTERVAL 5 MINUTES"))
+        & (clk.c_ts < err.e_ts),
+        "left",
+    )
+    return (
+        j.groupBy("event_id", "user_id")
+        .agg(F.count("c_ts").alias("n_recent_clicks"))
+        .orderBy("event_id")
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, e.user_id,
+       (SELECT count(*) FROM events c
+         WHERE c.user_id = e.user_id AND c.event_type = 'click'
+           AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts)
+         AS n_recent_clicks
+FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id
+"""
+
+
+def q_unigram_ll(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet/RedPajama perplexity-proxy
+    quality signal): build the corpus unigram distribution, then score each
+    document by its mean token log-probability. Two partial+final aggregate
+    pairs (corpus vocabulary, then per-doc means); the vocabulary with log
+    probs is vocabulary-sized — broadcast back onto the token stream, so
+    the scoring join is map-side. At 100 TB the vocab table is the only
+    state that must fit an executor (cap it with a min-count filter when it
+    doesn't); everything else is streaming aggregation."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    vp = vocab.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    return (
+        words.join(F.broadcast(vp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_UNIGRAM_LL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+v AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+vp AS (SELECT w, ln(cnt / (SELECT CAST(sum(cnt) AS DOUBLE) FROM v)) AS logp
+       FROM v)
+SELECT w.doc_id, count(*) AS n_tokens,
+       round(avg(vp.logp), 6) AS avg_logp
+FROM w JOIN vp USING (w)
+GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
+
+def q_source_mix(spark, sf_dir):
+    """Data-mixing rebalance (the training-mixture operator): downsample
+    every source stratum to the size of the smallest one, choosing
+    survivors by a content-independent md5 hash of the doc id — stable
+    under re-runs, re-partitioning, and incremental ingest (no rand(), no
+    global sort). The mixture target is 60% of the smallest stratum (so
+    the filter bites even on balanced corpora); the keep decision is pure
+    integer arithmetic (``bucket * stratum_count < target * 6000``),
+    identical on both engines. Per-stratum counts are a tiny aggregate
+    broadcast back onto the scan, so the sample itself is a shuffle-free
+    scan-side filter at any scale."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    tgt = counts.agg(F.min("cnt").alias("target"))
+    rates = counts.crossJoin(F.broadcast(tgt))
+    hexs = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    )
+    bucket = F.conv(hexs, 16, 10).cast("bigint") % 10000
+    return (
+        d.withColumn("bucket", bucket)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("bucket") * F.col("cnt") < F.col("target") * 6000)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_SOURCE_MIX = """
+WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+t AS (SELECT min(cnt) AS target FROM c),
+b AS (
+  SELECT doc_id, source,
+         list_reduce(
+           list_transform(
+             string_split(substr(md5(cast(doc_id AS varchar)), 1, 8), ''),
+             x -> strpos('0123456789abcdef', x) - 1),
+           (a, x) -> a * 16 + x) % 10000 AS bucket
+  FROM documents)
+SELECT b.doc_id, b.source
+FROM b JOIN c USING (source) CROSS JOIN t
+WHERE b.bucket * c.cnt < t.target * 6000
+ORDER BY b.doc_id
+"""
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Lexical-diversity quality signals (type/token ratio + hapax share —
+    the Gopher-adjacent repetition/diversity family): one explode into a
+    (doc_id, word) partial+final count, then a per-doc rollup. Both
+    aggregations are map-side combinable on unskewed keys; nothing is
+    collected; at 100 TB this is two streaming shuffles."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("cnt") == 1).cast("bigint")).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH wc AS (
+  SELECT doc_id, w, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY doc_id, w),
+a AS (
+  SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_types,
+         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM wc GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       round(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       round(n_hapax / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
+FROM a ORDER BY doc_id
+"""
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling-window rollup through Spark's ``window()`` function — the
+    batch twin of the Structured Streaming windowed aggregation (same
+    epoch-aligned 15-minute assignment the streaming operators use, so
+    batch backfill and the live stream produce identical frames). Plain
+    partial+final aggregation on (window, event_type); the oracle
+    reproduces the epoch-floor bucket arithmetic explicitly."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(make_timestamp(
+         CAST(floor(epoch(ts) / 900) * 900 * 1000000 AS BIGINT)),
+         '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
     "conv_concat_tree": (q_conv_concat_tree, SQL_CONV_CONCAT),
@@ -1275,6 +1556,12 @@ SQL_CHECKED = {
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "unigram_ll": (q_unigram_ll, SQL_UNIGRAM_LL),
+    "source_mix": (q_source_mix, SQL_SOURCE_MIX),
+    "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
+    "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

@@ -53,6 +53,21 @@ NOTES = {
     "term counts, then vocabulary document frequencies), df joined "
     "back (vocabulary-sized side — AQE broadcasts at runtime), per-doc "
     "ranking window; no global sort beyond the determinism orderBy",
+    "asof_join": "AS-OF join compiled to the union-window shape: ONE "
+    "shuffle on user_id, a single ordered Window carrying the last "
+    "signup forward, and NO join operator anywhere — the inequality "
+    "join a naive translation would emit is the per-user cross-product "
+    "scale-killer",
+    "range_join": "band join via interval bucketing: clicks replicate "
+    "into two 5-minute epoch buckets (Generate), the join runs on the "
+    "(user_id, bucket) EQUI-key and the exact range predicate prunes — "
+    "bounded fan-out, no cartesian",
+    "unigram_ll": "corpus LM scoring: vocabulary aggregate broadcast "
+    "back onto the token stream (BroadcastHashJoin), per-doc means as "
+    "partial+final aggs; the only intentional NLJ is the 1-row total",
+    "source_mix": "data-mixing rebalance: tiny per-stratum rate table "
+    "broadcast onto the scan — the sample is a map-side integer-hash "
+    "filter, zero shuffle of the corpus",
 }
 
 

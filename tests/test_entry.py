@@ -21,6 +21,12 @@ CHEAP = [
     "part_stats",
     "events_user_span",
     "orders_monthly",
+    "asof_join",
+    "range_join",
+    "unigram_ll",
+    "source_mix",
+    "lexical_diversity",
+    "events_windowed",
 ]
 
 

@@ -119,3 +119,56 @@ def test_dup_clusters_no_cartesian(spark):
         q.q_dup_clusters(spark, SF),
         absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
+
+
+def test_asof_join_is_window_not_join(spark):
+    # the as-of join must compile to the union-window shape: one Window
+    # over the user_id shuffle and NO join operator of any kind — an
+    # inequality join here would be the per-user cross-product scale-killer
+    plan = formatted_plan(q.q_asof_join(spark, SF))
+    assert "Window" in plan, plan
+    assert_plan(
+        q.q_asof_join(spark, SF),
+        absent=(
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ),
+    )
+
+
+def test_range_join_bucketed_equi(spark):
+    # the band join must candidate through the (user_id, bucket) equi-key
+    # (explode = Generate in the plan), never an inequality-only join
+    plan = formatted_plan(q.q_range_join(spark, SF))
+    assert "Generate" in plan, plan
+    assert_plan(
+        q.q_range_join(spark, SF),
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
+def test_unigram_ll_vocab_broadcast(spark):
+    # the vocabulary joins back onto the token stream as a broadcast hash
+    # join (the 1-row total crossJoin is an intentional broadcast NLJ)
+    assert_plan(
+        q.q_unigram_ll(spark, SF),
+        "BroadcastHashJoin",
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_source_mix_broadcast_rates(spark):
+    # per-stratum rates broadcast onto the scan: the sample is a map-side
+    # filter, not a shuffle of the corpus
+    assert_plan(
+        q.q_source_mix(spark, SF),
+        "BroadcastHashJoin",
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_events_windowed_partial_agg(spark):
+    plan = formatted_plan(q.q_events_windowed(spark, SF))
+    assert plan.count("HashAggregate") >= 2
