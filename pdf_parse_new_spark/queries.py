@@ -1520,6 +1520,102 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact percentile aggregation (the sort-based aggregate family —
+    corpus length-distribution profiling): per-source p50/p90/p99 of
+    document length plus the mean. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the same linear-interpolation definition
+    (index = p*(n-1)), so the values hash-match exactly after rounding.
+    Exact percentiles shuffle each group's values to one reducer — fine
+    for bounded groups like sources; the 100-TB escape hatch for unbounded
+    groups is ``percentile_approx`` (t-digest, partial-aggregatable),
+    which this query deliberately does NOT use so the oracle stays
+    exact."""
+    d = load(spark, sf_dir, "documents")
+    pct = F.percentile(
+        "n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            pct.alias("pct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "avg_chars",
+            F.round(F.col("pct")[0], 4).alias("p50"),
+            F.round(F.col("pct")[1], 4).alias("p90"),
+            F.round(F.col("pct")[2], 4).alias("p99"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT source, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain source statistics (the web-pipeline quality-weighting
+    rollup): URLs injected deterministically from doc_id (same expression
+    in the oracle, as in pii_scrub), hosts extracted with one
+    ``regexp_extract_all`` in the Java-regex ∩ RE2 dialect, exploded, and
+    rolled up to URL and distinct-document counts per domain. Explode +
+    partial+final aggregation on the domain key; exact count-distinct is
+    the standard two-phase expand — at 100 TB swap in
+    ``approx_count_distinct`` (HLL, single-pass) when exactness isn't
+    required."""
+    d = load(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.lit(" and http://cdn"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.net/a"),
+    )
+    host = F.explode(
+        F.regexp_extract_all(
+            salted, F.lit(r"https?://([A-Za-z0-9.-]+)/"), F.lit(1)
+        )
+    )
+    return (
+        d.select("doc_id", host.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+SQL_DOMAIN_STATS = r"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+              || '.example.net/a' AS text
+  FROM documents),
+u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)/', 1))
+           AS domain
+  FROM s)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM u GROUP BY domain ORDER BY domain
+"""
+
+
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
     "conv_concat_tree": (q_conv_concat_tree, SQL_CONV_CONCAT),
@@ -1562,6 +1658,8 @@ SQL_CHECKED = {
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
     "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

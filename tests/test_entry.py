@@ -27,6 +27,8 @@ CHEAP = [
     "source_mix",
     "lexical_diversity",
     "events_windowed",
+    "length_quantiles",
+    "domain_stats",
 ]
 
 
