@@ -342,3 +342,60 @@ def test_band_collision_stream_counts_first_seen_bands(spark, tmp_path):
     early = sum(v for k, v in counts.items() if k.startswith("2024-01-01 00:"))
     assert early == 8, counts
     assert total_first_seen in (8, 12), counts
+
+
+def test_windowed_rollup_stream_equals_batch(spark, tmp_path):
+    """The q_events_windowed batch claim pinned end-to-end: streaming the
+    same events through a windowed aggregation produces EXACTLY the frames
+    the batch query computes — epoch-aligned 15-minute tumbling windows,
+    same counts and sums. Backfill and live stream are interchangeable."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_new_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        tuple(r) for r in q.q_events_windowed(spark, sf).collect()
+    }
+
+    # the file-stream source wants a directory of landed files
+    import shutil
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{sf}/events.parquet", src / "events.parquet")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (
+        stream.groupBy(
+            F.window("ts", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("win_rollup_t")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        streamed = {
+            tuple(r) for r in spark.sql(
+                "select * from win_rollup_t"
+            ).collect()
+        }
+    finally:
+        query.stop()
+    assert streamed == batch
