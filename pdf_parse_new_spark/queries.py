@@ -1598,6 +1598,45 @@ def q_domain_stats(spark, sf_dir):
     )
 
 
+def q_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated n-gram spans (the exact-substring-dedup
+    signal of Lee et al. 2022 'Deduplicating Training Data Makes Language
+    Models Better', at word-8-gram granularity): explode per-doc distinct
+    8-gram shingles, count distinct documents per gram, keep grams shared
+    by >= 2 docs, top-100 by spread. Explode + two-phase distinct-count
+    aggregation; the top-k compiles to TakeOrderedAndProject (per-partition
+    heaps, no global sort). At 100 TB the gram key space is huge but
+    unskewed (partial aggregation absorbs repeats map-side); the output is
+    the candidate span set an excision pass would cut."""
+    from pdf_parse_new_spark.operators import dedup as dd
+
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(dd.shingles(F.col("text"), 8)).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(100)
+    )
+
+
+SQL_REPEATED_NGRAMS = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len(string_split(text,' ')) - 8, 0) + 1),
+           i -> array_to_string(string_split(text,' ')[i+1:i+8], ' '))))
+           AS gram
+  FROM documents)
+SELECT gram, count(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, gram ASC LIMIT 100
+"""
+
+
 SQL_DOMAIN_STATS = r"""
 WITH s AS (
   SELECT doc_id,
@@ -1660,6 +1699,7 @@ SQL_CHECKED = {
     "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

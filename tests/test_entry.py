@@ -29,6 +29,7 @@ CHEAP = [
     "events_windowed",
     "length_quantiles",
     "domain_stats",
+    "repeated_ngrams",
 ]
 
 
