@@ -1655,6 +1655,114 @@ FROM u GROUP BY domain ORDER BY domain
 """
 
 
+def q_orders_rollup(spark, sf_dir):
+    """Multi-granularity aggregation (ROLLUP / grouping sets — the OLAP
+    subtotal family): order counts and revenue at (priority, status),
+    per-priority, and grand-total levels in ONE pass. Spark compiles
+    rollup to a single Expand + aggregate — each input row fans out to
+    its grouping sets map-side, so the 100-TB cost is one shuffle, not
+    one scan per granularity. Subtotal rows surface as 'ALL' via
+    ``grouping()`` so the result carries no NULL ambiguity."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping("o_orderpriority").alias("g_pri"),
+            F.grouping("o_orderstatus").alias("g_sta"),
+        )
+        .select(
+            F.when(F.col("g_pri") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.when(F.col("g_sta") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
+       CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (long-to-wide reshaping): per-user event counts with one
+    column per event type. The type list is passed EXPLICITLY so Spark
+    skips the distinct-values discovery job and the pivot compiles to a
+    single partial+final aggregate of conditional counts — one shuffle,
+    same plan shape at any scale. The oracle expresses the identical
+    reshape as FILTER aggregates."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return piv.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    ).orderBy("user_id")
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_customer_quartiles(spark, sf_dir):
+    """ntile window family (equi-depth bucketing for tiering/sampling
+    designs): customers ranked into revenue quartiles. Ordering uses the
+    ROUNDED revenue plus the key as tie-break so the bucket assignment is
+    deterministic and engine-independent. One shuffle for the revenue
+    aggregate; the ntile itself is a single ordered window — at scale,
+    bucket boundaries would come from approx quantiles instead of a
+    global sort, which is why the aggregate keeps the window input small
+    (one row per customer)."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return (
+        rev.select(
+            F.col("o_custkey").alias("custkey"),
+            "revenue",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("custkey")
+    )
+
+
+SQL_CUSTOMER_QUARTILES = """
+WITH rev AS (
+  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey)
+SELECT custkey, revenue,
+       ntile(4) OVER (ORDER BY revenue DESC, custkey ASC) AS quartile
+FROM rev ORDER BY custkey
+"""
+
+
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
     "conv_concat_tree": (q_conv_concat_tree, SQL_CONV_CONCAT),
@@ -1700,6 +1808,9 @@ SQL_CHECKED = {
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
+    "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

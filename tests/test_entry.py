@@ -30,6 +30,9 @@ CHEAP = [
     "length_quantiles",
     "domain_stats",
     "repeated_ngrams",
+    "orders_rollup",
+    "events_pivot",
+    "customer_quartiles",
 ]
 
 
