@@ -50,15 +50,46 @@ def committed_files(out_dir: str) -> list[dict]:
     return commits
 
 
-def committed_data_paths(out_dir: str) -> list[str]:
+def committed_data_paths(out_dir: str, as_of: str | None = None) -> list[str]:
     paths: list[str] = []
+    seen = False
     for c in committed_files(out_dir):
         paths.extend(c["data_dirs"])
+        if as_of is not None and c["snapshot_id"] == as_of:
+            seen = True
+            break
+    if as_of is not None and not seen:
+        raise ValueError(f"unknown snapshot_id {as_of!r} in {out_dir}")
     return [p for p in paths if os.path.isdir(p)]
 
 
-def read_committed(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    paths = committed_data_paths(out_dir)
+def snapshots(out_dir: str) -> list[dict]:
+    """The Iceberg ``snapshots`` metadata-table analog: one row per commit,
+    in commit order, with the cumulative row count readable at that
+    snapshot (commit filenames are timestamp-prefixed, so sorted order IS
+    commit order)."""
+    out, total = [], 0
+    for c in committed_files(out_dir):
+        total += c["n_rows"]
+        out.append({
+            "snapshot_id": c["snapshot_id"],
+            "committed_at": c["committed_at"],
+            "n_rows": c["n_rows"],
+            "cumulative_rows": total,
+            "n_convs": c["n_convs"],
+        })
+    return out
+
+
+def read_committed(
+    spark: SparkSession, out_dir: str, as_of: str | None = None
+) -> DataFrame | None:
+    """Read the committed table, optionally TIME-TRAVELLED to the state as
+    of a historical snapshot id (inclusive) — the Iceberg
+    ``VERSION AS OF`` analog: later snapshots' data files are simply not
+    listed, so the read reconstructs exactly the rows visible at that
+    commit. Raises on an unknown snapshot id."""
+    paths = committed_data_paths(out_dir, as_of=as_of)
     if not paths:
         return None
     # mergeSchema: snapshots may span ENGINE versions (e.g. the per-turn

@@ -136,3 +136,49 @@ def test_resume_across_engine_schema_versions(spark, tmp_path):
     # old-snapshot rows read as info=null, new rows keep theirs
     old_rows = merged.join(first.select("conv_id").distinct(), "conv_id")
     assert old_rows.filter("info is not null").count() == 0
+
+
+def test_snapshot_time_travel(spark):
+    """Iceberg VERSION-AS-OF analog: reading as of a historical snapshot
+    reconstructs exactly the rows visible at that commit; the snapshots
+    listing carries cumulative counts in commit order."""
+    import pytest
+
+    out = tempfile.mkdtemp(prefix="ckpt-tt-")
+    try:
+        df1 = fixtures.make_transcripts_df(spark, n_convs=4, median_turns=5)
+        c1 = checkpoint.run_incremental(spark, df1, out)
+        df2 = fixtures.make_transcripts_df(spark, n_convs=7, median_turns=5)
+        c2 = checkpoint.run_incremental(spark, df2, out)
+        df3 = fixtures.make_transcripts_df(spark, n_convs=9, median_turns=5)
+        c3 = checkpoint.run_incremental(spark, df3, out)
+
+        snaps = checkpoint.snapshots(out)
+        assert [s["snapshot_id"] for s in snaps] == [
+            c1["snapshot_id"], c2["snapshot_id"], c3["snapshot_id"]
+        ]
+        assert snaps[-1]["cumulative_rows"] == df3.count()
+        assert snaps[0]["cumulative_rows"] == c1["n_rows"]
+
+        # as-of the FIRST snapshot: only df1's conversations are visible
+        at1 = checkpoint.read_committed(spark, out, as_of=c1["snapshot_id"])
+        assert at1.count() == df1.count()
+        assert at1.select("conv_id").distinct().count() == 4
+        # as-of the SECOND: df2's cumulative state
+        at2 = checkpoint.read_committed(spark, out, as_of=c2["snapshot_id"])
+        assert at2.count() == df2.count()
+        assert at2.select("conv_id").distinct().count() == 7
+        # default read = latest
+        assert checkpoint.read_committed(spark, out).count() == df3.count()
+        # time-travelled rows are the same bytes the full read carries
+        full_rows = {
+            (r.conv_id, r.turn_idx): r.extracted_text
+            for r in checkpoint.read_committed(spark, out).collect()
+        }
+        for r in at1.collect():
+            assert full_rows[(r.conv_id, r.turn_idx)] == r.extracted_text
+
+        with pytest.raises(ValueError, match="unknown snapshot_id"):
+            checkpoint.read_committed(spark, out, as_of="nope")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
