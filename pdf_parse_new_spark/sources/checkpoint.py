@@ -54,7 +54,11 @@ def committed_data_paths(out_dir: str, as_of: str | None = None) -> list[str]:
     paths: list[str] = []
     seen = False
     for c in committed_files(out_dir):
-        paths.extend(c["data_dirs"])
+        if c.get("replaces_all"):
+            # compaction snapshot: its files ARE the whole table here
+            paths = list(c["data_dirs"])
+        else:
+            paths.extend(c["data_dirs"])
         if as_of is not None and c["snapshot_id"] == as_of:
             seen = True
             break
@@ -67,16 +71,18 @@ def snapshots(out_dir: str) -> list[dict]:
     """The Iceberg ``snapshots`` metadata-table analog: one row per commit,
     in commit order, with the cumulative row count readable at that
     snapshot (commit filenames are timestamp-prefixed, so sorted order IS
-    commit order)."""
+    commit order). A compaction snapshot restates the full table, so the
+    cumulative count resets to its row count."""
     out, total = [], 0
     for c in committed_files(out_dir):
-        total += c["n_rows"]
+        total = c["n_rows"] if c.get("replaces_all") else total + c["n_rows"]
         out.append({
             "snapshot_id": c["snapshot_id"],
             "committed_at": c["committed_at"],
             "n_rows": c["n_rows"],
             "cumulative_rows": total,
             "n_convs": c["n_convs"],
+            "compaction": bool(c.get("replaces_all")),
         })
     return out
 
@@ -98,6 +104,71 @@ def read_committed(
     # depending on which snapshot it sampled (Iceberg gets this from table
     # metadata; plain parquet needs the explicit merge)
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def compact(
+    spark: SparkSession, out_dir: str, partitions: int | None = None
+) -> dict:
+    """Compaction (Iceberg ``rewrite_data_files`` analog): rewrite the whole
+    committed table into ONE fresh snapshot whose manifest carries
+    ``replaces_all`` — subsequent reads list only it, so the many small
+    per-commit file sets an incremental 100-TB ingest accumulates collapse
+    to one well-sized layout. History stays intact: earlier snapshots'
+    files are untouched, so time travel to them keeps working until
+    ``expire_snapshots`` reclaims them. Resumes are unaffected — the
+    anti-join reads through the same committed view."""
+    done = read_committed(spark, out_dir)
+    if done is None:
+        return {"snapshot_id": None, "n_rows": 0, "skipped": True}
+    snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+    data_dir = os.path.join(out_dir, f"data-compact-{snap_id}")
+    w = done.repartition(partitions) if partitions else done
+    w.write.mode("overwrite").parquet(data_dir)
+    written = spark.read.parquet(data_dir)
+    commit = {
+        "snapshot_id": snap_id,
+        "data_dirs": [data_dir],
+        "replaces_all": True,
+        "n_rows": written.count(),
+        "n_convs": int(written.select("conv_id").distinct().count()),
+        "n_errors": 0,
+        "partitions": [],
+        "committed_at": time.time(),
+    }
+    tmp = os.path.join(_commit_dir(out_dir), f".{snap_id}.json.tmp")
+    final = os.path.join(_commit_dir(out_dir), f"{snap_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(commit, f, indent=1)
+    os.rename(tmp, final)  # atomic commit point
+    return commit
+
+
+def expire_snapshots(out_dir: str) -> list[str]:
+    """Reclaim history superseded by the latest compaction (Iceberg
+    ``expire_snapshots`` analog): drop every commit BEFORE the newest
+    ``replaces_all`` snapshot and delete their data directories. Time
+    travel to expired snapshots is gone by design; the current table and
+    every later snapshot are untouched. No-op when nothing was
+    compacted."""
+    import shutil
+
+    commits = committed_files(out_dir)
+    last_base = max(
+        (i for i, c in enumerate(commits) if c.get("replaces_all")),
+        default=None,
+    )
+    if last_base is None:
+        return []
+    keep_dirs = {d for c in commits[last_base:] for d in c["data_dirs"]}
+    removed = []
+    for c in commits[:last_base]:
+        for d in c["data_dirs"]:
+            if d not in keep_dirs and os.path.isdir(d):
+                shutil.rmtree(d)
+        os.remove(os.path.join(_commit_dir(out_dir),
+                               f"{c['snapshot_id']}.json"))
+        removed.append(c["snapshot_id"])
+    return removed
 
 
 def run_incremental(

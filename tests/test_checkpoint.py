@@ -182,3 +182,60 @@ def test_snapshot_time_travel(spark):
             checkpoint.read_committed(spark, out, as_of="nope")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_and_expire_snapshots(spark):
+    """Compaction rewrites the table into one replaces_all snapshot: reads
+    (and resumes) see identical rows, pre-compaction time travel keeps
+    working until expire_snapshots reclaims it, and incremental commits
+    keep stacking on top of the compacted base."""
+    import os
+
+    import pytest
+
+    out = tempfile.mkdtemp(prefix="ckpt-cmp-")
+    try:
+        df1 = fixtures.make_transcripts_df(spark, n_convs=4, median_turns=5)
+        c1 = checkpoint.run_incremental(spark, df1, out)
+        df2 = fixtures.make_transcripts_df(spark, n_convs=7, median_turns=5)
+        checkpoint.run_incremental(spark, df2, out)
+
+        before = {
+            (r.conv_id, r.turn_idx): r.extracted_text
+            for r in checkpoint.read_committed(spark, out).collect()
+        }
+        cc = checkpoint.compact(spark, out, partitions=2)
+        assert cc["replaces_all"] and cc["n_rows"] == df2.count()
+        after = {
+            (r.conv_id, r.turn_idx): r.extracted_text
+            for r in checkpoint.read_committed(spark, out).collect()
+        }
+        assert after == before
+        # the live read lists ONLY the compacted snapshot's files
+        paths = checkpoint.committed_data_paths(out)
+        assert paths == cc["data_dirs"]
+        # pre-compaction time travel still works (files not yet expired)
+        at1 = checkpoint.read_committed(spark, out, as_of=c1["snapshot_id"])
+        assert at1.select("conv_id").distinct().count() == 4
+        # snapshots(): cumulative resets at the compaction row
+        snaps = checkpoint.snapshots(out)
+        assert snaps[-1]["compaction"] is True
+        assert snaps[-1]["cumulative_rows"] == df2.count()
+
+        # incremental on top of the compacted base: only new convs run
+        df3 = fixtures.make_transcripts_df(spark, n_convs=9, median_turns=5)
+        c3 = checkpoint.run_incremental(spark, df3, out)
+        assert c3["n_convs"] == 2
+        assert checkpoint.read_committed(spark, out).count() == df3.count()
+
+        # expire: pre-compaction snapshots and their files are reclaimed
+        removed = checkpoint.expire_snapshots(out)
+        assert c1["snapshot_id"] in removed
+        assert not os.path.isdir(c1["data_dirs"][0])
+        with pytest.raises(ValueError, match="unknown snapshot_id"):
+            checkpoint.read_committed(spark, out, as_of=c1["snapshot_id"])
+        # current table and the post-compaction commit are untouched
+        assert checkpoint.read_committed(spark, out).count() == df3.count()
+        assert len(checkpoint.committed_files(out)) == 2
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
