@@ -68,6 +68,13 @@ NOTES = {
     "source_mix": "data-mixing rebalance: tiny per-stratum rate table "
     "broadcast onto the scan — the sample is a map-side integer-hash "
     "filter, zero shuffle of the corpus",
+    "orders_rollup": "multi-granularity ROLLUP in ONE pass: a single "
+    "Expand fans each row to its grouping sets map-side, one "
+    "partial+final aggregate pair — one shuffle for three granularities, "
+    "not one scan each",
+    "events_pivot": "pivot with an explicit value list: no "
+    "distinct-discovery job, a single partial+final aggregate of "
+    "conditional counts — one shuffle at any scale",
 }
 
 

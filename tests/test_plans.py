@@ -172,3 +172,28 @@ def test_source_mix_broadcast_rates(spark):
 def test_events_windowed_partial_agg(spark):
     plan = formatted_plan(q.q_events_windowed(spark, SF))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_colocated_no_exchange(spark, tmp_path):
+    # bucketing both sides of a join on the key pre-co-locates the data:
+    # the SortMergeJoin consumes the bucketed layout directly — ZERO
+    # Exchange in the plan. At 100 TB this is the repeat-join strategy
+    # (pay the shuffle once at write time, never per query).
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for name, cols in (("bkt_left", ["doc_id", "source"]),
+                       ("bkt_right", ["doc_id", "n_chars"])):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (docs.select(*cols).write.bucketBy(4, "doc_id").sortBy("doc_id")
+         .option("path", str(tmp_path / name)).saveAsTable(name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "doc_id")
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
