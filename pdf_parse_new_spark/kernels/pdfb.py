@@ -2249,17 +2249,19 @@ class _TextInterp:
             # its internally-absorbed gaps (seg_w). Callers that can't
             # compute it pass None: derive zero when no emitted glyph
             # had scaledDim != 0 (the move_prev condition), else a
-            # positive stand-in (sign-exact, magnitude approximate —
-            # the rotated per-glyph paths).
-            self.item_wreg = (
-                seg_w if seg_w is not None
-                else (0.0 if not move_prev else (fs if fs > 0 else 1.0))
-            )
+            # sign-exact magnitude-approximate stand-in — NEGATIVE for
+            # mirrored items, where pdf.js's width += scaledDim runs
+            # after scaledDim *= textHScale (< 0) flips every appended
+            # width (the multibyte mirrored fallback path).
+            standin = 0.0 if not move_prev else (fs if fs > 0 else 1.0)
+            if mirror:
+                standin = -standin
+            self.item_wreg = seg_w if seg_w is not None else standin
         else:
-            self.item_wreg += (
-                seg_w if seg_w is not None
-                else (0.0 if not move_prev else (fs if fs > 0 else 1.0))
-            )
+            standin = 0.0 if not move_prev else (fs if fs > 0 else 1.0)
+            if mirror:
+                standin = -standin
+            self.item_wreg += seg_w if seg_w is not None else standin
         self.pieces.append(core)
         self.line_open = True
         self.last_char = core[-1]
@@ -4213,8 +4215,20 @@ class _TextInterp:
                 # width glyph never moves prevTransform (pdf.js
                 # stores it only when scaledDim != 0).
                 w = (wt * tz) * asx
+                # EXACT register contribution: pdf.js appends
+                # width += scaledDim AFTER scaledDim *= textHScale
+                # (pdf.worker.js:36718-36721), so mirrored glyphs
+                # (negative Tz) push the register NEGATIVE while the
+                # rotate-180 compare frame keeps advances positive —
+                # textOrientation flips mid-item exactly where the
+                # accumulated signed widths outweigh the absorbed
+                # gaps (the tzneg 'a mm' hunt minimal). Sign = the
+                # raw Tz sign; magnitude = the device advance (our
+                # register, like our bands, lives in the asx-scaled
+                # frame — asx > 0 preserves the sign).
                 shown = _show_item(ch, (cur_x + w) if wt else None, 0.0,
-                                   dev_w=wt)
+                                   dev_w=wt,
+                                   seg_w=(-w if tz_mirror else w))
                 cur_x += w
                 if shown and cs:
                     cur_x += (cs * tz) * asx

@@ -31,11 +31,11 @@ PLAIN = [  # content-stream generators (wrapped by _assemble)
     ("tj_coalesce", m._gen_tj_coalesce_stream),
     ("bigtc", m._gen_bigtc_stream),
     ("clipseg", m._gen_clipseg_stream),
+]
+FULL = [  # generators that emit complete PDF documents
     ("tzneg", m._gen_tzneg_stream),
     ("zwreg", m._gen_zwreg_stream),
     ("nzreg", m._gen_nzreg_stream),
-]
-FULL = [  # generators that emit complete PDF documents
     ("form_inherit", m._gen_form_inherit_stream),
     ("rise_bt", m._gen_rise_bt_stream),
     ("qq", m._gen_qq_stream),

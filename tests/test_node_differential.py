@@ -2415,3 +2415,31 @@ def test_lgap_trailing_space_and_clip_anchor_byte_equal_vs_live_reference(
         tmp_path,
         [_assemble(b"BT " + m + b" ET") for m in mins],
     )
+
+
+def test_tzneg_register_flip_byte_equal_vs_live_reference(tmp_path):
+    """The mirrored-item register flip (hunt seed 10,290,007 minimal):
+    the item opens LTR, `-80 Tz` mirrors mid-item, and the width
+    register — which accumulates SIGNED scaledDim (pdf.js
+    width += scaledDim after scaledDim *= textHScale,
+    pdf.worker.js:36718-36721) while the rotate-180 compare frame keeps
+    advances positive — crosses zero exactly at the last glyph pair:
+    textOrientation flips to -1 and the +1.6 advance falls into the
+    flipped CR window (advanceX < +0.2*fs), gluing 'mm' where the
+    positive cascade had been spacing 'a m'. A positive-magnitude
+    register stand-in keeps the orientation +1 and emits 'a m m'."""
+    streams = [
+        b"BT /F1 10 Tf [(epsi) 144 (zeta)] TJ [(epsi) -56 (gamma)] TJ"
+        b" [(delta) 243 (epsi)] TJ 2 Tc -80 Tz [(epsi) 196 (gamma)] TJ ET",
+        b"BT /F1 10 Tf [(delta) 243 (epsi)] TJ"
+        b" 2 Tc -80 Tz [(epsi) 196 (gamma)] TJ ET",
+        # flip via Tj (the _show_glyphs non-TJ entry)
+        b"BT /F1 10 Tf (deltaepsi) Tj 2 Tc -80 Tz (epsigamma) Tj ET",
+        # already-mirrored open: register negative from glyph one
+        b"BT /F1 10 Tf 100 0 Td 2 Tc -80 Tz [(epsi) 196 (gamma)] TJ ET",
+    ]
+    docs = [_assemble(s) for s in streams] + [
+        _gen_tzneg_stream(random.Random(10_290_007)),
+        _gen_tzneg_stream(random.Random(10_290_000)),
+    ]
+    _run_differential(tmp_path, docs)
