@@ -724,19 +724,29 @@ def test_tj_coalesce_three_way_path_identity():
 # ---------------------------------------------------------------------------
 
 def _tc_knife_edge(stream: bytes) -> bool:
-    """tc within an ulp-scale band of the 0.6*fs spaceInFlowMax (or
+    """tc*|tz| within an ulp-scale band of the 0.6*fs spaceInFlowMax (or
     -0.2*fs negativeSpaceMax) boundary: pdf.js's own flush decision
     there depends on accumulated-position rounding (advanceX =
-    (x + tc) - x wobbles +/- ulp(x) across a ~4e-16 gap), so
-    byte-equality is not well-defined — the generators skip these."""
+    (x + tc*hs) - x wobbles +/- ulp(x) across a ~4e-16 gap — verified
+    live: `18 Tc 80 Tz /F2 24 Tf` decides the SAME 14.4 advance both
+    ways within one stream depending on position magnitude), so
+    byte-equality is not well-defined — the generators skip these.
+    The horizontal scale participates because the boundary compare is
+    tc * |tz|/100 vs 0.6 * fs (the 11.5M-seed hunt found the Tz-scaled
+    edge the original tc/fs test missed)."""
     import re as _re
 
     tcs = [float(v) for v in _re.findall(rb"(-?[\d.]+) Tc", stream)]
     fss = [float(v) for v in _re.findall(rb"/F\d (\d+) Tf", stream)]
+    tzs = [1.0] + [
+        abs(float(v)) / 100.0 for v in _re.findall(rb"(-?[\d.]+) Tz", stream)
+    ]
     return any(
-        f > 0 and (abs(t / f - 0.6) < 1e-9 or abs(t / f + 0.2) < 1e-9)
+        f > 0
+        and (abs(t * z / f - 0.6) < 1e-9 or abs(t * z / f + 0.2) < 1e-9)
         for t in tcs
         for f in fss
+        for z in tzs
     )
 
 
