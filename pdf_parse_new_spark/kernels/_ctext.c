@@ -1061,8 +1061,15 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
      * sees exactly the real glyphs. A withheld join materializes only
      * when a later REAL glyph arrives (inner run; order within the
      * all-space run is immaterial) and is DISCARDED at item end
-     * (trailing run). Twin of pdfb._lgap_join. */
+     * (trailing run). Joins are also suppressed until the item's
+     * first REAL glyph (leading run): that gap belongs to the
+     * BOUNDARY compare, whose advance spans the space's translate —
+     * a joined leading 2-run reads as ring [' ',' '] and vanishes
+     * the boundary space pdf.js keeps in the tracking band
+     * (distilled: '6.5 Tc [(i) 1500] TJ ( i) Tj' reads 'i i').
+     * Twin of pdfb._lgap_join. */
     long pendj_ = 0;
+    long seenreal_ = 0;
     if (defer)
         *defer = 0;
     if (last_cf)
@@ -1296,7 +1303,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             /* stays exactly as wide as the ring pdf.js saved           */   \
             for (long bi_ = 0; bi_ < tl_; bi_++) {                           \
                 unsigned char bb_ = tb[ta_ + bi_];                           \
-                if ((bb_ & 0xC0) != 0x80 && o > start_) {                    \
+                if ((bb_ & 0xC0) != 0x80 && seenreal_) {                     \
                     if (sp_) {                                               \
                         pendj_++;                                            \
                     } else {                                                 \
@@ -1311,11 +1318,15 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                     return -1;                                               \
                 out[o++] = bb_;                                              \
             }                                                                \
+            if (!sp_)                                                        \
+                seenreal_ = 1;                                               \
         } else {                                                             \
             if (o + tl_ > ocap)                                              \
                 return -1;                                                   \
             memcpy(out + o, tb + ta_, tl_);                                  \
             o += tl_;                                                        \
+            if (!sp_)                                                        \
+                seenreal_ = 1;                                               \
         }                                                                    \
     } while (0)
 

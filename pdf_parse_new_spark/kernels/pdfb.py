@@ -1917,17 +1917,27 @@ class _TextInterp:
 
     @staticmethod
     def _lgap_join(dec: str) -> str:
-        """Letter-gap fake-space join, EXCLUDING the trailing real-space
-        run: pdf.js's compare never runs at a space glyph (the
+        """Letter-gap fake-space join, EXCLUDING the edge real-space
+        runs: pdf.js's compare never runs at a space glyph (the
         whitespace branch skips it before compareWithLastPosition,
         pdf.worker.js:36693-36703), so no fake space can land between
         the last real glyph and a trailing space — the twoLastChars
         ring sees exactly the real trailing glyphs. A joined trailing
         2-run would make the pend machinery vanish a space the
         reference keeps (distilled: '1.50 Tc [(a ) 567 (c)] TJ' reads
-        'a c' in the reference, 'ac' with the naive join)."""
-        core = dec.rstrip(" ")
-        return " ".join(core) + dec[len(core):]
+        'a c' in the reference, 'ac' with the naive join). The LEADING
+        run is spared for the mirror-image reason: the gap between a
+        leading space glyph and the first real glyph belongs to the
+        BOUNDARY compare (whose advance spans the space's translate),
+        and a joined leading 2-run reads as ring [' ',' '] — vanishing
+        the boundary space pdf.js's shouldAddWhitepsace keeps when the
+        net advance lands in the tracking band (distilled:
+        '6.5 Tc [(i) 1500] TJ ( i) Tj' reads 'i i' in the reference,
+        'ii' with the joined lead)."""
+        body = dec.lstrip(" ")
+        lead = dec[: len(dec) - len(body)]
+        core = body.rstrip(" ")
+        return lead + " ".join(core) + body[len(core):]
 
     def show(self, s: str, ty: float, tx: float | None = None,
              size: float = 0.0, quad: int = 0,

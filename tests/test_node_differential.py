@@ -2453,3 +2453,66 @@ def test_tzneg_register_flip_byte_equal_vs_live_reference(tmp_path):
         _gen_tzneg_stream(random.Random(10_290_000)),
     ]
     _run_differential(tmp_path, docs)
+
+
+def test_lgap_leading_space_boundary_byte_equal_vs_live_reference(tmp_path):
+    """Letter-gap joins spare the LEADING real-space run (hunt seed
+    12,680,020 minimal): under big-Tc the gap between an item's leading
+    space glyph and its first real glyph belongs to the BOUNDARY
+    compare — pdf.js's whitespace branch skips the compare at the space
+    and the next real glyph's advance spans the space's translate, so a
+    trailing TJ kern can land that advance in the tracking band where
+    shouldAddWhitepsace (ring ['x', ' ']) flushes a real space. A
+    joined leading 2-run reads as ring [' ', ' '] and vanishes it."""
+    streams = [
+        b"BT /F1 10 Tf 1 0 0 1 40 700 Tm 6.500 Tc [(i) 1500] TJ ( i) Tj ET",
+        b"BT /F1 10 Tf 1 0 0 1 40 700 Tm 6.500 Tc [(ii) 1500] TJ ( i) Tj ET",
+        b"BT /F1 10 Tf 1 0 0 1 40 700 Tm 6.500 Tc [(psi) 1500] TJ"
+        b" ( iot ) Tj ET",
+        # band sweep around the distilled kern: tracking / in-flow / CR
+        b"BT /F1 10 Tf 1 0 0 1 40 700 Tm 6.500 Tc [(i) 1200] TJ ( i) Tj ET",
+        b"BT /F1 10 Tf 1 0 0 1 40 700 Tm 6.500 Tc [(i) 2000] TJ ( i) Tj ET",
+        # two-space lead: the ring really is [' ',' '] — no space
+        b"BT /F1 10 Tf 1 0 0 1 40 700 Tm 6.500 Tc [(i) 1500] TJ (  i) Tj ET",
+        # left-clip variant from the original hunt doc
+        b"BT /F1 10 Tf 1 0 0 1 -10 700 Tm 6.500 Tc (alp delt ze) Tj"
+        b" [-700 (pi) (psi) 1500] TJ ( iot  del ) Tj ET",
+    ]
+    docs = [_assemble(s) for s in streams] + [
+        _assemble(_gen_clipseg_stream(random.Random(12_680_020))),
+    ]
+    _run_differential(tmp_path, docs)
+
+
+def test_lgap_leading_space_three_way_identity():
+    from pdf_parse_new_spark.kernels import cinterp, pdfb
+
+    if not cinterp.AVAILABLE:
+        return
+    streams = [
+        b"BT /F1 10 Tf 1 0 0 1 40 700 Tm 6.500 Tc [(i) 1500] TJ ( i) Tj ET",
+        b"BT /F1 10 Tf 1 0 0 1 40 700 Tm 6.500 Tc [(i) 1500] TJ (  i) Tj ET",
+        b"BT /F1 10 Tf 1 0 0 1 -10 700 Tm 6.500 Tc (alp delt ze) Tj"
+        b" [-700 (pi) (psi) 1500] TJ ( iot  del ) Tj ET",
+    ]
+    for s in streams:
+        doc = _assemble(s)
+        full = pdfb.parse_pdf_bytes(doc)["text"]
+        import os
+        import subprocess
+        import sys as _sys
+
+        out = subprocess.run(
+            [_sys.executable, "-c",
+             "import sys;sys.path.insert(0,%r);"
+             "from pdf_parse_new_spark.kernels import pdfb;"
+             "import base64;"
+             "print(repr(pdfb.parse_pdf_bytes(base64.b64decode("
+             "sys.argv[1]))['text']))" % os.getcwd(),
+             __import__("base64").b64encode(doc).decode()],
+            capture_output=True, text=True,
+            env={**os.environ, "PDF_PARSE_DISABLE_CTEXT": "1"},
+            timeout=120,
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        assert eval(out.stdout.strip()) == full, s
