@@ -1070,6 +1070,12 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
      * Twin of pdfb._lgap_join. */
     long pendj_ = 0;
     long seenreal_ = 0;
+    /* ACCUMULATIVE pen in pdf.js's per-glyph add order (twin of the
+     * Python walk): width translate then charSpacing translate for
+     * real glyphs, ONE summed translate for whitespace, width-only
+     * for box-rejected — the equal-position shortcut depends on the
+     * tiny +/- increments round-tripping at the pen's magnitude. */
+    double pen_ = start_x;
     if (defer)
         *defer = 0;
     if (last_cf)
@@ -1146,9 +1152,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         /* box-rejected glyphs advanced by WIDTH only (no charSpacing   */   \
         /* translate, pdf.worker.js:36705-36711) — they must not        */   \
         /* contribute ktc to later glyph positions within the item      */   \
-        double px_ = start_x + *wsum * kx +                                  \
-                     ((double)*glyphs - (double)*clipped) * ktc +            \
-                     (double)*spaces * ktw;                                  \
+        double px_ = pen_;                                                   \
         int sp_ = cc_ == 0x20 || (tl_ == 1 && tb[ta_] == ' ');               \
         if (!sp_ && !*have_first) {                                          \
             /* pdf.js runs the line compare at the FIRST NON-SPACE     */   \
@@ -1178,6 +1182,7 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             (*clipped)++; /* box-rejected: width only, no charSpacing */     \
             *last_reject = 1;                                                \
             *last_sp = 0;                                                    \
+            pen_ = px_ + w[cc_] * kx;                                        \
             break; /* clipped: position advances, prevTransform doesn't */   \
         }                                                                    \
         if (runs) {                                                          \
@@ -1328,6 +1333,10 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             if (!sp_)                                                        \
                 seenreal_ = 1;                                               \
         }                                                                    \
+        if (sp_)                                                             \
+            pen_ = px_ + (ktc + (w[cc_] * kx + ktw));                        \
+        else                                                                 \
+            pen_ = (px_ + w[cc_] * kx) + ktc;                                \
     } while (0)
 
     if (flag == 0) { /* escape-free literal: raw slice between delims */
@@ -1954,6 +1963,15 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
              * compareWithLastPosition) */
             if (!runs_ok || st.size <= 0.0)
                 nruns = 0;
+            if (st.scale_flush && (clipped > 0 || nruns > 0))
+                return -3; /* an armed scale-flush boundary meeting
+                              clip rejection / per-glyph splits: the
+                              zero-orientation standalone-space
+                              decision anchors at the PRE-walk
+                              prevTransform, which the split emission
+                              below re-anchors — the exact cascade
+                              lives in the Python model (hunt seed
+                              20,100,542: 'io kap \\nap') */
             if (e->kind == K_TJSTR && nruns > 0) {
                 /* mid-TJ per-glyph splits: segment 0 completes the
                  * buffered group, the LAST segment becomes the new
@@ -2156,7 +2174,14 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                             : st.have_last_end_x
                                 ? st.cur_x - st.last_end_x
                                 : 0.0;
-                double lim = st.size * st.sx;
+                /* last-ENSURED item's bands while the boundary compare
+                 * is pending (tj_bpend): a font-change flush does not
+                 * refresh the thresholds until the buffer's first real
+                 * glyph re-ensures the item (twin of the Python
+                 * consumer) */
+                double lim = (tj_bpend && st.item_size > 0.0)
+                                 ? st.item_size
+                                 : st.size * st.sx;
                 /* excluding the provisional absorb: pdf.js's
                  * compare hasn't run yet */
                 double reg_k =
@@ -2262,8 +2287,7 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                         tj_tail_sp = 0;
                         tj_kill = 1;
                     }
-                } else if (have_g2 &&
-                           g2 > RP_GAP_FRACTION * st.size * st.sx) {
+                } else if (have_g2 && g2 > RP_GAP_FRACTION * lim) {
                     /* the POSITION gap (cur_x - tj_prev_x) is pdf.js's
                      * advanceX at the next glyph; with a null
                      * prevTransform the compare never runs, so a

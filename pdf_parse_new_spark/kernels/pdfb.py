@@ -2632,6 +2632,7 @@ class _TextInterp:
         seg_hadw = False  # current segment appended a width!=0 glyph
         seg_wacc = 0.0  # current segment's register contribution
         rewrote = False  # a null-anchor run was dropped (text changed)
+        pen = start_x  # accumulative pen (pdf.js translate chain)
         for k in range(n):
             code = item[k]
             if cf is not None and cf[code]:
@@ -2639,7 +2640,16 @@ class _TextInterp:
             ch = dec[di]
             di += 1
             sp = code == 0x20 or ch == " "
-            px = start_x + wsum * kx + (g - c) * ktc + nsp * ktw
+            # ACCUMULATIVE pen, in pdf.js's per-glyph add order (width
+            # translate, then charSpacing translate; spaces one summed
+            # translate) — NOT the closed-form sum: pdf.js's
+            # equal-position shortcut (lastPosX === posX) fires when
+            # tiny +/- increments round-trip at the pen's magnitude
+            # (distilled: '-1.5 Tc (del zet)' — the -1.5 and +1.5
+            # translates cancel exactly at x~211), and a closed-form
+            # px groups the terms differently, leaving ulp dust that
+            # misses the shortcut and kills the ring space.
+            px = pen
             w = widths.get(code, dw)
             if not sp and vb is not None and (
                 px + w * kraw < vb[0] or px > vb[2]
@@ -2651,6 +2661,7 @@ class _TextInterp:
                 c += 1
                 wsum += w
                 g += 1
+                pen = px + w * kx
                 continue
             # a kept glyph right after a reject: pdf.js's compare sees
             # the skipped width as advanceX vs the unmoved prevTransform
@@ -2770,6 +2781,14 @@ class _TextInterp:
             g += 1
             if sp:
                 nsp += 1  # Tw rides every whitespace-category glyph
+                # whitespace glyph: ONE summed translate of
+                # charSpacing + scaledDim + wordSpacing
+                # (pdf.worker.js:36695-36697)
+                pen = px + (ktc + (w * kx + ktw))
+            else:
+                # real glyph: width translate, then charSpacing
+                # translate (pdf.worker.js:36718/36733) — two adds
+                pen = (px + w * kx) + ktc
         if out is None and not rewrote:
             return None
         if out is None:
@@ -3698,7 +3717,20 @@ class _TextInterp:
                     gap2 = gap
                     if gap2 is None and self.last_end_x is not None:
                         gap2 = cur_x - self.last_end_x
-                    lim = size * sx
+                    # the bands are the last-ENSURED item's thresholds
+                    # (ensureTextContentItem freezes them; a font-change
+                    # flush does NOT refresh them until the next glyph
+                    # re-opens the item) — a kern right after /F2 8 Tf
+                    # still compares against the fs-24 item's windows
+                    # (combo hunt seed 20,800,184: 'gambet' glued). The
+                    # staleness window is exactly tj_bpend: it closes at
+                    # the buffer's first real glyph (pdf.js re-ensures
+                    # there), after which the CURRENT size rules.
+                    lim = (
+                        self.item_size
+                        if tj_bpend and self.item_size > 0
+                        else size * sx
+                    )
                     # live width register at the next glyph's compare:
                     # a non-positive register degenerates/inverts every
                     # window — ANY nonzero gap flushes (show()'s zero/
@@ -5075,7 +5107,14 @@ class _TextInterp:
                                     and self.last_end_x is not None
                                 ):
                                     gap2 = cur_x - self.last_end_x
-                                lim = size * asx
+                                # last-ensured item's bands while the
+                                # boundary is pending (see the event
+                                # consumer's staleness note)
+                                lim = (
+                                    self.item_size
+                                    if tjbpend and self.item_size > 0
+                                    else size * asx
+                                )
                                 # non-positive live register: any
                                 # nonzero gap flushes (see the event
                                 # consumer)

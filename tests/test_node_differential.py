@@ -2516,3 +2516,166 @@ def test_lgap_leading_space_three_way_identity():
         )
         assert out.returncode == 0, out.stderr[-500:]
         assert eval(out.stdout.strip()) == full, s
+
+
+def _gen_combo_stream(rng: random.Random) -> bytes:
+    """Interaction soup over the classes where the round-4 continuation
+    hunts found real divergences: Tz mirror flips x charSpacing bands x
+    TJ edge kerns x leading/trailing-space strings x Ts toggles x
+    clip-edge anchors x mid-item scale changes x font-change flushes.
+    Knife-edge guards: tc*|tz| stays off the 0.6/-0.2 * fs boundaries
+    (see _tc_knife_edge) and |tz| avoids values where an n-space run's
+    width lands exactly on spaceInFlowMax (n * 0.25 * |tz|/100 == 0.6 —
+    verified live: at 120 Tz a 2-space run decides BOTH ways in pdf.js
+    depending on position ulps; +/-1 Tz off it both engines agree)."""
+    words = ["alp", "bet", "gam", "del", "eps", "zet", "io", "kap"]
+
+    def tc_ok(tc, fs, tz):
+        r = tc * abs(tz) / 100.0 / fs
+        return abs(r - 0.6) > 1e-6 and abs(r + 0.2) > 1e-6
+
+    fs = rng.choice([8, 10, 12, 24])
+    ops = [b"BT /F%d %d Tf" % (rng.choice([1, 2]), fs)]
+    x0 = rng.choice([-15, -5, 0, 40, 200, 560])
+    ops.append(b"1 0 0 1 %d %d Tm" % (x0, rng.randrange(150, 700)))
+    tz = 100
+    for _ in range(rng.randrange(4, 12)):
+        k = rng.randrange(10)
+        if k == 0:
+            tz = rng.choice([-85, -100, -125, 85, 100, 130])
+            ops.append(b"%d Tz" % tz)
+        elif k == 1:
+            while True:
+                tc = rng.choice([0, 0.4, 0.9, 1.5, 2, 6.5, 7.3, 9, 15, 18,
+                                 -1.5, -3])
+                if tc_ok(tc, fs, tz):
+                    break
+            ops.append(b"%s Tc" % str(tc).encode())
+        elif k == 2:
+            ops.append(
+                b"%s Ts" % str(rng.choice([0, 0.4, -1.2, 2.5])).encode()
+            )
+        elif k == 3:
+            parts = []
+            for _ in range(rng.randrange(1, 4)):
+                if rng.random() < 0.45:
+                    parts.append(b"%d" % rng.choice(
+                        [-700, -300, 180, 567, 1200, 1500, 2000]))
+                w = rng.choice(words)
+                sp = rng.random()
+                if sp < 0.25:
+                    w = " " + w
+                elif sp < 0.45:
+                    w = w + " "
+                elif sp < 0.55:
+                    w = " " + w + "  "
+                parts.append(b"(%s)" % w.encode())
+            if rng.random() < 0.5:
+                parts.append(b"%d" % rng.choice([1500, 567, -400, 2000]))
+            ops.append(b"[" + b" ".join(parts) + b"] TJ")
+        elif k == 4:
+            w = rng.choice(words)
+            lead = " " * rng.randrange(0, 3)
+            trail = " " * rng.randrange(0, 3)
+            ops.append(b"(%s%s%s) Tj" % (lead.encode(), w.encode(),
+                                         trail.encode()))
+        elif k == 5:
+            ops.append(b"T*" if rng.random() < 0.3
+                       else b"%d -%d Td" % (rng.randrange(-30, 30),
+                                            rng.choice([12, 14, 0])))
+        elif k == 6 and rng.random() < 0.6:
+            ops += [b"q", b"%d Tz" % rng.choice([-100, 150, 85]),
+                    b"(%s ) Tj" % rng.choice(words).encode(), b"Q"]
+        elif k == 7:
+            s = rng.choice([6.0, 10.0, 14.0])
+            ops.append(b"%.1f 0 0 %.1f %d %d Tm"
+                       % (s, s, rng.choice([-10, 30, 520]),
+                          rng.randrange(150, 700)))
+            tz = 100 if rng.random() < 0.5 else tz
+        elif k == 8:
+            ops.append(b"/F%d %d Tf" % (rng.choice([1, 2]),
+                                        rng.choice([8, 10, 24])))
+        else:
+            a, b = rng.sample(words, 2)
+            ops.append(b"(%s %s) Tj" % (a.encode(), b.encode()))
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_combo_interaction_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded interaction-soup docs (the continuation hunts ran 1,400+
+    at neighbouring seeds after the fixes, zero divergence)."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(_gen_combo_stream(random.Random(20_200_000 + s)))
+            for s in range(40)
+        ],
+    )
+
+
+def test_scaleflush_clip_standalone_space_byte_equal_vs_live_reference(
+    tmp_path,
+):
+    """Scale-flush boundary meeting clip rejection (combo hunt seed
+    20,100,542 minimal): a mid-item Tm scale change zeroes the width
+    register, a font change flushes the item, and the next show's
+    LEADING glyph is box-rejected at the left edge — the kept glyph's
+    compare then runs at textOrientation 0 with the STALE advance scale
+    and pushes the standalone space at the OLD prevTransform (before
+    the y-jump newline). The C replay defers this configuration to the
+    Python model. Plus the case-1 off-boundary Tz variants (both sides
+    of the space-run knife edge, where the engines must agree)."""
+    streams = [
+        b"BT /F2 24 Tf 1 0 0 1 -5 676 Tm (io kap) Tj 0 Tc"
+        b" 10.0 0 0 10.0 -10 451 Tm /F2 8 Tf /F1 10 Tf 2.5 Ts T*"
+        b" 14.0 0 0 14.0 -10 648 Tm 0.9 Tc (kap) Tj 0 Ts ET",
+        b"BT /F2 12 Tf 1 0 0 1 -5 344 Tm (del kap) Tj -1.2 Ts"
+        b" -119 Tz (  kap  ) Tj ET",
+        b"BT /F2 12 Tf 1 0 0 1 -5 344 Tm (del kap) Tj -1.2 Ts"
+        b" -121 Tz (  kap  ) Tj ET",
+    ]
+    docs = [_assemble(s) for s in streams]
+    _run_differential(tmp_path, docs)
+
+
+def test_stale_bands_and_equal_position_byte_equal_vs_live_reference(
+    tmp_path,
+):
+    """Two classes the combo hunt caught at base 20.8M:
+
+    (1) STALE ITEM BANDS (seed 20,800,184 minimal): ensureTextContentItem
+    freezes the cascade thresholds; a font-change flush does NOT refresh
+    them until the buffer's first real glyph re-ensures — a TJ leading
+    kern right after '/F2 8 Tf' still compares against the fs-24 item's
+    tracking window (2.4 <= 0.102*24 absorbs; with fs-8 bands it would
+    read as an in-flow space). The staleness window is exactly tj_bpend.
+
+    (2) EQUAL-POSITION SHORTCUT (seed 20,800,349 minimal): with
+    '-1.5 Tc', the -1.5 charSpacing translate and the +1.5 space-glyph
+    translate cancel EXACTLY at the pen's magnitude, pdf.js's
+    lastPosX === posX shortcut fires, and the ring space materializes at
+    the append ('del zet'). The walk pen is accumulative in pdf.js's
+    per-glyph add order — a closed-form position sum groups terms
+    differently and leaves ulp dust that misses the shortcut."""
+    streams = [
+        b"BT /F1 24 Tf 1 0 0 1 40 340 Tm (gam) Tj /F2 8 Tf"
+        b" [-300 (bet)] TJ ET",
+        b"BT /F2 8 Tf 1 0 0 1 40 340 Tm (gam) Tj /F1 24 Tf"
+        b" [-300 (bet)] TJ ET",
+        b"BT /F1 24 Tf 1 0 0 1 40 340 Tm (gam) Tj /F2 8 Tf"
+        b" [-900 (bet)] TJ ET",
+        b"BT /F1 24 Tf 1 0 0 1 0 340 Tm (io gam) Tj 2.5 Ts /F2 8 Tf 0 Ts"
+        b" [-300 (bet) (kap ) 180 (gam)] TJ (zet kap) Tj q 150 Tz (io ) Tj"
+        b" Q /F1 8 Tf (zet io) Tj ( io ) Tj ET",
+        b"BT /F2 12 Tf 1 0 0 1 200 577 Tm -1.5 Tc (del zet) Tj ET",
+        b"BT /F2 12 Tf 1 0 0 1 200 577 Tm -1.5 Tc (del zet) Tj -8 -0 Td"
+        b" [-300 (kap) 1500] TJ 26 -0 Td (del alp) Tj ET",
+        b"BT /F2 12 Tf 1 0 0 1 200 577 Tm -1.5 Tc (del alp) Tj 26 -0 Td"
+        b" (x) Tj ET",
+    ]
+    docs = [_assemble(s) for s in streams] + [
+        _assemble(_gen_combo_stream(random.Random(seed)))
+        for seed in (20_800_184, 20_800_349)
+    ]
+    _run_differential(tmp_path, docs)
