@@ -7,8 +7,9 @@ re-verified in one command (the differential twin of scripts/bench_one.py):
     python scripts/hunt_fresh.py [base_seed] [docs_per_generator]
 
 Recorded round-4 sweeps, all zero-divergent: base 9,300,000 x 40,
-base 9,700,000 x 100, base 10,200,000 x 60 (2,560 + committed docs of
-prior hunts vs live node).
+base 9,700,000 x 100, base 10,200,000 x 60, and the continuation
+sweeps through base 21M (combo generator included; four real catches,
+all fixed and pinned).
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ PLAIN = [  # content-stream generators (wrapped by _assemble)
     ("tj_coalesce", m._gen_tj_coalesce_stream),
     ("bigtc", m._gen_bigtc_stream),
     ("clipseg", m._gen_clipseg_stream),
+    ("combo", m._gen_combo_stream),
 ]
 FULL = [  # generators that emit complete PDF documents
     ("tzneg", m._gen_tzneg_stream),
