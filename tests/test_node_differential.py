@@ -827,7 +827,17 @@ def _gen_clipseg_stream(rng: random.Random) -> bytes:
     TOP of compareWithLastPosition (pdf.worker.js:36529-36536) — a
     rejected glyph skips the whole flush/space cascade, advances by
     width only (no charSpacing), and never moves prevTransform — so
-    seg-split decisions interleave with rejected glyphs."""
+    seg-split decisions interleave with rejected glyphs. Knife-edge
+    streams (tc * |tz| exactly on the 0.6/-0.2 * fs boundaries — e.g.
+    tcm -0.25 with 80 Tz, hunt seed 18,080,051) regenerate: pdf.js's
+    own decision there is position-ulp-dependent."""
+    while True:
+        stream = _gen_clipseg_stream_once(rng)
+        if not _tc_knife_edge(stream):
+            return stream
+
+
+def _gen_clipseg_stream_once(rng: random.Random) -> bytes:
     fs = rng.choice([8, 10, 12, 24])
     x0 = rng.choice([520, 560, 590, 600, -30, -10, 5])
     ops = [b"BT", b"/F1 %d Tf" % fs, b"1 0 0 1 %d 700 Tm" % x0]
