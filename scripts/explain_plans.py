@@ -75,6 +75,18 @@ NOTES = {
     "events_pivot": "pivot with an explicit value list: no "
     "distinct-discovery job, a single partial+final aggregate of "
     "conditional counts — one shuffle at any scale",
+    "repeated_ngrams": "cross-document repeated 8-gram spans: explode "
+    "-> two-phase distinct-count aggregation on the gram key, top-100 "
+    "as TakeOrderedAndProject (per-partition heaps, no global sort)",
+    "length_quantiles": "exact percentiles: per-group sort-based "
+    "aggregate (bounded groups); percentile_approx is the documented "
+    "unbounded-group path",
+    "domain_stats": "regexp host extraction + explode -> partial+final "
+    "aggregation with exact count-distinct (two-phase expand); HLL is "
+    "the documented single-pass swap at scale",
+    "customer_quartiles": "ntile over the per-customer aggregate: one "
+    "shuffle for the revenue rollup, one ordered window over "
+    "one-row-per-customer input",
 }
 
 
