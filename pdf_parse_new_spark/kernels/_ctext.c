@@ -1076,6 +1076,20 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
      * for box-rejected — the equal-position shortcut depends on the
      * tiny +/- increments round-tripping at the pen's magnitude. */
     double pen_ = start_x;
+    int clipsp_ = 0; /* reject<->space interleave seen; defers only if
+                        a kept real glyph later resolves it */
+    /* TAIL-ANCHORED prevTransform + closed-form first-x (twins of
+     * pdfb._prev_x(adv_full=...) / _first_x): pdf.js's prevTransform
+     * and the next show's posX are the SAME accumulated translate
+     * chain, so the pen returns to prevTransform EXACTLY whenever the
+     * tail translates cancel analytically — the equal-position
+     * shortcut then fires ACROSS items. The inline consumers model
+     * that as prev = (start + closed-form item advance) - tail, where
+     * tail_ is the last kept glyph's own charSpacing plus each
+     * trailing glyph's translate in the walk's add order. fxc_ walks
+     * Python's _first_x add order over the leading space run. */
+    double tail_ = 0.0, fxc_ = start_x;
+    int phave_ = 0, fdone_ = 0;
     if (defer)
         *defer = 0;
     if (last_cf)
@@ -1123,7 +1137,16 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
      * them). kx/ktc/ktw map accumulated text-space advances to device. */
     int clip = rst != NULL && rst->have_vb;
     double kx = 0.0, ktc = 0.0, ktw = 0.0, kraw = 0.0;
+    double sxzc_ = 0.0, kxc_ = 0.0, ktcc_ = 0.0, ktwc_ = 0.0;
     if (rst != NULL) {
+        /* the _prev_x/_first_x twins receive sxz = sx*tz as ONE
+         * product (pdfb passes asx * tz), unlike kx/ktc/ktw below
+         * which multiply sequentially — the groupings must match the
+         * Python functions bit-for-bit */
+        sxzc_ = rst->sx * rst->tz;
+        kxc_ = rst->size / 1000.0 * sxzc_;
+        ktcc_ = rst->tc * sxzc_;
+        ktwc_ = rst->tw * sxzc_;
         kx = rst->size / 1000.0 * rst->sx * rst->tz;
         ktc = rst->tc * rst->sx * rst->tz;
         ktw = rst->tw * rst->sx * rst->tz;
@@ -1154,6 +1177,9 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         /* contribute ktc to later glyph positions within the item      */   \
         double px_ = pen_;                                                   \
         int sp_ = cc_ == 0x20 || (tl_ == 1 && tb[ta_] == ' ');               \
+        if (sp_ && *last_reject)                                             \
+            clipsp_ = 1; /* space right after a box-reject: the saved  */   \
+                         /* ring/pend interleaves with rejected glyphs */   \
         if (!sp_ && !*have_first) {                                          \
             /* pdf.js runs the line compare at the FIRST NON-SPACE     */   \
             /* glyph's position — leading space glyphs only advance    */   \
@@ -1180,6 +1206,8 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             *wsum += w[cc_];                                                 \
             (*glyphs)++;                                                     \
             (*clipped)++; /* box-rejected: width only, no charSpacing */     \
+            if (*last_sp || runopen_)                                        \
+                clipsp_ = 1; /* reject adjacent to spaces / open run */     \
             *last_reject = 1;                                                \
             *last_sp = 0;                                                    \
             pen_ = px_ + w[cc_] * kx;                                        \
@@ -1205,6 +1233,10 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                 if (runopen_ && runnull_)                                    \
                     runcnt_++;                                               \
             } else {                                                         \
+                if (clipsp_ && defer)                                        \
+                    *defer = 1; /* kept glyph resolves a reject<->space */  \
+                                /* interleave — Python owns the exact   */  \
+                                /* cascade (seeds 24,100,162/235)       */  \
                 if (runopen_ && runnull_) {                                  \
                     if (runcnt_ >= 2 && defer)                               \
                         *defer = 1;                                          \
@@ -1298,6 +1330,18 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
             /* pdf.js stores prevTransform only when scaledDim != 0 */       \
             *prev_x_out = px_ + w[cc_] * kx;                                 \
             *have_prev = 1;                                                  \
+        }                                                                    \
+        if (!sp_) {                                                          \
+            /* new tail: this glyph's own charSpacing translate        */   \
+            tail_ = ktcc_;                                                   \
+            phave_ = 1;                                                      \
+            fdone_ = 1;                                                      \
+        } else {                                                             \
+            if (!fdone_ && rst != NULL)                                      \
+                fxc_ += (w[cc_] / 1000.0 * rst->size + rst->tc +             \
+                         rst->tw) * sxzc_;                                   \
+            /* trailing space: one summed translate in the walk order */    \
+            tail_ += ktcc_ + (w[cc_] * kxc_ + ktwc_);                        \
         }                                                                    \
         if (lgap) {                                                          \
             /* charSpacing > trackingSpaceMin: a fake space between     */   \
@@ -1429,6 +1473,29 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
         }
     }
 #undef PUTCODE
+    if (rst != NULL && !zw_item && *clipped == 0 &&
+        (runs == NULL || *nruns == 0)) {
+        /* CLEAN INLINE ITEM: the Python consumers anchor prevTransform
+         * to their OWN closed-form advance — prev = (start + adv) -
+         * tail (pdfb._prev_x with adv_full) — so the next compare's
+         * adv = tx - prev round-trips the analytic tail EXACTLY
+         * (pdf.js's posX/lastPosX share one accumulated chain and its
+         * equal-position shortcut fires across items: combo hunt base
+         * 22,000,000 seed 17, '-3 Tc (  zet ) Tj (kap) Tj' must read
+         * 'zet kap'). advc_ mirrors the K_TEXT consumer's adv
+         * expression bit-for-bit (clipped == 0 here). first-x takes
+         * Python's _first_x add order. Split/clipped/zw paths keep
+         * the accumulative walk values (their twins do). */
+        if (*have_prev && phave_) {
+            double advc_ = (*wsum / 1000.0 * rst->size +
+                            (double)*glyphs * rst->tc +
+                            (double)*spaces * rst->tw) *
+                           rst->sx * rst->tz;
+            *prev_x_out = (start_x + advc_) - tail_;
+        }
+        if (*have_first && fdone_)
+            *first_x_out = fxc_;
+    }
     if (runs) {
         *lastseg_fx = segfx_;
         *lastseg_has = hsegfx_;

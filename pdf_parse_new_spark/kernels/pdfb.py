@@ -2378,13 +2378,31 @@ class _TextInterp:
         return None
 
     def _prev_x(self, fm: FontMap, item: bytes, dec: str, start_x: float,
-                size: float, sxz: float, tc: float, tw: float) -> float | None:
+                size: float, sxz: float, tc: float, tw: float,
+                adv_full: float | None = None) -> float | None:
         """pdf.js's prevTransform x after this item: the pen right after
         the last NON-SPACE glyph's width, before its charSpacing
         (pdf.worker.js:36693-36727). Space glyphs advance position
         without touching it; an all-space item returns None (the caller
         leaves last_end_x alone). 1-byte fonts; multi-byte callers keep
-        the whole-advance approximation."""
+        the whole-advance approximation.
+
+        ``adv_full``: the caller's own closed-form item advance (the
+        exact float it adds to cur_x). pdf.js's prevTransform and the
+        next show's posX are the SAME accumulated translate chain, so
+        the pen returns to prevTransform EXACTLY whenever the tail
+        translates cancel analytically — its equal-position shortcut
+        then fires ACROSS items ('-3 Tc (  zet ) Tj (kap) Tj' reads
+        'zet kap': the trailing space's +w and the two charSpacing
+        translates cancel; combo hunt base 22,000,000 seed 17).
+        Closed-PREFIX arithmetic leaves ulp dust there (the prefix and
+        full-item chains group differently), so when adv_full is given
+        prevTransform anchors to it instead: prev = (start + adv_full)
+        - tail, making the next compare's adv = tx - prev round-trip
+        the analytic tail (exactly 0 at cancellation). Known residual:
+        pdf.js's own chain can fail to round-trip at magnitude
+        boundaries (x crossing a power of 2) where it would glue —
+        ulp-rare, the documented knife-edge family."""
         n = len(item)
         aligned = len(dec) == n
         sp_arr, cf = fm._sp_arr, fm._cf_arr
@@ -2403,6 +2421,31 @@ class _TextInterp:
             k -= 1
         if k < 0:
             return None
+        if adv_full is not None:
+            # tail beyond prevTransform: the last kept glyph's own
+            # charSpacing, then each trailing glyph's translate in the
+            # walk's add order (space: one summed ktc+(w*kx+ktw);
+            # zero-width non-space: charSpacing only; Cf: skipped)
+            kx = size / 1000.0 * sxz
+            ktc = tc * sxz
+            ktw = tw * sxz
+            tail = ktc
+            cf = fm._cf_arr
+            sp_arr = fm._sp_arr
+            for j in range(k + 1, n):
+                code = item[j]
+                if cf is not None and cf[code]:
+                    continue
+                if (
+                    code == 0x20 or (aligned and dec[j] == " ")
+                    or (sp_arr is not None and sp_arr[code])
+                ):
+                    tail += ktc + (
+                        fm.widths.get(code, fm.default_width) * kx + ktw
+                    )
+                else:
+                    tail += ktc  # zero-width non-space (w*kx == 0.0)
+            return (start_x + adv_full) - tail
         prefix = item[: k + 1]
         # tc applies to the k PRIOR glyphs minus the invisible Cf ones
         # (pdf.js `continue`s before charSpacing, worker:36684)
@@ -3616,8 +3659,13 @@ class _TextInterp:
                 if clipped_item:
                     prev = cprev
                 elif fm.nbytes == 1:
+                    # adv is the exact float added to cur_x below, so
+                    # the next compare round-trips the analytic tail;
+                    # y-clipped items keep the legacy prefix form (adv
+                    # was rewritten to the clip variant above)
                     prev = self._prev_x(
-                        fm, item, dec, cur_x, size, sx * tz, tc, tw
+                        fm, item, dec, cur_x, size, sx * tz, tc, tw,
+                        adv_full=None if clip_y else adv,
                     )
                 else:
                     prev = (cur_x + adv - tc * sx * tz) if item else None
@@ -4525,8 +4573,11 @@ class _TextInterp:
                     if clipped_item:
                         prev = cprev
                     elif fm.nbytes == 1:
+                        # advance(item) is the exact float _show_item
+                        # adds to cur_x (nclip == 0 on this path)
                         prev = self._prev_x(
-                            fm, item, dec, cur_x, size, asx * tz, tc, tw
+                            fm, item, dec, cur_x, size, asx * tz, tc, tw,
+                            adv_full=advance(item),
                         )
                     else:
                         prev = (
@@ -4649,9 +4700,11 @@ class _TextInterp:
                         if clipped_item:
                             prev = cprev
                         elif fm.nbytes == 1:
+                            # advance(item) is the exact float
+                            # _show_item adds (nclip == 0 here)
                             prev = self._prev_x(
                                 fm, item, dec, cur_x, size, asx * tz,
-                                tc, tw,
+                                tc, tw, adv_full=advance(item),
                             )
                         else:
                             prev = (
@@ -5035,9 +5088,17 @@ class _TextInterp:
                                 if clipped_item:
                                     prev = cprev
                                 elif fm.nbytes == 1:
+                                    # advance(item) is the exact float
+                                    # added to cur_x below (nclip == 0);
+                                    # y-clipped elements keep the
+                                    # legacy prefix form
                                     prev = self._prev_x(
                                         fm, item, dec, cur_x, size,
                                         asx * tz, tc, tw,
+                                        adv_full=(
+                                            None if clip_y
+                                            else advance(item)
+                                        ),
                                     )
                                 else:
                                     prev = (

@@ -2550,7 +2550,7 @@ def _gen_combo_stream(rng: random.Random) -> bytes:
     ops.append(b"1 0 0 1 %d %d Tm" % (x0, rng.randrange(150, 700)))
     tz = 100
     for _ in range(rng.randrange(4, 12)):
-        k = rng.randrange(10)
+        k = rng.randrange(13)
         if k == 0:
             tz = rng.choice([-85, -100, -125, 85, 100, 130])
             ops.append(b"%d Tz" % tz)
@@ -2605,6 +2605,26 @@ def _gen_combo_stream(rng: random.Random) -> bytes:
         elif k == 8:
             ops.append(b"/F%d %d Tf" % (rng.choice([1, 2]),
                                         rng.choice([8, 10, 24])))
+        elif k == 10:
+            # wordSpacing rides every whitespace-category glyph
+            ops.append(b"%s Tw" % str(rng.choice([0, 0.8, 2.0, -1.0,
+                                                  6.0])).encode())
+        elif k == 11:
+            # leading + quote operators (T* carriage returns included)
+            ops.append(b"%s TL" % str(rng.choice([0, 11.0, 12.5,
+                                                  1.2])).encode())
+            w = rng.choice(words)
+            q = rng.random()
+            if q < 0.4:
+                ops.append(b"(%s) '" % w.encode())
+            elif q < 0.6:
+                ops.append(b'%s %s (%s) "' % (
+                    str(rng.choice([0, 1.5])).encode(),
+                    str(rng.choice([0, 0.5])).encode(), w.encode()))
+            else:
+                ops += [b"T*", b"(%s ) Tj" % w.encode()]
+        elif k == 12:
+            ops.append(b"0 Tc" if rng.random() < 0.5 else b"0 Tw")
         else:
             a, b = rng.sample(words, 2)
             ops.append(b"(%s %s) Tj" % (a.encode(), b.encode()))
@@ -2689,3 +2709,73 @@ def test_stale_bands_and_equal_position_byte_equal_vs_live_reference(
         for seed in (20_800_184, 20_800_349)
     ]
     _run_differential(tmp_path, docs)
+
+
+_CLOSED_PREV_STREAMS = [
+    # the divergent shape: leading-space item with a trailing space at
+    # tc == -space_width/2 (the trailing space's +w and the two tc
+    # translates cancel ANALYTICALLY, so pdf.js's lastPosX === posX
+    # shortcut fires and the pend1 ring space materializes: 'zet kap')
+    b"BT /F2 24 Tf 1 0 0 1 200 404 Tm -3 Tc (  zet ) Tj (kap) Tj ET",
+    b"BT /F2 24 Tf 1 0 0 1 200 404 Tm -3 Tc ( zet ) Tj (kap) Tj ET",
+    # no leading space: BOTH engines' closed-form chains leave ulp dust
+    # (adv = -2.8e-14), the shortcut misses, notASpace glues — the
+    # engines must agree on the miss too
+    b"BT /F2 24 Tf 1 0 0 1 200 404 Tm -3 Tc (zet ) Tj (kap) Tj ET",
+    # off-cancellation controls on both sides of the band
+    b"BT /F2 24 Tf 1 0 0 1 200 404 Tm -2.9 Tc (  zet ) Tj (kap) Tj ET",
+    b"BT /F2 24 Tf 1 0 0 1 200 404 Tm -2.6 Tc (  zet ) Tj (kap) Tj ET",
+    b"BT /F2 24 Tf 1 0 0 1 200 404 Tm -4 Tc (  zet ) Tj (kap) Tj ET",
+    # anchored variant: a prior item opens the line first
+    b"BT /F2 24 Tf 1 0 0 1 200 404 Tm ( io) Tj -3 Tc (  zet ) Tj"
+    b" (kap) Tj ET",
+]
+
+
+def test_closed_form_prev_equal_position_byte_equal_vs_live_reference(
+    tmp_path,
+):
+    """Closed-form prevTransform/first-x in the C inline path (combo
+    hunt base 22,000,000 seed 17): the Python consumers derive
+    last_end_x and the first-glyph compare x from the CLOSED-FORM
+    prefix advance (pdfb._prev_x/_first_x), and the equal-position
+    shortcut (adv == 0.0 exactly) only fires when tx (the closed-form
+    cur_x chain) and last_end_x share that arithmetic. The C replay's
+    accumulative walk left ulp dust (lastx 227.98400000000001 vs tx
+    227.98399999999998) and glued 'zetkap' where the reference emits
+    'zet kap'. rp_decode now exports the closed-form twins for clean
+    inline items (split/clipped/zw paths keep the accumulative values,
+    matching _seg_split/_clip_x)."""
+    docs = [_assemble(s) for s in _CLOSED_PREV_STREAMS] + [
+        _assemble(_gen_combo_stream(random.Random(22_000_017)))
+    ]
+    _run_differential(tmp_path, docs)
+
+
+def test_closed_form_prev_three_way_identity():
+    from pdf_parse_new_spark.kernels import cinterp, pdfb
+
+    if not cinterp.AVAILABLE:
+        return
+    import base64
+    import os
+    import subprocess
+    import sys as _sys
+
+    for s in _CLOSED_PREV_STREAMS:
+        doc = _assemble(s)
+        full = pdfb.parse_pdf_bytes(doc)["text"]
+        out = subprocess.run(
+            [_sys.executable, "-c",
+             "import sys;sys.path.insert(0,%r);"
+             "from pdf_parse_new_spark.kernels import pdfb;"
+             "import base64;"
+             "print(repr(pdfb.parse_pdf_bytes(base64.b64decode("
+             "sys.argv[1]))['text']))" % os.getcwd(),
+             base64.b64encode(doc).decode()],
+            capture_output=True, text=True,
+            env={**os.environ, "PDF_PARSE_DISABLE_CTEXT": "1"},
+            timeout=120,
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        assert eval(out.stdout.strip()) == full, s
