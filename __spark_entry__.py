@@ -7,7 +7,7 @@ per-source conversation) and runs per-conversation main-content extraction
 conversation.
 
 ``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
-47 DuckDB-checked queries covering SURVEY §2 operator families plus the
+52 DuckDB-checked queries covering SURVEY §2 operator families plus the
 training-data extensions (incl. the exact prefix-filtered Jaccard and
 containment joins, whose all-pairs DuckDB twins double as losslessness
 proofs; dup_clusters: alternating-star connected components over the
@@ -24,7 +24,11 @@ length_quantiles: exact per-source percentiles; domain_stats: per-domain
 URL rollup; repeated_ngrams: cross-document repeated 8-gram spans, the
 Lee-et-al exact-substring-dedup signal; orders_rollup: one-pass ROLLUP
 subtotals; events_pivot: long-to-wide pivot; customer_quartiles: ntile
-bucketing), and 10
+bucketing; bm25_topk: BM25 retrieval, the search twin of tfidf_topk;
+token_entropy: token-distribution Shannon entropy quality signal;
+url_dedup: canonical-URL crawl dedup with stable keeper election;
+outlier_docs: per-source robust-stats anomaly flags; inverted_index:
+bounded posting-list build over the mid-frequency bigram band), and 10
 rows-only entries for the non-SQL extraction/LSH kernels
 (incl. real_pdf_corpus: the reference's own binary PDF test corpus
 through the real-dialect parser; real_pdf_files: path/URL ingest with

@@ -1763,6 +1763,286 @@ FROM rev ORDER BY custkey
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75) of the top-10 documents for a fixed
+    3-term query — the search-side twin of tfidf_topk. Corpus stats
+    (n_docs, avgdl) come from one tiny aggregate broadcast onto the scan;
+    the term-filter runs scan-side BEFORE the tf aggregation, so at 100 TB
+    only rows containing query terms shuffle (a per-doc token count still
+    scans everything — that pass is a partial+final count on doc_id, the
+    natural parquet clustering key). Per-term scores are rounded THEN
+    summed left-to-right in an explicit column order so both engines add
+    identical doubles; top-10 compiles to TakeOrderedAndProject."""
+    terms = ["spark", "join", "filter"]
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        words.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "w",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("w") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{t}")
+            for t in terms
+        ]
+    )
+    return (
+        per_term.select(
+            "doc_id", "s_spark", "s_join", "s_filter",
+            F.round(
+                F.col("s_spark") + F.col("s_join") + F.col("s_filter"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BM25_TOPK = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM w
+  WHERE w IN ('spark', 'join', 'filter') GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+s AS (
+  SELECT tf.doc_id, tf.w,
+         round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)),
+               6) AS s
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+agg AS (
+  SELECT doc_id,
+         coalesce(sum(s) FILTER (WHERE w = 'spark'), 0.0) AS s_spark,
+         coalesce(sum(s) FILTER (WHERE w = 'join'), 0.0) AS s_join,
+         coalesce(sum(s) FILTER (WHERE w = 'filter'), 0.0) AS s_filter
+  FROM s GROUP BY doc_id)
+SELECT doc_id, s_spark, s_join, s_filter,
+       round(s_spark + s_join + s_filter, 6) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_token_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document (the
+    repetitiveness/quality signal complementary to lexical_diversity's
+    TTR): H = ln(n) - sum(c*ln c)/n over per-doc token counts — the
+    algebraic form keeps one double sum instead of per-token p*ln p,
+    matching the DuckDB oracle bit-for-bit after round-6 (unigram_ll's
+    discipline). Two partial+final aggregations on (doc_id, token) then
+    doc_id; nothing driver-side; unskewed keys at any scale."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("c") * F.log("c")).alias("sll"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("sll") / F.col("n_tokens"),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_ENTROPY = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+       round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6)
+         AS entropy
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL deduplication (the crawl-frontier dedup pass): URLs
+    injected deterministically from doc_id (same expression in the oracle,
+    as in domain_stats/pii_scrub), then canonicalized STRUCTURALLY —
+    scheme dropped, leading www. dropped, query string and fragment
+    stripped — with three anchored regexp_replace passes in the
+    Java-regex ∩ RE2 dialect. Groups sharing a canonical form keep the
+    minimum doc_id (stable keeper election, no rand()); output is the
+    duplicate groups. Pure scan-side projection + one partial+final
+    aggregate on the canonical key — scale-safe, and the canonical key is
+    what a 100-TB crawl store would bucket by."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.host"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/p/"), (F.col("doc_id") % 20).cast("string"),
+        F.lit("?utm_source=x&sid="), F.col("doc_id").cast("string"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(url, r"[?#].*$", ""), r"^https?://", ""
+        ),
+        r"^www\.", "",
+    )
+    return (
+        d.select(F.col("doc_id"), canon.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_urls") >= 2)
+        .orderBy("canonical")
+    )
+
+
+SQL_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+         'https://www.host' || CAST(doc_id % 5 AS VARCHAR)
+           || '.example.org/p/' || CAST(doc_id % 20 AS VARCHAR)
+           || '?utm_source=x&sid=' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(url, '[?#].*$', ''), '^https?://', ''),
+           '^www\\.', '') AS canonical
+  FROM u)
+SELECT canonical, count(*) AS n_urls, min(doc_id) AS keeper
+FROM c GROUP BY canonical HAVING count(*) >= 2 ORDER BY canonical
+"""
+
+
+def q_outlier_docs(spark, sf_dir):
+    """Per-source length-outlier detection (the robust-stats anomaly
+    filter): population z-score of n_chars against each source stratum's
+    mean/stddev, flagging |z| > 1.5 — the filter runs on the ROUNDED score
+    so both engines make the identical keep decision at the boundary
+    (1.5 because the synthetic n_chars is near-uniform, whose |z| is
+    bounded by sqrt(3): a 2.0 cut would be knife-edge at every SF).
+    Stratum moments are a tiny aggregate broadcast back onto the scan
+    (map-side join); the flag pass itself is shuffle-free at any scale."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.avg("n_chars").alias("mu"),
+        F.stddev_pop("n_chars").alias("sigma"),
+    )
+    z = F.round((F.col("n_chars") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        d.join(F.broadcast(stats), "source")
+        .select("doc_id", "source", "n_chars", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.5)
+        .orderBy("doc_id")
+    )
+
+
+SQL_OUTLIER_DOCS = """
+WITH st AS (
+  SELECT source, avg(n_chars) AS mu, stddev_pop(n_chars) AS sigma
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars,
+       round((d.n_chars - st.mu) / st.sigma, 4) AS z
+FROM documents d JOIN st USING (source)
+WHERE abs(round((d.n_chars - st.mu) / st.sigma, 4)) > 1.5
+ORDER BY d.doc_id
+"""
+
+
+def q_inverted_index(spark, sf_dir):
+    """Bounded inverted-index build: bigram term -> sorted posting list of
+    the documents containing it, restricted to the mid-frequency band
+    (2 <= df <= 50). The df ceiling is the scale guard — posting lists
+    for stopword-frequency terms are unbounded per-group state at 100 TB
+    (real systems shard those into blocks); the HAVING band means the
+    collect_set that survives is <= 50 ids by construction, so executor
+    memory is capped regardless of corpus size (the count and the set
+    accumulate together; at true 100-TB scale you'd pre-filter on an
+    approximate df sketch to also bound the transient set — noted, not
+    needed at bench scale). Bigram terms (not unigrams) because the
+    synthetic corpus has a fixed 31-word vocabulary — every unigram is
+    stopword-frequency at every SF, which is exactly the case the band
+    excludes. Postings serialize as a comma-joined ascending doc_id
+    string so the oracle hash covers list CONTENT and ORDER."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    pairs = d.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).distinct()
+    return (
+        pairs.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .orderBy(F.desc("df"), F.asc("g"))
+        .limit(20)
+        .select("g", "df", "postings")
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                               i -> toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t)
+SELECT g, count(DISTINCT doc_id) AS df,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+FROM p GROUP BY g HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+ORDER BY df DESC, g ASC LIMIT 20
+"""
+
+
 SQL_CHECKED = {
     "conv_concat": (q_conv_concat, SQL_CONV_CONCAT),
     "conv_concat_tree": (q_conv_concat_tree, SQL_CONV_CONCAT),
@@ -1811,6 +2091,11 @@ SQL_CHECKED = {
     "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "outlier_docs": (q_outlier_docs, SQL_OUTLIER_DOCS),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
 }
 
 def q_real_pdf_corpus(spark, sf_dir):

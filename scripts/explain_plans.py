@@ -87,6 +87,22 @@ NOTES = {
     "customer_quartiles": "ntile over the per-customer aggregate: one "
     "shuffle for the revenue rollup, one ordered window over "
     "one-row-per-customer input",
+    "bm25_topk": "BM25 retrieval: term filter runs scan-side BEFORE the "
+    "tf aggregation (only query-term rows shuffle), df and doc-length "
+    "sides broadcast, corpus stats as the intentional 1-row NLJ, top-10 "
+    "as TakeOrderedAndProject",
+    "token_entropy": "two partial+final aggregate pairs ((doc_id, token) "
+    "counts then per-doc entropy) entirely inside whole-stage codegen — "
+    "the ln/x*ln(x) arithmetic is JVM expressions, no UDF",
+    "url_dedup": "canonicalization is a scan-side regexp projection; one "
+    "partial+final aggregate on the canonical key with min() keeper "
+    "election — the group key is what a crawl store would bucket by",
+    "outlier_docs": "per-stratum moments broadcast back onto the scan "
+    "(BroadcastHashJoin with the |z| filter folded into the join "
+    "condition) — the flag pass is shuffle-free at any scale",
+    "inverted_index": "distinct (gram, doc) pre-aggregate then bounded "
+    "collect_set per gram; the df band caps surviving posting lists at "
+    "50 ids; top-20 as TakeOrderedAndProject",
 }
 
 

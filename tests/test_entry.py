@@ -33,6 +33,11 @@ CHEAP = [
     "orders_rollup",
     "events_pivot",
     "customer_quartiles",
+    "bm25_topk",
+    "token_entropy",
+    "url_dedup",
+    "outlier_docs",
+    "inverted_index",
 ]
 
 
