@@ -1675,8 +1675,13 @@ static int rp_show(RState *st, unsigned char *out, long *olen, long ocap,
          * (pdf.worker.js:36543-36545) — the glyph appends to the OPEN
          * item even across Td/y jumps; with no open item this
          * initializes the first one. The ring-driven pend1 space
-         * still applies. */
-        space = st->pending_space && !st->pending_multi;
+         * still applies — but only when the ring holds a prior saved
+         * glyph (shouldAddWhitepsace reads twoLastChars; a FRESH
+         * closure's ring — a form's first item — is empty, so a
+         * leading space pend does not materialize; twin of
+         * _TextInterp.show, form_combo hunt base 27,000,000). */
+        space = st->pending_space && !st->pending_multi &&
+                st->last_char != 0;
         st->pending_space = 0;
         st->pending_multi = 0;
     } else if (ifs > 0.0 && have_adv) {

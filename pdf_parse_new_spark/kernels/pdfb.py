@@ -2106,8 +2106,18 @@ class _TextInterp:
             # OPEN item even across Td/y jumps (an all-zero-width line
             # never sets prevTransform, and the next line's glyphs join
             # its item with no EOL). With no open item this initializes
-            # the first one. The ring-driven pend1 space still applies.
-            space = self.pending_space and not self.pending_multi
+            # the first one. The ring-driven pend1 space still applies —
+            # but ONLY when the ring holds a prior saved glyph:
+            # shouldAddWhitepsace reads twoLastChars, and in a FRESH
+            # closure (a Form XObject's first item — the page's ring is
+            # save/restored around Do) the ring is empty, so a leading
+            # space pend does NOT materialize ('6.5 Tc ( gam) Tj ET
+            # /Fm Do' + form '( io ) Tj' reads 'g a mi o' in the
+            # reference; form_combo hunt base 27,000,000).
+            space = (
+                self.pending_space and not self.pending_multi
+                and self.last_char != ""
+            )
             self.pending_space = False
             self.pending_multi = False
         elif self.item_wreg == 0.0 and ifs > 0.0 and adv is not None:

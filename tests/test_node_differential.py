@@ -2632,6 +2632,150 @@ def _gen_combo_stream(rng: random.Random) -> bytes:
     return b"\n".join(ops)
 
 
+def _gen_form_combo_stream(rng: random.Random) -> bytes:
+    """Interaction soup INSIDE Form XObjects — the inheritance x cascade
+    axis: a combo-style parent opens rich text state (Tz/Tc/Tw/TL/Ts,
+    size changes, kerned TJs, edge-space strings), runs a Do mid-BT or
+    post-ET (optionally inside q/Q), and continues after; the form body
+    is a shortened soup that either relies on the cloned state (bare
+    shows / Td-first in the lm-seed window) or overrides it, under a
+    random /Matrix (identity, translate, down/up-scale). Knife-edge Tc
+    bands guarded with the tracked (fs, tz) — the ratio is /Matrix-scale
+    invariant."""
+    words = ["alp", "bet", "gam", "del", "eps", "zet", "io", "kap"]
+
+    def tc_ok(tc, fs, tz):
+        r = tc * abs(tz) / 100.0 / fs
+        return abs(r - 0.6) > 1e-6 and abs(r + 0.2) > 1e-6
+
+    def soup(r, n, tz, fs):
+        ops = []
+        for _ in range(n):
+            k = r.randrange(9)
+            if k == 0:
+                tz = r.choice([-100, 85, 100, 130])
+                ops.append(b"%d Tz" % tz)
+            elif k == 1:
+                while True:
+                    tc = r.choice([0, 0.9, 1.5, 6.5, -1.5, -3])
+                    if tc_ok(tc, fs, tz):
+                        break
+                ops.append(b"%s Tc" % str(tc).encode())
+            elif k == 2:
+                ops.append(
+                    b"%s Ts" % str(r.choice([0, 0.4, -1.2, 2.5])).encode()
+                )
+            elif k == 3:
+                parts = []
+                for _ in range(r.randrange(1, 3)):
+                    if r.random() < 0.45:
+                        parts.append(
+                            b"%d" % r.choice([-700, 180, 567, 1500])
+                        )
+                    w = r.choice(words)
+                    sp = r.random()
+                    if sp < 0.25:
+                        w = " " + w
+                    elif sp < 0.45:
+                        w = w + " "
+                    parts.append(b"(%s)" % w.encode())
+                ops.append(b"[" + b" ".join(parts) + b"] TJ")
+            elif k == 4:
+                ops.append(
+                    b"%s Tw" % str(r.choice([0, 0.8, 2.0])).encode()
+                )
+            elif k == 5:
+                ops.append(b"%s TL" % str(r.choice([11.0, 12.5])).encode())
+                qq = r.random()
+                if qq < 0.4:
+                    ops.append(b"(%s) '" % r.choice(words).encode())
+                elif qq < 0.6:
+                    # tc 0.5 stays far from both bands at every fs/tz here
+                    ops.append(b'1.5 0.5 (%s) "' % r.choice(words).encode())
+                else:
+                    ops.append(b"T*")
+            elif k == 6:
+                ops.append(
+                    b"T*" if r.random() < 0.3
+                    else b"%d -%d Td" % (r.randrange(-20, 20),
+                                         r.choice([12, 0]))
+                )
+            else:
+                lead = " " * r.randrange(0, 2)
+                trail = " " * r.randrange(0, 3)
+                ops.append(b"(%s%s%s) Tj" % (lead.encode(),
+                                             r.choice(words).encode(),
+                                             trail.encode()))
+        return ops, tz, fs
+
+    fs = rng.choice([8, 12, 24])
+    tz = 100
+    outer = [
+        b"BT", b"/F1 %d Tf" % fs,
+        b"1 0 0 1 %d %d Tm" % (rng.choice([0, 40, 200]),
+                               rng.randrange(200, 700)),
+    ]
+    o, tz, fs = soup(rng, rng.randrange(2, 6), tz, fs)
+    outer += o
+    do = [b"q", b"/Fm Do", b"Q"] if rng.random() < 0.4 else [b"/Fm Do"]
+    if rng.random() < 0.5:
+        outer += do
+        o2, tz, fs = soup(rng, rng.randrange(1, 5), tz, fs)
+        outer += o2 + [b"ET"]
+    else:
+        outer += [b"ET"] + do
+        if rng.random() < 0.6:
+            outer += [b"BT /F1 12 Tf 1 0 0 1 72 %d Tm"
+                      % rng.randrange(150, 650)]
+            o2, _, _ = soup(rng, rng.randrange(1, 4), 100, 12)
+            outer += o2 + [b"ET"]
+    form = []
+    shape = rng.randrange(4)
+    ffs, ftz = fs, tz
+    if shape == 0:
+        # inherits everything: bare shows in the clone window
+        fo, _, _ = soup(rng, rng.randrange(1, 4), ftz, ffs)
+        form += fo
+    elif shape == 1:
+        # own BT, optionally own font/Tm
+        form.append(b"BT")
+        if rng.random() < 0.6:
+            ffs = rng.choice([9, 11])
+            form.append(b"/F1 %d Tf" % ffs)
+        if rng.random() < 0.5:
+            form.append(b"1 0 0 1 %d %d Tm"
+                        % (rng.randrange(30, 300), rng.randrange(100, 600)))
+        fo, _, _ = soup(rng, rng.randrange(2, 5), ftz, ffs)
+        form += fo + [b"ET"]
+    elif shape == 2:
+        # Td/T*-first in the cloned-lm window, then soup
+        form.append(rng.choice([b"T*", b"0 -13 Td"]))
+        fo, _, _ = soup(rng, rng.randrange(1, 4), ftz, ffs)
+        form += fo
+    else:
+        # own state override then soup
+        form.append(b"%s Tc" % str(rng.choice([0, 0.9])).encode())
+        ftz = rng.choice([85, 130])
+        form.append(b"%d Tz" % ftz)
+        fo, _, _ = soup(rng, rng.randrange(1, 4), ftz, ffs)
+        form += fo
+    mat = rng.choice([
+        b"", b"/Matrix [1 0 0 1 0 0]", b"/Matrix [1 0 0 1 50 -20]",
+        b"/Matrix [0.5 0 0 0.5 100 100]", b"/Matrix [2 0 0 2 -30 10]",
+    ])
+    return _assemble_with_form(mat, b" ".join(outer), b" ".join(form))
+
+
+def test_form_combo_interaction_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded form x combo docs (soup inside Form XObjects under the
+    full inheritance machinery)."""
+    _run_differential(
+        tmp_path,
+        [_gen_form_combo_stream(random.Random(27_000_000 + s))
+         for s in range(40)],
+    )
+
+
 def test_combo_interaction_byte_equal_vs_live_reference(tmp_path):
     """40 seeded interaction-soup docs (the continuation hunts ran 1,400+
     at neighbouring seeds after the fixes, zero divergence)."""
