@@ -2061,7 +2061,21 @@ class _TextInterp:
         standalone = False  # " " as its own item, anchored at glyph_y
         flush = self.force_flush
         self.force_flush = False
-        if adv == 0.0 and dyg == 0.0:
+        # pdf.js's equal-position test runs on the RAW device
+        # translations BEFORE any rotation handling (worker:36547 vs
+        # the applyInverseRotation at 36551-36567) — under one matrix
+        # it coincides with adv/dyg == 0, but when the matrix CHANGED
+        # between items (a Tz sign flip under shear: the mirrored pen
+        # returns exactly to prevTransform) only the raw compare
+        # catches it ('1 0.3 0 1 0 0 cm -100 Tz (io) Tj 85 Tz (bet)
+        # Tj' reads 'iobet' in the reference; form_combo hunt base
+        # 28,000,000 seed 295).
+        raw_eq = (
+            dev_x is not None and gx is not None and gy is not None
+            and dev_x == gx and dev_y == gy
+        )
+        shortcut = False
+        if raw_eq or (adv == 0.0 and dyg == 0.0):
             # pdf.js equal-position shortcut (lastPosX === posX &&
             # lastPosY === posY, pdf.worker.js:36547-36549): the glyph
             # appends with NO cascade decisions; an armed scale_flush
@@ -2069,6 +2083,10 @@ class _TextInterp:
             # materializes at the append itself (saveLastChar,
             # pdf.worker.js:36373-36378 — independent of the compare),
             # so a zero-advance space glyph still separates words.
+            # pdf.js RETURNS here — the vertical-shift check below
+            # must not run (visible only through raw_eq, where the
+            # frame-projected dyg is nonzero across a matrix change).
+            shortcut = True
             space = self.pending_space and not self.pending_multi
             self.pending_space = False
             self.pending_multi = False
@@ -2235,8 +2253,12 @@ class _TextInterp:
                 space = self.pending_space and self.line_open
                 self.pending_space = False
                 self.pending_multi = False
-        if dyg is not None and ihs > 0.0 and abs(dyg) > 0.25 * ihs:
-            flush = True  # vertical shift flush applies on every path
+        if (
+            not shortcut
+            and dyg is not None and ihs > 0.0 and abs(dyg) > 0.25 * ihs
+        ):
+            flush = True  # vertical shift flush applies on every
+            # non-shortcut path (pdf.js returns at the shortcut)
         new_item = flush or not self.line_open
         # emission = pdf-parse's item join (lib/pdf-parse.js:27-38):
         # "\n" when successive item ANCHORS differ by > Y_TOLERANCE;
@@ -4222,7 +4244,17 @@ class _TextInterp:
                 p = (cx - au) / asx if asx else 0.0
                 ddx = ax + cA * p + rise * cC
                 ddy = ay + cB * p + rise * cD
-                cy = matn[2] * ddx + matn[3] * ddy
+                # pdf.js applyInverseRotation divides BOTH components by
+                # hypot(m[0], m[1]) — and the composed matrix's first
+                # column carries fontSize * textHScale, so the Y
+                # projection scales by 1/|hs| (the X row's hs cancels).
+                # Each point projects under its OWN matrix: the divisor
+                # is the point's own |tz| (folded into the stored mat
+                # rows 2/3 for the prev side). '-100 Tz (io ) Tj 85 Tz
+                # ( bet) Tj' under shear reads 'io\nbet' — the |hs|
+                # mismatch inflates advanceY past the item height and
+                # pdf.js appendEOLs (form_combo hunt base 28,000,000).
+                cy = (matn[2] * ddx + matn[3] * ddy) / tz
                 # compare x comes from the SAME rise-bearing device
                 # point as cy and the stored prevTransform (pdf.js's
                 # current and prev transforms both carry rise) — under
@@ -4230,9 +4262,13 @@ class _TextInterp:
                 # and a rise-free pen x against a rise-bearing prev
                 # read as a phantom per-glyph gap
                 cmp_x = matn[0] * ddx + matn[1] * ddy
+                # the stored mat carries this point's own 1/|tz| in its
+                # Y row, so show()'s re-projection of the prev device
+                # point reproduces pdf.js's own-matrix divisor exactly
+                matp = (matn[0], matn[1], matn[2] / tz, matn[3] / tz)
                 shown = self.show(
                     dec, cy, cmp_x, size * asx,
-                    quad=-1, dev_x=ddx, dev_y=ddy, mat=matn,
+                    quad=-1, dev_x=ddx, dev_y=ddy, mat=matp,
                     dev_w=dev_w, hsize=size * csy,
                     move_prev=prev is not None,
                     mirror=tz_mirror,
@@ -4243,7 +4279,7 @@ class _TextInterp:
                     pp = (prev - au) / asx if asx else 0.0
                     self.last_end_x = ax + cA * pp + rise * cC
                     self.glyph_y = ay + cB * pp + rise * cD
-                    self.glyph_mat = matn
+                    self.glyph_mat = matp
                 return shown
             vv = cross_v + arise
             ddx, ddy = _swapq(cx, vv)
@@ -4476,21 +4512,23 @@ class _TextInterp:
                         # flip — only the compare frame changes: unswap
                         # under the OLD quadrant, reswap under the new
                         if quad == -1 and matn is not None:
-                            md_ = matn[0] * matn[3] - matn[1] * matn[2]
-                            if md_:
-                                pdx_ = (
-                                    matn[3] * cur_x - matn[1] * cross_v
-                                ) / md_
-                                pdy_ = (
-                                    matn[0] * cross_v - matn[2] * cur_x
-                                ) / md_
-                            else:
-                                pdx_, pdy_ = ax, ay
+                            # a pure sign flip negates matn rows 0/1
+                            # EXACTLY (cA/cB pick up s_ = -1 on the
+                            # same products; sh/cC/cD unchanged), so
+                            # the writing-axis pen negates exactly too
+                            # — the matrix-inversion round-trip left
+                            # ulp dust that kept the raw equal-position
+                            # shortcut from firing when the mirrored
+                            # pen returns to prevTransform (form_combo
+                            # hunt base 28,000,000 seed 295)
+                            tz_mirror = tzv < 0.0
+                            _requad()
+                            cur_x = -cur_x
                         else:
                             pdx_, pdy_ = _swapq(cur_x, cross_v)
-                        tz_mirror = tzv < 0.0
-                        _requad()
-                        cur_x, cross_v = _swapq(pdx_, pdy_)
+                            tz_mirror = tzv < 0.0
+                            _requad()
+                            cur_x, cross_v = _swapq(pdx_, pdy_)
                 elif op == b"T*":
                     if plm is not None:  # compose against the cloned lm
                         tm_e, tm_f = plm

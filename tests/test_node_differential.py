@@ -520,23 +520,35 @@ def test_rotated_state_streams_byte_equal_vs_live_reference(tmp_path):
 
 
 def _assemble_with_form(form_matrix: bytes, outer_ops: bytes,
-                        form_ops: bytes) -> bytes:
+                        form_ops: bytes,
+                        form2: tuple[bytes, bytes] | None = None) -> bytes:
+    """One-page doc with a Form XObject /Fm; optional second form /Fm2
+    (matrix, ops) — /Fm's body may invoke `/Fm2 Do` (forms without
+    /Resources inherit the page's, so the nested name resolves)."""
     form = (
         b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] %s "
         b"/Length %d >>\nstream\n%s\nendstream"
         % (form_matrix, len(form_ops), form_ops)
     )
+    xobjs = b"/Fm 5 0 R" + (b" /Fm2 7 0 R" if form2 is not None else b"")
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /Font << /F1 4 0 R >> /XObject << /Fm 5 0 R >> >> "
-        b"/Contents 6 0 R >>",
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << %s >> >> "
+        b"/Contents 6 0 R >>" % xobjs,
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
         form,
         b"<< /Length %d >>\nstream\n%s\nendstream"
         % (len(outer_ops), outer_ops),
     ]
+    if form2 is not None:
+        m2, ops2 = form2
+        objs.append(
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] %s "
+            b"/Length %d >>\nstream\n%s\nendstream"
+            % (m2, len(ops2), ops2)
+        )
     out = bytearray(b"%PDF-1.4\n")
     offs = []
     for i, o in enumerate(objs, 1):
@@ -2759,16 +2771,91 @@ def _gen_form_combo_stream(rng: random.Random) -> bytes:
         form.append(b"%d Tz" % ftz)
         fo, _, _ = soup(rng, rng.randrange(1, 4), ftz, ffs)
         form += fo
-    mat = rng.choice([
+    r2 = rng.random()
+    if r2 < 0.10:
+        form = []  # empty form: pend/ring must round-trip untouched
+    elif r2 < 0.30:
+        # nested form: /Fm2 Do amid the soup (fresh closure inside a
+        # fresh closure; /Fm has no /Resources so /Fm2 resolves through
+        # the page's)
+        at = rng.randrange(0, len(form) + 1)
+        form = form[:at] + [b"/Fm2 Do"] + form[at:]
+    mats = [
         b"", b"/Matrix [1 0 0 1 0 0]", b"/Matrix [1 0 0 1 50 -20]",
         b"/Matrix [0.5 0 0 0.5 100 100]", b"/Matrix [2 0 0 2 -30 10]",
-    ])
-    return _assemble_with_form(mat, b" ".join(outer), b" ".join(form))
+        # rotation/skew: routes the page through the full-matrix
+        # interpreter — closure isolation must hold there too
+        b"/Matrix [0 1 -1 0 300 50]", b"/Matrix [1 0.3 0 1 0 0]",
+        b"/Matrix [0 -2 2 0 -100 500]",
+    ]
+    mat = rng.choice(mats)
+    form2 = None
+    if r2 >= 0.10 and r2 < 0.30:
+        f2, _, _ = soup(rng, rng.randrange(1, 3), 100, ffs)
+        if rng.random() < 0.5:
+            f2 = [b"BT /F1 10 Tf 1 0 0 1 %d %d Tm"
+                  % (rng.randrange(30, 300), rng.randrange(100, 600))
+                  ] + f2 + [b"ET"]
+        form2 = (rng.choice(mats[:5]), b" ".join(f2))
+    if rng.random() < 0.2:
+        # double Do of the same form: each invocation reruns the body
+        # in its own fresh closure
+        i = next((j for j, op in enumerate(outer) if op.endswith(b"Do")),
+                 None)
+        if i is not None:
+            outer.insert(i + 1, outer[i])
+    return _assemble_with_form(mat, b" ".join(outer), b" ".join(form),
+                               form2=form2)
+
+
+_SHEAR_TZFLIP_STREAMS = [
+    # raw equal-position shortcut across a Tz sign flip under shear:
+    # pdf.js compares the RAW device translations BEFORE the rotate
+    # handling (worker:36547 vs applyInverseRotation at 36551-36567),
+    # and the mirrored pen returns to prevTransform exactly — 'iobet'
+    # glued (form_combo hunt base 28,000,000 seed 295)
+    b"BT /F1 12 Tf 1 0.3 0 1 0 0 cm 1 0 0 1 200 634 Tm -100 Tz (io) Tj"
+    b" 85 Tz (bet) Tj ET",
+    b"BT /F1 12 Tf 1 0.3 0 1 0 0 cm 1 0 0 1 200 634 Tm 130 Tz (io) Tj"
+    b" -85 Tz (bet) Tj ET",
+    b"BT /F1 12 Tf 12.5 TL 1 0.3 0 1 0 0 cm 1 0 0 1 200 634 Tm -100 Tz"
+    b" T* (io) ' 85 Tz [(io) (bet)] TJ ET",
+    # |hs| in applyInverseRotation's divisor: the composed matrix's
+    # first column carries fontSize * textHScale, so each point's Y
+    # projection scales by 1/|tz| under its OWN matrix — an |hs|
+    # mismatch inflates advanceY past the item height and pdf.js
+    # appendEOLs ('io\nbet', no space)
+    b"BT /F1 12 Tf 1 0.3 0 1 0 0 cm 1 0 0 1 200 634 Tm -100 Tz (io ) Tj"
+    b" 85 Tz ( bet) Tj ET",
+    b"BT /F1 12 Tf 1 0.3 0 1 0 0 cm 1 0 0 1 200 634 Tm -100 Tz (io) Tj"
+    b" 85 Tz 5 0 Td (bet) Tj ET",
+    b"BT /F1 12 Tf 1 0.3 0 1 0 0 cm 1 0 0 1 200 634 Tm 60 Tz"
+    b" (io kap) Tj 145 Tz ( bet zet) Tj ET",
+    b"BT /F1 12 Tf 0.9 0.4 -0.2 1.1 0 0 cm 1 0 0 1 150 500 Tm 70 Tz"
+    b" (alp) Tj 6 Ts 130 Tz (del ) Tj 0 Ts (eps) Tj ET",
+    # controls: no flip / no shear-scale change
+    b"BT /F1 12 Tf 1 0.3 0 1 0 0 cm 1 0 0 1 200 634 Tm 85 Tz (io) Tj"
+    b" (bet) Tj ET",
+    b"BT /F1 12 Tf 1 0.3 0 1 0 0 cm 1 0 0 1 200 634 Tm -100 Tz (io) Tj"
+    b" (bet) Tj ET",
+]
+
+
+def test_shear_tzflip_equal_position_byte_equal_vs_live_reference(
+    tmp_path,
+):
+    """Raw equal-position shortcut + per-point |hs| Y-divisor under
+    shear (rotate == -1) with mid-line Tz magnitude/sign changes."""
+    docs = [_assemble(s) for s in _SHEAR_TZFLIP_STREAMS] + [
+        _gen_form_combo_stream(random.Random(28_000_295))
+    ]
+    _run_differential(tmp_path, docs)
 
 
 def test_form_combo_interaction_byte_equal_vs_live_reference(tmp_path):
     """40 seeded form x combo docs (soup inside Form XObjects under the
-    full inheritance machinery)."""
+    full inheritance machinery, incl. empty/nested/double-Do forms and
+    rotated /Matrix values)."""
     _run_differential(
         tmp_path,
         [_gen_form_combo_stream(random.Random(27_000_000 + s))
