@@ -33,6 +33,7 @@ PLAIN = [  # content-stream generators (wrapped by _assemble)
     ("bigtc", m._gen_bigtc_stream),
     ("clipseg", m._gen_clipseg_stream),
     ("combo", m._gen_combo_stream),
+    ("skew_tz", m._gen_skew_tz_stream),
 ]
 FULL = [  # generators that emit complete PDF documents
     ("tzneg", m._gen_tzneg_stream),

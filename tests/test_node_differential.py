@@ -2841,6 +2841,62 @@ _SHEAR_TZFLIP_STREAMS = [
 ]
 
 
+def _gen_skew_tz_stream(rng: random.Random) -> bytes:
+    """Shear/anisotropic cm x varied |Tz| (the applyInverseRotation
+    per-point |hs| divisor axis): mid-line Tz magnitude AND sign
+    changes under rotate == -1 frames, with rise/Tc/Td/kerned-TJ/
+    edge-space interactions."""
+    words = ["alp", "bet", "gam", "del", "eps", "zet", "io", "kap"]
+    cmv = rng.choice([
+        b"1 0.3 0 1 0 0", b"1 -0.2 0.15 1 0 0", b"0.9 0.4 -0.2 1.1 0 0",
+        b"1 0.05 0 1 0 0", b"2 0.5 0 0.7 30 10",
+    ])
+    ops = [b"BT /F1 %d Tf" % rng.choice([8, 12, 24]),
+           b"%s cm" % cmv,
+           b"1 0 0 1 %d %d Tm" % (rng.randrange(50, 350),
+                                  rng.randrange(200, 650))]
+    for _ in range(rng.randrange(3, 9)):
+        k = rng.randrange(6)
+        if k == 0:
+            ops.append(b"%d Tz" % rng.choice([-130, -100, -85, -60, 60,
+                                              85, 100, 130, 145]))
+        elif k == 1:
+            ops.append(b"%s Ts" % str(rng.choice([0, 3, -4])).encode())
+        elif k == 2:
+            ops.append(b"%s Tc" % str(rng.choice([0, 0.5, 2])).encode())
+        elif k == 3:
+            ops.append(b"%d %d Td" % (rng.randrange(-20, 25),
+                                      rng.choice([0, -13])))
+        elif k == 4:
+            parts = []
+            for _ in range(rng.randrange(1, 3)):
+                if rng.random() < 0.4:
+                    parts.append(b"%d" % rng.choice([-500, 300, 1200]))
+                w = rng.choice(words)
+                if rng.random() < 0.3:
+                    w = " " + w + " "
+                parts.append(b"(%s)" % w.encode())
+            ops.append(b"[" + b" ".join(parts) + b"] TJ")
+        else:
+            lead = " " * rng.randrange(0, 2)
+            trail = " " * rng.randrange(0, 3)
+            ops.append(b"(%s%s%s) Tj" % (lead.encode(),
+                                         rng.choice(words).encode(),
+                                         trail.encode()))
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_skew_tz_sweep_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded shear x varied-Tz docs (400 hunted at base 30M after
+    the |hs| divisor fix, zero divergence)."""
+    _run_differential(
+        tmp_path,
+        [_assemble(_gen_skew_tz_stream(random.Random(30_000_000 + s)))
+         for s in range(40)],
+    )
+
+
 def test_shear_tzflip_equal_position_byte_equal_vs_live_reference(
     tmp_path,
 ):
