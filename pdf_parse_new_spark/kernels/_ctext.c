@@ -2389,6 +2389,11 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
                                        closed (flushed) item */
                 st.wreg = 0.0; /* the register stays zero until the
                                   next append re-opens the item */
+                if (st.sx != 0.0) /* the open item's advance thresholds
+                                     rescale: pdf.js divides advanceX by
+                                     the NEW textAdvanceScale (twin of
+                                     the Python consumers) */
+                    st.item_size *= fabs(e->f2 / st.sx);
             }
             st.cur_x = e->f0;
             st.y = e->f1;

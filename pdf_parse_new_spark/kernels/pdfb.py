@@ -3953,8 +3953,13 @@ class _TextInterp:
                     # the item is closed, so the scale change is a no-op.
                     # The width register is now zero and STAYS zero until
                     # the next append re-opens the item (item_wreg).
+                    # The open item's advance thresholds rescale by the
+                    # scale ratio (pdf.js divides advanceX by the NEW
+                    # textAdvanceScale; see the _run_py twin).
                     self.scale_flush = True
                     self.item_wreg = 0.0
+                    if sx:
+                        self.item_size *= abs(f2 / sx)
                 cur_x = f0
                 y = f1
                 sx = f2
@@ -4480,9 +4485,22 @@ class _TextInterp:
                     ):
                         # updateAdvanceScale (no-op on a closed item;
                         # pdf.js compares the hypot-based scale, which a
-                        # pure rotation change leaves untouched)
+                        # pure rotation change leaves untouched). The
+                        # open item's advance thresholds RESCALE: pdf.js
+                        # divides advanceX by the item's textAdvanceScale,
+                        # which updateAdvanceScale sets to the NEW scale
+                        # while the fontSize-based windows stay — our
+                        # item_size embeds the scale, so it multiplies by
+                        # the ratio (rotated 'delta' + 0.75-scale Tm +
+                        # 3-space run reads 'deltaxi\n omicron' in the
+                        # reference: 4.0/0.75 = 5.34 > 0.6*8 leaves the
+                        # in-flow window; rotstate hunt base 34,050,068).
+                        # item_hsize stays stale: advanceY is raw and the
+                        # ensure-time height is never rescaled.
                         self.scale_flush = True
                         self.item_wreg = 0.0
+                        if old_asx:
+                            self.item_size *= abs(asx / old_asx)
                     cur_x, cross_v = _swapq(ax, ay)
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])

@@ -2841,6 +2841,40 @@ _SHEAR_TZFLIP_STREAMS = [
 ]
 
 
+_ADVANCE_RESCALE_STREAMS = [
+    # updateAdvanceScale rescales the OPEN item's advance divisor:
+    # pdf.js divides advanceX by the item's textAdvanceScale, which a
+    # mid-item Tm scale change sets to the NEW scale while the
+    # fontSize-based windows stay — an internal space run that is
+    # in-flow under the old scale leaves the window under the new one
+    # (rotated 'delta' + 0.75-scale Tm + 3-space run reads
+    # 'deltaxi\n omicron'; rotstate hunt base 34,050,068)
+    b"BT /F1 8 Tf 80.0 Tz 0.00 -1.00 1.00 0.00 300.1 378.2 Tm (delta)"
+    b" Tj 0.75 0.00 0.00 0.75 300.1 364.2 Tm 1.2 Ts (xi   omicron) Tj"
+    b" ET",
+    b"BT /F1 8 Tf 80.0 Tz 0.00 -1.00 1.00 0.00 300.1 378.2 Tm (delta)"
+    b" Tj 0.75 0.00 0.00 0.75 300.1 364.2 Tm (xi   omicron) Tj ET",
+    b"BT /F1 8 Tf 80.0 Tz 0.75 0 0 0.75 300.1 378.2 Tm (delta) Tj"
+    b" 1.5 0.00 0.00 1.5 300.1 364.2 Tm (xi  omicron) Tj ET",
+    b"BT /F1 8 Tf 80.0 Tz 1 0 0 1 300.1 378.2 Tm (delta) Tj"
+    b" 0.75 0.00 0.00 0.75 300.1 364.2 Tm (xi   omicron) Tj ET",
+    b"BT /F1 8 Tf 1 0 0 1 100 378.2 Tm (delta) Tj"
+    b" 0.6 0 0 0.6 100 364.2 Tm (xi  omicron) Tj ET",
+    # control: same scale on both Tm's
+    b"BT /F1 8 Tf 80.0 Tz 0.75 0 0 0.75 300.1 378.2 Tm (delta) Tj"
+    b" 0.75 0.00 0.00 0.75 300.1 364.2 Tm (xi   omicron) Tj ET",
+]
+
+
+def test_advance_rescale_byte_equal_vs_live_reference(tmp_path):
+    """Mid-item Tm scale change rescales the open item's advance
+    thresholds (updateAdvanceScale divisor), all three engine paths."""
+    docs = [_assemble(s) for s in _ADVANCE_RESCALE_STREAMS] + [
+        _assemble(_gen_rotated_state_stream(random.Random(34_050_068)))
+    ]
+    _run_differential(tmp_path, docs)
+
+
 def _gen_skew_tz_stream(rng: random.Random) -> bytes:
     """Shear/anisotropic cm x varied |Tz| (the applyInverseRotation
     per-point |hs| divisor axis): mid-line Tz magnitude AND sign
