@@ -7,7 +7,11 @@ per-source conversation) and runs per-conversation main-content extraction
 conversation.
 
 ``queries()`` / ``oracle_sql()``: see pdf_parse_new_spark/queries.py —
-52 DuckDB-checked queries covering SURVEY §2 operator families plus the
+exactly 50 driver-registered DuckDB-checked queries (the harness records at
+most 50 CORRECTNESS rows; two redundant twins — conv_concat_tree and
+lang_id — are retired from driver registration but stay oracle-verified
+locally via queries.SQL_CHECKED_ALL / scripts/check_oracle.py /
+tests/test_oracle_local.py) covering SURVEY §2 operator families plus the
 training-data extensions (incl. the exact prefix-filtered Jaccard and
 containment joins, whose all-pairs DuckDB twins double as losslessness
 proofs; dup_clusters: alternating-star connected components over the

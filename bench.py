@@ -312,10 +312,33 @@ def main() -> None:
         "fixtures_version": fixtures.FIXTURES_VERSION,
         "cpus": cpus,
     }
+    guard_failed = False
     if sf_scaling is not None:
+        # regression gate (VERDICT r4 #6): a 10x row growth must not cost
+        # more than ~10^1.1 = 12.6x wall — an accidental O(n^2) (e.g. an
+        # uncapped bucket join) shows up as exponent ~2 and fails loudly.
+        limit = 1.1
+        worst = max(
+            (q["exponent"], name) for name, q in sf_scaling["queries"].items()
+        )
+        sf_scaling["exponent_guard"] = {
+            "limit": limit,
+            "max_exponent": worst[0],
+            "max_query": worst[1],
+            "pass": worst[0] <= limit,
+        }
+        guard_failed = worst[0] > limit
         out["sf_scaling"] = sf_scaling
     print(json.dumps(out))
     spark.stop()
+    if guard_failed:
+        print(
+            f"EXPONENT GUARD FAILED: {worst[1]} grew with exponent "
+            f"{worst[0]} > {limit} from sf0.01 to sf0.1 — superlinear "
+            "scaling, inspect its plan before trusting this round",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,12 @@ def main() -> int:
         )
     spark = get_spark("oracle-check", cores=8)
     qs, oq = entrymod.queries(), entrymod.oracle_sql()
+    # driver-retired twins (queries.DRIVER_RETIRED) stay locally verified
+    from pdf_parse_new_spark import queries as qmod
+
+    for name, (fn, sql) in qmod.SQL_CHECKED_ALL.items():
+        qs.setdefault(name, fn)
+        oq.setdefault(name, sql)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

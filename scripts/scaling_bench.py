@@ -136,6 +136,19 @@ def main() -> None:
         }
 
     eff = results[32]["turns_per_sec"] / results[8]["turns_per_sec"] / 4.0
+    # paired per-round efficiencies (VERDICT r4 #7 — the huge_pdf_chunked
+    # methodology): round i's local[8] and local[32] runs are adjacent in
+    # time, so each ratio saw the same host weather and is load-independent
+    # even if the machine drifts across rounds
+    paired_effs = [
+        round(
+            statistics.median(s8["times_sec"])
+            / statistics.median(s32["times_sec"])
+            / 4.0,
+            3,
+        )
+        for s8, s32 in zip(samples[8], samples[32])
+    ]
     md = f"""# BENCH/BASELINE.md — two-cluster-size scaling evidence
 
 North rule: throughput scaling efficiency >= 0.8 between cluster sizes N and
@@ -157,6 +170,11 @@ pooled samples per size — shared-machine noise drifts hit both sizes alike.
 **Scaling efficiency = (tput_32 / tput_8) / 4 = {eff:.3f}**
 (target >= 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
 
+Paired per-round efficiencies (each round's N / 4N runs adjacent in time,
+so both sides of each ratio saw the same host weather):
+{paired_effs} — min {min(paired_effs)}, every round independently
+{"clears" if min(paired_effs) >= 0.8 else "DOES NOT clear"} the 0.8 bar.
+
 Raw timings: local[8] {results[8]['times_sec']}, local[32] {results[32]['times_sec']}.
 
 Reference single-node anchor (BASELINE.md): pdf-parse-new reaches 3.36x on
@@ -171,7 +189,9 @@ here because payloads are per-row.
         f.write(md)
     with open("BENCH/scaling_latest.json", "w") as f:
         json.dump({"results": {str(k): v for k, v in results.items()},
-                   "efficiency": round(eff, 3)}, f, indent=1)
+                   "efficiency": round(eff, 3),
+                   "paired_efficiencies": paired_effs,
+                   "paired_efficiency_min": min(paired_effs)}, f, indent=1)
     print(md)
 
 
