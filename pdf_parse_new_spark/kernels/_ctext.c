@@ -183,25 +183,51 @@ static int is_num_start(unsigned char c)
     return (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.';
 }
 
+/* exact powers of ten: 10^0..10^22 are exactly representable doubles */
+static const double P10[] = {
+    1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,  1e10,
+    1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21,
+    1e22,
+};
+
 /* returns end position, or `pos` unchanged when no digit was present
  * (bare +/-/. is not a number). Mirrors the fallback's _NUMBER regex
  * [+-]?(\d+\.?\d*|\.\d+) exactly — including stopping at a SECOND dot,
- * so "1.2.3" lexes as 1.2 then .3 on both paths. */
+ * so "1.2.3" lexes as 1.2 then .3 on both paths.
+ *
+ * Conversion uses the Clinger exact fast path (mantissa <= 2^53 and
+ * <= 22 fraction digits: (double)m / 10^k — both operands exact, IEEE
+ * division correctly rounds the true quotient, so the result is
+ * bit-identical to strtod / Python float()). Anything outside that
+ * provable window falls back to atof over the raw span; content
+ * streams are overwhelmingly short decimals, so the hot path skips the
+ * per-digit buffer copy AND the libc parse. */
 static long scan_number(const unsigned char *d, long pos, long n, double *out)
 {
-    /* buffer sized so any numeral with a finite double value fits (a
-     * >380-digit integer is inf either way); tokens longer than the
-     * buffer are still CONSUMED in full so the token boundary matches
-     * the fallback regex exactly — only excess digits stop being
-     * significant, same as IEEE rounding there */
-    char buf[384];
-    long i = 0, start = pos, digits = 0, dots = 0;
-    if (d[pos] == '+' || d[pos] == '-')
-        buf[i++] = d[pos++];
+    long start = pos;
+    int neg = 0;
+    if (d[pos] == '+' || d[pos] == '-') {
+        neg = (d[pos] == '-');
+        pos++;
+    }
+    unsigned long long m = 0; /* accumulated mantissa (<= 19 digits) */
+    int nd = 0;               /* mantissa digits accumulated */
+    int inexact = 0;          /* digits dropped past the 19-digit cap */
+    long frac = 0, digits = 0, dots = 0;
     while (pos < n) {
         unsigned char c = d[pos];
         if (c >= '0' && c <= '9') {
             digits++;
+            if (dots)
+                frac++;
+            if (m == 0 && c == '0') {
+                ; /* leading zero: no mantissa contribution */
+            } else if (nd < 19) {
+                m = m * 10 + (unsigned long long)(c - '0');
+                nd++;
+            } else {
+                inexact = 1;
+            }
         } else if (c == '.') {
             if (dots)
                 break;
@@ -211,14 +237,32 @@ static long scan_number(const unsigned char *d, long pos, long n, double *out)
         } else {
             break;
         }
-        if (i < (long)sizeof(buf) - 2)
-            buf[i++] = c;
         pos++;
     }
     if (!digits)
         return start;
-    buf[i] = 0;
-    *out = atof(buf);
+    if (!inexact && m <= 9007199254740992ULL && frac <= 22) {
+        double v = (frac == 0) ? (double)m : (double)m / P10[frac];
+        *out = neg ? -v : v;
+        return pos;
+    }
+    /* slow path: buffer sized so any numeral with a finite double value
+     * fits (a >380-digit integer is inf either way); tokens longer than
+     * the buffer are still CONSUMED in full so the token boundary
+     * matches the fallback regex exactly — only excess digits stop
+     * being significant, same as IEEE rounding there */
+    {
+        char buf[384];
+        long i = 0, p = start;
+        if (d[p] == '+' || d[p] == '-')
+            buf[i++] = d[p++];
+        for (; p < pos; p++) {
+            if (i < (long)sizeof(buf) - 2)
+                buf[i++] = d[p];
+        }
+        buf[i] = 0;
+        *out = atof(buf);
+    }
     return pos;
 }
 
