@@ -2864,7 +2864,17 @@ class _TextInterp:
                 # real glyph: width translate, then charSpacing
                 # translate (pdf.worker.js:36718/36733) — two adds
                 pen = (px + w * kx) + ktc
-        if out is None and not rewrote:
+        if out is None and not rewrote and not (
+            nclip and len(dec) != len(item)
+        ):
+            # no split and no text change — EXCEPT when glyphs were
+            # box-rejected on a Cf-bearing item: the caller's inline
+            # _clip_x fallback is gated on len(dec) == len(item), so a
+            # None return would lose the clip entirely (pdf.js rejects
+            # at the TOP of compareWithLastPosition regardless of
+            # prevTransform — an off-page tail after a zero-width run
+            # must still vanish; distilled from the all-zero-width
+            # hunt at seed 79e6+11)
             return None
         if out is None:
             out = []

@@ -2328,6 +2328,84 @@ def _gen_nzreg_stream(rng: random.Random) -> bytes:
     return _assemble_with_tounicode(content, _ZWREG_PAIRS, _NZREG_W)
 
 
+def _gen_allzw_stream(rng: random.Random) -> bytes:
+    """EVERY glyph zero-width (/Widths all zero AND a-z absent with
+    MissingWidth 0): the pen moves by Tc and kerns alone, so long runs
+    march it off the right page edge where pdf.js's box test — at the
+    TOP of compareWithLastPosition, BEFORE the null-prevTransform
+    early-return — silently swallows the tail. The round-5 hunt caught
+    the engine keeping those tails on Cf-bearing items (_seg_split
+    returned None on a reject-only walk and the inline _clip_x
+    fallback is gated on len(dec) == len(item))."""
+    letters = "abcdefgh"
+
+    def longword():
+        n = rng.randrange(8, 24)
+        s = "".join(rng.choice(letters) for _ in range(n))
+        if rng.random() < 0.5:
+            pos = rng.randrange(len(s) + 1)
+            s = s[:pos] + chr(rng.choice(b"ABCDEFG")) + s[pos:]
+        if rng.random() < 0.4:
+            s = s[:rng.randrange(len(s))] + " " + s[rng.randrange(len(s)):]
+        return s.encode()
+
+    ops = []
+    if rng.random() < 0.5:
+        ops.append(b"%s Tc" % str(rng.choice([0.5, 1.5, 3.0])).encode())
+    for _ in range(rng.randrange(2, 6)):
+        parts = []
+        for _ in range(rng.randrange(2, 5)):
+            parts.append(b"(%s)" % longword())
+            parts.append(str(rng.choice(
+                [-2000, -900, -400, -180, -90, -48, -12, -3, 3, 12, 62,
+                 86, 150, 300, 900, 2000])).encode())
+        ops.append(b"[" + b" ".join(parts[:-1]) + b"] TJ")
+        if rng.random() < 0.3:
+            ops.append(b"%s Tc" % str(
+                rng.choice([0, 0.5, 1.5, 3.0])).encode())
+        if rng.random() < 0.2:
+            ops.append(b"/F1 %d Tf" % rng.choice((8, 12, 24)))
+    content = b" ".join(
+        [b"BT", b"/F1 12 Tf", b"1 0 0 1 72 700 Tm"] + ops + [b"ET"]
+    )
+    return _assemble_with_tounicode(content, _ZWREG_PAIRS, [0] * 38)
+
+
+def test_allzw_offpage_tail_byte_equal_vs_live_reference(tmp_path):
+    """Distilled minimal (seed 79e6+11, greedy-shrunk): Tc=3 marches a
+    zero-width pen to x=612.084 mid-item; pdf.js rejects 'g' onward
+    (reject advances by width only — zero — so the whole tail stays
+    off-page) and the pending space before it never materializes. The
+    pre-fix engine emitted ' gbhaedadg'."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_with_tounicode(
+                b"BT /F1 12 Tf 1 0 0 1 72 700 Tm 3.0 Tc"
+                b" [(haeaedgeagc) 3 (hcadhddhCgggc) 62 (bfghddDdccfhb)"
+                b" -400 (cceffbeddafAdb)] TJ"
+                b" [(dhfhhhfefAbgdeahbe efAbgdeahbedcf) -90"
+                b" (dcDcbddhhaafcfdec) 12 (gagegddhcaeacacaeghbg) -180"
+                b" (ebcghafhhafffgd ebcghafhhafffgdabeGbddag)] TJ"
+                b" [(hdbAcghagc) 86 (agbhd gbhaeEdadg) -2000"
+                b" (egeefbfghg eefbfghgbgg) -3 (ec cbhgfggf)] TJ ET",
+                _ZWREG_PAIRS, [0] * 38,
+            ),
+        ],
+    )
+
+
+def test_allzw_sweep_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded all-zero-width docs (the round-5 hunt behind this ran
+    400 fresh-seed docs at bases 79M/80M, zero divergence after the
+    reject-tail fix)."""
+    _run_differential(
+        tmp_path,
+        [_gen_allzw_stream(random.Random(79_000_000 + s))
+         for s in range(40)],
+    )
+
+
 def test_zero_register_streams_byte_equal_vs_live_reference(tmp_path):
     _run_differential(
         tmp_path,
