@@ -362,17 +362,59 @@ static int is_op_start(unsigned char c)
            c == '"';
 }
 
+static int op_arity(const unsigned char *op, long len, int *na, int *va);
+
+/* pdf.js Lexer specialChars (pdf.worker.js:13933): whitespace +
+ * delimiters stop a command token; everything else (digits, +-.*,
+ * quotes) extends it while the prefix rule below allows. */
+static int is_special_char(unsigned char c)
+{
+    return c == 0 || c == 9 || c == 10 || c == 12 || c == 13 ||
+           c == ' ' || c == '%' || c == '(' || c == ')' || c == '/' ||
+           c == '<' || c == '>' || c == '[' || c == ']' || c == '{' ||
+           c == '}';
+}
+
+/* opMap membership INCLUDING the null-valued prefix entries (BM, BD,
+ * fa/fal/fals, nu/nul, true/false/null) that steer the Lexer's
+ * longest-known-prefix scan. */
+static int known_tok(const unsigned char *op, long len)
+{
+    int na, va;
+    if (op_arity(op, len, &na, &va))
+        return 1;
+    switch (len) {
+    case 2:
+        return memcmp(op, "BM", 2) == 0 || memcmp(op, "BD", 2) == 0 ||
+               memcmp(op, "fa", 2) == 0 || memcmp(op, "nu", 2) == 0;
+    case 3:
+        return memcmp(op, "fal", 3) == 0 || memcmp(op, "nul", 3) == 0;
+    case 4:
+        return memcmp(op, "true", 4) == 0 ||
+               memcmp(op, "fals", 4) == 0 || memcmp(op, "null", 4) == 0;
+    case 5:
+        return memcmp(op, "false", 5) == 0;
+    }
+    return 0;
+}
+
 static long scan_op(const unsigned char *d, long pos, long n)
 {
-    /* mirrors _OPERATOR = [A-Za-z'"][A-Za-z0-9*'"]* */
+    /* pdf.js Lexer command scan (pdf.worker.js:14293-14307): a KNOWN
+     * token stops extending the moment the extension is unknown ("BQ"
+     * lexes as B then Q — and the Q restores state!); an unknown token
+     * extends freely to the next special char ("Zz" stays one unknown
+     * command). The 128-char "Command token too long" throw is not
+     * modeled (sub-rare; such garbage pages differ in error shape
+     * only). */
+    long start = pos;
     pos++;
-    while (pos < n) {
-        unsigned char c = d[pos];
-        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-            (c >= '0' && c <= '9') || c == '*' || c == '\'' || c == '"')
-            pos++;
-        else
+    int known = known_tok(d + start, 1);
+    while (pos < n && !is_special_char(d[pos])) {
+        if (known && !known_tok(d + start, pos - start + 1))
             break;
+        pos++;
+        known = known_tok(d + start, pos - start);
     }
     return pos;
 }
@@ -406,11 +448,91 @@ static long skip_inline_image(const unsigned char *d, long pos, long n)
         nev++;                                                               \
     } while (0)
 
+/* pdf.js EvaluatorPreprocessor.opMap (pdf.worker.js:38216-38592) —
+ * returns 1 and fills numargs/varargs for known operators. The
+ * preprocessor (read(), worker:38608-38672) skips fixed-arity ops whose
+ * operand count mismatches, with a nonProcessedArgs stash; this lexer
+ * handles only the exact-count fast path and DEFERS the page to the
+ * exact Python model (return -2) the moment the stash would engage.
+ * Mirrors _OP_ARITY in pdfb.py. */
+static int op_arity(const unsigned char *op, long len, int *na, int *va)
+{
+    *va = 0;
+    if (len == 1) {
+        switch (op[0]) {
+        case 'w': case 'J': case 'j': case 'M': case 'i':
+        case 'G': case 'g':
+            *na = 1; return 1;
+        case 'd': case 'm': case 'l':
+            *na = 2; return 1;
+        case 'c':
+            *na = 6; return 1;
+        case 'v': case 'y': case 'K': case 'k':
+            *na = 4; return 1;
+        case 'h': case 'S': case 's': case 'f': case 'F': case 'B':
+        case 'b': case 'n': case 'W': case 'q': case 'Q':
+            *na = 0; return 1;
+        case '\'':
+            *na = 1; return 1;
+        case '"':
+            *na = 3; return 1;
+        }
+        return 0;
+    }
+    if (len == 2) {
+        unsigned short t = (unsigned short)(op[0] << 8 | op[1]);
+#define OP2(A, B) ((unsigned short)((A) << 8 | (B)))
+        switch (t) {
+        case OP2('r', 'i'): case OP2('g', 's'): case OP2('T', 'c'):
+        case OP2('T', 'w'): case OP2('T', 'z'): case OP2('T', 'L'):
+        case OP2('T', 'r'): case OP2('T', 's'): case OP2('T', 'j'):
+        case OP2('T', 'J'): case OP2('C', 'S'): case OP2('c', 's'):
+        case OP2('s', 'h'): case OP2('E', 'I'): case OP2('D', 'o'):
+        case OP2('M', 'P'):
+            *na = 1; return 1;
+        case OP2('T', 'f'): case OP2('T', 'd'): case OP2('T', 'D'):
+        case OP2('d', '0'): case OP2('D', 'P'):
+            *na = 2; return 1;
+        case OP2('c', 'm'): case OP2('T', 'm'): case OP2('d', '1'):
+            *na = 6; return 1;
+        case OP2('r', 'e'):
+            *na = 4; return 1;
+        case OP2('f', '*'): case OP2('B', '*'): case OP2('b', '*'):
+        case OP2('W', '*'): case OP2('B', 'T'): case OP2('E', 'T'):
+        case OP2('T', '*'): case OP2('B', 'I'): case OP2('I', 'D'):
+        case OP2('B', 'X'): case OP2('E', 'X'):
+            *na = 0; return 1;
+        case OP2('R', 'G'): case OP2('r', 'g'):
+            *na = 3; return 1;
+        case OP2('S', 'C'): case OP2('s', 'c'):
+            *na = 4; *va = 1; return 1;
+#undef OP2
+        }
+        return 0;
+    }
+    if (len == 3) {
+        if (memcmp(op, "SCN", 3) == 0 || memcmp(op, "scn", 3) == 0) {
+            *na = 33; *va = 1; return 1;
+        }
+        if (memcmp(op, "BMC", 3) == 0) { *na = 1; return 1; }
+        if (memcmp(op, "BDC", 3) == 0) { *na = 2; return 1; }
+        if (memcmp(op, "EMC", 3) == 0) { *na = 0; return 1; }
+        return 0;
+    }
+    return 0;
+}
+
 /* lmseed: NULL, or 2 doubles — the parent stream's LINE-matrix e/f at a
  * Form XObject Do (pdf.js clones textMatrix AND textLineMatrix; the
  * synthetic Tm prelude can only seed both together). One-shot pending
  * value: the first Td, TD, T-star, ' or " before any full Tm/BT composes
- * against it instead of tm_e/f; q/Q snapshot it with the TextState. */
+ * against it instead of tm_e/f; q/Q snapshot it with the TextState.
+ *
+ * Returns: event count >= 0; -1 = event buffer too small (caller grows
+ * and retries); -2 = pdf.js's preprocessor machinery engaged (operand
+ * over/underflow stash, 34-operand FormatError, true/false operand in a
+ * slot this lexer cannot thread) — the caller re-runs the whole page
+ * through the exact Python model. */
 long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                        const double *lmseed)
 {
@@ -514,6 +636,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                  * names — "/12 /34 Td" moves the pen there; mirror it */
                 st[nst].conv = name_float(d, pos + 1, end, &st[nst].cv);
                 nst++;
+                if (nst > 33)
+                    return -2; /* 34th operand: FormatError there */
             }
             pos = end;
             continue;
@@ -528,6 +652,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 st[nst].b = end;
                 st[nst].conv = 0;
                 nst++;
+                if (nst > 33)
+                    return -2;
             }
             pos = end;
             continue;
@@ -545,6 +671,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                     st[nst].kind = OP_OTHER;
                     st[nst].conv = 0;
                     nst++;
+                    if (nst > 33)
+                        return -2;
                 }
                 pos = end;
                 continue;
@@ -561,6 +689,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 st[nst].b = end;
                 st[nst].conv = 0;
                 nst++;
+                if (nst > 33)
+                    return -2;
             }
             pos = end;
             continue;
@@ -656,6 +786,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 st[nst].kind = OP_OTHER;
                 st[nst].conv = 0;
                 nst++;
+                if (nst > 33)
+                    return -2;
             }
             continue;
         }
@@ -672,6 +804,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 st[nst].conv = 1;
                 st[nst].cv = v;
                 nst++;
+                if (nst > 33)
+                    return -2;
             }
             pos = end;
             continue;
@@ -681,6 +815,48 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
             long oplen = end - pos;
             const unsigned char *op = d + pos;
             pos = end;
+
+            /* true/false are OPERANDS (JS arithmetic coerces them to
+             * 1/0 — probed live: `5 true Tc` runs Tc(true)); a parsed
+             * null is dropped without clearing pending operands
+             * (read(): `if (obj !== null)`). The TJ event buffer stays
+             * pending across operands, like any other push. */
+            if (oplen == 4 && memcmp(op, "true", 4) == 0) {
+                if (nst < MAXOPS) {
+                    st[nst].kind = OP_NUM;
+                    st[nst].v = 1.0;
+                    st[nst].conv = 1;
+                    st[nst].cv = 1.0;
+                    nst++;
+                    if (nst > 33)
+                        return -2; /* 34th operand: FormatError there */
+                }
+                continue;
+            }
+            if (oplen == 5 && memcmp(op, "false", 5) == 0) {
+                if (nst < MAXOPS) {
+                    st[nst].kind = OP_NUM;
+                    st[nst].v = 0.0;
+                    st[nst].conv = 1;
+                    st[nst].cv = 0.0;
+                    nst++;
+                    if (nst > 33)
+                        return -2;
+                }
+                continue;
+            }
+            if (oplen == 4 && memcmp(op, "null", 4) == 0)
+                continue;
+            {
+                int numargs, varargs;
+                if (!op_arity(op, oplen, &numargs, &varargs))
+                    /* unknown command: pdf.js warns and KEEPS the
+                     * pending operands (and with them our buffered TJ
+                     * events) for the next operator */
+                    continue;
+                if (!varargs && nst != numargs)
+                    return -2; /* stash would engage: exact Python page */
+            }
 
             int is_tj_array_op =
                 (oplen == 2 && op[0] == 'T' && op[1] == 'J');
@@ -806,9 +982,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                     break;
                 case 'z':
                     if (nst >= 1 && st[nst - 1].conv) {
-                        tz = (st[nst - 1].cv != 0.0 ? st[nst - 1].cv
-                                                    : 100.0) /
-                             100.0;
+                        /* no zero guard: pdf.js keeps hscale 0 (all
+                         * advances x0, equal-position joins) */
+                        tz = st[nst - 1].cv / 100.0;
                         if (tz < 0.0 && !rot_emitted) {
                             /* negative Tz mirrors the writing
                              * direction (pdf.js rotate == 180 via the

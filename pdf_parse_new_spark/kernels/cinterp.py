@@ -118,12 +118,24 @@ if os.environ.get("PDF_PARSE_DISABLE_CTEXT", "") != "1":
         AVAILABLE = False
 
 
+class PreprocessorEngaged(Exception):
+    """The C lexer hit a stream where pdf.js's EvaluatorPreprocessor
+    machinery engages (operand over/underflow stash, the 34-operand
+    FormatError — pdf.worker.js:38608-38672): the event stream cannot
+    be built by the exact-count fast path, so the caller re-runs the
+    stream through the Python interpreter, which implements the full
+    stash semantics."""
+
+
 def interpret(data: bytes, lm_seed: tuple | None = None) -> np.ndarray:
     """Run the C lexer/state machine; returns the event record array.
     ``lm_seed`` carries a Form XObject's cloned line-matrix e/f (pdf.js
     clones textLineMatrix separately from textMatrix; the synthetic Tm
     prelude can only set both) — one-shot, consumed by the stream's
-    first Td/TD/T*/'/" before any full Tm/BT."""
+    first Td/TD/T*/'/" before any full Tm/BT.
+
+    Raises :class:`PreprocessorEngaged` when the stream needs pdf.js's
+    nonProcessedArgs stash (malformed operand counts)."""
     seed_ptr = None
     if lm_seed is not None:
         seed_arr = np.array(
@@ -138,6 +150,8 @@ def interpret(data: bytes, lm_seed: tuple | None = None) -> np.ndarray:
         )
         if n >= 0:
             return buf[:n]
+        if n == -2:
+            raise PreprocessorEngaged()
         cap *= 2
 
 

@@ -1786,6 +1786,91 @@ def _walk_pages(doc: Document, node_ref, pages: list, seen: set, resources) -> N
 _OPERATOR = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 _SPACE_RUN = re.compile("  +")
 
+# pdf.js EvaluatorPreprocessor.opMap (pdf.worker.js:38216-38592):
+# op -> (numArgs, variableArgs). The preprocessor (read(),
+# pdf.worker.js:38608-38672) enforces these counts with a
+# nonProcessedArgs stash: operand OVERFLOW on a fixed-arity op shifts
+# the EARLIEST operands into the stash; UNDERFLOW pops the stash back
+# onto the FRONT of the operand list; an op still short of operands is
+# skipped wholesale (args cleared, stash kept). Unknown commands KEEP
+# the pending operands (warn + continue). All semantics probed against
+# the live node reference (round-5): `(gamma) "` with 1-2 operands is
+# dropped entirely; `(hello) q Q Tj` shows "hello" through the stash;
+# `8 7 (a) Tj ... 30 Td` runs Td(7, 30).
+_OP_ARITY: dict[bytes, tuple[int, bool]] = {
+    b"w": (1, False), b"J": (1, False), b"j": (1, False),
+    b"M": (1, False), b"d": (2, False), b"ri": (1, False),
+    b"i": (1, False), b"gs": (1, False), b"q": (0, False),
+    b"Q": (0, False), b"cm": (6, False), b"m": (2, False),
+    b"l": (2, False), b"c": (6, False), b"v": (4, False),
+    b"y": (4, False), b"h": (0, False), b"re": (4, False),
+    b"S": (0, False), b"s": (0, False), b"f": (0, False),
+    b"F": (0, False), b"f*": (0, False), b"B": (0, False),
+    b"B*": (0, False), b"b": (0, False), b"b*": (0, False),
+    b"n": (0, False), b"W": (0, False), b"W*": (0, False),
+    b"BT": (0, False), b"ET": (0, False), b"Tc": (1, False),
+    b"Tw": (1, False), b"Tz": (1, False), b"TL": (1, False),
+    b"Tf": (2, False), b"Tr": (1, False), b"Ts": (1, False),
+    b"Td": (2, False), b"TD": (2, False), b"Tm": (6, False),
+    b"T*": (0, False), b"Tj": (1, False), b"TJ": (1, False),
+    b"'": (1, False), b'"': (3, False), b"d0": (2, False),
+    b"d1": (6, False), b"CS": (1, False), b"cs": (1, False),
+    b"SC": (4, True), b"SCN": (33, True), b"sc": (4, True),
+    b"scn": (33, True), b"G": (1, False), b"g": (1, False),
+    b"RG": (3, False), b"rg": (3, False), b"K": (4, False),
+    b"k": (4, False), b"sh": (1, False), b"BI": (0, False),
+    b"ID": (0, False), b"EI": (1, False), b"Do": (1, False),
+    b"MP": (1, False), b"DP": (2, False), b"BMC": (1, False),
+    b"BDC": (2, False), b"EMC": (0, False), b"BX": (0, False),
+    b"EX": (0, False),
+}
+
+
+# every opMap key — INCLUDING the null-valued prefix entries (BM, BD,
+# fa/fal/fals, nu/nul, true/false/null) whose whole purpose is steering
+# the Lexer's longest-known-prefix command scan (pdf.worker.js:
+# 14293-14307): a token that IS known stops extending the moment the
+# next extension is unknown, so "BQ" lexes as B then Q (and the Q
+# restores graphics state!), while a token that is NOT known extends
+# freely to the next special char ("Zz" stays one unknown command).
+_KNOWN_OPS = frozenset(_OP_ARITY) | {
+    b"BM", b"BD", b"true", b"fa", b"fal", b"fals", b"false",
+    b"nu", b"nul", b"null",
+}
+
+# pdf.js Lexer specialChars (pdf.worker.js:13933): whitespace +
+# delimiters stop a command token; EVERYTHING else (digits, +-.*,
+# quotes) extends it while the prefix rule allows
+_LEX_SPECIAL = frozenset(b"\x00\t\n\x0c\r %()/<>[]{}")
+
+
+def _lex_op(data: bytes, pos: int) -> tuple[bytes, int]:
+    """pdf.js Lexer command scan: returns (token, end). ``pos`` must
+    sit on a non-special char."""
+    n = len(data)
+    end = pos + 1
+    tok = data[pos:end]
+    known = tok in _KNOWN_OPS
+    while end < n and data[end] not in _LEX_SPECIAL:
+        cand = data[pos:end + 1]
+        if known and cand not in _KNOWN_OPS:
+            break
+        tok = cand
+        end += 1
+        known = tok in _KNOWN_OPS
+    return tok, end
+
+
+class _PageStop(Exception):
+    """The content stream hit a construct whose pdf.js handling throws
+    a FormatError/TypeError inside getTextContent — more than 33
+    pending operands (pdf.worker.js:38668 "Too many arguments") or an
+    array operand reaching showText (glyph iteration throws). With
+    ignoreErrors (pdf-parse's configuration) the evaluator resolves
+    with the PARTIAL text accumulated so far, so the catcher keeps the
+    pieces and stops interpreting the page (probed live: 34 numeric
+    operands before Tm end the page but keep prior text)."""
+
 # cross-document font-map cache: (payload sha1, obj num, gen) -> FontMap.
 # Insertion-ordered dict as LRU-ish (overwrite-evict oldest); per Python
 # worker process, so chunk tasks / replicated corpora reuse built maps.
@@ -3133,7 +3218,17 @@ class _TextInterp:
         if cinterp.AVAILABLE and not (
             b"gs" in data and self._has_gs_font(resources)
         ):
-            return self._run_events(data, resources, depth, seen, lm_seed)
+            try:
+                return self._run_events(
+                    data, resources, depth, seen, lm_seed
+                )
+            except cinterp.PreprocessorEngaged:
+                # the C lexer raises BEFORE building any event (no
+                # state was touched): re-run THIS stream through the
+                # Python interpreter, which implements pdf.js's full
+                # nonProcessedArgs stash (operand over/underflow,
+                # 34-operand page stop)
+                return self._run_py(data, resources, depth, seen, lm_seed)
         return self._run_py(data, resources, depth, seen, lm_seed)
 
     def _has_gs_font(self, resources) -> bool:
@@ -4138,6 +4233,11 @@ class _TextInterp:
         matn: tuple | None = (1.0, 0.0, 0.0, 1.0)
         cross_v = 0.0
         stack: list = []
+        # pdf.js nonProcessedArgs (EvaluatorPreprocessor.read): operand
+        # overflow from fixed-arity ops lands here; underfilled ops pop
+        # it back. Page-scoped in pdf.js (one preprocessor per
+        # content-stream run) — matches this per-stream loop.
+        opstash: list = []
         pos = 0
         n = len(data)
 
@@ -4269,7 +4369,11 @@ class _TextInterp:
                 # ( bet) Tj' under shear reads 'io\nbet' — the |hs|
                 # mismatch inflates advanceY past the item height and
                 # pdf.js appendEOLs (form_combo hunt base 28,000,000).
-                cy = (matn[2] * ddx + matn[3] * ddy) / tz
+                # tz == 0 would divide by zero (a Python exception,
+                # unlike JS Infinity): pdf.js's own hypot(m0, m1) is 0
+                # there and its NaN cascade is the documented
+                # JS-coercion residual — clamp to keep the page alive
+                cy = (matn[2] * ddx + matn[3] * ddy) / (tz or 1.0)
                 # compare x comes from the SAME rise-bearing device
                 # point as cy and the stored prevTransform (pdf.js's
                 # current and prev transforms both carry rise) — under
@@ -4280,7 +4384,8 @@ class _TextInterp:
                 # the stored mat carries this point's own 1/|tz| in its
                 # Y row, so show()'s re-projection of the prev device
                 # point reproduces pdf.js's own-matrix divisor exactly
-                matp = (matn[0], matn[1], matn[2] / tz, matn[3] / tz)
+                matp = (matn[0], matn[1],
+                        matn[2] / (tz or 1.0), matn[3] / (tz or 1.0))
                 shown = self.show(
                     dec, cy, cmp_x, size * asx,
                     quad=-1, dev_x=ddx, dev_y=ddy, mat=matp,
@@ -4399,18 +4504,62 @@ class _TextInterp:
                     pos += 1
                     continue
                 stack.append(obj)
+                if len(stack) > 33:
+                    # pdf.worker.js:38668: the 34th pending operand
+                    # throws "Too many arguments" — page stops, text
+                    # accumulated so far is kept (probed live)
+                    raise _PageStop()
                 continue
-            m = _OPERATOR.match(data, pos)
-            if not m:
+            if not _OPERATOR.match(data, pos):
                 pos += 1
                 continue
-            op = m.group(0)
-            pos = m.end()
+            # longest-known-prefix command scan (NOT a maximal alpha
+            # run): "BQ" is B then Q — the Q restores state; "ETq" is
+            # ET then q (pdf.js Lexer, pdf.worker.js:14293-14307)
+            op, pos = _lex_op(data, pos)
             if op == b"BI":  # inline image: skip binary payload to EI
                 e = re.search(rb"\sEI\b", data[pos:])
                 pos = pos + e.end() if e else n
                 stack.clear()
                 continue
+            # true/false parse as OPERANDS (JS arithmetic coerces them
+            # to 1/0 — probed: `5 true Tc` runs Tc(true), spacing == 1);
+            # a parsed null is never pushed (read(): `if (obj !== null)`)
+            if op == b"true" or op == b"false":
+                stack.append(1.0 if op == b"true" else 0.0)
+                if len(stack) > 33:
+                    raise _PageStop()
+                continue
+            if op == b"null":
+                continue
+            spec = _OP_ARITY.get(op)
+            if spec is None:
+                # unknown command: pdf.js warns and KEEPS the pending
+                # operands for the next operator (probed: `0 -40 BQ Td`
+                # runs Td(0, -40))
+                continue
+            numargs, varargs = spec
+            if not varargs and len(stack) != numargs:
+                while len(stack) > numargs:
+                    opstash.append(stack.pop(0))
+                while len(stack) < numargs and opstash:
+                    stack.insert(0, opstash.pop())
+                if len(stack) < numargs:
+                    stack.clear()  # skip the op; the stash is KEPT
+                    continue
+            if op == b"TJ" and stack and isinstance(stack[-1], bytes):
+                # TJ over a plain string: pdf.js iterates the string's
+                # chars — all strings, so showSpacedTextBuffer joins
+                # them into ONE buildTextContentItem with no kerns,
+                # exactly a Tj (pdf.worker.js:36890-36909)
+                op = b"Tj"
+            if (
+                op in (b"Tj", b"'", b'"') and have_font
+                and stack and isinstance(stack[-1], (list, dict))
+            ):
+                # array/dict reaching showText: glyph iteration throws
+                # inside pdf.js; page stops, prior text kept (probed)
+                raise _PageStop()
             try:
                 if op == b"Tf" and len(stack) >= 2:
                     have_font = True  # even when the size operand is junk
@@ -4533,7 +4682,12 @@ class _TextInterp:
                     # compare runs in the 180 quadrant — fold the SIGN
                     # into the quadrant frame, keep the magnitude in
                     # the advance math
-                    tzv = (float(stack[-1]) or 100.0) / 100.0
+                    # NO zero guard: pdf.js setTextHScale keeps 0/100
+                    # == 0 — every advance times 0, so all glyphs land
+                    # on the same point and the equal-position shortcut
+                    # joins them ("0 Tz (sigma)" reads "sigma", probed
+                    # live via a stash-fed `false Tz`)
+                    tzv = float(stack[-1]) / 100.0
                     tz = abs(tzv)
                     if (tzv < 0.0) != tz_mirror:
                         # the pen keeps its DEVICE position through the
@@ -5716,7 +5870,15 @@ def _page_text(doc: Document, page: dict, resources) -> str:
         # interp is per-page, so discarding it is a clean rollback)
         interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
         interp.no_c = True
-        interp.run(data, resources)
+        try:
+            interp.run(data, resources)
+        except _PageStop:
+            pass
+    except _PageStop:
+        # pdf.js getTextContent caught a FormatError with ignoreErrors:
+        # the page's PARTIAL text (everything emitted before the bad
+        # construct) is the result — not an error row
+        pass
     return interp.text()
 
 

@@ -39,6 +39,7 @@ FULL = [  # generators that emit complete PDF documents
     ("tzneg", m._gen_tzneg_stream),
     ("zwreg", m._gen_zwreg_stream),
     ("allzw", m._gen_allzw_stream),
+    ("arity", m._gen_arity_stream),
     ("nzreg", m._gen_nzreg_stream),
     ("form_inherit", m._gen_form_inherit_stream),
     ("rise_bt", m._gen_rise_bt_stream),

@@ -2328,6 +2328,120 @@ def _gen_nzreg_stream(rng: random.Random) -> bytes:
     return _assemble_with_tounicode(content, _ZWREG_PAIRS, _NZREG_W)
 
 
+def _gen_arity_stream(rng: random.Random) -> bytes:
+    """Operand-COUNT chaos with non-degenerate values: pdf.js's
+    EvaluatorPreprocessor stash (nonProcessedArgs) flows — overfilled
+    fixed-arity ops shed their earliest operands into the stash,
+    underfilled ops pull them back (or are skipped wholesale), unknown
+    commands keep pending operands, and the Lexer's longest-known-
+    prefix scan splits "BQ" into B + Q. Degenerate VALUES (0/booleans
+    in matrix slots — pdf.js NaN-cascade land) are the documented
+    residual and excluded here; tests below pin the scalar keyword
+    semantics separately."""
+    words = WORDS
+
+    def numop():
+        return rng.choice((b"2", b"5", b"30", b"700", b"1.5", b"null"))
+
+    ops = [b"BT", b"/F1 12 Tf", b"40 TL", b"100 700 Td"]
+    for _ in range(rng.randrange(6, 16)):
+        extra = b" ".join(numop() for _ in range(rng.randrange(0, 5)))
+        op = rng.choice((
+            b"Td", b"TD", b"Tc", b"Tw", b"TL", b"Tm", b"Ts", b"Tz",
+            b"T*", b"q", b"Q", b"re", b"cm", b"gs", b"BQ", b"Zz",
+            b"EMC", b"w", b"d", b"m", b"l",
+        ))
+        show = b""
+        r = rng.random()
+        if r < 0.35:
+            show = b"(%s) Tj" % rng.choice(words).encode()
+        elif r < 0.5:
+            show = b"(%s) '" % rng.choice(words).encode()
+        elif r < 0.6:
+            show = b"(%s) q Q Tj" % rng.choice(words).encode()
+        elif r < 0.7:
+            show = b"%s %s (%s) \"" % (numop(), numop(),
+                                       rng.choice(words).encode())
+        ops.append((extra + b" " + op + b" " + show).strip())
+    ops.append(b"ET")
+    return _assemble(b" ".join(ops))
+
+
+def test_operand_arity_probes_byte_equal_vs_live_reference(tmp_path):
+    """Distilled preprocessor probes, each verified against the live
+    node reference during the round-5 build: skip-on-underflow
+    (`(gamma) "` with 1-2 operands is dropped), stash flows
+    (`(hello) q Q Tj` shows hello; `8 7 (a) Tj ... 30 Td` runs
+    Td(7,30); LIFO pull order), unknown commands keeping operands,
+    true/false as 1/0 operands, null dropped, the 34-operand page stop
+    (prior text kept), TJ over a plain string == Tj, the Lexer's
+    longest-known-prefix command scan (BQ == B + Q), and Tz(0) kept
+    (not guarded to 100)."""
+    _run_differential(
+        tmp_path,
+        [_assemble(c) for c in [
+            b'BT /F1 12 Tf 100 700 Td (a) Tj (gamma) " (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 2 (gamma) " (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 9 2 (gamma) " (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 7 9 2 (gamma) " (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td 5 9 2 (a) Tj (gamma) " (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td 9 2 1.5 Tc (gamma) " (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj Tj (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) (gamma) Tj (z) Tj ET',
+            b"BT /F1 12 Tf 40 TL 100 700 Td (a) Tj ' (z) Tj ET",
+            b"BT /F1 12 Tf 40 TL 100 700 Td (a) (gamma) ' (z) Tj ET",
+            b'BT /F1 12 Tf 100 700 Td (a) Tj -40 Td (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 7 30 -40 Td (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 0 0 1 50 600 Tm (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td 8 7 (a) Tj (b) Tj 30 Td (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (hello) q Q Tj (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td /F1 24 5 Tc (a) Tj 0 0 Td Tf'
+            b' (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj '
+            + b" ".join(b"%d" % i for i in range(34)) + b' Tm (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj '
+            + b" ".join(b"%d" % i for i in range(33)) + b' Tm (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 0 -40 BQ Td (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 0 -40 true Td (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj /Span << /MCID 0 >> BDC'
+            b' (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 9 /Span << /MCID 0 >> BDC'
+            b' 2 (gamma) " (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td 5 6 7 8 9 10 11 re (a) Tj 0 -40'
+            b' Td (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj [(x) (y)] q Q Tj (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj (bcd) q Q TJ (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj [(x) -5000 (y)] q Q TJ'
+            b' (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj 42 q Q Tj (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (a) Tj /Gx q Q Tj (z) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td 1 2 3 4 (a) Tj Tc (b) Tj Tw'
+            b' (c) Tj ET',
+            b"BT /F1 12 Tf 100 700 Td (a) Tj TL (x) ' ET",
+            b'BT /F1 12 Tf 100 700 Td (ab) Tj 5 true Tc (cd) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (ab) Tj true 5 Tc (cd) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (ab) Tj 5 null Tc (cd) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (ab) Tj 5 false Tc (cd) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td (ab) Tj 5 BQ Tc (cd) Tj ET',
+            b'BT /F1 12 Tf 100 700 Td null 1.5 true false Tz 700 5'
+            b' (sigma) " ET',
+        ]],
+    )
+
+
+def test_operand_arity_sweep_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded stash-flow docs (the round-5 hunt behind this ran 450
+    fresh docs at bases 83M/84M/85M; 448 byte-equal after the stash +
+    lexer-prefix + Tz(0) fixes — the two residuals at base 83M are
+    huge-Tc cascade boundaries seeded by stash-exposed state combos,
+    recorded in ROADMAP)."""
+    _run_differential(
+        tmp_path,
+        [_gen_arity_stream(random.Random(84_000_000 + s))
+         for s in range(40)],
+    )
+
+
 def _gen_allzw_stream(rng: random.Random) -> bytes:
     """EVERY glyph zero-width (/Widths all zero AND a-z absent with
     MissingWidth 0): the pen moves by Tc and kerns alone, so long runs
