@@ -5548,11 +5548,22 @@ class _TextInterp:
                     # line matrix's (shows only translate tm)
                     itm = None
                     if quad == -1 and matn is not None:
-                        mdet = matn[0] * matn[3] - matn[1] * matn[2]
-                        pdx = pdy = None
-                        if mdet:
-                            pdx = (matn[3] * cur_x - matn[1] * cross_v) / mdet
-                            pdy = (matn[0] * cross_v - matn[2] * cur_x) / mdet
+                        # device pen = anchor + advance projected along
+                        # the device writing direction (matn row 0).
+                        # NOT the matn-inverse of (cur_x, cross_v): the
+                        # stored cross_v is the ANCHOR's cross
+                        # coordinate, and under a NON-ORTHOGONAL frame
+                        # (shear — cross row not perpendicular to the
+                        # writing direction) the pen's cross coordinate
+                        # moves with the advance, so the inverse
+                        # reconstruction dropped the f-advance a sheared
+                        # show makes (translateTextMatrix moves e AND f
+                        # when b != 0) — the cloned tm then lagged and a
+                        # form's `0 0 Td` rewound to the wrong line
+                        # (round-5 form-lm hunt, base 81M doc02)
+                        adv_t = cur_x - (matn[0] * ax + matn[1] * ay)
+                        pdx = ax + adv_t * matn[0]
+                        pdy = ay + adv_t * matn[1]
                     else:
                         pdx, pdy = _swapq(cur_x, cross_v)
                     if pdx is not None:

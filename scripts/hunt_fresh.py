@@ -45,6 +45,7 @@ FULL = [  # generators that emit complete PDF documents
     ("rise_bt", m._gen_rise_bt_stream),
     ("qq", m._gen_qq_stream),
     ("form_lm", m._gen_form_lm_stream),
+    ("form_lm_edge", m._gen_form_lm_edge_stream),
     ("form_combo", m._gen_form_combo_stream),
 ]
 

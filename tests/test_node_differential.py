@@ -2328,6 +2328,99 @@ def _gen_nzreg_stream(rng: random.Random) -> bytes:
     return _assemble_with_tounicode(content, _ZWREG_PAIRS, _NZREG_W)
 
 
+def _gen_form_lm_edge_stream(rng: random.Random) -> bytes:
+    """Cloned-lm edge windows (VERDICT r4 #5a): no-Tm parents, rotated/
+    scaled/SHEARED parent Tm with shows before Do, nested form chains,
+    and quote-first forms under q/Q — the round-5 hunt caught the
+    quad -1 device-pen reconstruction dropping a sheared show's
+    f-advance (matn-inverse of a stale anchor cross_v; non-orthogonal
+    frames move the pen's cross coordinate with the advance), so a
+    form's `0 0 Td` rewound to the wrong line. Exact pen-cancellation
+    kerns (shape 1 of the original hunt) are excluded: our scaling
+    groups (w/1000)*fs*hs where pdf.js does (w*(0.001*fs))*hs — 1-ulp
+    apart, so a constructed pen returning to EXACTLY x=0 flips the
+    left-edge box test (documented ROADMAP residual with the probe)."""
+    w = lambda: rng.choice(WORDS).encode()
+    kern = rng.choice((-12000, -5000, -900, 900, 5000, 12000))
+    shape = rng.choice((0, 2, 3, 4))
+    if shape == 0:
+        outer = b"BT /F1 %d Tf %s [(%s) %d (%s)] TJ /Fm Do (post) Tj ET" % (
+            rng.choice((8, 12)),
+            b"%d TL " % rng.choice((14, 40)) if rng.random() < 0.5 else b"",
+            w(), kern, w())
+        form = rng.choice((
+            b"(pre) Tj 0 0 Td (gamma) Tj", b"0 0 Td (gamma) Tj",
+            b"T* (gamma) Tj", b"(gamma) '"))
+        mat = b""
+    elif shape == 2:
+        a, b_, c, d = rng.choice((
+            (0, 1, -1, 0), (0, -1, 1, 0), (-1, 0, 0, -1), (2, 0, 0, 2),
+            (1, 1, 0, 1)))
+        outer = (b"BT /F1 12 Tf 14 TL %d %d %d %d %d %d Tm"
+                 b" [(%s) %d (%s)] TJ /Fm Do (post) Tj ET"
+                 % (a, b_, c, d, rng.randrange(100, 400),
+                    rng.randrange(400, 700), w(), kern, w()))
+        form = rng.choice((
+            b"(pre) Tj 0 0 Td (gamma) Tj",
+            b"%d %d Td (gamma) Tj" % (rng.choice((0, 5, -8)),
+                                      rng.choice((0, -14))),
+            b"T* (gamma) Tj", b"(gamma) '"))
+        mat = b""
+    elif shape == 3:
+        outer = (b"BT /F1 12 Tf 1 0 0 1 %d 700 Tm [(%s) %d (%s)] TJ"
+                 b" /Fm Do (post) Tj ET"
+                 % (rng.randrange(100, 400), w(), kern, w()))
+        form = b"(mid) Tj [(%s) %d] TJ /Fm2 Do (aft) Tj" % (w(), kern)
+        form2 = rng.choice((
+            b"(pre) Tj 0 0 Td (gamma) Tj", b"T* (gamma) Tj",
+            b"(gamma) '", b"0 0 Td (gamma) Tj"))
+        mat = (b"/Matrix [1 0 0 1 %d %d]" % (
+            rng.randrange(-30, 30), rng.randrange(-30, 30))
+            if rng.random() < 0.3 else b"")
+        return _assemble_with_form(mat, outer, form, (b"", form2))
+    else:
+        outer = (b"BT /F1 12 Tf %s 20 TL 1 0 0 1 %d 700 Tm"
+                 b" [(%s) %d (%s)] TJ q /Fm Do Q (post) Tj ET"
+                 % (b"1.5 Tc 2 Tw" if rng.random() < 0.5 else b"",
+                    rng.randrange(100, 400), w(), kern, w()))
+        form = rng.choice((
+            b'(gamma) "', b"1 2 (gamma) \"",
+            b"q T* (g0) Tj Q (g1) ' ",
+            b"(g0) ' (g1) ' 0 0 Td (g2) Tj"))
+        mat = b""
+    return _assemble_with_form(mat, outer, form)
+
+
+def test_form_lm_shear_pen_byte_equal_vs_live_reference(tmp_path):
+    """Distilled: sheared parent Tm (1 1 0 1) — the show advances BOTH
+    e and f (translateTextMatrix with b == 1), so the form's cloned tm
+    must carry the f-advance; its `0 0 Td` then rewinds to the PARENT
+    lm's line, away from (pre)'s sheared baseline. The pre-fix engine
+    joined 'pregamma'."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_with_form(
+                b"",
+                b"BT /F1 12 Tf 14 TL 1 1 0 1 132 423 Tm"
+                b" [(zeta) 900 (epsilon)] TJ /Fm Do (post) Tj ET",
+                b"(pre) Tj 0 0 Td (gamma) Tj",
+            ),
+        ],
+    )
+
+
+def test_form_lm_edge_sweep_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded form-lm edge docs (the round-5 hunt ran 600 fresh docs
+    at bases 81M/82M/86M/87M, zero divergence after the shear-pen and
+    preprocessor fixes)."""
+    _run_differential(
+        tmp_path,
+        [_gen_form_lm_edge_stream(random.Random(86_000_000 + s))
+         for s in range(40)],
+    )
+
+
 def _gen_arity_stream(rng: random.Random) -> bytes:
     """Operand-COUNT chaos with non-degenerate values: pdf.js's
     EvaluatorPreprocessor stash (nonProcessedArgs) flows — overfilled
