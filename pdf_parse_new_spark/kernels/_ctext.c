@@ -858,6 +858,44 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                     return -2; /* stash would engage: exact Python page */
             }
 
+            /* JS value-coercion defer: a non-NUM operand in a numeric
+             * text-state slot (or a non-NAME in Tf's font slot) needs
+             * pdf.js's raw-store + use-site coercion semantics — string
+             * concat in `charSpacing + extraSpacing` ("5"+0 == "50"),
+             * ToNumber in every multiply, NaN position cascades. The
+             * fallback raises _JsCoerce and the page restarts through
+             * the Python jsvm tier. Numeric NAMES defer too: pdf.js
+             * Name instances coerce to "[object Object]" == NaN, not
+             * to their text. */
+            if (oplen == 2 && op[0] == 'T') {
+                int ncheck = 0;
+                switch (op[1]) {
+                case 'c': case 'w': case 'z': case 'L': case 's':
+                    ncheck = 1; break;
+                case 'd': case 'D':
+                    ncheck = 2; break;
+                case 'm':
+                    ncheck = 6; break;
+                case 'f':
+                    if (nst >= 2 && (st[nst - 1].kind != OP_NUM ||
+                                     st[nst - 2].kind != OP_NAME))
+                        return -2;
+                    break;
+                }
+                for (int ci = 0; ci < ncheck && ci < nst; ci++)
+                    if (st[nst - 1 - ci].kind != OP_NUM)
+                        return -2;
+            } else if (oplen == 2 && op[0] == 'c' && op[1] == 'm') {
+                /* cm feeds Util.transform: junk operands poison ctm */
+                for (int ci = 0; ci < 6 && ci < nst; ci++)
+                    if (st[nst - 1 - ci].kind != OP_NUM)
+                        return -2;
+            } else if (oplen == 1 && op[0] == '"' && nst >= 3) {
+                if (st[nst - 3].kind != OP_NUM ||
+                    st[nst - 2].kind != OP_NUM)
+                    return -2;
+            }
+
             int is_tj_array_op =
                 (oplen == 2 && op[0] == 'T' && op[1] == 'J');
             if (tj_start >= 0 && !is_tj_array_op)

@@ -1320,7 +1320,16 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
     /Encoding /Differences glyph names over a base encoding table."""
     font = doc.resolve(font_obj)
     if not isinstance(font, dict):
-        return FontMap({i: chr(i) if 32 <= i < 127 else "" for i in range(256)}, 1)
+        # loadFont resolved no font dict: with ignoreErrors (pdf-parse's
+        # default getDocument options) pdf.js substitutes
+        # PartialEvaluator.fallbackFontDict — Helvetica over
+        # WinAnsiEncoding (pdf.worker.js:35575,37950-37956) — so a Tf
+        # naming a font absent from /Font still renders with REAL
+        # Helvetica AFM widths (position-sensitive splits depend on it)
+        font = {
+            "BaseFont": Name("Helvetica"),
+            "Encoding": Name("WinAnsiEncoding"),
+        }
     subtype = str(font.get("Subtype", ""))
     nbytes = 2 if subtype == "Type0" else 1
 
@@ -1896,6 +1905,28 @@ class _CDefer(Exception):
     width-register model (zero-width glyphs, register <= 0 at a
     decision, Cf-riding kerns, null-anchor whitespace runs) — the
     caller re-runs the PAGE through the Python implementation."""
+
+
+class _JsCoerce(Exception):
+    """A NON-NUMERIC operand reached a numeric text-state slot
+    (Tc/Tw/Tz/TL/Ts/Td/TD/Tm/Tf-size/quote-spacing). pdf.js stores the
+    raw value and coerces per USE SITE through JS operators — string
+    concat in ``charSpacing + extraSpacing`` ("5"+0 == "50"), ToNumber
+    in every multiply, NaN cascades through positions. The float
+    pipeline can't represent that; _page_text re-runs the page through
+    the faithful kernels/jsvm.py interpreter. Raised BEFORE the op
+    mutates any state (detection precedes execution), but the page
+    restart makes mid-page ordering irrelevant anyway."""
+
+
+# op -> how many TRAILING operands feed numeric slots (Tf: only the
+# size, stack[-1]; the quote's string operand is exempt — slots are
+# stack[-3:-1]). cm feeds stateManager.transform -> Util.transform,
+# whose e/f products poison ctm with NaN / concat strings the same way.
+_COERCE_OPS: dict[bytes, int] = {
+    b"Tc": 1, b"Tw": 1, b"Tz": 1, b"TL": 1, b"Ts": 1, b"Tf": 1,
+    b"Td": 2, b"TD": 2, b"Tm": 6, b"cm": 6,
+}
 
 
 class _TextInterp:
@@ -4547,6 +4578,24 @@ class _TextInterp:
                 if len(stack) < numargs:
                     stack.clear()  # skip the op; the stash is KEPT
                     continue
+            # JS value-coercion trigger: a non-numeric operand in a
+            # numeric text-state slot (or a non-Name in Tf's font slot
+            # — pdf.js args[0].name is undefined there, loadFont falls
+            # to ErrorFont and every later show renders NOTHING) needs
+            # pdf.js's raw-store + per-use-site coercion semantics —
+            # restart the page through the faithful jsvm interpreter
+            nchk = _COERCE_OPS.get(op)
+            if nchk is not None:
+                for v in stack[-nchk:]:
+                    if not isinstance(v, (int, float)):
+                        raise _JsCoerce()
+                if op == b"Tf" and not isinstance(stack[-2], Name):
+                    raise _JsCoerce()
+            elif op == b'"':
+                if not isinstance(stack[-3], (int, float)) or (
+                    not isinstance(stack[-2], (int, float))
+                ):
+                    raise _JsCoerce()
             if op == b"TJ" and stack and isinstance(stack[-1], bytes):
                 # TJ over a plain string: pdf.js iterates the string's
                 # chars — all strings, so showSpacedTextBuffer joins
@@ -5885,12 +5934,30 @@ def _page_text(doc: Document, page: dict, resources) -> str:
             interp.run(data, resources)
         except _PageStop:
             pass
+        except _JsCoerce:
+            return _js_page_text(doc, page, data, resources)
     except _PageStop:
         # pdf.js getTextContent caught a FormatError with ignoreErrors:
         # the page's PARTIAL text (everything emitted before the bad
         # construct) is the result — not an error row
         pass
+    except _JsCoerce:
+        return _js_page_text(doc, page, data, resources)
     return interp.text()
+
+
+def _js_page_text(doc: Document, page: dict, data: bytes,
+                  resources) -> str:
+    """Page restart through the faithful JS-semantics interpreter
+    (kernels/jsvm.py) — a non-numeric operand reached a numeric
+    text-state slot, which the float pipeline cannot model (raw-store +
+    use-site coercion + NaN position cascades)."""
+    from . import jsvm
+
+    interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
+    vm = jsvm.JsVM(interp)
+    vm.run_page(data, resources)
+    return vm.text()
 
 
 def parse_pdf_bytes(

@@ -34,6 +34,7 @@ PLAIN = [  # content-stream generators (wrapped by _assemble)
     ("clipseg", m._gen_clipseg_stream),
     ("combo", m._gen_combo_stream),
     ("skew_tz", m._gen_skew_tz_stream),
+    ("coerce", m._gen_coerce_stream),
 ]
 FULL = [  # generators that emit complete PDF documents
     ("tzneg", m._gen_tzneg_stream),

@@ -132,14 +132,19 @@ def test_form_xobject_recursion_paths_identical():
     _assert_same(_assemble(objs))
 
 
-@pytest.mark.parametrize("x2", [92.4, 92.6, 92.8, 93.0])
+@pytest.mark.parametrize("x2", [93.6, 94.2, 94.8, 95.4])
 def test_trailing_space_before_form_xobject_paths_identical(x2):
     """Regression: state[] slot 26 was double-booked between
     ``pending_multi`` and ``sy`` in the C replay's state round-trip, so
     a single trailing space pending across a Form-XObject segment
     boundary came back as pending_multi=True (pend1 disabled) and a
     pend1-window advance after the Do lost its space ('abzzcd' instead
-    of 'abzz cd'). sy now lives in slot 29."""
+    of 'abzz cd'). sy now lives in slot 29.
+
+    x2 values are calibrated to the FALLBACK font metrics: this page has
+    no /Font resource, so F1 loads pdf.js's fallbackFontDict (Helvetica
+    over WinAnsiEncoding, pdf.worker.js:35575) — live-node sweep puts the
+    space-survives window at x2 >= ~93.6 ('abzzcd' at 93.4 and below)."""
     from tests.test_real_pdf import _assemble
 
     objs = {

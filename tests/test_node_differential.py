@@ -3385,3 +3385,168 @@ def test_closed_form_prev_three_way_identity():
         )
         assert out.returncode == 0, out.stderr[-500:]
         assert eval(out.stdout.strip()) == full, s
+
+
+# ---- JS value-coercion tier (kernels/jsvm.py) ----------------------------
+# A non-numeric operand in a numeric text-state slot routes the page to the
+# faithful JS-semantics interpreter (pdfb._JsCoerce -> jsvm.JsVM): raw slot
+# stores, per-use-site ToNumber/ToString coercion, "5"+0 == "50" concat in
+# charSpacing + extraSpacing, NaN position cascades through addFakeSpaces.
+# Pinned probes (scripts/probe_coerce.py, all live-node verified) + a
+# seeded sweep.
+
+_COERCE_PINNED = [
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (5) Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [5] Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [1 2] Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm << /X 1 >> Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (xy) Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm /Five Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (7) Tw (a b c) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [5] TL (alpha) Tj T* (beta) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (xy) TL (alpha) Tj (beta) ' ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (50) Tz (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (xy) Tz (gamma) Tj (beta) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (xy) Ts (gamma) Tj (beta) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (alpha) Tj (xy) 5 Td (beta) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (alpha) Tj 5 (xy) Td (beta) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (alpha) Tj 5 (xy) TD (beta) Tj T* "
+    b"(rho) Tj ET",
+    b"BT /F1 10 Tf (alpha) Tj 1 0 0 1 (xy) 700 Tm (beta) Tj (rho) Tj ET",
+    b"BT /F1 10 Tf (xy) 0 0 1 72 700 Tm (beta) Tj (rho) Tj ET",
+    b"BT /F1 (xy) Tf 1 0 0 1 72 700 Tm (gamma) Tj (beta) Tj ET",
+    b"BT /F1 (12) Tf 1 0 0 1 72 700 Tm (gamma) Tj (beta) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm 12 TL (xy) (7) (gamma) \" (beta) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (xy) Tc (gamma) Tj 0 Tc (beta) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (5) Tc [(ga) -120 (mma)] TJ ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (xy) Tw (a b) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm () Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [] Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm ( 5 ) Tc (gamma) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (-3) Tc (gamma) Tj ET",
+]
+
+# operand universe for numeric slots: strings that ToNumber to numbers
+# (incl. hex / exponent / signed-Infinity grammar and trimmed padding),
+# strings that ToNumber to NaN, arrays (join), dicts / Names
+# ("[object Object]"), booleans, hex strings, and plain numbers so the
+# sweep also crosses coercing and non-coercing ops in one page
+_COERCE_VALUES = [
+    b"(5)", b"(-3.5)", b"( 12 )", b"(xy)", b"()", b"(0x14)", b"(1e2)",
+    b"(.5)", b"(Infinity)", b"(-Infinity)", b"[5]", b"[1 2]", b"[]",
+    b"[(7)]", b"[(2) (3)]", b"<< /X 1 >>", b"/Five", b"true", b"false",
+    b"<35>", b"( )", b"(5px)", b"2", b"-40", b"0",
+]
+
+
+def _gen_coerce_stream(rng: random.Random) -> bytes:
+    def val() -> bytes:
+        return rng.choice(_COERCE_VALUES)
+
+    def num() -> bytes:
+        return b"%.1f" % rng.choice([0.0, 0.4, 1.5, 5.0, -11.0, 30.0])
+
+    ops = [b"BT"]
+    if rng.random() < 0.15:
+        ops.append(b"/F1 %s Tf" % val())
+    else:
+        ops.append(b"/F1 %d Tf" % rng.choice([8, 10, 12]))
+    ops.append(b"1 0 0 1 72 700 Tm")
+    for _ in range(rng.randrange(5, 12)):
+        kind = rng.randrange(10)
+        if kind == 0:
+            ops.append(b"%s Tc" % (val() if rng.random() < 0.7 else num()))
+        elif kind == 1:
+            ops.append(b"%s Tw" % (val() if rng.random() < 0.7 else num()))
+        elif kind == 2:
+            ops.append(b"%s Tz" % (val() if rng.random() < 0.5
+                                   else rng.choice([b"80", b"100", b"120"])))
+        elif kind == 3:
+            ops.append(b"%s TL" % (val() if rng.random() < 0.5 else b"12"))
+            ops.append(rng.choice([b"T*", b"(%s) '" % rng.choice(WORDS).encode()]))
+        elif kind == 4:
+            ops.append(b"%s Ts" % (val() if rng.random() < 0.6 else num()))
+        elif kind == 5:
+            a = val() if rng.random() < 0.5 else num()
+            b = val() if rng.random() < 0.5 else num()
+            ops.append(b"%s %s %s" % (a, b, rng.choice([b"Td", b"TD"])))
+        elif kind == 6:
+            cells = [num() for _ in range(6)]
+            cells[rng.randrange(6)] = val()
+            if rng.random() < 0.3:
+                cells[rng.randrange(6)] = val()
+            ops.append(b" ".join(cells) + b" Tm")
+        elif kind == 7:
+            ops.append(b"%s %s (%s) \"" % (
+                val() if rng.random() < 0.6 else num(),
+                val() if rng.random() < 0.6 else num(),
+                rng.choice(WORDS).encode()))
+            continue
+        elif kind == 8 and rng.random() < 0.4:  # junk cm (Util.transform)
+            cells = [b"1", b"0", b"0", b"1", num(), num()]
+            cells[rng.randrange(6)] = val()
+            ops.append(b" ".join(cells) + b" cm")
+        elif kind == 8:  # font switch, sometimes junk size / non-Name name
+            r = rng.random()
+            if r < 0.3:
+                ops.append(b"/F%d %s Tf" % (rng.choice([1, 2]), val()))
+            elif r < 0.45:
+                ops.append(b"(F1) %d Tf" % rng.choice([9, 10]))
+            else:
+                ops.append(b"/F%d %d Tf" % (rng.choice([1, 2]),
+                                            rng.choice([9, 10, 12])))
+        else:  # recovery to numeric state mid-page
+            ops.append(rng.choice([b"0 Tc", b"0 Tw", b"100 Tz", b"0 Ts",
+                                   b"1 0 0 1 72 %d Tm" % rng.randrange(300, 700)]))
+        show = rng.randrange(3)
+        if show == 0:
+            ops.append(b"(%s) Tj" % " ".join(
+                rng.sample(WORDS, rng.randrange(1, 3))).encode())
+        elif show == 1:
+            parts = []
+            for _ in range(rng.randrange(1, 3)):
+                parts.append(b"(%s)" % rng.choice(WORDS).encode())
+                parts.append(b"%d" % rng.choice([-300, -120, 120]))
+            ops.append(b"[" + b" ".join(parts[:-1]) + b"] TJ")
+    if rng.random() < 0.3:
+        ops += [b"ET", b"q", b"BT", b"/F1 10 Tf",
+                b"1 0 0 1 72 360 Tm",
+                b"%s Tc" % val(),
+                b"(%s) Tj" % rng.choice(WORDS).encode(),
+                b"ET", b"Q", b"BT"]
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_coerce_pinned_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(tmp_path, [_assemble(s) for s in _COERCE_PINNED])
+
+
+def test_coerce_sweep_byte_equal_vs_live_reference(tmp_path):
+    _run_differential(
+        tmp_path,
+        [_assemble(_gen_coerce_stream(random.Random(910000 + s)))
+         for s in range(40)],
+    )
+
+
+def test_coerce_c_defer_path_identity():
+    """The C lexer must DEFER coercion streams (return -2 -> exact
+    Python page -> _JsCoerce -> jsvm), so C-enabled and C-disabled runs
+    are identical on every pinned + swept stream."""
+    from pdf_parse_new_spark.kernels import cinterp
+
+    if not cinterp.AVAILABLE:
+        pytest.skip("no C compiler")
+    streams = list(_COERCE_PINNED) + [
+        _gen_coerce_stream(random.Random(920000 + s)) for s in range(25)
+    ]
+    for i, stream in enumerate(streams):
+        raw = _assemble(stream)
+        c_full = pdfb.parse_pdf_bytes(raw)
+        cinterp.AVAILABLE = False
+        try:
+            py = pdfb.parse_pdf_bytes(raw)
+        finally:
+            cinterp.AVAILABLE = True
+        assert c_full["text"] == py["text"], f"stream {i}: {stream!r}"
