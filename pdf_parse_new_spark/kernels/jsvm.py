@@ -94,8 +94,11 @@ def to_string(v) -> str:
         return js_num_str(float(v))
     if isinstance(v, bytes):
         return v.decode("latin-1")  # pdf.js Lexer strings are byte chars
-    if isinstance(v, str):
-        return v  # already a JS string (produced by a prior js_add concat)
+    if isinstance(v, str) and not isinstance(v, Name):
+        # already a JS string (produced by a prior js_add concat);
+        # Name subclasses str but is an OBJECT in JS — falls through to
+        # "[object Object]" (a numeric /5 must NOT stringify to "5")
+        return v
     if isinstance(v, list):
         # Array#toString == join(","); null/undefined elements join as ""
         return ",".join(
@@ -152,6 +155,8 @@ def truthy(v) -> bool:
         return v
     if isinstance(v, (int, float)):
         return v == v and v != 0.0
+    if isinstance(v, Name):
+        return True  # JS objects are always truthy (even an empty /)
     if isinstance(v, (bytes, str)):
         return len(v) > 0
     return v is not None

@@ -3435,7 +3435,7 @@ _COERCE_VALUES = [
     b"(5)", b"(-3.5)", b"( 12 )", b"(xy)", b"()", b"(0x14)", b"(1e2)",
     b"(.5)", b"(Infinity)", b"(-Infinity)", b"[5]", b"[1 2]", b"[]",
     b"[(7)]", b"[(2) (3)]", b"<< /X 1 >>", b"/Five", b"true", b"false",
-    b"<35>", b"( )", b"(5px)", b"2", b"-40", b"0",
+    b"<35>", b"( )", b"(5px)", b"2", b"-40", b"0", b"/5", b"/7",
 ]
 
 
