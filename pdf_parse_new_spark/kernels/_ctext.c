@@ -867,6 +867,15 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
              * the Python jsvm tier. Numeric NAMES defer too: pdf.js
              * Name instances coerce to "[object Object]" == NaN, not
              * to their text. */
+            if (tj_start >= 0 &&
+                ((oplen == 2 && op[0] == 'T' && op[1] == 'j') ||
+                 (oplen == 1 && (op[0] == '\'' || op[0] == '"')))) {
+                /* an array is pending at a show op: if it is the
+                 * effective chars operand, charsToGlyphs throws (page
+                 * stop). The Python tier re-derives the exact stack
+                 * shape (a stashed extra array does NOT throw). */
+                return -2;
+            }
             if (oplen == 2 && op[0] == 'T') {
                 int ncheck = 0;
                 switch (op[1]) {
@@ -918,9 +927,15 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                             na = st[nst - 2].a;
                             nb = st[nst - 2].b;
                         }
-                        if (st[nst - 1].conv)
+                        if (st[nst - 1].conv) {
+                            if (st[nst - 1].cv < 0.0)
+                                return -2; /* negative size flips the
+                                              compare frame by 180
+                                              (both tsm rows scale by
+                                              fs) — full-matrix Python
+                                              page */
                             EMIT(K_FONT, 0, na, nb, st[nst - 1].cv, 0, 0, 0);
-                        else
+                        } else
                             EMIT(K_FONT, 1, na, nb, 0, 0, 0, 0);
                         seen_tf = 1;
                     }

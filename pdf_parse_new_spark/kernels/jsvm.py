@@ -571,10 +571,13 @@ class JsVM:
                 if truthy(cs):
                     state.translate_tm(jmul(cs, state.h_scale), 0.0)
                 return
-            if isinstance(chars, (list, dict)):
-                # glyph iteration throws inside pdf.js — FormatError,
-                # page stops, prior text kept (probed live; mirrors the
-                # main engine's _PageStop)
+            if isinstance(chars, list):
+                # charsToGlyphs over an ARRAY throws (arr.charCodeAt is
+                # not a function) — page stops, prior text kept (probed
+                # live: '[(a)] Tj (post) Tj' drops post). A dict/Name/
+                # number has .length undefined, so the glyph loop simply
+                # never runs (probed live: '<< >> Tj (post) Tj' keeps
+                # post) — handled by the bytes check below.
                 raise JsStop()
             if not isinstance(chars, bytes):
                 return  # numbers/Names: charsToGlyphs sees no .length
@@ -667,165 +670,176 @@ class JsVM:
         opstash: list = []
         buffer: list[bytes] = []  # showSpacedTextBuffer
         pos, ndata = 0, len(data)
-        while pos < ndata:
-            pos = _skip_ws(data, pos)
-            if pos >= ndata:
-                break
-            c = data[pos]
-            if (
-                c in b"/(<[" or c == 0x2B or c == 0x2D or c == 0x2E
-                or 0x30 <= c <= 0x39
-            ):
-                try:
-                    obj, pos = parse_object(data, pos, refs=False)
-                except ValueError:
+        # Each getTextContent invocation catches its OWN errors
+        # (ignoreErrors .catch, pdf.worker.js:37129-37140): a stop
+        # flushes this frame's open item and resolves, so an error
+        # INSIDE a form does not abort the outer page (paintXObject's
+        # catch swallows the rejection, pdf.worker.js:37025-37033).
+        try:
+            while pos < ndata:
+                pos = _skip_ws(data, pos)
+                if pos >= ndata:
+                    break
+                c = data[pos]
+                if (
+                    c in b"/(<[" or c == 0x2B or c == 0x2D or c == 0x2E
+                    or 0x30 <= c <= 0x39
+                ):
+                    try:
+                        obj, pos = parse_object(data, pos, refs=False)
+                    except ValueError:
+                        pos += 1
+                        continue
+                    stack.append(obj)
+                    if len(stack) > 33:
+                        raise JsStop()  # "Too many arguments"
+                    continue
+                if not _OPERATOR.match(data, pos):
                     pos += 1
                     continue
-                stack.append(obj)
-                if len(stack) > 33:
-                    raise JsStop()  # "Too many arguments"
-                continue
-            if not _OPERATOR.match(data, pos):
-                pos += 1
-                continue
-            op, pos = _lex_op(data, pos)
-            if op == b"BI":  # inline image: skip payload to EI
-                e = re.search(rb"\sEI\b", data[pos:])
-                pos = pos + e.end() if e else ndata
-                stack.clear()
-                continue
-            if op == b"true" or op == b"false":
-                stack.append(op == b"true")
-                if len(stack) > 33:
-                    raise JsStop()
-                continue
-            if op == b"null":
-                continue  # read(): `if (obj !== null)` — never pushed
-            spec = _OP_ARITY.get(op)
-            if spec is None:
-                continue  # unknown command keeps pending operands
-            numargs, varargs = spec
-            if not varargs and len(stack) != numargs:
-                while len(stack) > numargs:
-                    opstash.append(stack.pop(0))
-                while len(stack) < numargs and opstash:
-                    stack.insert(0, opstash.pop())
-                if len(stack) < numargs:
+                op, pos = _lex_op(data, pos)
+                if op == b"BI":  # inline image: skip payload to EI
+                    e = re.search(rb"\sEI\b", data[pos:])
+                    pos = pos + e.end() if e else ndata
                     stack.clear()
                     continue
-            args = stack
+                if op == b"true" or op == b"false":
+                    stack.append(op == b"true")
+                    if len(stack) > 33:
+                        raise JsStop()
+                    continue
+                if op == b"null":
+                    continue  # read(): `if (obj !== null)` — never pushed
+                spec = _OP_ARITY.get(op)
+                if spec is None:
+                    continue  # unknown command keeps pending operands
+                numargs, varargs = spec
+                if not varargs and len(stack) != numargs:
+                    while len(stack) > numargs:
+                        opstash.append(stack.pop(0))
+                    while len(stack) < numargs and opstash:
+                        stack.insert(0, opstash.pop())
+                    if len(stack) < numargs:
+                        stack.clear()
+                        continue
+                args = stack
 
-            # ---- operator dispatch (main switch, pdf.worker.js:36830) ----
-            if op == b"q":
-                state_stack.append(state)
-                state = state.clone()
-            elif op == b"Q":
-                if state_stack:
-                    prev = state
-                    state = state_stack.pop()
-                    # main-switch OPS.restore (pdf.worker.js:37111):
-                    # font identity / raw fontSize / fontName changed
-                    # across the restore -> flush
-                    if (
-                        prev.font is not state.font
-                        or not strict_eq(prev.font_size, state.font_size)
-                        or prev.font_name != state.font_name
+                # ---- operator dispatch (main switch, pdf.worker.js:36830) ----
+                if op == b"q":
+                    state_stack.append(state)
+                    state = state.clone()
+                elif op == b"Q":
+                    if state_stack:
+                        prev = state
+                        state = state_stack.pop()
+                        # main-switch OPS.restore (pdf.worker.js:37111):
+                        # font identity / raw fontSize / fontName changed
+                        # across the restore -> flush
+                        if (
+                            prev.font is not state.font
+                            or not strict_eq(prev.font_size, state.font_size)
+                            or prev.font_name != state.font_name
+                        ):
+                            flush_item()
+                elif op == b"cm":
+                    state.ctm = jtransform(state.ctm, args[:6])
+                elif op == b"Tf" and len(args) >= 2:
+                    name_arg = (
+                        str(args[0]) if isinstance(args[0], Name) else None
+                    )
+                    size_arg = args[1]
+                    if not (
+                        state.font is not None
+                        and name_arg == state.font_name
+                        and strict_eq(size_arg, state.font_size)
                     ):
                         flush_item()
-            elif op == b"cm":
-                state.ctm = jtransform(state.ctm, args[:6])
-            elif op == b"Tf" and len(args) >= 2:
-                name_arg = (
-                    str(args[0]) if isinstance(args[0], Name) else None
-                )
-                size_arg = args[1]
-                if not (
-                    state.font is not None
-                    and name_arg == state.font_name
-                    and strict_eq(size_arg, state.font_size)
-                ):
-                    flush_item()
-                    state.font_name = name_arg
-                    state.font_size = size_arg  # RAW
-                    handle_set_font(name_arg)
-            elif op == b"Ts":
-                state.rise = args[0]  # raw
-            elif op == b"Tz":
-                state.h_scale = to_number(args[0]) / 100.0  # JS / coerces
-            elif op == b"TL":
-                state.leading = args[0]  # raw
-            elif op == b"Td":
-                state.translate_lm(args[0], args[1])
-                state.tm = list(state.lm)
-            elif op == b"TD":
-                state.leading = -to_number(args[1])  # unary minus coerces
-                state.translate_lm(args[0], args[1])
-                state.tm = list(state.lm)
-            elif op == b"T*":
-                state.carriage_return()
-            elif op == b"Tm":
-                state.tm = list(args[:6])  # raw stores
-                state.lm = list(args[:6])
-                update_advance_scale()
-            elif op == b"Tc":
-                state.char_spacing = args[0]  # raw
-            elif op == b"Tw":
-                state.word_spacing = args[0]  # raw
-            elif op == b"BT":
-                state.tm = list(_IDENTITY)
-                state.lm = list(_IDENTITY)
-            elif op == b"TJ":
-                if state.font is not None:
-                    el = args[0]
-                    space_factor = -to_number(state.font_size) / 1000.0
-                    if isinstance(el, bytes):
-                        # TJ over a plain string iterates its CHARS —
-                        # all strings, one buffered flush == Tj
-                        el = [el]
-                    if isinstance(el, list):
-                        for it in el:
-                            if isinstance(it, bytes):
-                                buffer.append(it)
-                            elif (
-                                isinstance(it, (int, float))
-                                and not isinstance(it, bool)
-                                and it != 0
-                            ):
+                        state.font_name = name_arg
+                        state.font_size = size_arg  # RAW
+                        handle_set_font(name_arg)
+                elif op == b"Ts":
+                    state.rise = args[0]  # raw
+                elif op == b"Tz":
+                    state.h_scale = to_number(args[0]) / 100.0  # JS / coerces
+                elif op == b"TL":
+                    state.leading = args[0]  # raw
+                elif op == b"Td":
+                    state.translate_lm(args[0], args[1])
+                    state.tm = list(state.lm)
+                elif op == b"TD":
+                    state.leading = -to_number(args[1])  # unary minus coerces
+                    state.translate_lm(args[0], args[1])
+                    state.tm = list(state.lm)
+                elif op == b"T*":
+                    state.carriage_return()
+                elif op == b"Tm":
+                    state.tm = list(args[:6])  # raw stores
+                    state.lm = list(args[:6])
+                    update_advance_scale()
+                elif op == b"Tc":
+                    state.char_spacing = args[0]  # raw
+                elif op == b"Tw":
+                    state.word_spacing = args[0]  # raw
+                elif op == b"BT":
+                    state.tm = list(_IDENTITY)
+                    state.lm = list(_IDENTITY)
+                elif op == b"TJ":
+                    if state.font is not None:
+                        el = args[0]
+                        space_factor = -to_number(state.font_size) / 1000.0
+                        if isinstance(el, bytes):
+                            # TJ over a plain string iterates its CHARS —
+                            # all strings, one buffered flush == Tj
+                            el = [el]
+                        if isinstance(el, list):
+                            for it in el:
+                                if isinstance(it, bytes):
+                                    buffer.append(it)
+                                elif (
+                                    isinstance(it, (int, float))
+                                    and not isinstance(it, bool)
+                                    and it != 0
+                                ):
+                                    s = b"".join(buffer)
+                                    buffer.clear()
+                                    build_item(s, it * space_factor)
+                            if buffer:
                                 s = b"".join(buffer)
                                 buffer.clear()
-                                build_item(s, it * space_factor)
-                        if buffer:
-                            s = b"".join(buffer)
-                            buffer.clear()
-                            build_item(s, 0.0)
-            elif op == b"Tj":
-                if state.font is not None:
-                    build_item(args[0], 0.0)
-            elif op == b"'":
-                if state.font is not None:
-                    state.carriage_return()
-                    build_item(args[0], 0.0)
-            elif op == b'"':
-                if state.font is not None:
-                    state.word_spacing = args[0]  # raw
-                    state.char_spacing = args[1]  # raw
-                    state.carriage_return()
-                    build_item(args[2], 0.0)
-            elif op == b"Do":
-                flush_item()
-                do_xobject(args[0])
-            elif op == b"gs":
-                # setGState FormatErrors are ignoreErrors-swallowed too
-                if isinstance(args[0], Name):
-                    gsd = doc.resolve((extg or {}).get(str(args[0])))
-                    if isinstance(gsd, dict):
-                        gfont = doc.resolve(gsd.get("Font"))
-                        if isinstance(gfont, list) and len(gfont) >= 2:
-                            flush_item()
-                            state.font_name = None
-                            state.font_size = doc.resolve(gfont[1])
-                            handle_set_font(None, ref=gfont[0])
-            # every other known operator: no text effect
-            stack.clear()
+                                build_item(s, 0.0)
+                elif op == b"Tj":
+                    if state.font is not None:
+                        build_item(args[0], 0.0)
+                elif op == b"'":
+                    if state.font is not None:
+                        state.carriage_return()
+                        build_item(args[0], 0.0)
+                elif op == b'"':
+                    if state.font is not None:
+                        state.word_spacing = args[0]  # raw
+                        state.char_spacing = args[1]  # raw
+                        state.carriage_return()
+                        build_item(args[2], 0.0)
+                elif op == b"Do":
+                    flush_item()
+                    do_xobject(args[0])
+                elif op == b"gs":
+                    # setGState FormatErrors are ignoreErrors-swallowed too
+                    if isinstance(args[0], Name):
+                        gsd = doc.resolve((extg or {}).get(str(args[0])))
+                        if isinstance(gsd, dict):
+                            gfont = doc.resolve(gsd.get("Font"))
+                            if isinstance(gfont, list) and len(gfont) >= 2:
+                                flush_item()
+                                state.font_name = None
+                                state.font_size = doc.resolve(gfont[1])
+                                handle_set_font(None, ref=gfont[0])
+                # every other known operator: no text effect
+                stack.clear()
+        except JsStop:
+            # this frame's ignoreErrors .catch: flush the open item and
+            # resolve — an error inside a form stops only the form
+            flush_item()
+            return
         # end of stream: flushTextContentItem (pdf.worker.js:37126)
         flush_item()

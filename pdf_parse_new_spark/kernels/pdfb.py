@@ -3618,10 +3618,13 @@ class _TextInterp:
                         or self._big_tc(tc, sx * tz, size * sx)
                         or zw_item
                         or reg0_el <= 0.0
-                        # x-straddle: a rejected glyph's gap can split
+                        # x-straddle: a rejected glyph's gap can split.
+                        # adv < 0 (negative size / Tz mirror) extends
+                        # the item LEFT — test the interval, not the end
                         or (
                             vb is not None
-                            and (cur_x < vb[0] or cur_x + adv > vb[2])
+                            and (min(cur_x, cur_x + adv) < vb[0]
+                                 or max(cur_x, cur_x + adv) > vb[2])
                         )
                     )
                 ):
@@ -3645,7 +3648,8 @@ class _TextInterp:
                     vb is not None
                     and fm.nbytes == 1
                     and len(dec) == len(item)
-                    and (cur_x < vb[0] or cur_x + adv > vb[2])
+                    and (min(cur_x, cur_x + adv) < vb[0]
+                         or max(cur_x, cur_x + adv) > vb[2])
                 ):
                     dec, cprev, nclip, lclip, cfvx = self._clip_x(
                         fm, item, dec, cur_x, size, sx * tz, tc, tw
@@ -4301,7 +4305,12 @@ class _TextInterp:
             nonlocal quad, cA, cB, cC, cD, asx, matn, csy, arise
             # pdf.js folds textHScale into the X COLUMN of the composed
             # transform (tsm = [fs*hs, 0, 0, fs, 0, rise]) — a negative
-            # Tz mirrors the writing direction and the quadrant flips
+            # Tz mirrors the writing direction and the quadrant flips.
+            # (A negative FONT SIZE scales BOTH rows by fs and flips the
+            # whole frame to rotate 180 with a MIXED-SIGN width register
+            # — negative device widths + positive frame advances — which
+            # this float model cannot mirror; such pages defer to jsvm
+            # at the Tf/gs site.)
             s_ = -1.0 if tz_mirror else 1.0
             cA = (tm_a * cm_a + tm_b * cm_c) * s_
             cB = (tm_a * cm_b + tm_b * cm_d) * s_
@@ -4594,8 +4603,15 @@ class _TextInterp:
             elif op == b'"':
                 if not isinstance(stack[-3], (int, float)) or (
                     not isinstance(stack[-2], (int, float))
-                ):
+                ) or isinstance(stack[-1], list):
                     raise _JsCoerce()
+            elif (op == b"Tj" or op == b"'") and stack and isinstance(
+                stack[-1], list
+            ):
+                # charsToGlyphs over an ARRAY operand throws in pdf.js
+                # (no .charCodeAt) — page stops with partial text; jsvm
+                # models the stop exactly (probed live)
+                raise _JsCoerce()
             if op == b"TJ" and stack and isinstance(stack[-1], bytes):
                 # TJ over a plain string: pdf.js iterates the string's
                 # chars — all strings, so showSpacedTextBuffer joins
@@ -4614,6 +4630,15 @@ class _TextInterp:
                     have_font = True  # even when the size operand is junk
                     nfm = self._font_for(fonts_dict, str(stack[-2]))
                     nsize = float(stack[-1])
+                    if nsize < 0.0:
+                        # a negative size flips the compare frame to
+                        # rotate 180 (both tsm rows scale by fs) with a
+                        # MIXED-SIGN width register in pdf.js (device
+                        # widths negative, frame advances positive) —
+                        # exact only in the raw-value tier. jsvm
+                        # transcribes compareWithLastPosition verbatim,
+                        # so the whole page restarts there.
+                        raise _JsCoerce()
                     if nfm is not fm or nsize != size:
                         self.force_flush = True  # setFont flush
                     fm, size = nfm, nsize
@@ -4802,8 +4827,10 @@ class _TextInterp:
                              or zw_item
                              or reg0_el <= 0.0
                              or (vb is not None and (
-                                 cur_x < vb[0]
-                                 or cur_x + advance(item) > vb[2])))
+                                 min(cur_x, cur_x + advance(item))
+                                 < vb[0]
+                                 or max(cur_x, cur_x + advance(item))
+                                 > vb[2])))
                     ):
                         r_ = self._seg_split(
                             fm, item, dec, cur_x, size, asx * tz, tc, tw,
@@ -4819,8 +4846,8 @@ class _TextInterp:
                         and fm.nbytes == 1
                         and len(dec) == len(item)
                         and (
-                            cur_x < vb[0]
-                            or cur_x + advance(item) > vb[2]
+                            min(cur_x, cur_x + advance(item)) < vb[0]
+                            or max(cur_x, cur_x + advance(item)) > vb[2]
                         )
                     ):
                         dec, cprev, nclip, lclip, cfvx = self._clip_x(
@@ -4928,8 +4955,11 @@ class _TextInterp:
                                  or zw_item
                                  or reg0_el <= 0.0
                                  or (vb is not None and (
-                                     cur_x < vb[0]
-                                     or cur_x + advance(item)
+                                     min(cur_x,
+                                         cur_x + advance(item))
+                                     < vb[0]
+                                     or max(cur_x,
+                                            cur_x + advance(item))
                                      > vb[2])))
                         ):
                             r_ = self._seg_split(
@@ -4947,8 +4977,10 @@ class _TextInterp:
                             and fm.nbytes == 1
                             and len(dec) == len(item)
                             and (
-                                cur_x < vb[0]
-                                or cur_x + advance(item) > vb[2]
+                                min(cur_x, cur_x + advance(item))
+                                < vb[0]
+                                or max(cur_x, cur_x + advance(item))
+                                > vb[2]
                             )
                         ):
                             dec, cprev, nclip, lclip, cfvx = (
@@ -5157,8 +5189,11 @@ class _TextInterp:
                                     or zw_item
                                     or reg0_el <= 0.0
                                     or (vb is not None and (
-                                        cur_x < vb[0]
-                                        or cur_x + advance(item)
+                                        min(cur_x,
+                                            cur_x + advance(item))
+                                        < vb[0]
+                                        or max(cur_x,
+                                               cur_x + advance(item))
                                         > vb[2]))
                                 )
                             ):
@@ -5183,8 +5218,10 @@ class _TextInterp:
                                 and fm.nbytes == 1
                                 and len(dec) == len(item)
                                 and (
-                                    cur_x < vb[0]
-                                    or cur_x + advance(item) > vb[2]
+                                    min(cur_x, cur_x + advance(item))
+                                    < vb[0]
+                                    or max(cur_x, cur_x + advance(item))
+                                    > vb[2]
                                 )
                             ):
                                 dec, cprev, nclip, lclip, cfvx = (
@@ -5682,11 +5719,27 @@ class _TextInterp:
                     if isinstance(gsd, dict):
                         gf = doc.resolve(gsd.get("Font"))
                         if isinstance(gf, list) and len(gf) >= 2:
-                            try:
-                                nsize = float(doc.resolve(gf[1]))
-                            except (TypeError, ValueError):
-                                nsize = None
+                            raw_sz = doc.resolve(gf[1])
+                            if isinstance(raw_sz, (int, float)) and (
+                                not isinstance(raw_sz, bool)
+                            ):
+                                nsize = float(raw_sz)
+                            else:
+                                # setGState stores gStateFont[1] RAW
+                                # (pdf.worker.js:37061) — a non-numeric
+                                # size still sets the font; NaN advances
+                                # are falsy so prevTransform never
+                                # updates and every glyph joins; string
+                                # sizes coerce per JS ToNumber (Python
+                                # float() is looser, e.g. "1_0").
+                                # Restart through jsvm.
+                                raise _JsCoerce()
                             if nsize is not None:
+                                if nsize < 0.0:
+                                    # negative size: 180-flipped frame
+                                    # with a mixed-sign register — jsvm
+                                    # page (same as the Tf site)
+                                    raise _JsCoerce()
                                 # setGState with /Font flushes
                                 # UNCONDITIONALLY and sets the font by
                                 # REF (pdf.worker.js:37053-37062)

@@ -3494,7 +3494,7 @@ def _gen_coerce_stream(rng: random.Random) -> bytes:
                 ops.append(b"(F1) %d Tf" % rng.choice([9, 10]))
             else:
                 ops.append(b"/F%d %d Tf" % (rng.choice([1, 2]),
-                                            rng.choice([9, 10, 12])))
+                                            rng.choice([9, 10, 12, -40])))
         else:  # recovery to numeric state mid-page
             ops.append(rng.choice([b"0 Tc", b"0 Tw", b"100 Tz", b"0 Ts",
                                    b"1 0 0 1 72 %d Tm" % rng.randrange(300, 700)]))
@@ -3550,3 +3550,139 @@ def test_coerce_c_defer_path_identity():
         finally:
             cinterp.AVAILABLE = True
         assert c_full["text"] == py["text"], f"stream {i}: {stream!r}"
+
+
+def test_coerce_through_forms_byte_equal_vs_live_reference(tmp_path):
+    """Coercion x Form XObject interplay: raw junk slots cloned INTO the
+    form's sub-state, junk confined INSIDE the form (outer text after Do
+    must be unpoisoned — the stateManager clone isolates), a junk form
+    /Matrix cell (lookupMatrix -> null, matrix skipped), junk cm around
+    the Do, and junk leading consumed by T* inside the form. A _JsCoerce
+    raised inside a nested form run restarts the WHOLE page through
+    jsvm, which recurses into forms itself."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_with_form(
+                b"", b"BT /F1 10 Tf (xy) Tc 1 0 0 1 72 700 Tm ET /Fm Do",
+                b"BT /F1 10 Tf 1 0 0 1 72 650 Tm (gamma) Tj ET"),
+            _assemble_with_form(
+                b"", b"BT /F1 10 Tf (5) Ts 1 0 0 1 72 700 Tm (page) Tj "
+                b"ET /Fm Do",
+                b"BT 1 0 0 1 72 650 Tm (inherited) Tj ET"),
+            _assemble_with_form(
+                b"", b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (before) Tj ET "
+                b"/Fm Do BT /F1 10 Tf 1 0 0 1 72 600 Tm (after) Tj ET",
+                b"BT /F1 10 Tf (xy) Tw 1 0 0 1 72 650 Tm (in form) Tj ET"),
+            _assemble_with_form(
+                b"/Matrix [1 0 0 1 (xy) 0]",
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (before) Tj ET /Fm Do",
+                b"BT /F1 10 Tf 1 0 0 1 72 650 Tm (in form) Tj ET"),
+            _assemble_with_form(
+                b"", b"q (xy) 0 0 1 0 0 cm /Fm Do Q "
+                b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (after) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 650 Tm (in form) Tj ET"),
+            _assemble_with_form(
+                b"", b"BT /F1 10 Tf [9] TL 1 0 0 1 72 700 Tm (page) Tj "
+                b"ET /Fm Do",
+                b"BT /F1 10 Tf 1 0 0 1 72 650 Tm (l1) Tj T* (l2) Tj ET"),
+        ],
+    )
+
+
+def _assemble_with_gsfont(size_tok: bytes) -> bytes:
+    """Page whose ONLY font set comes from an ExtGState /Font entry with
+    an arbitrary (possibly junk) size token."""
+    content = b"/GS1 gs BT 1 0 0 1 72 700 Tm (gamma) Tj (beta) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> "
+        b"/ExtGState << /GS1 << /Font [4 0 R " + size_tok + b"] >> >> >> "
+        b"/Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref)
+    return bytes(out)
+
+
+def test_coerce_gs_raw_size_byte_equal_vs_live_reference(tmp_path):
+    """setGState stores gStateFont[1] RAW (pdf.worker.js:37061): a junk
+    size still sets the font; NaN advances are falsy, so prevTransform
+    never updates and every glyph JOINS ('gammabeta', not 'g a m m a').
+    String sizes coerce per JS ToNumber at each use site."""
+    _run_differential(
+        tmp_path,
+        [_assemble_with_gsfont(t)
+         for t in (b"(10)", b"(xy)", b"[10]", b"/12", b"( 8 )", b"()")],
+    )
+
+
+def test_coerce_array_show_operand_byte_equal_vs_live_reference(tmp_path):
+    """charsToGlyphs over an ARRAY operand throws (no .charCodeAt):
+    the page stops with partial text — but an error INSIDE a form stops
+    only the form (paintXObject's ignoreErrors catch), and an extra
+    array that slides into the nonProcessedArgs stash does NOT throw."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(a)] Tj "
+                      b"(post) Tj ET"),
+            _assemble(b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (pre) Tj [(a)] Tj "
+                      b"(post) Tj ET"),
+            _assemble(b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(a)] (x) Tj "
+                      b"(post) Tj ET"),
+            _assemble(b"BT /F1 10 Tf 12 TL 1 0 0 1 72 700 Tm (a) Tj "
+                      b"[(q)] ' (post) Tj ET"),
+            _assemble(b"BT /F1 10 Tf 12 TL 1 0 0 1 72 700 Tm (a) Tj "
+                      b"1 2 [(q)] \" (post) Tj ET"),
+            _assemble(b"BT /F1 10 Tf (xy) Tc 1 0 0 1 72 700 Tm (keep) Tj "
+                      b"[(a)] Tj (lost) Tj ET"),
+            _assemble_with_form(
+                b"", b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (out) Tj ET /Fm Do "
+                b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (after) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 650 Tm (inform) Tj [(a)] Tj "
+                b"(lost) Tj ET"),
+        ],
+    )
+
+
+def test_negative_size_left_straddle_byte_equal_vs_live_reference(tmp_path):
+    """A NEGATIVE font size walks the pen LEFT, so the item's extent is
+    [cur_x + adv, cur_x] — the straddle gates must test the interval,
+    not cur_x + adv as a right edge, or the per-glyph box walk never
+    runs and glyphs that pdf.js rejects off the left edge survive
+    (caught by the coerce sweep at base 43M, seed 128)."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm 80 Tz /F2 -40 Tf "
+                      b"(mu epsilon) Tj ET"),
+            _assemble(b"BT /F2 -40 Tf 1 0 0 1 72 700 Tm 80 Tz "
+                      b"(mu epsilon) Tj ET"),
+            _assemble(b"BT /F2 -40 Tf 1 0 0 1 72 700 Tm 120 Tz "
+                      b"(mu epsilon) Tj ET"),
+            _assemble(b"BT /F2 -12 Tf 1 0 0 1 5 700 Tm "
+                      b"(alpha beta gamma) Tj ET"),
+            _assemble(b"BT /F1 10 Tf 1 0 0 1 72 700 Tm 80 Tz "
+                      b"[(psi) -300 (epsilon)] TJ /F1 12 Tf "
+                      b"[(sigma) -300 (omicron)] TJ 0.4 Ts (sigma) Tj "
+                      b"/F2 -40 Tf (mu epsilon) Tj true Ts "
+                      b"(upsilon) Tj ET"),
+            _assemble(b"BT /F1 -20 Tf 1 0 0 1 100 700 Tm "
+                      b"[(alpha) -400 (beta)] TJ (gamma) Tj ET"),
+        ],
+    )
