@@ -59,6 +59,9 @@ enum {
                    * to the nested Form run (pdf.js clones the whole
                    * eval state into paintXObject; leading/rise never
                    * cross the other events un-scaled) */
+    K_MCFLUSH = 16, /* BMC/BDC/EMC: getTextContent flushes the open
+                     * item unconditionally at every marked-content op
+                     * (pdf.worker.js:37075,37085,37100) */
     K_ROT = 12    /* emitted ONCE when the composed text x CTM matrix
                    * picks up rotation/skew (any of tm_b, tm_c, cm_b,
                    * cm_c nonzero): the event stream flattens the matrix
@@ -867,14 +870,21 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
              * the Python jsvm tier. Numeric NAMES defer too: pdf.js
              * Name instances coerce to "[object Object]" == NaN, not
              * to their text. */
-            if (tj_start >= 0 &&
-                ((oplen == 2 && op[0] == 'T' && op[1] == 'j') ||
-                 (oplen == 1 && (op[0] == '\'' || op[0] == '"')))) {
+            if ((oplen == 2 && op[0] == 'T' && op[1] == 'j') ||
+                (oplen == 1 && (op[0] == '\'' || op[0] == '"'))) {
                 /* an array is pending at a show op: if it is the
                  * effective chars operand, charsToGlyphs throws (page
                  * stop). The Python tier re-derives the exact stack
                  * shape (a stashed extra array does NOT throw). */
-                return -2;
+                if (tj_start >= 0)
+                    return -2;
+                /* ANY non-string chars operand touches the per-font
+                 * Font._charsCache with a STRINGIFIED key: a hit shows
+                 * the cached string's glyphs, a miss poisons the key
+                 * with [] (muting later equal-key shows). Exact only
+                 * in the raw-value jsvm tier. */
+                if (nst >= 1 && st[nst - 1].kind != OP_STR)
+                    return -2;
             }
             if (oplen == 2 && op[0] == 'T') {
                 int ncheck = 0;
@@ -1194,6 +1204,14 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 EMIT(K_ANCHOR, 0, 0, 0, TX_X(0.0, 0.0), TX_Y(0.0, 0.0), cm_a, cm_d);
             } else if (oplen == 2 && op[0] == 'B' && op[1] == 'I') {
                 pos = skip_inline_image(d, pos, n);
+            } else if (oplen == 3 && op[2] == 'C' &&
+                       ((op[0] == 'B' && (op[1] == 'M' || op[1] == 'D'))
+                        || (op[0] == 'E' && op[1] == 'M'))) {
+                /* BMC/BDC/EMC flush the open item unconditionally
+                 * (pdf.worker.js:37075,37085,37100) — the next show
+                 * starts a new item at the CURRENT pen, so a preceding
+                 * carriage-return's y lands on the item boundary */
+                EMIT(K_MCFLUSH, 0, 0, 0, 0, 0, 0, 0);
             }
             /* all other operators: no-ops for text extraction */
             if (tj_start >= 0 && !is_tj_array_op)
@@ -2742,6 +2760,9 @@ long pdftext_replay(const unsigned char *d, long n, const Ev *ev, long nev,
             st.tw = e->f1;
             st.tz = e->f2;
             st.rise = e->f3;
+            break;
+        case K_MCFLUSH:
+            st.force_flush = 1; /* BMC/BDC/EMC unconditional flush */
             break;
         case K_SETY:
             st.y = e->f0;

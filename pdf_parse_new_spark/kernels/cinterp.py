@@ -51,6 +51,9 @@ K_INH = 13
 # the font or size changed (pdf.worker.js:37112).
 K_QSAVE = 14
 K_QRESTORE = 15
+# BMC/BDC/EMC: getTextContent flushes the open item unconditionally
+# (pdf.worker.js:37075,37085,37100)
+K_MCFLUSH = 16
 
 _lib = None
 AVAILABLE = False

@@ -345,11 +345,48 @@ class JsVM:
 
     MAX_DEPTH = 8
 
-    def __init__(self, interp) -> None:
+    def __init__(self, interp, chars_caches: dict | None = None) -> None:
         self.interp = interp
         self.doc = interp.doc
         self.viewbox = interp.viewbox
         self.items: list[tuple[str, float]] = []  # (str, transform[5])
+        # per-font Font._charsCache twins (pdf.worker.js:28064): keyed
+        # by the FontMap OBJECT (pdf.js caches translated fonts per
+        # document, so the cache survives across pages/forms of one
+        # document run — the caller threads one dict through every
+        # JsVM of a parse_pdf_bytes invocation)
+        self.chars_caches: dict = (
+            {} if chars_caches is None else chars_caches
+        )
+
+    def _chars_to_glyphs(self, fm, chars) -> list:
+        """Font.charsToGlyphs (pdf.worker.js:29819-29846) over raw JS
+        values: the ``this._charsCache[chars]`` property lookup
+        STRINGIFIES the operand (arrays -> join(","), Names/dicts ->
+        "[object Object]", numbers -> Number#toString), and a stored
+        entry — even an EMPTY glyph array, which is a truthy JS object
+        — returns the ORIGINAL string's glyphs. Only a miss reaches
+        ``chars.length`` / ``chars.charCodeAt``: an array with length
+        > 0 throws (TypeError -> page stop), while values with NO
+        .length (numbers, Names, dicts, booleans) skip the glyph loop
+        entirely and POISON the key with [] (the unconditional
+        ``return this._charsCache[chars] = glyphs``) — silencing every
+        later show of the toString-equal string on this font."""
+        cache = self.chars_caches.get(fm)
+        if cache is None:
+            cache = self.chars_caches[fm] = {}
+        key = to_string(chars)
+        cached = cache.get(key)
+        if cached is not None:
+            return cached  # JS `if (glyphs)`: even [] is truthy
+        if isinstance(chars, bytes):
+            codes = fm._codes(chars)
+        elif isinstance(chars, list) and len(chars) > 0:
+            raise JsStop()  # chars.charCodeAt is not a function
+        else:
+            codes = []  # []/number/Name/dict/bool: loop never runs
+        cache[key] = codes
+        return codes
 
     # ---- pdf-parse render_page join (lib/pdf-parse.js:16-46) ----
     def text(self) -> str:
@@ -571,17 +608,13 @@ class JsVM:
                 if truthy(cs):
                     state.translate_tm(jmul(cs, state.h_scale), 0.0)
                 return
-            if isinstance(chars, list):
-                # charsToGlyphs over an ARRAY throws (arr.charCodeAt is
-                # not a function) — page stops, prior text kept (probed
-                # live: '[(a)] Tj (post) Tj' drops post). A dict/Name/
-                # number has .length undefined, so the glyph loop simply
-                # never runs (probed live: '<< >> Tj (post) Tj' keeps
-                # post) — handled by the bytes check below.
-                raise JsStop()
-            if not isinstance(chars, bytes):
-                return  # numbers/Names: charsToGlyphs sees no .length
-            codes = fm._codes(chars)
+            # charsToGlyphs: cache-hit non-string operands SHOW the
+            # cached string's glyphs ('(phi) Tj ... [(phi)] Tj' renders
+            # phi twice — caught live by the coerce_form sweep, seed
+            # 930022); a miss throws for non-empty arrays (page stop)
+            # and poisons the stringified key with [] for .length-less
+            # values (a later '(5) Tj' after a bare '5 Tj' is SILENT).
+            codes = self._chars_to_glyphs(fm, chars)
             scale = jmul(0.001, state.font_size)  # fontMatrix[0]*fontSize
             n = len(codes)
             for i, code in enumerate(codes):
@@ -823,6 +856,10 @@ class JsVM:
                 elif op == b"Do":
                     flush_item()
                     do_xobject(args[0])
+                elif op in (b"BMC", b"BDC", b"EMC"):
+                    # marked-content ops flush the open item
+                    # unconditionally (pdf.worker.js:37075,37085,37100)
+                    flush_item()
                 elif op == b"gs":
                     # setGState FormatErrors are ignoreErrors-swallowed too
                     if isinstance(args[0], Name):

@@ -4183,6 +4183,9 @@ class _TextInterp:
                     if sfm is not fm or ssize != size:
                         self.force_flush = True
                     fm, size = sfm, ssize
+            elif kind == 16:  # MCFLUSH: BMC/BDC/EMC flush the open item
+                # unconditionally (pdf.worker.js:37075,37085,37100)
+                self.force_flush = True
             elif kind == 9:  # XOBJ (Do)
                 # paintXObject flushes before resolving anything
                 # (pdf.worker.js:36946)
@@ -4603,14 +4606,19 @@ class _TextInterp:
             elif op == b'"':
                 if not isinstance(stack[-3], (int, float)) or (
                     not isinstance(stack[-2], (int, float))
-                ) or isinstance(stack[-1], list):
+                ) or not isinstance(stack[-1], bytes):
                     raise _JsCoerce()
-            elif (op == b"Tj" or op == b"'") and stack and isinstance(
-                stack[-1], list
+            elif (op == b"Tj" or op == b"'") and stack and not isinstance(
+                stack[-1], bytes
             ):
-                # charsToGlyphs over an ARRAY operand throws in pdf.js
-                # (no .charCodeAt) — page stops with partial text; jsvm
-                # models the stop exactly (probed live)
+                # ANY non-string chars operand interacts with the
+                # per-font Font._charsCache (pdf.worker.js:29819-29846):
+                # the property lookup stringifies it, a hit SHOWS the
+                # cached string's glyphs, a miss throws for non-empty
+                # arrays (no .charCodeAt — page stop) and silently
+                # POISONS the key with [] for .length-less values
+                # (numbers/Names/dicts/bools), muting later shows of
+                # the toString-equal string. jsvm models all of it.
                 raise _JsCoerce()
             if op == b"TJ" and stack and isinstance(stack[-1], bytes):
                 # TJ over a plain string: pdf.js iterates the string's
@@ -4618,13 +4626,6 @@ class _TextInterp:
                 # them into ONE buildTextContentItem with no kerns,
                 # exactly a Tj (pdf.worker.js:36890-36909)
                 op = b"Tj"
-            if (
-                op in (b"Tj", b"'", b'"') and have_font
-                and stack and isinstance(stack[-1], (list, dict))
-            ):
-                # array/dict reaching showText: glyph iteration throws
-                # inside pdf.js; page stops, prior text kept (probed)
-                raise _PageStop()
             try:
                 if op == b"Tf" and len(stack) >= 2:
                     have_font = True  # even when the size operand is junk
@@ -5672,6 +5673,10 @@ class _TextInterp:
                             plm if plm is not None else (tm_e, tm_f),
                         ),
                     )
+                elif op in (b"BMC", b"BDC", b"EMC"):
+                    # marked-content ops flush the open item
+                    # unconditionally (pdf.worker.js:37075,37085,37100)
+                    self.force_flush = True
                 elif op == b"BT":
                     tm_a, tm_b, tm_c = 1.0, 0.0, 0.0
                     tm_d, tm_e, tm_f = 1.0, 0.0, 0.0
@@ -5961,17 +5966,77 @@ def _page_view_box(doc: Document, page: dict) -> list[float]:
     return mb
 
 
-def _page_text(doc: Document, page: dict, resources) -> str:
+def _page_data(doc: Document, page: dict) -> bytes:
     contents = doc.resolve(page.get("Contents"))
     if contents is None:
-        return ""
+        return b""
     parts: list[bytes] = []
     if isinstance(contents, list):
         for c in contents:
             parts.append(doc.decoded(c))
     else:
         parts.append(doc.decoded(page.get("Contents")))
-    data = b"\n".join(parts)
+    return b"\n".join(parts)
+
+
+class _JsCtx:
+    """Document-run-scoped JS font state. pdf.js's per-font
+    ``Font._charsCache`` lives on DOCUMENT-cached translated fonts
+    (pdf.worker.js:28064), so a junk show on page P can hit or poison
+    string keys shown on pages < P. The fast tiers neither consult nor
+    populate the cache (plain-string pages are cache-transparent —
+    lookup and store return the same glyphs charsToGlyphs would build),
+    so on the FIRST jsvm deferral the PRECEDING pages replay through
+    the jsvm tier population-only (text discarded, cache accrued in
+    the reference's sequential page order). Page-range (chunked) parses
+    populate from page 0 as well: output stays independent of
+    partitioning, pinned to the reference's DEFAULT sequential engine.
+
+    Known residual (documented, excluded from generators): a jsvm
+    page's poisoned key cannot mute a LATER page that stays on the
+    fast tiers (requires junk page < plain page showing the identical
+    string with the same font; single-page adversarial docs — the
+    whole observed population — cannot express it)."""
+
+    __slots__ = ("doc", "_pages_fn", "_pages", "caches", "pop_upto")
+
+    def __init__(self, doc: Document, pages_fn) -> None:
+        self.doc = doc
+        self._pages_fn = pages_fn  # () -> full [(page_dict, resources)]
+        self._pages: list | None = None
+        self.caches: dict = {}
+        self.pop_upto = 0  # pages [0, pop_upto) already accrued
+
+    @property
+    def pages(self) -> list:
+        if self._pages is None:
+            try:
+                self._pages = self._pages_fn() or []
+            except Exception:
+                self._pages = []
+        return self._pages
+
+    def populate_to(self, idx: int) -> None:
+        from . import jsvm
+
+        for p in range(self.pop_upto, min(idx, len(self.pages))):
+            pg, res = self.pages[p]
+            try:
+                data = _page_data(self.doc, pg)
+                if data:
+                    interp = _TextInterp(
+                        self.doc, viewbox=_page_view_box(self.doc, pg)
+                    )
+                    vm = jsvm.JsVM(interp, chars_caches=self.caches)
+                    vm.run_page(data, res)  # JsStop truncates accrual
+            except Exception:
+                pass  # population is best-effort; render already done
+        self.pop_upto = max(self.pop_upto, idx)
+
+
+def _page_text(doc: Document, page: dict, resources,
+               jsctx: "_JsCtx | None" = None, page_idx: int = 0) -> str:
+    data = _page_data(doc, page)
     if not data:
         return ""
     interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
@@ -5988,28 +6053,35 @@ def _page_text(doc: Document, page: dict, resources) -> str:
         except _PageStop:
             pass
         except _JsCoerce:
-            return _js_page_text(doc, page, data, resources)
+            return _js_page_text(doc, page, data, resources,
+                                 jsctx, page_idx)
     except _PageStop:
         # pdf.js getTextContent caught a FormatError with ignoreErrors:
         # the page's PARTIAL text (everything emitted before the bad
         # construct) is the result — not an error row
         pass
     except _JsCoerce:
-        return _js_page_text(doc, page, data, resources)
+        return _js_page_text(doc, page, data, resources, jsctx, page_idx)
     return interp.text()
 
 
-def _js_page_text(doc: Document, page: dict, data: bytes,
-                  resources) -> str:
+def _js_page_text(doc: Document, page: dict, data: bytes, resources,
+                  jsctx: "_JsCtx | None" = None, page_idx: int = 0) -> str:
     """Page restart through the faithful JS-semantics interpreter
     (kernels/jsvm.py) — a non-numeric operand reached a numeric
     text-state slot, which the float pipeline cannot model (raw-store +
-    use-site coercion + NaN position cascades)."""
+    use-site coercion + NaN position cascades + charsCache hits)."""
     from . import jsvm
 
+    caches = None
+    if jsctx is not None:
+        jsctx.populate_to(page_idx)  # prior pages' charsCache accrual
+        caches = jsctx.caches
     interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
-    vm = jsvm.JsVM(interp)
+    vm = jsvm.JsVM(interp, chars_caches=caches)
     vm.run_page(data, resources)
+    if jsctx is not None:
+        jsctx.pop_upto = max(jsctx.pop_upto, page_idx + 1)
     return vm.text()
 
 
@@ -6127,11 +6199,31 @@ def parse_pdf_bytes(
             n_pages_total if max_pages <= 0
             else min(max_pages, n_pages_total)
         )
+    def _all_pages() -> list:
+        # full page list for _JsCtx's charsCache accrual: the chunk
+        # fast path materializes only its range, but cache population
+        # is pinned to the reference's sequential page order from page
+        # 0 (output must be partition-independent)
+        root_ = doc.resolve(doc.trailer.get("Root"))
+        full: list = []
+        if isinstance(root_, dict):
+            _walk_pages(doc, root_.get("Pages"), full, set(), None)
+        if not full:
+            for num_ in sorted(doc.index):
+                try:
+                    o_ = doc.get_object(num_)
+                except Exception:
+                    continue
+                if isinstance(o_, dict) and str(o_.get("Type", "")) == "Page":
+                    full.append((o_, o_.get("Resources")))
+        return full
+
+    jsctx = _JsCtx(doc, _all_pages)
     texts: list[str] = []
     error = None
-    for pg, res in sel:
+    for k, (pg, res) in enumerate(sel):
         try:
-            texts.append(_page_text(doc, pg, res))
+            texts.append(_page_text(doc, pg, res, jsctx, first_page + k))
         except Exception:
             texts.append("")
             error = error or spec.ERR_FLATE

@@ -2442,7 +2442,7 @@ def _gen_arity_stream(rng: random.Random) -> bytes:
         op = rng.choice((
             b"Td", b"TD", b"Tc", b"Tw", b"TL", b"Tm", b"Ts", b"Tz",
             b"T*", b"q", b"Q", b"re", b"cm", b"gs", b"BQ", b"Zz",
-            b"EMC", b"w", b"d", b"m", b"l",
+            b"EMC", b"BMC", b"BDC", b"MP", b"w", b"d", b"m", b"l",
         ))
         show = b""
         r = rng.random()
@@ -3538,7 +3538,7 @@ def test_coerce_c_defer_path_identity():
 
     if not cinterp.AVAILABLE:
         pytest.skip("no C compiler")
-    streams = list(_COERCE_PINNED) + [
+    streams = list(_COERCE_PINNED) + list(_CHARSCACHE_PINNED) + [
         _gen_coerce_stream(random.Random(920000 + s)) for s in range(25)
     ]
     for i, stream in enumerate(streams):
@@ -3684,5 +3684,304 @@ def test_negative_size_left_straddle_byte_equal_vs_live_reference(tmp_path):
                       b"(upsilon) Tj ET"),
             _assemble(b"BT /F1 -20 Tf 1 0 0 1 100 700 Tm "
                       b"[(alpha) -400 (beta)] TJ (gamma) Tj ET"),
+        ],
+    )
+
+
+def _gen_coerce_form_stream(rng: random.Random) -> bytes:
+    """Coercion junk CROSSING Form XObject boundaries: raw junk slots
+    cloned into / confined inside forms, junk form /Matrix cells, junk
+    cm around Do, array show-operands stopping ONLY the form, negative
+    sizes deferring nested runs to jsvm, and nested /Fm2 recursion —
+    the interaction space of the round-5 jsvm tier."""
+
+    def val() -> bytes:
+        return rng.choice(_COERCE_VALUES)
+
+    def soup(r: random.Random, n: int, junk_p: float) -> list[bytes]:
+        ops = []
+        for _ in range(n):
+            k = r.randrange(8)
+            junk = r.random() < junk_p
+            if k == 0:
+                ops.append(b"%s Tc" % (val() if junk else b"0.5"))
+            elif k == 1:
+                ops.append(b"%s Tw" % (val() if junk else b"1.0"))
+            elif k == 2:
+                ops.append(b"%s Tz" % (val() if junk else b"85"))
+            elif k == 3:
+                ops.append(b"%s TL" % (val() if junk else b"12"))
+                ops.append(r.choice([b"T*",
+                                     b"(%s) '" % r.choice(WORDS).encode()]))
+            elif k == 4:
+                ops.append(b"%s Ts" % (val() if junk else b"2"))
+            elif k == 5:
+                a = val() if junk else b"4"
+                b_ = val() if r.random() < junk_p else b"-13"
+                ops.append(b"%s %s %s" % (a, b_,
+                                          r.choice([b"Td", b"TD"])))
+            elif k == 6:
+                cells = [b"1", b"0", b"0", b"1",
+                         b"%d" % r.randrange(40, 200),
+                         b"%d" % r.randrange(200, 700)]
+                if junk:
+                    cells[r.randrange(6)] = val()
+                ops.append(b" ".join(cells) + b" Tm")
+            else:
+                r2 = r.random()
+                if junk and r2 < 0.4:
+                    ops.append(b"/F%d %s Tf" % (r.choice([1, 2]), val()))
+                elif junk and r2 < 0.55:
+                    ops.append(b"/F%d -40 Tf" % r.choice([1, 2]))
+                else:
+                    ops.append(b"/F%d %d Tf"
+                               % (r.choice([1, 2]), r.choice([9, 10, 12])))
+            show = r.randrange(4)
+            if show == 0:
+                ops.append(b"(%s) Tj" % r.choice(WORDS).encode())
+            elif show == 1:
+                ops.append(b"[(%s) -250 (%s)] TJ"
+                           % (r.choice(WORDS).encode(),
+                              r.choice(WORDS).encode()))
+            elif show == 2 and r.random() < 0.15:
+                # array chars operand: stops the enclosing frame only
+                ops.append(b"[(%s)] Tj" % r.choice(WORDS).encode())
+        return ops
+
+    junk_p = rng.choice([0.25, 0.5, 0.75])
+    outer = [b"BT /F1 %s Tf" % (val() if rng.random() < 0.2 else b"10"),
+             b"1 0 0 1 72 700 Tm"]
+    outer += soup(rng, rng.randrange(1, 4), junk_p)
+    do = [b"/Fm Do"]
+    if rng.random() < 0.35:
+        cells = [b"1", b"0", b"0", b"1", b"0", b"0"]
+        if rng.random() < 0.6:
+            cells[rng.randrange(6)] = val()  # junk cm poisons the CTM
+        do = [b"q", b" ".join(cells) + b" cm", b"/Fm Do", b"Q"]
+    if rng.random() < 0.5:
+        outer += do  # Do mid-BT
+        outer += soup(rng, rng.randrange(1, 3), junk_p) + [b"ET"]
+    else:
+        outer += [b"ET"] + do
+        if rng.random() < 0.7:
+            outer += [b"BT /F1 10 Tf 1 0 0 1 72 %d Tm"
+                      % rng.randrange(200, 650)]
+            outer += soup(rng, rng.randrange(1, 3), junk_p) + [b"ET"]
+    form = []
+    shape = rng.randrange(4)
+    if shape == 0:
+        form += soup(rng, rng.randrange(1, 4), junk_p)  # inherits all
+    elif shape == 1:
+        form.append(b"BT")
+        if rng.random() < 0.5:
+            form.append(b"/F1 %s Tf"
+                        % (val() if rng.random() < 0.4 else b"9"))
+        if rng.random() < 0.5:
+            form.append(b"1 0 0 1 %d %d Tm"
+                        % (rng.randrange(40, 300), rng.randrange(150, 600)))
+        form += soup(rng, rng.randrange(2, 5), junk_p) + [b"ET"]
+    elif shape == 2:
+        form.append(rng.choice([b"T*", b"0 -13 Td"]))  # cloned-lm window
+        form += soup(rng, rng.randrange(1, 4), junk_p)
+    else:
+        form.append(b"%s Tc" % val())  # junk confined inside the form
+        form += soup(rng, rng.randrange(1, 4), junk_p)
+    r2 = rng.random()
+    form2 = None
+    if r2 < 0.08:
+        form = []
+    elif r2 < 0.28:
+        at = rng.randrange(0, len(form) + 1)
+        form = form[:at] + [b"/Fm2 Do"] + form[at:]
+        f2 = soup(rng, rng.randrange(1, 3), junk_p)
+        if rng.random() < 0.5:
+            f2 = [b"BT /F1 10 Tf 1 0 0 1 %d %d Tm"
+                  % (rng.randrange(40, 300), rng.randrange(150, 600))
+                  ] + f2 + [b"ET"]
+        form2 = (b"", b" ".join(f2))
+    mats = [b"", b"/Matrix [1 0 0 1 0 0]", b"/Matrix [1 0 0 1 50 -20]",
+            b"/Matrix [0.5 0 0 0.5 100 100]",
+            b"/Matrix [1 0 0 1 (xy) 0]",   # lookupMatrix -> null
+            b"/Matrix [1 0 0 [5] 0 0]",
+            b"/Matrix [0 1 -1 0 300 50]"]
+    return _assemble_with_form(rng.choice(mats), b" ".join(outer),
+                               b" ".join(form), form2=form2)
+
+
+def test_coerce_form_sweep_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded coercion x form docs (junk slots cloned into forms,
+    junk /Matrix cells, array-operand form stops, negative-size defers
+    inside nested runs)."""
+    _run_differential(
+        tmp_path,
+        [_gen_coerce_form_stream(random.Random(930000 + s))
+         for s in range(40)],
+    )
+
+
+def _assemble_two_pages(content1: bytes, content2: bytes) -> bytes:
+    """Two-page doc sharing one /F1 — the cross-page charsCache axis
+    (pdf.js translated fonts are DOCUMENT-cached, so page 2's cache
+    starts with everything page 1 showed)."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 6 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 7 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(content1), content1),
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(content2), content2),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref)
+    return bytes(out)
+
+
+_CHARSCACHE_PINNED = [
+    # miss: never shown before -> charCodeAt throws, page stops
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(a)] Tj (post) Tj ET",
+    # hit: (a) shown first with the same font -> cached glyphs show
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (a) Tj 0 -20 Td [(a)] Tj "
+    b"(post) Tj ET",
+    # TJ flushes populate the cache per buffered segment
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(beta) -250 (chi)] TJ 0 -20 Td "
+    b"[(chi)] Tj (post) Tj ET",
+    # key is Array#toString: [(a) (b)] -> "a,b" misses "a"/"b"...
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (a) Tj (b) Tj 0 -20 Td "
+    b"[(a) (b)] Tj (post) Tj ET",
+    # ...but a literal (a,b) show hits it
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (a,b) Tj 0 -20 Td [(a) (b)] Tj "
+    b"(post) Tj ET",
+    # the cache is size-independent (font object, not text state)
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (mu mu) Tj /F1 24 Tf 0 -40 Td "
+    b"[(mu mu)] Tj (post) Tj ET",
+    # a MISSING font's fallback is a fresh object -> fresh cache -> miss
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (a) Tj /F2 10 Tf 0 -20 Td "
+    b"[(a)] Tj (post) Tj ET",
+    # empty array: length 0, charCodeAt never runs -> silent no-op
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj 0 -20 Td [] Tj "
+    b"(post) Tj ET",
+    # number/Name/dict/bool operands stringify: hits SHOW the key...
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (5) Tj 0 -20 Td 5 Tj (post) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (2.5) Tj 0 -20 Td 2.5 Tj "
+    b"(post) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm ([object Object]) Tj 0 -20 Td "
+    b"/Five Tj (post) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm ([object Object]) Tj 0 -20 Td "
+    b"<< /X 1 >> Tj (post) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (true) Tj 0 -20 Td true Tj "
+    b"(post) Tj ET",
+    # ...and misses POISON the key with [] (stored empty array is a
+    # truthy hit), muting later equal-key string shows
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj 5 Tj 0 -20 Td (5) Tj "
+    b"(post) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj /Five Tj 0 -20 Td "
+    b"([object Object]) Tj (post) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj 5 Tj 0 -20 Td [5] Tj "
+    b"(post) Tj ET",
+    b"BT /F1 10 Tf 12 TL 1 0 0 1 72 700 Tm (x) Tj 5 ' (5) Tj "
+    b"(post) Tj ET",
+    # nested array / hex element stringify through to a hit
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (a) Tj 0 -20 Td [[(a)]] Tj "
+    b"(post) Tj ET",
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (a) Tj 0 -20 Td [<61>] Tj "
+    b"(post) Tj ET",
+    # TJ kern numbers never reach charsToGlyphs: no poison
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj [5] TJ 0 -20 Td (5) Tj "
+    b"(post) Tj ET",
+    # TJ skips non-string non-number ELEMENTS (even cached ones)
+    b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (b) Tj 0 -20 Td "
+    b"[(a) [(b)] (c)] TJ (post) Tj ET",
+    # quote-op chars go through the same cache
+    b"BT /F1 10 Tf 12 TL 1 0 0 1 72 700 Tm (q) Tj [(q)] ' "
+    b"(post) Tj ET",
+]
+
+
+_MARKED_CONTENT_PINNED = [
+    # BMC/BDC/EMC flush the open item UNCONDITIONALLY
+    # (pdf.worker.js:37075,37085,37100): pi's item stays anchored at
+    # pi's y while the quote CRs drift the pen 1.5/op — the EMC flush
+    # makes the accumulated drift visible as a new item y (> 1.0 =
+    # pdf-parse line break). Caught by the arity hunt at base 46M
+    # seed 17.
+    b"BT /F1 12 Tf 40 TL 1.5 1.5 TD 1.5 Tz 1.5 1.5 (pi) \" (alpha) ' "
+    b"EMC (phi) Tj ET",
+    b"BT /F1 12 Tf 2 TL 1 0 0 1 72 700 Tm (a) Tj T* (b) Tj /Tag BMC "
+    b"(c) Tj EMC (d) Tj ET",
+    b"BT /F1 12 Tf 2 TL 1 0 0 1 72 700 Tm (a) Tj T* (b) Tj "
+    b"/OC << >> BDC (c) Tj EMC (d) Tj ET",
+    # MP/DP have NO getTextContent case: no flush
+    b"BT /F1 12 Tf 2 TL 1 0 0 1 72 700 Tm (a) Tj T* (b) Tj /Tag MP "
+    b"(c) Tj ET",
+    b"BT /F1 12 Tf 2 TL 1 0 0 1 72 700 Tm (a) Tj T* (b) Tj "
+    b"/Tag << >> DP (c) Tj ET",
+    # drifted-pen EMC flush with an in-flow join on both sides
+    b"BT /F1 12 Tf 3 TL 1 0 0 1 72 700 Tm (a) Tj T* (b) Tj T* EMC "
+    b"(c) Tj ET",
+]
+
+
+def test_marked_content_flush_byte_equal_vs_live_reference(tmp_path):
+    """BMC/BDC/EMC flush the open text item unconditionally in
+    getTextContent (pdf.worker.js:37075,37085,37100); MP/DP do not.
+    All three tiers (C replay K_MCFLUSH, Python force_flush, jsvm
+    flush_item)."""
+    _run_differential(
+        tmp_path, [_assemble(s) for s in _MARKED_CONTENT_PINNED]
+    )
+
+
+def test_chars_cache_pinned_byte_equal_vs_live_reference(tmp_path):
+    """Font._charsCache semantics (pdf.worker.js:29819-29846): the
+    cache lookup STRINGIFIES non-string show operands — hits render
+    the cached string's glyphs, array misses throw (page stop), and
+    .length-less misses store [] (a truthy JS object), poisoning the
+    key for every later show on that font."""
+    _run_differential(
+        tmp_path, [_assemble(s) for s in _CHARSCACHE_PINNED]
+    )
+
+
+def test_chars_cache_cross_page_byte_equal_vs_live_reference(tmp_path):
+    """The charsCache lives on DOCUMENT-cached font objects: page 2's
+    junk shows see page 1's population (hits) — _JsCtx replays the
+    preceding pages population-only at the first jsvm deferral."""
+    _run_differential(
+        tmp_path,
+        [
+            # page-1 string enables a page-2 array hit
+            _assemble_two_pages(
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (phi) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(phi)] Tj "
+                b"(post) Tj ET"),
+            # control: page-2 key differs -> miss -> page-2 stop
+            _assemble_two_pages(
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (phi) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(psi)] Tj "
+                b"(post) Tj ET"),
+            # page-1 number show poisons a page-2 jsvm page's key
+            _assemble_two_pages(
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj 5 Tj ET",
+                b"BT /F1 10 Tf (xy) Tc 1 0 0 1 72 700 Tm (5) Tj "
+                b"(post) Tj ET"),
+            # both pages defer: page-1 jsvm population carries forward
+            _assemble_two_pages(
+                b"BT /F1 10 Tf (xy) Tc 1 0 0 1 72 700 Tm (rho) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(rho)] Tj "
+                b"(post) Tj ET"),
         ],
     )
