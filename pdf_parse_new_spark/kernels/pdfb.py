@@ -428,6 +428,12 @@ class Document:
         # font maps are immutable per font object: cache at DOCUMENT scope
         # so multi-page docs build each map once, not once per page
         self.font_map_cache: dict[int, "FontMap"] = {}
+        # ONE fallback FontMap per document: pdf.js's
+        # PartialEvaluator.fallbackFontDict is a static singleton whose
+        # cacheKey is set on FIRST use, so every missing font name on
+        # every page resolves to the SAME TranslatedFont — and shares
+        # one Font._charsCache (pdf.worker.js:35575-35580,35622-35624)
+        self.fallback_font_map: "FontMap | None" = None
         # assembled C-replay font tables keyed on the ordered cspec
         # identity tuple (pages repeat font sets; see _c_plan)
         self.c_plan_cache: dict[tuple, tuple] = {}
@@ -3210,6 +3216,16 @@ class _TextInterp:
         resource names here; ExtGState /Font entries (the `gs` operator,
         pdf.js handleSetFont(null, gStateFont[0])) carry the ref
         directly."""
+        if ref is None:
+            # missing font name: ONE shared fallback per document
+            # (pdf.js static fallbackFontDict + cacheKey short-circuit,
+            # pdf.worker.js:35575-35580) — identity matters for the
+            # per-font charsCache, not just the widths
+            fm = self.doc.fallback_font_map
+            if fm is None:
+                fm = build_font_map(self.doc, None)
+                self.doc.fallback_font_map = fm
+            return fm
         if not isinstance(ref, Ref):  # inline font dict: id() keys are not
             return build_font_map(self.doc, ref)  # stable across gc — no cache
         doc = self.doc
@@ -5989,16 +6005,27 @@ class _JsCtx:
     so on the FIRST jsvm deferral the PRECEDING pages replay through
     the jsvm tier population-only (text discarded, cache accrued in
     the reference's sequential page order). Page-range (chunked) parses
-    populate from page 0 as well: output stays independent of
-    partitioning, pinned to the reference's DEFAULT sequential engine.
+    populate from page 0 as well, so any range that defers at least
+    once reproduces the DEFAULT sequential engine's output exactly.
+    The one range-mode residual: a chunk with NO jsvm deferral of its
+    own never learns about prefix poison (a bare '5 Tj' on an earlier
+    page muting this chunk's plain '(5) Tj') — which is precisely the
+    reference's OWN child-strategy semantics (each pdf-child re-opens
+    the document and accrues caches only from the pages it renders,
+    lib/pdf-child.js:56-97), pinned in
+    test_chunked_poison_matches_reference_child_semantics.
 
-    Known residual (documented, excluded from generators): a jsvm
-    page's poisoned key cannot mute a LATER page that stays on the
-    fast tiers (requires junk page < plain page showing the identical
-    string with the same font; single-page adversarial docs — the
-    whole observed population — cannot express it)."""
+    Poisoned keys (a .length-less junk show stored [] under its
+    stringified key) MUTE later plain shows of the equal string on the
+    same font — including on LATER PAGES that the fast tiers would
+    otherwise keep. Once any poisoned key exists, every subsequent
+    page routes through jsvm (``poisoned`` flag), which consults the
+    cache; population-only keys are transparent to plain shows (the
+    lookup returns exactly the glyphs charsToGlyphs would build), so
+    they never force a demotion."""
 
-    __slots__ = ("doc", "_pages_fn", "_pages", "caches", "pop_upto")
+    __slots__ = ("doc", "_pages_fn", "_pages", "caches", "pop_upto",
+                 "poisoned")
 
     def __init__(self, doc: Document, pages_fn) -> None:
         self.doc = doc
@@ -6006,6 +6033,19 @@ class _JsCtx:
         self._pages: list | None = None
         self.caches: dict = {}
         self.pop_upto = 0  # pages [0, pop_upto) already accrued
+        self.poisoned = False  # any key -> [] with key != ""
+
+    def refresh_poisoned(self) -> None:
+        # [] values come from poisoning misses (non-bytes operands with
+        # no .length) and from empty-array shows under key "" — a plain
+        # show can never produce key "" (empty strings early-return
+        # before charsToGlyphs), so only non-"" empties demote
+        if not self.poisoned:
+            self.poisoned = any(
+                not v and k != ""
+                for c in self.caches.values()
+                for k, v in c.items()
+            )
 
     @property
     def pages(self) -> list:
@@ -6039,6 +6079,11 @@ def _page_text(doc: Document, page: dict, resources,
     data = _page_data(doc, page)
     if not data:
         return ""
+    if jsctx is not None and jsctx.poisoned:
+        # an earlier jsvm page poisoned a charsCache key: plain shows
+        # of the equal string on that font must be MUTED — only the
+        # cache-consulting jsvm tier can render this page exactly
+        return _js_page_text(doc, page, data, resources, jsctx, page_idx)
     interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
     try:
         interp.run(data, resources)
@@ -6076,12 +6121,14 @@ def _js_page_text(doc: Document, page: dict, data: bytes, resources,
     caches = None
     if jsctx is not None:
         jsctx.populate_to(page_idx)  # prior pages' charsCache accrual
+        jsctx.refresh_poisoned()  # prefix junk demotes LATER range pages
         caches = jsctx.caches
     interp = _TextInterp(doc, viewbox=_page_view_box(doc, page))
     vm = jsvm.JsVM(interp, chars_caches=caches)
     vm.run_page(data, resources)
     if jsctx is not None:
         jsctx.pop_upto = max(jsctx.pop_upto, page_idx + 1)
+        jsctx.refresh_poisoned()
     return vm.text()
 
 

@@ -49,6 +49,7 @@ FULL = [  # generators that emit complete PDF documents
     ("form_lm_edge", m._gen_form_lm_edge_stream),
     ("form_combo", m._gen_form_combo_stream),
     ("coerce_form", m._gen_coerce_form_stream),
+    ("cross_page", m._gen_cross_page_cache_stream),
 ]
 
 

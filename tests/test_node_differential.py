@@ -3868,7 +3868,8 @@ _CHARSCACHE_PINNED = [
     # the cache is size-independent (font object, not text state)
     b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (mu mu) Tj /F1 24 Tf 0 -40 Td "
     b"[(mu mu)] Tj (post) Tj ET",
-    # a MISSING font's fallback is a fresh object -> fresh cache -> miss
+    # a MISSING font's fallback is a separate font object (ONE shared
+    # per document): page-wide population on /F1 doesn't carry over
     b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (a) Tj /F2 10 Tf 0 -20 Td "
     b"[(a)] Tj (post) Tj ET",
     # empty array: length 0, charCodeAt never runs -> silent no-op
@@ -3908,6 +3909,16 @@ _CHARSCACHE_PINNED = [
     # quote-op chars go through the same cache
     b"BT /F1 10 Tf 12 TL 1 0 0 1 72 700 Tm (q) Tj [(q)] ' "
     b"(post) Tj ET",
+    # the fallback font is ONE shared object per document
+    # (PartialEvaluator.fallbackFontDict is a static whose cacheKey
+    # short-circuits every later missing-name load,
+    # pdf.worker.js:35575-35580): /F7's population enables /F9's hit
+    b"BT /F7 10 Tf 1 0 0 1 72 700 Tm (a) Tj /F9 10 Tf 0 -20 Td "
+    b"[(a)] Tj (post) Tj ET",
+    b"BT /F2 10 Tf 1 0 0 1 72 700 Tm (a) Tj /F2 10 Tf 0 -20 Td "
+    b"[(a)] Tj (post) Tj ET",
+    b"BT /F7 10 Tf 1 0 0 1 72 700 Tm (x) Tj 5 Tj /F9 10 Tf 0 -20 Td "
+    b"(5) Tj (post) Tj ET",
 ]
 
 
@@ -3983,5 +3994,143 @@ def test_chars_cache_cross_page_byte_equal_vs_live_reference(tmp_path):
                 b"BT /F1 10 Tf (xy) Tc 1 0 0 1 72 700 Tm (rho) Tj ET",
                 b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(rho)] Tj "
                 b"(post) Tj ET"),
+            # page-1 jsvm poison mutes a PLAIN page 2's equal-key show
+            # (the poisoned flag demotes every later page to jsvm)
+            _assemble_two_pages(
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj 5 Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (5) Tj (post) Tj ET"),
+            # population-only keys do NOT demote: page 1 defers via a
+            # junk Tc (no poison), page 2 stays plain and identical
+            _assemble_two_pages(
+                b"BT /F1 10 Tf (xy) Tc 1 0 0 1 72 700 Tm (sig) Tj ET",
+                b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (sig) Tj (post) Tj ET"),
+            # the SHARED fallback font carries its cache across pages:
+            # page 1's /F2 literal show enables page 2's /F2 dict-show
+            # hit AND the closing array hit (cross_page hunt, base 48M
+            # seed 9)
+            _assemble_two_pages(
+                b"BT /F2 10 Tf 1 0 0 1 72 700 Tm ([object Object]) Tj "
+                b"0 -20 Td [(true)] Tj 0 -20 Td ET",
+                b"BT /F2 10 Tf 1 0 0 1 72 700 Tm [(true) -250 (beta)] "
+                b"TJ (beta) Tj << /X 1 >> Tj [([object Object])] Tj ET"),
         ],
     )
+
+
+def _gen_cross_page_cache_stream(rng: random.Random) -> bytes:
+    """Two-page docs over a SHARED key pool: plain shows, stringified
+    junk shows (numbers, Names, booleans, arrays), and TJ populations
+    collide across the page boundary — exercising _JsCtx's sequential
+    population replay and the poisoned-key demotion of later pages."""
+    pool = ["alpha", "beta", "5", "2.5", "true", "[object Object]"]
+    junk = [b"5 Tj", b"2.5 Tj", b"/Five Tj", b"true Tj",
+            b"<< /X 1 >> Tj"]
+
+    def page(r: random.Random) -> bytes:
+        ops = [b"BT /F%d 10 Tf" % (1 if r.random() < 0.85 else 2),
+               b"1 0 0 1 72 700 Tm"]
+        for _ in range(r.randrange(2, 6)):
+            k = r.randrange(5)
+            if k == 0:
+                ops.append(b"(%s) Tj" % r.choice(pool).encode())
+            elif k == 1:
+                ops.append(r.choice(junk))
+            elif k == 2:
+                ops.append(b"[(%s)] Tj" % r.choice(pool).encode())
+            elif k == 3:
+                ops.append(b"[(%s) -250 (%s)] TJ"
+                           % (r.choice(pool).encode(),
+                              r.choice(pool).encode()))
+            else:
+                ops.append(b"0 -20 Td")
+        ops.append(b"ET")
+        return b" ".join(ops)
+
+    return _assemble_two_pages(page(rng), page(rng))
+
+
+def test_cross_page_cache_sweep_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded two-page shared-key-pool docs (cross-page population,
+    poison demotion, fallback-font cache isolation)."""
+    _run_differential(
+        tmp_path,
+        [_gen_cross_page_cache_stream(random.Random(940000 + s))
+         for s in range(40)],
+    )
+
+
+def _assemble_alias_fonts(content: bytes) -> bytes:
+    """One page whose /FA and /FB resource names BOTH point at the same
+    font object — the name-vs-object flush axis."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /FA 4 0 R /FB 4 0 R >> >> "
+        b"/Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref)
+    return bytes(out)
+
+
+def test_alias_font_names_byte_equal_vs_live_reference(tmp_path):
+    """Two resource names aliasing ONE font ref: setFont flushes on the
+    NAME change (getTextContent compares fontName/fontSize, not the
+    translated font), while the charsCache lives on the shared font
+    OBJECT (an /FA population enables an /FB array hit)."""
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_alias_fonts(
+                b"BT /FA 12 Tf 40 TL 1.5 1.5 TD 1.5 Tz 1.5 1.5 (pi) \" "
+                b"(alpha) ' /FB 12 Tf (phi) Tj ET"),
+            _assemble_alias_fonts(
+                b"BT /FA 12 Tf 40 TL 1.5 1.5 TD 1.5 Tz 1.5 1.5 (pi) \" "
+                b"(alpha) ' /FA 12 Tf (phi) Tj ET"),
+            _assemble_alias_fonts(
+                b"BT /FA 10 Tf 1 0 0 1 72 700 Tm (a) Tj /FB 10 Tf "
+                b"0 -20 Td [(a)] Tj (post) Tj ET"),
+        ],
+    )
+
+
+def test_chunked_poison_matches_reference_child_semantics():
+    """Page-range parses and charsCache poison: a range that defers at
+    least once populates from page 0 (whole-doc-exact); a range with NO
+    deferral of its own keeps the fast tiers and never sees prefix
+    poison — exactly the reference's child-process semantics (each
+    pdf-child re-opens the document and accrues font caches only from
+    the pages it renders, lib/pdf-child.js:56-97; the reference's OWN
+    chunked strategies diverge from its sequential default on such
+    docs)."""
+    doc = _assemble_two_pages(
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj 5 Tj ET",
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (5) Tj (post) Tj ET")
+    whole = pdfb.parse_pdf_bytes(doc)
+    assert whole["text"] == "\n\nx\n\npost"  # live-verified: (5) muted
+    # chunk [1,2) alone: no deferral in range -> fast tiers -> the
+    # child-semantics output (the (5) shows)
+    c1 = pdfb.parse_pdf_bytes(doc, page_range=(1, 2))
+    assert c1["text"] == "\n\n5post"
+    # a range CONTAINING junk populates from page 0: [0,2) == whole
+    c01 = pdfb.parse_pdf_bytes(doc, page_range=(0, 2))
+    assert c01["text"] == whole["text"]
+    # deferral in a later range: prefix populate + poison refresh mute
+    # the plain show on the NEXT page of the same range
+    doc3 = _assemble_two_pages(
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (x) Tj 5 Tj ET",
+        b"BT /F1 10 Tf (xy) Tc 1 0 0 1 72 650 Tm (q) Tj ET")
+    r = pdfb.parse_pdf_bytes(doc3, page_range=(1, 2))
+    assert "q" in r["text"]
