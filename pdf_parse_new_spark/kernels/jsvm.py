@@ -372,6 +372,10 @@ class JsVM:
         entirely and POISON the key with [] (the unconditional
         ``return this._charsCache[chars] = glyphs``) — silencing every
         later show of the toString-equal string on this font."""
+        if fm.error:
+            # ErrorFont.charsToGlyphs() (pdf.worker.js:29909) ignores
+            # its argument entirely: no cache, no throw, no glyphs
+            return []
         cache = self.chars_caches.get(fm)
         if cache is None:
             cache = self.chars_caches[fm] = {}

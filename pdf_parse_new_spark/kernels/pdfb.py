@@ -1124,7 +1124,7 @@ class FontMap:
     __slots__ = (
         "table", "nbytes", "widths", "default_width", "identity",
         "cid_ranges", "var_ranges", "_trans", "_warr", "_cspec",
-        "cf_codes", "_sp_arr", "_cf_arr", "_zw_arr", "zw_any",
+        "cf_codes", "_sp_arr", "_cf_arr", "_zw_arr", "zw_any", "error",
     )
 
     def __init__(
@@ -1137,7 +1137,16 @@ class FontMap:
         cid_ranges: list[tuple[int, int, int]] | None = None,
         var_ranges: list[tuple[int, int, int]] | None = None,
         cf_codes: set[int] | frozenset[int] | None = None,
+        error: bool = False,
     ) -> None:
+        # pdf.js ErrorFont twin (pdf.worker.js:29903-29911): a font
+        # whose load THREW (invalid Subtype/BaseFont, junk Differences
+        # entry, broken DescendantFonts). charsToGlyphs() returns []
+        # unconditionally — every show is a complete no-op (no glyphs,
+        # no pen advance, no charsCache interaction, arrays don't
+        # throw). Modeled as an all-Cf zero-width map + this flag for
+        # the jsvm cache bypass.
+        self.error = error
         self.table, self.nbytes = table, nbytes
         self.widths = widths or {}
         self.default_width = default_width
@@ -1321,10 +1330,99 @@ class FontMap:
         return sum(w.get(c, dw) for c in s)
 
 
+def _js_truthy_obj(v) -> bool:
+    """JS ToBoolean over resolved PDF objects (for ``if (descriptor)`` /
+    ``!df`` style guards)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v == v and v != 0
+    if isinstance(v, (bytes, str)):
+        return len(v) > 0
+    return v is not None  # dicts/arrays/streams/Names always truthy
+
+
+def _name_convertible(v) -> bool:
+    """Would pdf.js's ``typeof x === "string" ? Name.get(x) : x`` leave a
+    Name? PDF literal strings are JS strings (convert); Names pass."""
+    return isinstance(v, Name) or isinstance(v, bytes)
+
+
+def _font_load_error(doc: Document, font: dict) -> bool:
+    """True when pdf.js's font pipeline THROWS for this dict and (with
+    ignoreErrors) substitutes an ErrorFont. Throw sites mirrored:
+
+    - preEvaluateFont (pdf.worker.js:37598-37620): /Subtype not a Name;
+      Type0 without /DescendantFonts, descendant not a dict, descendant
+      /Subtype not a Name.
+    - translateFont (37739-37741, 37808-37810): no descriptor -> throw
+      unless /BaseFont IS a Name (strings are NOT converted in this
+      branch) — except Type3, which synthesizes a descriptor; with a
+      descriptor -> FontName (string-converted) falling back to BaseFont
+      (string-converted) must end a Name: a TRUTHY non-convertible
+      FontName (number, array, dict) survives the `fontName ||=
+      baseFont` and throws, a falsy one falls through to BaseFont.
+    - extractDataStructures (37185): /Encoding dict whose /Differences
+      holds an entry that is neither a number nor a Name (booleans
+      included — JS typeof true is not "number").
+    """
+    subtype = doc.resolve(font.get("Subtype"))
+    if not isinstance(subtype, Name):
+        return True  # "invalid font Subtype"
+    desc_src = font
+    if str(subtype) == "Type0":
+        df = doc.resolve(font.get("DescendantFonts"))
+        if not _js_truthy_obj(df):
+            return True  # "Descendant fonts are not specified"
+        d0 = doc.resolve(df[0]) if isinstance(df, list) and df else df
+        if not isinstance(d0, dict) or isinstance(d0, Stream):
+            return True  # "Descendant font is not a dictionary."
+        if not isinstance(doc.resolve(d0.get("Subtype")), Name):
+            return True
+        desc_src = d0
+    desc = doc.resolve(desc_src.get("FontDescriptor"))
+    if not _js_truthy_obj(desc):
+        if str(subtype) != "Type3":
+            bf = doc.resolve(desc_src.get("BaseFont"))
+            if not isinstance(bf, Name):
+                return True  # "Base font is not specified"
+    elif not isinstance(desc, dict):
+        return True  # descriptor.get(...) throws on a non-Dict
+    else:
+        fn = doc.resolve(desc.get("FontName"))
+        if _js_truthy_obj(fn) and not _name_convertible(fn):
+            return True  # truthy junk survives `fontName ||= baseFont`
+        if not _name_convertible(fn):  # falsy: fall through to BaseFont
+            bf = doc.resolve(desc_src.get("BaseFont"))
+            if _js_truthy_obj(bf) and not _name_convertible(bf):
+                return True
+            if not _js_truthy_obj(bf):
+                return True  # fontName ends undefined -> throw
+    enc = doc.resolve(font.get("Encoding"))
+    if isinstance(enc, dict) and not isinstance(enc, Stream):
+        diffs = doc.resolve(enc.get("Differences"))
+        if isinstance(diffs, list):
+            for entry in diffs:
+                data = doc.resolve(entry)
+                if isinstance(data, bool) or not isinstance(
+                    data, (int, float, Name)
+                ):
+                    return True  # "Invalid entry in 'Differences'"
+    return False
+
+
+_ERROR_FONT_CF = frozenset(range(256))
+
+
 def build_font_map(doc: Document, font_obj) -> FontMap:
     """ToUnicode CMap first (pdf.js PartialEvaluator.readToUnicode), then
     /Encoding /Differences glyph names over a base encoding table."""
     font = doc.resolve(font_obj)
+    if isinstance(font, dict) and not isinstance(font, Stream):
+        if _font_load_error(doc, font):
+            # ErrorFont: all shows are glyph-less no-ops
+            return FontMap({}, 1, widths={}, default_width=0.0,
+                           cf_codes=_ERROR_FONT_CF, error=True)
     if not isinstance(font, dict):
         # loadFont resolved no font dict: with ignoreErrors (pdf-parse's
         # default getDocument options) pdf.js substitutes

@@ -4106,6 +4106,182 @@ def test_alias_font_names_byte_equal_vs_live_reference(tmp_path):
     )
 
 
+def _gen_font_chaos_stream(rng: random.Random) -> bytes:
+    """Structurally-broken FONT DICTS x normal content: pdf.js font
+    loads that THROW produce an ErrorFont whose charsToGlyphs() returns
+    [] unconditionally — every show is a glyph-less, advance-less no-op
+    (arrays don't throw, the charsCache is never touched). Mixes error
+    classes (junk /Subtype, non-Name /BaseFont without descriptor, junk
+    descriptor /FontName, junk /Differences entries, broken
+    /DescendantFonts) with VALID fonts in the same resources so pen
+    state crosses error/real boundaries. Avoids exact viewbox-edge
+    landings (non-round Tm origins / widths) — the per-glyph box test
+    is float-dust-sensitive within ~2e-14 of the edge (documented
+    knife-edge, same class as the tc rounding boundary)."""
+    fonts = {
+        b"/E1": b"<< /Type /Font /Subtype /Type1 /BaseFont 42 >>",
+        b"/E2": b"<< /Type /Font /Subtype /Type1 >>",
+        b"/E3": b"<< /Type /Font /Subtype (T1) /BaseFont /Helvetica >>",
+        b"/E4": b"<< /Type /Font /BaseFont /Helvetica >>",
+        b"/E5": b"<< /Type /Font /Subtype /Type1 /BaseFont (Helv) >>",
+        b"/E6": b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding << /Differences [97 (junk)] >> >>",
+        b"/E7": b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding << /Differences [97 true 98 /eta] >> >>",
+        b"/E8": b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+                b"/Encoding /Identity-H >>",
+        b"/E9": b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/FontDescriptor << /FontName 9 /Flags 32 >> >>",
+        b"/V1": b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"/V2": b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+                b"/Encoding << /Differences [97 /zeta 5.5 /theta] >> >>",
+        b"/V3": b"<< /Type /Font /Subtype /Type1 /BaseFont (Helv) "
+                b"/FontDescriptor << /FontName /Helvetica /Flags 32 >> >>",
+    }
+    names = list(fonts)
+    ops = [b"BT /%s %d Tf" % (rng.choice(names)[1:],
+                              rng.choice([9, 10, 12])),
+           b"1 0 0 1 %.1f %.1f Tm" % (rng.uniform(40, 200),
+                                      rng.uniform(200, 700))]
+    for _ in range(rng.randrange(3, 9)):
+        k = rng.randrange(6)
+        if k == 0:
+            ops.append(b"/%s %d Tf" % (rng.choice(names)[1:],
+                                       rng.choice([9, 10, 12])))
+        elif k == 1:
+            ops.append(b"(%s) Tj" % rng.choice(WORDS).encode())
+        elif k == 2:
+            ops.append(b"[(%s) %d (%s)] TJ"
+                       % (rng.choice(WORDS).encode(),
+                          rng.choice([-400, -150, 250]),
+                          rng.choice(WORDS).encode()))
+        elif k == 3:
+            ops.append(b"[(%s)] Tj" % rng.choice(WORDS).encode())
+        elif k == 4:
+            ops.append(b"%d %d Td" % (rng.randrange(-15, 20),
+                                      rng.choice([0, -13])))
+        else:
+            ops.append(b"12 TL")
+            ops.append(b"(%s) '" % rng.choice(WORDS).encode())
+    ops.append(b"ET")
+    content = b" ".join(ops)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << "
+        + b" ".join(b"%s %d 0 R" % (nm, 5 + i)
+                    for i, nm in enumerate(names))
+        + b" >> >> /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ] + [fonts[nm] for nm in names]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref)
+    return bytes(out)
+
+
+_ERROR_FONT_PINNED = [
+    # ErrorFont classes (each load THROWS -> charsToGlyphs() == [])
+    b"<< /Type /Font /Subtype /Type1 /BaseFont 42 >>",
+    b"<< /Type /Font /Subtype /Type1 >>",
+    b"<< /Type /Font /BaseFont /Helvetica >>",           # no Subtype
+    b"<< /Type /Font /Subtype (T1) /BaseFont /Helvetica >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont (Helvetica) >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/Encoding << /Differences [97 /zeta (junk)] >> >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/Encoding << /Differences [97 true] >> >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/Encoding << /Differences [97 [1 2]] >> >>",
+    b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/FontDescriptor << /FontName 9 /Flags 32 >> >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/FontDescriptor /Junk >>",
+]
+_VALID_FONT_PINNED = [
+    # near-misses that do NOT throw
+    b"<< /Type /Font /Subtype /Wut /BaseFont /Helvetica >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont (str) "
+    b"/FontDescriptor << /FontName /Helvetica /Flags 32 >> >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/Encoding << /Differences [5.5 /theta] >> >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/Encoding /NoSuchEncoding >>",
+]
+
+
+def _assemble_one_font(fontobj: bytes, content: bytes) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R /F2 6 0 R >> >> "
+        b"/Contents 5 0 R >>",
+        fontobj,
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref)
+    return bytes(out)
+
+
+def test_error_font_pinned_byte_equal_vs_live_reference(tmp_path):
+    """Font loads that THROW in pdf.js (preEvaluateFont: invalid
+    /Subtype, broken /DescendantFonts; translateFont: non-Name
+    /BaseFont without a descriptor rescue, junk descriptor /FontName;
+    extractDataStructures: junk /Differences entries) substitute an
+    ErrorFont: every show is a glyph-less, ADVANCE-LESS no-op — a later
+    real font's items anchor as if the error shows never happened —
+    and arrays/numbers at shows neither throw nor touch the charsCache.
+    Near-miss dicts (string BaseFont WITH a descriptor FontName, float
+    Differences indexes, unknown-but-Name Subtype/Encoding) stay
+    fully rendered."""
+    C = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (alpha) Tj ( beta) Tj ET"
+    C2 = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (alpha) Tj /F2 12 Tf (x) Tj "
+          b"[(k) -2000 (m)] TJ ET")
+    C3 = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm [(a)] Tj (post) Tj 5 Tj "
+          b"(5) Tj ET")
+    C4 = (b"BT /F1 12 Tf 14 TL 1 0 0 1 72 700 Tm (a) ' (b) ' /F2 12 Tf "
+          b"(vis) Tj ET")
+    docs = [_assemble_one_font(f, C) for f in _ERROR_FONT_PINNED]
+    docs += [_assemble_one_font(f, C) for f in _VALID_FONT_PINNED]
+    docs += [
+        _assemble_one_font(_ERROR_FONT_PINNED[0], C2),  # pen untouched
+        _assemble_one_font(_ERROR_FONT_PINNED[0], C3),  # no cache/throw
+        _assemble_one_font(_ERROR_FONT_PINNED[0], C4),  # CRs still move
+    ]
+    _run_differential(tmp_path, docs)
+
+
+def test_font_chaos_sweep_byte_equal_vs_live_reference(tmp_path):
+    """40 seeded broken-font-dict x content docs."""
+    _run_differential(
+        tmp_path,
+        [_gen_font_chaos_stream(random.Random(950000 + s))
+         for s in range(40)],
+    )
+
+
 def test_chunked_poison_matches_reference_child_semantics():
     """Page-range parses and charsCache poison: a range that defers at
     least once populates from page 0 (whole-doc-exact); a range with NO

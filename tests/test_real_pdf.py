@@ -238,15 +238,28 @@ def test_type0_two_byte_font_decode():
     comp = z.compress(cmap)
     font_objs = {
         5: b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
-           b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+           b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
+           b"/ToUnicode 6 0 R >>",
         6: b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
            % (len(comp), comp),
+        7: b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake "
+           b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+           b"/Supplement 0 >> "
+           b"/FontDescriptor << /FontName /Fake /Flags 4 >> >>",
     }
     ops = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <004800690021> Tj ET"
     content = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
     doc = _page_scaffold(content, font_objs, font_ref=5)
     r = pdfb.parse_pdf_bytes(doc)
     assert r["text"].strip() == "Hi!"
+
+    # Type0 WITHOUT /DescendantFonts: pdf.js preEvaluateFont throws
+    # ("Descendant fonts are not specified") -> ErrorFont -> every show
+    # is a glyph-less no-op (live-verified: page text is empty)
+    font_objs_broken = {5: font_objs[5].replace(
+        b"/DescendantFonts [7 0 R] ", b""), 6: font_objs[6]}
+    doc2 = _page_scaffold(content, font_objs_broken, font_ref=5)
+    assert pdfb.parse_pdf_bytes(doc2)["text"].strip() == ""
 
 
 def test_xref_stream_with_png_predictor():
