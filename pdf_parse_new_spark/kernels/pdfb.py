@@ -1380,6 +1380,19 @@ def _font_load_error(doc: Document, font: dict) -> bool:
         if not isinstance(doc.resolve(d0.get("Subtype")), Name):
             return True
         desc_src = d0
+        # composite /Encoding feeds CMapFactory.create: Identity-H/V
+        # build IdentityCMaps in-process; an embedded CMap STREAM
+        # parses; every OTHER shape throws — missing/dict/number
+        # outright, and other predefined names because pdf-parse's
+        # getDocument passes no cMapUrl (lib/pdf-parse.js:84-87), so
+        # the builtin-CMap fetch rejects (live-verified: /JunkCMap,
+        # /UniJIS-UCS2-H, and a missing /Encoding all blank the page)
+        enc0 = doc.resolve(font.get("Encoding"))
+        if isinstance(enc0, Name):
+            if str(enc0) not in ("Identity-H", "Identity-V"):
+                return True
+        elif not isinstance(enc0, Stream):
+            return True
     desc = doc.resolve(desc_src.get("FontDescriptor"))
     if not _js_truthy_obj(desc):
         if str(subtype) != "Type3":
@@ -1408,6 +1421,17 @@ def _font_load_error(doc: Document, font: dict) -> bool:
                     data, (int, float, Name)
                 ):
                     return True  # "Invalid entry in 'Differences'"
+    # /ToUnicode as a NAME goes through CMapFactory.create like the
+    # composite /Encoding: only Identity-H/V resolve without a cMap
+    # fetch (readToUnicode's throw is not swallowed — live-verified:
+    # /Junk, /Adobe-Identity-UCS, /UniJIS-UCS2-H all blank the page;
+    # non-Name non-stream shapes are silently ignored)
+    tu = doc.resolve(desc_src.get("ToUnicode"))
+    if not _js_truthy_obj(tu):
+        tu = doc.resolve(font.get("ToUnicode"))
+    if isinstance(tu, Name) and str(tu) not in ("Identity-H",
+                                                "Identity-V"):
+        return True
     return False
 
 
@@ -1710,7 +1734,19 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
             STD_ALIASES, STD_WIDTHS,
         )
 
-        base_font = re.sub(r"^[A-Z]{6}\+", "", str(font.get("BaseFont", "")))
+        bf_obj = doc.resolve(font.get("BaseFont"))
+        if not isinstance(bf_obj, Name):
+            # extractWidths gates the metrics fallback on
+            # `baseFontName instanceof Name` (pdf.worker.js:37521-37526)
+            # — a string/junk BaseFont (valid via the descriptor
+            # /FontName rescue) keeps widths EMPTY and defaultWidth 0:
+            # every glyph advances 0 and the zero-register branches
+            # join (live-verified: font_chaos base 950028, '(Helv)' +
+            # descriptor reads 'lambdasigma' with no space)
+            base_font = ""
+            default_width = 0.0
+        else:
+            base_font = re.sub(r"^[A-Z]{6}\+", "", str(bf_obj))
         std = STD_WIDTHS.get(base_font) or STD_WIDTHS.get(
             STD_ALIASES.get(base_font, "")
         )

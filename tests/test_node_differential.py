@@ -4132,6 +4132,10 @@ def _gen_font_chaos_stream(rng: random.Random) -> bytes:
                 b"/Encoding /Identity-H >>",
         b"/E9": b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
                 b"/FontDescriptor << /FontName 9 /Flags 32 >> >>",
+        b"/EA": b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/ToUnicode /Junk >>",
+        b"/EB": b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+                b"/Encoding /JunkCMap >>",
         b"/V1": b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
         b"/V2": b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
                 b"/Encoding << /Differences [97 /zeta 5.5 /theta] >> >>",
@@ -4207,6 +4211,15 @@ _ERROR_FONT_PINNED = [
     b"/FontDescriptor << /FontName 9 /Flags 32 >> >>",
     b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
     b"/FontDescriptor /Junk >>",
+    # /ToUnicode NAME goes through CMapFactory.create: only
+    # Identity-H/V resolve without a cMap fetch (pdf-parse passes no
+    # cMapUrl) — every other name throws
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/ToUnicode /Junk >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/ToUnicode /Adobe-Identity-UCS >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/ToUnicode /UniJIS-UCS2-H >>",
 ]
 _VALID_FONT_PINNED = [
     # near-misses that do NOT throw
@@ -4217,10 +4230,34 @@ _VALID_FONT_PINNED = [
     b"/Encoding << /Differences [5.5 /theta] >> >>",
     b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
     b"/Encoding /NoSuchEncoding >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/ToUnicode /Identity-H >>",
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    b"/ToUnicode /Identity-V >>",
+]
+_T0_FONT_PINNED = [
+    # (descendant-needing shapes; _assemble_one_font supplies 7 0 R as
+    # a valid CIDFontType2 descendant when referenced)
+    # composite /Encoding must be Identity-H/V or an embedded stream
+    (b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /JunkCMap "
+     b"/DescendantFonts [7 0 R] >>", b""),
+    (b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+     b"/DescendantFonts [7 0 R] >>", b""),
+    (b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding << /X 1 >> "
+     b"/DescendantFonts [7 0 R] >>", b""),
+    (b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /UniJIS-UCS2-H "
+     b"/DescendantFonts [7 0 R] >>", b""),
+    # ToUnicode junk on the DESCENDANT dict errors too
+    (b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H "
+     b"/DescendantFonts [7 0 R] >>", b"/ToUnicode /Junk "),
+    # control: Identity-H composite is fine
+    (b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H "
+     b"/DescendantFonts [7 0 R] >>", b""),
 ]
 
 
-def _assemble_one_font(fontobj: bytes, content: bytes) -> bytes:
+def _assemble_one_font(fontobj: bytes, content: bytes,
+                       desc_extra: bytes = b"") -> bytes:
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -4230,6 +4267,10 @@ def _assemble_one_font(fontobj: bytes, content: bytes) -> bytes:
         fontobj,
         b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> " + desc_extra +
+        b"/FontDescriptor << /FontName /Fake /Flags 4 >> >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
     offs = []
@@ -4270,6 +4311,9 @@ def test_error_font_pinned_byte_equal_vs_live_reference(tmp_path):
         _assemble_one_font(_ERROR_FONT_PINNED[0], C3),  # no cache/throw
         _assemble_one_font(_ERROR_FONT_PINNED[0], C4),  # CRs still move
     ]
+    C5 = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <00480069> Tj (post) Tj ET"
+    docs += [_assemble_one_font(f, C5, desc_extra=extra)
+             for f, extra in _T0_FONT_PINNED]
     _run_differential(tmp_path, docs)
 
 
