@@ -870,11 +870,26 @@ class JsVM:
                         gsd = doc.resolve((extg or {}).get(str(args[0])))
                         if isinstance(gsd, dict):
                             gfont = doc.resolve(gsd.get("Font"))
-                            if isinstance(gfont, list) and len(gfont) >= 2:
+                            # `if (!gStateFont)` skips falsy values
+                            # only; ANY truthy /Font — number, dict,
+                            # short array — flushes and sets the font
+                            # (pdf.worker.js:37053-37062):
+                            # gStateFont[1] is undefined off non-arrays
+                            # (NaN at every use site), gStateFont[0]
+                            # undefined/junk loads the fallback font
+                            if truthy(gfont):
                                 flush_item()
                                 state.font_name = None
-                                state.font_size = doc.resolve(gfont[1])
-                                handle_set_font(None, ref=gfont[0])
+                                if isinstance(gfont, list):
+                                    state.font_size = (
+                                        doc.resolve(gfont[1])
+                                        if len(gfont) > 1 else NAN
+                                    )  # undefined -> NaN use sites
+                                    gref = gfont[0] if gfont else None
+                                else:
+                                    state.font_size = NAN
+                                    gref = None
+                                handle_set_font(None, ref=gref)
                 # every other known operator: no text effect
                 stack.clear()
         except JsStop:

@@ -3345,26 +3345,41 @@ class _TextInterp:
             return self._inh_fm
         return self._font_for_ref((fonts_dict or {}).get(name))
 
+    def _fallback_fm(self) -> FontMap:
+        fm = self.doc.fallback_font_map
+        if fm is None:
+            fm = build_font_map(self.doc, None)
+            self.doc.fallback_font_map = fm
+        return fm
+
     def _font_for_ref(self, ref) -> FontMap:
         """FontMap for a direct font reference — the Tf path resolves
         resource names here; ExtGState /Font entries (the `gs` operator,
         pdf.js handleSetFont(null, gStateFont[0])) carry the ref
         directly."""
-        if ref is None:
-            # missing font name: ONE shared fallback per document
-            # (pdf.js static fallbackFontDict + cacheKey short-circuit,
-            # pdf.worker.js:35575-35580) — identity matters for the
-            # per-font charsCache, not just the widths
-            fm = self.doc.fallback_font_map
-            if fm is None:
-                fm = build_font_map(self.doc, None)
-                self.doc.fallback_font_map = fm
-            return fm
-        if not isinstance(ref, Ref):  # inline font dict: id() keys are not
-            return build_font_map(self.doc, ref)  # stable across gc — no cache
+        if not isinstance(ref, Ref):
+            if ref is not None:
+                rv = self.doc.resolve(ref)
+                if isinstance(rv, dict) and not isinstance(rv, Stream):
+                    # inline font dict: id() keys are not stable across
+                    # gc — no cache
+                    return build_font_map(self.doc, rv)
+            # missing name / junk value: ONE shared fallback per
+            # document (pdf.js static fallbackFontDict + cacheKey
+            # short-circuit, pdf.worker.js:35575-35580) — identity
+            # matters for the per-font charsCache, not just the widths
+            return self._fallback_fm()
         doc = self.doc
         fm = doc.font_map_cache.get(ref.num)
         if fm is None:
+            rv = doc.resolve(ref)
+            if not isinstance(rv, dict) or isinstance(rv, Stream):
+                # a ref resolving to a non-dict: pdf.js falls to the
+                # SHARED fallbackFontDict font (same object as every
+                # other missing/junk font of this document)
+                fm = self._fallback_fm()
+                doc.font_map_cache[ref.num] = fm
+                return fm
             # second level: (document content digest, object number) —
             # FontMap is immutable, so identical bytes parsed again (the
             # chunk operator's per-range tasks, retries, replicated or
@@ -5873,6 +5888,15 @@ class _TextInterp:
                     )
                     if isinstance(gsd, dict):
                         gf = doc.resolve(gsd.get("Font"))
+                        if _js_truthy_obj(gf) and not (
+                            isinstance(gf, list) and len(gf) >= 2
+                        ):
+                            # `if (!gStateFont)` skips FALSY values
+                            # only: a truthy non-array / short array
+                            # still flushes and sets the font with
+                            # fontSize = gStateFont[1] == undefined —
+                            # NaN at every use site. jsvm models it.
+                            raise _JsCoerce()
                         if isinstance(gf, list) and len(gf) >= 2:
                             raw_sz = doc.resolve(gf[1])
                             if isinstance(raw_sz, (int, float)) and (

@@ -4317,6 +4317,57 @@ def test_error_font_pinned_byte_equal_vs_live_reference(tmp_path):
     _run_differential(tmp_path, docs)
 
 
+def _assemble_gs_entry(gsobj: bytes, content: bytes) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> "
+        b"/ExtGState << /GS1 6 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        gsobj,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref)
+    return bytes(out)
+
+
+def test_gs_font_junk_shapes_byte_equal_vs_live_reference(tmp_path):
+    """setGState's `if (!gStateFont)` guard is plain JS truthiness: a
+    truthy non-array or short-array /Font STILL flushes and sets the
+    font — gStateFont[1] is undefined (NaN at every use site, glyphs
+    spread 'p o s t'), gStateFont[0] undefined/junk loads the SHARED
+    fallback font; a falsy /Font (0) is a no-op; a Name first element
+    is junk too (not a Ref) -> fallback."""
+    CGS = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (pre) Tj /GS1 gs "
+           b"(post) Tj ET")
+    CGS2 = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (pre) Tj /GS1 gs "
+            b"(post) Tj /F1 12 Tf (back) Tj ET")
+    _run_differential(
+        tmp_path,
+        [
+            _assemble_gs_entry(b"<< /Font 5 >>", CGS),
+            _assemble_gs_entry(b"<< /Font [4 0 R] >>", CGS),
+            _assemble_gs_entry(b"<< /Font [] >>", CGS),
+            _assemble_gs_entry(b"<< /Font << /X 1 >> >>", CGS),
+            _assemble_gs_entry(b"<< /Font 0 >>", CGS),
+            _assemble_gs_entry(b"<< /Font [/Helv 10] >>", CGS),
+            _assemble_gs_entry(b"<< /Font 5 >>", CGS2),
+            _assemble_gs_entry(b"<< /Font (xy) >>", CGS),
+        ],
+    )
+
+
 def test_font_chaos_sweep_byte_equal_vs_live_reference(tmp_path):
     """40 seeded broken-font-dict x content docs."""
     _run_differential(
