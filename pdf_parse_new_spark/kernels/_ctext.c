@@ -422,20 +422,6 @@ static long scan_op(const unsigned char *d, long pos, long n)
     return pos;
 }
 
-/* BI ... EI inline image skip: find whitespace + "EI" + (ws | delim | EOF),
- * mirroring re.search(rb"\sEI\b", ...) */
-static long skip_inline_image(const unsigned char *d, long pos, long n)
-{
-    for (long i = pos; i + 2 < n; i++) {
-        if (WS[d[i]] && d[i + 1] == 'E' && d[i + 2] == 'I') {
-            long after = i + 3;
-            if (after >= n || WS[d[after]] || DELIM[d[after]])
-                return after;
-        }
-    }
-    return n;
-}
-
 #define EMIT(K, FLAG, A, B, F0, F1, F2, F3)                                  \
     do {                                                                     \
         if (nev >= cap)                                                      \
@@ -1203,7 +1189,12 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 EMIT(K_STATE, 0, 0, 0, tc, tw, tz, rise * tm_d * cm_d);
                 EMIT(K_ANCHOR, 0, 0, 0, TX_X(0.0, 0.0), TX_Y(0.0, 0.0), cm_a, cm_d);
             } else if (oplen == 2 && op[0] == 'B' && op[1] == 'I') {
-                pos = skip_inline_image(d, pos, n);
+                /* inline image: pdf.js's makeInlineImage end-finding
+                 * (filter-specific scanners, 15-byte window mini-lexer,
+                 * stale-currentChar splice — worker:13449-13762) lives
+                 * in the exact Python model; zero hits on the real
+                 * corpus, so DEFER the page rather than twin it here */
+                return -2;
             } else if (oplen == 3 && op[2] == 'C' &&
                        ((op[0] == 'B' && (op[1] == 'M' || op[1] == 'D'))
                         || (op[0] == 'E' && op[1] == 'M'))) {

@@ -47,8 +47,12 @@ from .pdfb import (
     Name,
     Ref,
     Stream,
+    _IMG_OPERAND,
+    _PageStop,
+    _inline_image_scan,
     _lex_op,
     _skip_ws,
+    _WS,
     parse_object,
 )
 
@@ -735,11 +739,20 @@ class JsVM:
                     pos += 1
                     continue
                 op, pos = _lex_op(data, pos)
-                if op == b"BI":  # inline image: skip payload to EI
-                    e = re.search(rb"\sEI\b", data[pos:])
-                    pos = pos + e.end() if e else ndata
-                    stack.clear()
-                    continue
+                if op == b"BI":  # inline image (worker:13387)
+                    try:
+                        pos, _term = _inline_image_scan(data, pos, ndata)
+                    except _PageStop:
+                        raise JsStop() from None
+                    stack.append(_IMG_OPERAND)
+                    if len(stack) > 33:
+                        raise JsStop()
+                    if _term is not None and _term not in _WS:
+                        # stale-currentChar splice (see pdfb._inline_image_scan)
+                        data = bytes((_term,)) + data[pos:]
+                        ndata = len(data)
+                        pos = 0
+                    op = b"EI"  # fall through: image operand + 1-arg EI
                 if op == b"true" or op == b"false":
                     stack.append(op == b"true")
                     if len(stack) > 33:

@@ -2020,6 +2020,491 @@ class _PageStop(Exception):
     pieces and stops interpreting the page (probed live: 34 numeric
     operands before Tm end the page but keep prior text)."""
 
+# ---------------------------------------------------------------------------
+# Inline images (BI ... ID <data> EI), pdf.js Parser.makeInlineImage
+# (pdf.worker.js:13684-13762). The text pipeline never decodes the image —
+# only the resume position and the error semantics matter, but BOTH follow
+# pdf.js's machinery exactly: the dict parse throws on non-Name keys, the
+# stream end is found by a filter-specific scanner, the image substream
+# becomes ONE operand consumed by the 1-arg EI op, and the byte that
+# terminated the "ID" token was already swallowed as lexer.currentChar —
+# the token AFTER the image starts with it (the "stale splice").
+# ---------------------------------------------------------------------------
+
+# sentinel for the inline-image stream operand (worker:13761 returns the
+# imageStream object; the preprocessor pushes it and EI consumes it)
+class _InlineImg:
+    __slots__ = ()
+
+
+_IMG_OPERAND = _InlineImg()
+
+# specialChars === 1 set (whitespace-ish skip chars), pdf.worker.js:13933
+_WIN_WS = frozenset(b"\x00\t\n\x0c\r ")
+
+
+def _win_getnumber(w: bytes, i: int) -> int:
+    """Lexer.getNumber (pdf.worker.js:13958-14031) over the 15-byte
+    window: returns the index of the terminating char (the lexer's
+    currentChar); raises _PageStop where pdf.js throws FormatError
+    ("Invalid number: x") — a sign/dot followed by a non-digit that is
+    neither whitespace nor EOF."""
+    m = len(w)
+
+    def cur(j: int) -> int:
+        return w[j] if j < m else -1
+
+    ch = cur(i)
+    if ch == 0x2D:
+        i += 1
+        ch = cur(i)
+        if ch == 0x2D:  # "--" double minus tolerated
+            i += 1
+            ch = cur(i)
+    elif ch == 0x2B:
+        i += 1
+        ch = cur(i)
+    while ch == 0x0A or ch == 0x0D:  # CR/LF run between sign and digits
+        i += 1
+        ch = cur(i)
+    divide = False
+    if ch == 0x2E:
+        divide = True
+        i += 1
+        ch = cur(i)
+    if ch < 0x30 or ch > 0x39:
+        if ch in (0x20, 0x09, 0x0D, 0x0A) or ch == -1:
+            return i  # info() + return 0: a valid 0-valued operand
+        raise _PageStop()  # FormatError propagates out of the tmpLexer
+    while True:
+        i += 1
+        ch = cur(i)
+        if 0x30 <= ch <= 0x39:
+            continue
+        if ch == 0x2E:
+            if not divide:
+                divide = True
+                continue
+            break
+        if ch == 0x2D:
+            continue  # "minus sign in the middle" warn, keeps scanning
+        if ch == 0x45 or ch == 0x65:  # e-notation
+            nxt = cur(i + 1)
+            if nxt == 0x2B or nxt == 0x2D:
+                i += 1
+            elif nxt < 0x30 or nxt > 0x39:
+                break
+            continue
+        break
+    return i
+
+
+def _win_getstring(w: bytes, i: int) -> int:
+    """Lexer.getString (pdf.worker.js:14032-14129): EOF-graceful, returns
+    the index after the balanced ')'. ``i`` sits on '('."""
+    m = len(w)
+    depth = 1
+    i += 1
+    while i < m:
+        ch = w[i]
+        if ch == 0x28:
+            depth += 1
+            i += 1
+        elif ch == 0x29:
+            depth -= 1
+            i += 1
+            if depth == 0:
+                return i
+        elif ch == 0x5C:
+            i += 1
+            if i >= m:
+                return m
+            e = w[i]
+            if 0x30 <= e <= 0x37:  # up to three octal digits
+                i += 1
+                if i < m and 0x30 <= w[i] <= 0x37:
+                    i += 1
+                    if i < m and 0x30 <= w[i] <= 0x37:
+                        i += 1
+            elif e == 0x0D:
+                i += 1
+                if i < m and w[i] == 0x0A:
+                    i += 1
+            else:
+                i += 1
+        else:
+            i += 1
+    return m  # "Unterminated string" warn + done
+
+
+def _win_getname(w: bytes, i: int) -> int:
+    """Lexer.getName (pdf.worker.js:14130-14168) position walk incl. the
+    #-escape consumption quirks. ``i`` sits on '/'."""
+    m = len(w)
+    while True:
+        i += 1
+        if i >= m:
+            return m
+        ch = w[i]
+        if ch in _LEX_SPECIAL:
+            return i
+        if ch == 0x23:
+            i += 1
+            if i >= m:
+                return m
+            ch = w[i]
+            if ch in _LEX_SPECIAL:
+                return i  # "# should be followed by hex" -> break at it
+            x = _WIN_HEXD[ch]
+            if x == -1:
+                continue  # '#'+ch pushed, scan continues
+            i += 1
+            if i >= m:
+                return m
+            ch2 = w[i]
+            if _WIN_HEXD[ch2] == -1:
+                if ch2 in _LEX_SPECIAL:
+                    return i  # illegal digit + special -> break at it
+                continue  # pushed as literal, scan continues
+            # two hex digits consumed; loop advances past
+
+
+_WIN_HEXD = [-1] * 256
+for _c in range(0x30, 0x3A):
+    _WIN_HEXD[_c] = _c - 0x30
+for _c in list(range(0x41, 0x47)) + list(range(0x61, 0x67)):
+    _WIN_HEXD[_c] = (_c & 0x0F) + 9
+
+
+def _win_gethex(w: bytes, i: int) -> int:
+    """Lexer.getHexString (pdf.worker.js:14180-14219): graceful, scans to
+    '>' (consumed) or EOF. ``i`` sits on the char after '<'."""
+    m = len(w)
+    while i < m and w[i] != 0x3E:
+        i += 1
+    return i + 1 if i < m else m
+
+
+def _win_accept(w: bytes) -> bool:
+    """findDefaultInlineStreamEnd's candidate validation (pdf.worker.js:
+    13494-13515): a fresh Lexer over the 15-byte window counts operands
+    until a command token — unknown command (or a null-valued opMap
+    prefix entry like BM/BD, whose lookup is falsy) rejects, a known
+    command with matching arity accepts, EOF rejects. Lexer FormatErrors
+    (')' illegal char, invalid number) propagate as _PageStop."""
+    m = len(w)
+    i = 0
+    numargs = 0
+    while True:
+        comment = False
+        while True:  # Lexer.getObj skip loop (worker:14220-14237)
+            if i >= m:
+                return False  # EOF -> state = 0 -> reject
+            ch = w[i]
+            if comment:
+                if ch == 0x0A or ch == 0x0D:
+                    comment = False
+            elif ch == 0x25:
+                comment = True
+            elif ch not in _WIN_WS:
+                break
+            i += 1
+        if 0x30 <= ch <= 0x39 or ch in (0x2B, 0x2D, 0x2E):
+            i = _win_getnumber(w, i)
+            numargs += 1
+            continue
+        if ch == 0x28:
+            i = _win_getstring(w, i)
+            numargs += 1
+            continue
+        if ch == 0x2F:
+            i = _win_getname(w, i)
+            numargs += 1
+            continue
+        if ch in (0x5B, 0x5D, 0x7B, 0x7D):
+            return False  # Cmd "[", "]", "{", "}": not in the opMap
+        if ch == 0x3C:
+            if i + 1 < m and w[i + 1] == 0x3C:
+                return False  # Cmd "<<": unknown
+            i = _win_gethex(w, i + 1)
+            numargs += 1
+            continue
+        if ch == 0x3E:
+            return False  # Cmd ">>" / ">": unknown
+        if ch == 0x29:
+            raise _PageStop()  # Lexer FormatError "Illegal character"
+        # command token (incl. the unprintable single-char rule,
+        # worker:14287-14293)
+        if (ch < 0x20 or ch > 0x7F) and i + 1 < m and 0x20 <= w[i + 1] <= 0x7F:
+            tok = w[i:i + 1]
+            i += 1
+        else:
+            tok, i = _lex_op(w, i)
+        if tok in (b"true", b"false", b"null"):
+            numargs += 1  # keyword objects count as operands
+            continue
+        spec = _OP_ARITY.get(tok)
+        if spec is None:
+            return False
+        na, va = spec
+        if (numargs <= na) if va else (numargs == na):
+            return True
+        numargs = 0
+
+
+def _find_default_inline_end(data: bytes, start: int, n: int) -> int:
+    """findDefaultInlineStreamEnd (pdf.worker.js:13449-13538), position
+    only: E,I adjacency + SPACE/LF/CR (never tab) + the 15-byte
+    printable-window check (NUL allowed only before another non-NUL or at
+    the window edge) + the mini-lexer arity walk. On EOF, recovers to the
+    LAST candidate (even a rejected one); with no candidate the rest of
+    the stream is swallowed."""
+    state = 0
+    maybe = None
+    i = start
+    while i < n:
+        ch = data[i]
+        i += 1
+        if state == 0:
+            state = 1 if ch == 0x45 else 0
+        elif state == 1:
+            state = 2 if ch == 0x49 else 0
+        else:
+            if ch in (0x20, 0x0A, 0x0D):
+                maybe = i
+                win = data[i:i + 15]
+                if not win:
+                    return i  # peekBytes empty -> accepted at EOF
+                ok = True
+                wl = len(win)
+                for j in range(wl):
+                    b = win[j]
+                    if b == 0 and (j + 1 >= wl or win[j + 1] != 0):
+                        continue  # NUL before non-NUL (or OOB) allowed
+                    if b != 0x0A and b != 0x0D and (b < 0x20 or b > 0x7F):
+                        ok = False
+                        break
+                if not ok:
+                    state = 0
+                    continue
+                if _win_accept(win):
+                    return i
+                state = 0
+            else:
+                state = 0
+    return maybe if maybe is not None else n  # EOF recovery (worker:13524)
+
+
+def _skip_ei(data: bytes, i: int, n: int) -> int:
+    """inlineStreamSkipEI (pdf.worker.js:13669-13683): advance past the
+    next E,I adjacency ANYWHERE plus ONE more byte (the loop getBytes the
+    byte after I before noticing state === 2)."""
+    state = 0
+    while i < n:
+        ch = data[i]
+        i += 1
+        if state == 0:
+            state = 1 if ch == 0x45 else 0
+        elif state == 1:
+            state = 2 if ch == 0x49 else 0
+        else:
+            return i
+    return i
+
+
+def _find_ahx_end(data: bytes, i: int, n: int):
+    """findASCIIHexDecodeInlineStreamEnd (pdf.worker.js:13651-13668):
+    data ends at '>', then skip past the next EI anywhere."""
+    while i < n:
+        if data[i] == 0x3E:
+            return _skip_ei(data, i + 1, n), True
+        i += 1
+    return i, False  # EOD not found -> default finder from the start
+
+
+def _find_a85_end(data: bytes, i: int, n: int):
+    """findASCII85DecodeInlineStreamEnd (pdf.worker.js:13617-13650):
+    '~' + ws* + '>' ends the data; a '~' followed by whitespace and then
+    a bare "EI" also ends it (without consuming the EI — skipEI does)."""
+    while i < n:
+        ch = data[i]
+        i += 1
+        if ch != 0x7E:
+            continue
+        tilde = i
+        while i < n and data[i] in (0x20, 0x09, 0x0D, 0x0A):
+            i += 1
+        if i < n and data[i] == 0x3E:
+            return _skip_ei(data, i + 1, n), True
+        if i > tilde and data[i:i + 2] == b"EI":
+            return _skip_ei(data, i, n), True
+    return i, False
+
+
+_DCT_MARKERS = (
+    frozenset(range(0xC0, 0xD0)) - {0xC8}
+) | frozenset(range(0xDA, 0xF0)) | {0xFE}
+
+
+def _find_dct_end(data: bytes, i: int, n: int):
+    """findDCTDecodeInlineStreamEnd (pdf.worker.js:13540-13616): walk
+    JPEG markers to EOI (FFD9), skipping sized segments; then skip past
+    the next EI anywhere. EOF without EOI -> default finder."""
+    found = False
+    while i < n:
+        b = data[i]
+        i += 1
+        if b != 0xFF:
+            continue
+        b2 = data[i] if i < n else -1
+        if i < n:
+            i += 1
+        if b2 == 0x00:
+            pass
+        elif b2 == 0xFF:
+            i -= 1  # stream.skip(-1): re-examine
+        elif b2 == 0xD9:
+            found = True
+        elif b2 in _DCT_MARKERS:
+            hi = data[i] if i < n else -1
+            if i < n:
+                i += 1
+            lo = data[i] if i < n else -1
+            if i < n:
+                i += 1
+            ln = (hi << 8) + lo
+            if ln > 2:
+                i += ln - 2  # may run past n: subsequent getBytes are EOF
+            else:
+                i -= 2
+        if found:
+            break
+    return (i, True) if found else (i, False)
+
+
+def _inline_js_truthy(v) -> bool:
+    """JS truthiness of a parsed inline-dict value for the
+    ``dictMap.F || dictMap.Filter`` pick (worker:13703): Name objects are
+    ALWAYS truthy (even empty), arrays/dicts/Cmds truthy, null/false/0/""
+    falsy."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, Name):
+        return True
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0 and v == v
+    if isinstance(v, (bytes, str)):
+        return len(v) > 0
+    return True
+
+
+def _inline_image_scan(data: bytes, pos: int, n: int):
+    """Parser.makeInlineImage (pdf.worker.js:13684-13762) for the text
+    pipeline. ``pos`` sits right after the "BI" token. Returns
+    (resume_pos, id_terminator_byte_or_None): the terminator of the "ID"
+    token was consumed as lexer.currentChar, so when it is NOT a skip
+    char the next token after the image is the SPLICE of that byte with
+    the post-image bytes (worker:13759 synthesizes buf2 = Cmd("EI") and
+    shift() lexes from the stale currentChar). Raises _PageStop exactly
+    where pdf.js throws: a non-Name dict key (worker:13691), "ID" in a
+    value slot (buf1 becomes null next iteration), lexer FormatErrors.
+    Known approximations (all rare^3, excluded from generators): "ID" or
+    "BI" INSIDE an array/value (pdf.js stores the Cmd as an element /
+    recurses into a nested makeInlineImage), and a Ref-valued F/Filter
+    (pdf.js resolves it through the xref; we keep the Ref, which is not
+    a Name, so the default finder runs)."""
+    dm: dict = {}
+    idpos = None
+    while True:
+        pos = _skip_ws(data, pos)
+        if pos >= n:
+            break  # EOF: partial dict, end finder runs at stream end
+        c = data[pos]
+        if c == 0x2F:  # /Name key
+            key, pos = _parse_name(data, pos)
+            vpos = _skip_ws(data, pos)
+            if vpos >= n:
+                pos = vpos
+                break  # shift() -> EOF -> break (worker:13695)
+            vc = data[vpos]
+            if (vc in b"(<[" or vc in b"+-." or 0x30 <= vc <= 0x39
+                    or vc == 0x2F):
+                try:
+                    # refs=True: the inline dict is parsed by the FULL
+                    # Parser with xref (worker:13698), so "5 0 R" is one
+                    # Ref token — unlike bare content operands
+                    val, pos = parse_object(data, vpos, refs=True)
+                except ValueError:
+                    # Parser/Lexer throw (unbalanced array, illegal char)
+                    raise _PageStop() from None
+                dm[str(key)] = val
+            elif _OPERATOR.match(data, vpos):
+                tok, pos = _lex_op(data, vpos)
+                if tok == b"ID":
+                    # value-slot ID: buf1 becomes null -> FormatError on
+                    # the next key iteration (worker:13690)
+                    raise _PageStop()
+                if tok == b"true":
+                    dm[str(key)] = True
+                elif tok == b"false":
+                    dm[str(key)] = False
+                elif tok == b"null":
+                    dm[str(key)] = None
+                else:
+                    dm[str(key)] = _IMG_OPERAND  # Cmd value: truthy, non-Name
+            elif vc == 0x29:
+                raise _PageStop()  # Lexer "Illegal character"
+            elif vc == 0x3E:
+                pos = vpos + (2 if data[vpos:vpos + 2] == b">>" else 1)
+                dm[str(key)] = _IMG_OPERAND
+            elif vc in b"]}{":
+                pos = vpos + 1
+                dm[str(key)] = _IMG_OPERAND
+            else:
+                # unprintable-lead command token (worker:14287-14293)
+                if ((vc < 0x20 or vc > 0x7F) and vpos + 1 < n
+                        and 0x20 <= data[vpos + 1] <= 0x7F):
+                    pos = vpos + 1
+                else:
+                    _, pos = _lex_op(data, vpos)
+                dm[str(key)] = _IMG_OPERAND
+        elif _OPERATOR.match(data, pos):
+            tok, pos = _lex_op(data, pos)
+            if tok == b"ID":
+                idpos = pos
+                break
+            raise _PageStop()  # non-Name key Cmd/keyword (worker:13691)
+        else:
+            raise _PageStop()  # number/string/delimiter key
+    if idpos is not None and idpos < n:
+        term = data[idpos]
+        start = idpos + 1
+    else:
+        term = None
+        start = n if idpos is None else idpos
+    f = dm.get("F")
+    flt = f if _inline_js_truthy(f) else dm.get("Filter")
+    fname = None
+    if isinstance(flt, Name):
+        fname = str(flt)
+    elif isinstance(flt, list) and flt and isinstance(flt[0], Name):
+        fname = str(flt[0])
+    if fname in ("DCT", "DCTDecode"):
+        end, found = _find_dct_end(data, start, n)
+    elif fname in ("A85", "ASCII85Decode"):
+        end, found = _find_a85_end(data, start, n)
+    elif fname in ("AHx", "ASCIIHexDecode"):
+        end, found = _find_ahx_end(data, start, n)
+    else:
+        end, found = _find_default_inline_end(data, start, n), True
+    if not found:
+        # EOD marker never seen: rewind and search for /EI/ instead
+        end = _find_default_inline_end(data, start, n)
+    return end, term
+
+
 # cross-document font-map cache: (payload sha1, obj num, gen) -> FontMap.
 # Insertion-ordered dict as LRU-ish (overwrite-evict oldest); per Python
 # worker process, so chunk tasks / replicated corpora reuse built maps.
@@ -4725,11 +5210,22 @@ class _TextInterp:
             # run): "BQ" is B then Q — the Q restores state; "ETq" is
             # ET then q (pdf.js Lexer, pdf.worker.js:14293-14307)
             op, pos = _lex_op(data, pos)
-            if op == b"BI":  # inline image: skip binary payload to EI
-                e = re.search(rb"\sEI\b", data[pos:])
-                pos = pos + e.end() if e else n
-                stack.clear()
-                continue
+            if op == b"BI":  # inline image (worker:13387 -> makeInlineImage)
+                pos, _term = _inline_image_scan(data, pos, n)
+                # the imageStream object is ONE operand; then buf1 is a
+                # synthesized Cmd("EI") — the 1-arg endInlineImage op runs
+                # through the normal stash machinery (worker:13759-13761)
+                stack.append(_IMG_OPERAND)
+                if len(stack) > 33:
+                    raise _PageStop()
+                if _term is not None and _term not in _WS:
+                    # stale-currentChar splice: the ID terminator byte was
+                    # consumed as lexer.currentChar, so the token AFTER the
+                    # image starts with it and continues at the resume pos
+                    data = bytes((_term,)) + data[pos:]
+                    n = len(data)
+                    pos = 0
+                op = b"EI"  # fall through to the arity/dispatch path
             # true/false parse as OPERANDS (JS arithmetic coerces them
             # to 1/0 — probed: `5 true Tc` runs Tc(true), spacing == 1);
             # a parsed null is never pushed (read(): `if (obj !== null)`)

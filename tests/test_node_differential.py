@@ -4405,3 +4405,158 @@ def test_chunked_poison_matches_reference_child_semantics():
         b"BT /F1 10 Tf (xy) Tc 1 0 0 1 72 650 Tm (q) Tj ET")
     r = pdfb.parse_pdf_bytes(doc3, page_range=(1, 2))
     assert "q" in r["text"]
+
+
+def _gen_inline_image_stream(rng: random.Random) -> bytes:
+    """Inline images (BI ... ID <data> EI): pdf.js ends the data with
+    findDefaultInlineStreamEnd (pdf.worker.js:13449-13538) — E,I
+    adjacency + SPACE/LF/CR + a 15-byte printable window + a mini-lexer
+    that must reach a known command with matching arity — or with the
+    filter-specific EOD scanners (AHx '>' / A85 '~>' / DCT JPEG EOI)
+    followed by inlineStreamSkipEI. The dict parse throws on non-Name
+    keys (page stop, partial text kept), the image stream is ONE operand
+    consumed by the 1-arg EI op (stash interplay with pending operands),
+    and the byte terminating "ID" is swallowed as lexer.currentChar (the
+    stale splice feeds it to the token AFTER the image). Excluded (rare^3
+    documented approximations): "ID"/"BI" inside dict values, refs in
+    dict values, nested BI."""
+    words = WORDS
+
+    def word():
+        return rng.choice(words).encode()
+
+    def decoy():
+        # EI-lookalikes that must NOT end the image, plus window junk
+        return rng.choice((
+            b"EI\t",          # tab after EI: not a candidate
+            b"EI(x)",         # delimiter after EI: not a candidate
+            b"EIQ",           # glued letter: not a candidate
+            b"EI \xff\xff",   # non-ASCII window: rejected
+            b"EI \x00\x00",   # NUL pair window: rejected
+            b"EI zzgw x",     # unknown command: rejected
+            b"EI 1 2 3 Tz x", # arity mismatch rolls numArgs, then junk
+            b"EI [ (a) ]",    # "[" is an unknown Cmd to the window lexer
+            b"EE II E I",     # near-misses for the state machine
+            b"\x01\x02\x03",
+        ))
+
+    def dict_entries():
+        ents = []
+        for _ in range(rng.randrange(0, 4)):
+            key = rng.choice((b"/W", b"/H", b"/BPC", b"/CS", b"/IM",
+                              b"/Junk", b"/D", b"/L#65n"))
+            val = rng.choice((
+                b"2", b"8", b"1.5", b"-3", b"/G", b"/DeviceGray",
+                b"(str)", b"<< /A 5 >>", b"[1 2]", b"<AB>", b"true",
+                b"false", b"null", b"zz",
+            ))
+            ents.append(key + b" " + val)
+        return b" ".join(ents)
+
+    out = [b"BT /F1 12 Tf 40 TL 100 700 Td (%s) Tj " % word()]
+    for _ in range(rng.randrange(1, 3)):
+        if rng.random() < 0.25:
+            # pending operands ride the stash across the image operand
+            out.append(b"%d " % rng.randrange(1, 4))
+        filt = rng.choice((None, None, None, b"/AHx", b"/A85", b"/DCT",
+                           b"/ASCIIHexDecode", b"/ASCII85Decode"))
+        head = b"BI " + dict_entries()
+        if filt is not None:
+            head += b" %s %s" % (rng.choice((b"/F", b"/Filter")), filt)
+        if rng.random() < 0.04:
+            head += b" " + rng.choice((b"5", b"(k)", b"[2]", b"zq"))
+        term = rng.choice((b" ", b" ", b" ", b"\n", b"\r", b"\t", b"",
+                           b"("))
+        if filt in (b"/AHx", b"/ASCIIHexDecode"):
+            data = b"0001 0203"
+            if rng.random() < 0.3:
+                data += b" EI (%s) Tj 04" % word()  # EI inside hex data
+            data += rng.choice((b">", b">", b">", b""))  # missing EOD -> fallback
+            data += rng.choice((b" EI ", b" EI", b"EIQ ", b" E I EI "))
+        elif filt in (b"/A85", b"/ASCII85Decode"):
+            data = b";Rr"
+            if rng.random() < 0.3:
+                data += b" EI (%s) Tj ;r" % word()
+            data += rng.choice((b"~>", b"~>", b"~ >", b"~ EI", b""))
+            data += rng.choice((b" EI ", b" EI", b"EIQ "))
+        elif filt == b"/DCT":
+            data = b"\xff\xd8"
+            if rng.random() < 0.5:
+                data += b"\xff\xe0\x00\x04zz"  # sized APP0 segment
+            if rng.random() < 0.3:
+                data += b" EI (%s) Tj " % word()
+            data += rng.choice((b"\xff\xd9", b"\xff\xd9", b""))
+            data += rng.choice((b" EI ", b" EI", b"EIQ "))
+        else:
+            parts = [bytes(rng.randrange(1, 256) for _ in
+                           range(rng.randrange(0, 6)))]
+            for _ in range(rng.randrange(0, 3)):
+                parts.append(decoy())
+            ending = rng.choice((
+                b" EI ",            # clean candidate, window = what follows
+                b" EI\n",
+                b"\x41EI ",         # no ws before the marker
+                b" EI \x00Q ",      # NUL-before-printable window
+                b"",                # no EI at all: rest swallowed / EOF
+            ))
+            data = b" ".join(parts) + ending
+        out.append(head + b" ID" + term + data)
+        out.append(b" (%s) Tj " % word())
+    out.append(b"ET")
+    return b"".join(out)
+
+
+def test_inline_image_probes_byte_equal_vs_live_reference(tmp_path):
+    """Distilled BI/ID/EI probes, each verified against the live node
+    reference during the round-5 build (scripts/probe_inline.py keeps
+    the ad-hoc harness): default end-finder accept/reject paths (ws
+    rules, 15-byte window, NUL pair, arity walk, EOF recovery),
+    filter-specific EOD scanners + skip-to-EI-anywhere, non-Name dict
+    keys (page stop, partial text kept), junk values (fine), pending
+    operands riding the stash past the image operand, and the
+    stale-currentChar splice after a glued ID terminator."""
+    H = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (pre) Tj "
+    T = b" (tail) Tj ET"
+    D = b"BI /W 2 /H 2 /BPC 8 /CS /G ID"
+    _run_differential(
+        tmp_path,
+        [_assemble(c) for c in [
+            H + D + b" \x01\x02\x03\x04 EI Q" + T,
+            H + D + b" \x41\x42EI Q" + T,
+            H + D + b" \x01\x02 EI(mid) Tj EI Q" + T,
+            H + D + b" \x01\x02 EI\t(mid) Tj EI Q" + T,
+            H + D + b" \x01\x02 EI \xff\xff\xff (mid) Tj EI Q" + T,
+            H + D + b" \x01\x02 EI zzgw (mid) Tj EI Q" + T,
+            H + D + b" \x01\x02 EI 1 2 3 Tc (m) Tj EI Q" + T,
+            H + D + b" \x01\x02 EI 12345 678901 Tqq (m) Tj EI Q" + T,
+            H + D + b" \x01\x02 EI \xff\xff\xff\xff" + T,
+            H + D + b" \x01\x02 XY (mid) Tj ET",
+            H + D + b" \x01 EI \x00\x00 (mid) Tj EI Q" + T,
+            H + D + b" \x01 EI \x00Q (mid) Tj EI Q" + T,
+            H + b"BI 5 ID \x01 EI Q" + T,
+            H + b"BI /W 1 (k) ID \x01 EI Q" + T,
+            H + b"BI /W (q) /H << /A 5 >> ID \x01\x02 EI Q" + T,
+            H + b"5 " + D + b" \x01 EI Tc (ga mma) Tj ET",
+            H + b"BI /W 2 /H 2 /BPC 8 /CS /G /F /AHx ID 00010203> EI Q" + T,
+            H + b"BI /W 2 /H 2 /BPC 8 /CS /G /F /AHx ID 00 EI (mid) Tj"
+            b" 0203> EI Q" + T,
+            H + b"BI /W 1 /H 1 /BPC 8 /CS /G /F /A85 ID ;Rr~> EI Q" + T,
+            H + b"BI /W 1 /H 1 /BPC 8 /CS /G /F /A85 ID ;R EI (mid) Tj"
+            b" ~> EI Q" + T,
+            H + b"BI /W 1 /H 1 /BPC 8 /CS /G /F /DCT ID \xff\xd8\xff\xd9"
+            b" EI Q" + T,
+            H + b"BI /W 1 /H 1 /BPC 8 /CS /G /F /DCT ID \xff\xd8 EI"
+            b" (mid) Tj \xff\xd9 EI Q" + T,
+            H + D + b"\x41\x42 EI Q" + T,
+            H + D + b"(AB EI Q" + T,
+        ]],
+    )
+
+
+def test_inline_image_streams_byte_equal_vs_live_reference(tmp_path):
+    """Seeded inline-image fuzz sweep vs the live node reference."""
+    rng = random.Random(0xB11D)
+    _run_differential(
+        tmp_path,
+        [_assemble(_gen_inline_image_stream(rng)) for _ in range(24)],
+    )
