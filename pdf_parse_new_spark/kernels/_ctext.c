@@ -609,6 +609,17 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
 #define TX_Y(LX, YY) (cm_b * (LX) + cm_d * (YY) + cm_f)
 
     long pos = 0;
+    /* last-two-token integrality for pdf.js's `int int R` -> Ref folding
+     * (Parser.getObj, worker:13432-13438): when an unknown command
+     * lexing as exactly "R" follows two integral NUMBER tokens, the trio
+     * is ONE Ref operand — defer to the exact Python model. JS
+     * Number.isInteger(0.0) is true, so "0.0" qualifies. */
+    int tk1_int = 0, tk2_int = 0;
+#define TKSHIFT(I)                                                           \
+    do {                                                                     \
+        tk2_int = tk1_int;                                                   \
+        tk1_int = (I);                                                       \
+    } while (0)
     while (pos < n) {
         pos = skip_ws(d, pos, n);
         if (pos >= n)
@@ -628,6 +639,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 if (nst > 33)
                     return -2; /* 34th operand: FormatError there */
             }
+            TKSHIFT(0);
             pos = end;
             continue;
         }
@@ -644,6 +656,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 if (nst > 33)
                     return -2;
             }
+            TKSHIFT(0);
             pos = end;
             continue;
         }
@@ -653,6 +666,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 if (end < 0) {
                     /* malformed dict: the fallback's parse raises and
                      * re-lexes from the next byte — mirror it */
+                    TKSHIFT(0);
                     pos++;
                     continue;
                 }
@@ -663,11 +677,13 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                     if (nst > 33)
                         return -2;
                 }
+                TKSHIFT(0);
                 pos = end;
                 continue;
             }
             long end = scan_hex(d, pos, n);
             if (end >= n && (n == 0 || d[n - 1] != '>')) {
+                TKSHIFT(0);
                 pos++; /* unterminated hex raises in the fallback */
                 continue;
             }
@@ -681,24 +697,30 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 if (nst > 33)
                     return -2;
             }
+            TKSHIFT(0);
             pos = end;
             continue;
         }
         if (c == '[') { /* array: buffer as potential TJ operand */
-            /* single-pass emit for the hot path (strings + kern numbers);
-             * nested containers are validated recursively, and ANY element
-             * the fallback's parse_object would raise on aborts the whole
-             * array — both paths then re-lex from '['+1 */
-            long array_start = pos;
-            int bad = 0;
+            /* single-pass emit for the hot path (strings + kern numbers).
+             * pdf.js parses every element with the FULL Parser.getObj
+             * (worker:13389-13401): command tokens become inert Cmd
+             * elements (showSpacedText drops them), `int int R` folds
+             * to a Ref element (eating both ints — DEFER: the Python
+             * model folds exactly), ')' throws, EOF inside the array
+             * is a ParserEOFException — both page stops (DEFER). */
             if (tj_start >= 0)
                 nev = tj_start; /* a newer array supersedes the old one */
             tj_start = nev;
             EMIT(K_TJSTART, 0, 0, 0, 0, 0, 0, 0);
             pos++;
-            while (pos < n) {
+            /* in-array `int int R` trio tracking (element tokens) */
+            int aj1_int = 0, aj2_int = 0;
+            for (;;) {
                 pos = skip_ws(d, pos, n);
-                if (pos >= n || d[pos] == ']')
+                if (pos >= n)
+                    return -2; /* ParserEOFException: page stop there */
+                if (d[pos] == ']')
                     break;
                 unsigned char e = d[pos];
                 if (e == '(') {
@@ -706,37 +728,34 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                     long end = scan_literal(d, pos, n, &cx);
                     EMIT(K_TJSTR, cx ? 2 : 0, pos, end, 0, 0, 0, 0);
                     pos = end;
+                    aj2_int = aj1_int; aj1_int = 0;
                 } else if (e == '<' && pos + 1 < n && d[pos + 1] == '<') {
                     long end = validate_object(d, pos, n, 1);
-                    if (end < 0) {
-                        bad = 1;
-                        break;
-                    }
+                    if (end < 0)
+                        return -2; /* malformed dict: page stop there */
                     pos = end; /* dict element: valid, not text */
+                    aj2_int = aj1_int; aj1_int = 0;
                 } else if (e == '<') {
                     long end = scan_hex(d, pos, n);
-                    if (end >= n && (n == 0 || d[n - 1] != '>')) {
-                        bad = 1; /* unterminated hex raises there */
-                        break;
-                    }
+                    if (end >= n && (n == 0 || d[n - 1] != '>'))
+                        return -2; /* unterminated hex: page stop there */
                     EMIT(K_TJSTR, 1, pos, end, 0, 0, 0, 0);
                     pos = end;
+                    aj2_int = aj1_int; aj1_int = 0;
                 } else if (e == '/') {
                     pos = scan_name(d, pos, n); /* valid elem, not text */
+                    aj2_int = aj1_int; aj1_int = 0;
                 } else if (e == '[') {
                     long end = validate_object(d, pos, n, 1);
-                    if (end < 0) {
-                        bad = 1;
-                        break;
-                    }
+                    if (end < 0)
+                        return -2;
                     pos = end; /* nested array: valid, TJ ignores lists */
+                    aj2_int = aj1_int; aj1_int = 0;
                 } else if (is_num_start(e)) {
                     double v;
                     long nend = scan_number(d, pos, n, &v);
-                    if (nend == pos) {
-                        bad = 1; /* bare +/-/. raises there */
-                        break;
-                    }
+                    if (nend == pos)
+                        return -2; /* bare +/-/.: page stop there */
                     pos = nend;
                     /* f1 = the kern's own value: unrewritten kern rows
                      * always directly follow a non-empty K_TJSTR (any
@@ -747,27 +766,48 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                      * reject path by scaledDim only,
                      * pdf.worker.js:36704-36711) */
                     EMIT(K_TJNUM, 0, 0, 0, v, v, 0, 0);
+                    aj2_int = aj1_int;
+                    aj1_int = (v == (double)(long long)v &&
+                               v >= -9.007199254740992e15 &&
+                               v <= 9.007199254740992e15);
                 } else if (e == 't' && pos + 4 <= n &&
                            memcmp(d + pos, "true", 4) == 0) {
                     pos += 4;
+                    aj2_int = aj1_int; aj1_int = 0;
                 } else if (e == 'f' && pos + 5 <= n &&
                            memcmp(d + pos, "false", 5) == 0) {
                     pos += 5;
+                    aj2_int = aj1_int; aj1_int = 0;
                 } else if (e == 'n' && pos + 4 <= n &&
                            memcmp(d + pos, "null", 4) == 0) {
                     pos += 4;
+                    aj2_int = aj1_int; aj1_int = 0;
+                } else if (is_op_start(e)) {
+                    long end = scan_op(d, pos, n);
+                    if (end - pos == 1 && e == 'R' && aj1_int && aj2_int)
+                        return -2; /* Ref element eats both kerns there */
+                    pos = end; /* inert Cmd element: dropped */
+                    aj2_int = aj1_int; aj1_int = 0;
+                } else if (e == ')') {
+                    return -2; /* Lexer FormatError: page stop there */
+                } else if (e == '>') {
+                    pos += (pos + 1 < n && d[pos + 1] == '>') ? 2 : 1;
+                    aj2_int = aj1_int; aj1_int = 0; /* Cmd elem dropped */
+                } else if (e == '{' || e == '}') {
+                    pos++;
+                    aj2_int = aj1_int; aj1_int = 0;
+                } else if ((e < 0x20 || e > 0x7f) && pos + 1 < n &&
+                           d[pos + 1] >= 0x20 && d[pos + 1] <= 0x7f) {
+                    pos++; /* unprintable single-char Cmd (worker:14288) */
+                    aj2_int = aj1_int; aj1_int = 0;
                 } else {
-                    bad = 1; /* stray delimiter / alpha token */
-                    break;
+                    /* garbage-lead token: extends freely to the next
+                     * special char (never a known prefix) */
+                    pos++;
+                    while (pos < n && !is_special_char(d[pos]))
+                        pos++;
+                    aj2_int = aj1_int; aj1_int = 0;
                 }
-            }
-            if (!bad && (pos >= n || d[pos] != ']'))
-                bad = 1; /* unterminated array raises there too */
-            if (bad) {
-                nev = tj_start;
-                tj_start = -1;
-                pos = array_start + 1;
-                continue;
             }
             pos++; /* ']' */
             EMIT(K_TJEND, 0, 0, 0, 0, 0, 0, 0);
@@ -778,12 +818,14 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 if (nst > 33)
                     return -2;
             }
+            TKSHIFT(0);
             continue;
         }
         if (is_num_start(c)) {
             double v;
             long end = scan_number(d, pos, n, &v);
             if (end == pos) { /* lone +/-/.: skip */
+                TKSHIFT(0);
                 pos++;
                 continue;
             }
@@ -796,6 +838,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 if (nst > 33)
                     return -2;
             }
+            TKSHIFT(v == (double)(long long)v &&
+                    v >= -9.007199254740992e15 &&
+                    v <= 9.007199254740992e15);
             pos = end;
             continue;
         }
@@ -804,6 +849,10 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
             long oplen = end - pos;
             const unsigned char *op = d + pos;
             pos = end;
+
+            if (oplen == 1 && op[0] == 'R' && tk1_int && tk2_int)
+                return -2; /* `int int R` folds to ONE Ref operand there */
+            TKSHIFT(0);
 
             /* true/false are OPERANDS (JS arithmetic coerces them to
              * 1/0 — probed live: `5 true Tc` runs Tc(true)); a parsed
@@ -1211,6 +1260,7 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
             continue;
         }
         /* unexpected byte (e.g. ']' '}' '{' '>'): skip, like the fallback */
+        TKSHIFT(0);
         pos++;
     }
     /* trailing unconsumed TJ buffer: drop it */

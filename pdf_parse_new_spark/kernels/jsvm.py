@@ -50,7 +50,10 @@ from .pdfb import (
     _IMG_OPERAND,
     _PageStop,
     _inline_image_scan,
+    _is_js_integer,
     _lex_op,
+    _parse_content_array,
+    _peek_ref,
     _skip_ws,
     _WS,
     parse_object,
@@ -108,6 +111,13 @@ def to_string(v) -> str:
         return ",".join(
             "" if e is None else to_string(e) for e in v
         )
+    if isinstance(v, Ref):
+        # Ref#toString: "5R" / "5R2" — gen appended only when nonzero
+        # (pdf.worker.js:5525-5530); num/gen are JS numbers ("5.0" -> "5")
+        s = js_num_str(float(v.num)) + "R"
+        if v.gen != 0:
+            s += js_num_str(float(v.gen))
+        return s
     return "[object Object]"  # Name instances, dicts (no toString override)
 
 
@@ -144,8 +154,10 @@ def to_number(v) -> float:
 def js_add(a, b):
     """JS ``+``: string-concat when either ToPrimitive is a string
     (strings, arrays, dicts, Names), else numeric. Returns float or str."""
-    a_str = isinstance(a, (bytes, str, list, dict)) and not isinstance(a, bool)
-    b_str = isinstance(b, (bytes, str, list, dict)) and not isinstance(b, bool)
+    a_str = isinstance(a, (bytes, str, list, dict, Ref)) \
+        and not isinstance(a, bool)
+    b_str = isinstance(b, (bytes, str, list, dict, Ref)) \
+        and not isinstance(b, bool)
     if a_str or b_str:
         sa = to_string(a) if a_str else js_num_str(to_number(a))
         sb = to_string(b) if b_str else js_num_str(to_number(b))
@@ -726,11 +738,25 @@ class JsVM:
                     c in b"/(<[" or c == 0x2B or c == 0x2D or c == 0x2E
                     or 0x30 <= c <= 0x39
                 ):
-                    try:
-                        obj, pos = parse_object(data, pos, refs=False)
-                    except ValueError:
-                        pos += 1
-                        continue
+                    if c == 0x5B:
+                        # full-Parser array semantics (Cmd elements
+                        # inert, refs fold, EOF/')' stop the page)
+                        try:
+                            obj, pos = _parse_content_array(data, pos,
+                                                            ndata)
+                        except _PageStop:
+                            raise JsStop() from None
+                    else:
+                        try:
+                            obj, pos = parse_object(data, pos, refs=False)
+                        except ValueError:
+                            pos += 1
+                            continue
+                        if _is_js_integer(obj):
+                            # `int int R` -> ONE Ref operand
+                            folded = _peek_ref(data, pos, ndata, obj)
+                            if folded is not None:
+                                obj, pos = folded
                     stack.append(obj)
                     if len(stack) > 33:
                         raise JsStop()  # "Too many arguments"

@@ -2505,6 +2505,119 @@ def _inline_image_scan(data: bytes, pos: int, n: int):
     return end, term
 
 
+# ---------------------------------------------------------------------------
+# Content-stream Ref operands and array elements. The preprocessor reads
+# through the FULL Parser (with xref), so three consecutive tokens
+# `int int R` fold into ONE Ref operand in any content stream
+# (pdf.worker.js:13432-13438; JS Number.isInteger — "0.0" qualifies), and
+# array elements are parsed by the same getObj: command tokens become
+# inert Cmd elements, refs fold inside arrays, an unclosed array is a
+# ParserEOFException (page stop keeping partial text). The Ref operand is
+# a JS object: ToString "5R" / "5R2" (gen appended only when nonzero,
+# worker:5525-5530), ToNumber NaN — the jsvm tier owns those use sites.
+# ---------------------------------------------------------------------------
+
+# inert JS-object array element (a Cmd stored by the array loop): truthy,
+# non-Name, non-bytes, non-number — dropped by showSpacedText
+_CMD_ELEM = _InlineImg()
+
+
+def _is_js_integer(v) -> bool:
+    return (
+        isinstance(v, (int, float))
+        and not isinstance(v, bool)
+        and float(v).is_integer()
+    )
+
+
+def _peek_ref(data: bytes, pos: int, n: int, num):
+    """After an integral numeric token: lookahead for `int R` completing
+    pdf.js's three-token Ref formation. Returns (Ref, next_pos) or
+    None. The R command must lex as exactly "R" (an unknown token
+    extends freely, so "R5"/"Rz" are single non-R commands)."""
+    p = _skip_ws(data, pos)
+    if p >= n:
+        return None
+    c = data[p]
+    if not (0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E)):
+        return None
+    m = _NUMBER.match(data, p)
+    if m is None:
+        return None
+    tok = m.group(0)
+    gen = float(tok) if b"." in tok else int(tok)
+    if not float(gen).is_integer():
+        return None
+    p2 = _skip_ws(data, m.end())
+    if p2 >= n or not _OPERATOR.match(data, p2):
+        return None
+    opv, p3 = _lex_op(data, p2)
+    if opv != b"R":
+        return None
+    return Ref(num, gen), p3
+
+
+def _parse_content_array(data: bytes, pos: int, n: int):
+    """Content-dialect array (Parser.getObj "[" case, worker:13389-13401):
+    elements via the same dispatch as the operand loop — commands become
+    inert dropped elements, `int int R` folds to a Ref, ')' and parse
+    throws stop the page, EOF raises ParserEOFException (page stop).
+    ``pos`` sits on '['. Returns (elements, next_pos)."""
+    pos += 1
+    out: list = []
+    while True:
+        pos = _skip_ws(data, pos)
+        if pos >= n:
+            raise _PageStop()  # ParserEOFException (worker:13398)
+        c = data[pos]
+        if c == 0x5D:
+            return out, pos + 1
+        if c == 0x5B:
+            sub, pos = _parse_content_array(data, pos, n)
+            out.append(sub)
+            continue
+        if (c in b"(<" or c == 0x2F or c in b"+-."
+                or 0x30 <= c <= 0x39):
+            try:
+                v, pos = parse_object(data, pos, refs=False)
+            except ValueError:
+                raise _PageStop() from None
+            if _is_js_integer(v):
+                folded = _peek_ref(data, pos, n, v)
+                if folded is not None:
+                    v, pos = folded
+            out.append(v)
+            continue
+        if _OPERATOR.match(data, pos):
+            tok, pos = _lex_op(data, pos)
+            if tok == b"true":
+                out.append(True)
+            elif tok == b"false":
+                out.append(False)
+            elif tok == b"null":
+                out.append(None)
+            else:
+                out.append(_CMD_ELEM)
+            continue
+        if c == 0x29:
+            raise _PageStop()  # Lexer "Illegal character"
+        if c == 0x3E:
+            pos += 2 if data[pos:pos + 2] == b">>" else 1
+            out.append(_CMD_ELEM)
+            continue
+        if c in b"}{":
+            pos += 1
+            out.append(_CMD_ELEM)
+            continue
+        if ((c < 0x20 or c > 0x7F) and pos + 1 < n
+                and 0x20 <= data[pos + 1] <= 0x7F):
+            pos += 1  # unprintable single-char Cmd (worker:14287-14293)
+            out.append(_CMD_ELEM)
+            continue
+        _, pos = _lex_op(data, pos)
+        out.append(_CMD_ELEM)
+
+
 # cross-document font-map cache: (payload sha1, obj num, gen) -> FontMap.
 # Insertion-ordered dict as LRU-ish (overwrite-evict oldest); per Python
 # worker process, so chunk tasks / replicated corpora reuse built maps.
@@ -3647,7 +3760,10 @@ class _TextInterp:
         for it in arr:
             if isinstance(it, bytes):
                 pend.append(it)
-            elif isinstance(it, (int, float)) and it != 0:
+            elif (isinstance(it, (int, float))
+                  and not isinstance(it, bool) and it != 0):
+                # booleans/Names/Cmds/refs are neither string nor number
+                # to showSpacedText — skipped (pdf.worker.js:36890-36902)
                 # decide on the JOINED bytes, not the element list: a
                 # pend of only empty () elements joins to b"" and the
                 # kern runs pdf.js's !chars branch (charSpacing applies,
@@ -5191,11 +5307,22 @@ class _TextInterp:
                 or 0x30 <= c <= 0x39
             )
             if is_operand:
-                try:
-                    obj, pos = parse_object(data, pos, refs=False)
-                except ValueError:
-                    pos += 1
-                    continue
+                if c == 0x5B:
+                    # full-Parser array semantics: Cmd elements kept
+                    # inert, refs fold, EOF/')' stop the page
+                    obj, pos = _parse_content_array(data, pos, n)
+                else:
+                    try:
+                        obj, pos = parse_object(data, pos, refs=False)
+                    except ValueError:
+                        pos += 1
+                        continue
+                    if _is_js_integer(obj):
+                        # `int int R` folds to ONE Ref operand
+                        # (worker:13432-13438) — jsvm owns its use sites
+                        folded = _peek_ref(data, pos, n, obj)
+                        if folded is not None:
+                            obj, pos = folded
                 stack.append(obj)
                 if len(stack) > 33:
                     # pdf.worker.js:38668: the 34th pending operand
@@ -5757,7 +5884,8 @@ class _TextInterp:
                     for el in stack[-1]:
                         if isinstance(el, bytes):
                             tjbuf += el
-                        elif isinstance(el, (int, float)) and el != 0:
+                        elif (isinstance(el, (int, float))
+                              and not isinstance(el, bool) and el != 0):
                             extra = el * sf_tj
                             if tjbuf:
                                 _flush_rot(tjbuf, extra)

@@ -36,6 +36,7 @@ PLAIN = [  # content-stream generators (wrapped by _assemble)
     ("skew_tz", m._gen_skew_tz_stream),
     ("coerce", m._gen_coerce_stream),
     ("inline_image", m._gen_inline_image_stream),
+    ("content_ref", m._gen_ref_stream),
 ]
 FULL = [  # generators that emit complete PDF documents
     ("tzneg", m._gen_tzneg_stream),

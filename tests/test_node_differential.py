@@ -4560,3 +4560,120 @@ def test_inline_image_streams_byte_equal_vs_live_reference(tmp_path):
         tmp_path,
         [_assemble(_gen_inline_image_stream(rng)) for _ in range(24)],
     )
+
+
+def _gen_ref_stream(rng: random.Random) -> bytes:
+    """`int int R` Ref folding (Parser.getObj, pdf.worker.js:13432-13438)
+    in content streams: three consecutive tokens fold into ONE Ref
+    operand — eating two numbers the old model kept — both at top level
+    (stash/arity flows shift; the Ref is a JS object, ToString "5R" /
+    "5R2", ToNumber NaN in the coercion tier) and inside TJ arrays
+    (showSpacedText drops non-string/non-number elements, so a folded
+    Ref also swallows what would have been two kerns). Also fuzzes inert
+    Cmd elements inside arrays and the page-stop paths (unclosed array,
+    stray ')')."""
+    words = WORDS
+
+    def word():
+        return rng.choice(words).encode()
+
+    def num():
+        return rng.choice((b"0", b"2", b"5", b"700", b"-3", b"1.5",
+                           b"5.0", b"-40"))
+
+    ops = [b"BT /F1 12 Tf 40 TL 100 700 Td (%s) Tj " % word()]
+    for _ in range(rng.randrange(4, 10)):
+        r = rng.random()
+        if r < 0.35:
+            # top-level trio (or near-miss) feeding a text-state op
+            trio = b"%s %s %s" % (num(), num(),
+                                  rng.choice((b"R", b"R", b"Rz", b"RG")))
+            op = rng.choice((b"Td", b"TD", b"Tc", b"Tw", b"Tm", b"Tz",
+                             b"TL", b"Ts", b"gs", b"Do", b"q", b"BQ"))
+            ops.append(b"%s %s (%s) Tj " % (trio, op, word()))
+        elif r < 0.7:
+            # TJ array with refs / barewords / keywords as elements
+            els = []
+            for _ in range(rng.randrange(1, 6)):
+                e = rng.random()
+                if e < 0.4:
+                    els.append(b"(%s)" % word())
+                elif e < 0.6:
+                    els.append(num())
+                elif e < 0.75:
+                    els.append(b"%s %s R" % (num(), num()))
+                else:
+                    els.append(rng.choice((b"true", b"false", b"null",
+                                           b"/N", b"qq", b"Tz", b"R",
+                                           b"<AB>", b"[2 (x)]",
+                                           b"<< /X 5 >>")))
+            ops.append(b"[%s] TJ " % b" ".join(els))
+        elif r < 0.8:
+            ops.append(b"%s %s R (%s) ' " % (num(), num(), word()))
+        elif r < 0.9:
+            ops.append(b"%s %s R %s (%s) \" " % (num(), num(), num(),
+                                                 word()))
+        else:
+            ops.append(b"%s %s R Tj (%s) Tj " % (num(), num(), word()))
+    ops.append(b"ET")
+    return b"".join(ops)
+
+
+def test_content_ref_probes_byte_equal_vs_live_reference(tmp_path):
+    """Distilled `int int R` probes, each verified against the live node
+    reference during the round-5 build (scripts/probe_refs.py and
+    probe_refs2.py keep the ad-hoc harnesses): trio folding at top level
+    (underflow skips, stash slides, NaN cascades from Ref-valued slots,
+    charsCache poisoning under the "5R"/"5R2" stringified key), trio
+    folding inside TJ arrays (the Ref eats both kerns), inert Cmd
+    elements, keyword elements, zero kerns, and the page-stop paths
+    (unclosed array, stray ')' inside an array)."""
+    H = b"BT /F1 12 Tf 100 700 Td (ab) Tj "
+    _run_differential(
+        tmp_path,
+        [_assemble(c) for c in [
+            H + b"5 -40 R Td (z) Tj ET",
+            H + b"1.5 -40 R Td (z) Tj ET",
+            H + b"5 -40.0 R Td (z) Tj ET",
+            H + b"3 0 R Tc (cd) Tj ET",
+            H + b"8 9 2 0 R Td (z) Tj ET",
+            H + b"40 TL 7 0 R 2 (q) \" (z) Tj ET",
+            H + b"5 2 R Tj (5R2) Tj (k) Tj ET",
+            H + b"5 0 R Tj (5R) Tj (k) Tj ET",
+            H + b"(x) R 0 -40 Td (z) Tj ET",
+            H + b"7 R 0 -40 Td (z) Tj ET",
+            H + b"1 0 0 RG 0 -40 Td (z) Tj ET",
+            H + b"1 0 0 1 50 3 0 R Tm (z) Tj ET",
+            H + b"/F1 3 0 R Tf (z) Tj ET",
+            H + b"1 0 R 2 0 R Td (z) Tj ET",
+            H + b"5 -1 R Tc (cd) Tj ET",
+            H + b"[(a) 5000 0 R (b)] TJ (z) Tj ET",
+            H + b"[(a) 5000 0 (b)] TJ (z) Tj ET",
+            H + b"[(a) 5000.5 0 R (b)] TJ (z) Tj ET",
+            H + b"[(a) qq (b)] TJ (z) Tj ET",
+            H + b"[(a) Tz (b)] TJ (z) Tj ET",
+            H + b"[(a) true (b)] TJ (z) Tj ET",
+            H + b"[(a) null (b)] TJ (z) Tj ET",
+            H + b"[(a) /N (b)] TJ (z) Tj ET",
+            H + b"[(a) 0 (b)] TJ (z) Tj ET",
+            H + b"[(a) (b) Tj (z) Tj ET",
+            H + b"[(a) ) (b)] TJ (z) Tj ET",
+            H + b"(q) ] 0 -40 Td (z) Tj ET",
+            H + b"5 0 R Do (z) Tj ET",
+            H + b"5 0 R gs (z) Tj ET",
+            H + b"5 0 [(a)] R TJ (z) Tj ET",
+            H + b"5 0 [R (a)] TJ (z) Tj ET",
+            H + b"[5000 0 R] TJ (z) Tj ET",
+            H + b"[(a) [5000] (b)] TJ (z) Tj ET",
+            H + b"[(a) << /X 5000 >> (b)] TJ (z) Tj ET",
+        ]],
+    )
+
+
+def test_content_ref_streams_byte_equal_vs_live_reference(tmp_path):
+    """Seeded `int int R` fuzz sweep vs the live node reference."""
+    rng = random.Random(0x5EF5)
+    _run_differential(
+        tmp_path,
+        [_assemble(_gen_ref_stream(rng)) for _ in range(24)],
+    )
