@@ -135,7 +135,10 @@ static long scan_literal(const unsigned char *d, long pos, long n,
         }
         pos++;
     }
-    return n;
+    /* unterminated: getString is EOF-graceful ("Unterminated string"
+     * warn, value = chars so far) — signalled as a NEGATIVE length so
+     * content callers can defer to the exact Python model */
+    return -(n + 1);
 }
 
 /* hex string: pos at '<' -> end after '>' */
@@ -164,6 +167,8 @@ static long scan_dict(const unsigned char *d, long pos, long n)
         } else if (c == '(') {
             int cx;
             pos = scan_literal(d, pos, n, &cx);
+            if (pos < 0)
+                pos = n;
         } else if (c == '<') {
             pos = scan_hex(d, pos, n);
         } else {
@@ -308,7 +313,8 @@ static long validate_object(const unsigned char *d, long pos, long n,
         return scan_name(d, pos, n);
     if (c == '(') {
         int cx;
-        return scan_literal(d, pos, n, &cx); /* EOF-tolerant, can't fail */
+        long e = scan_literal(d, pos, n, &cx);
+        return e < 0 ? n : e; /* unterminated: clamp (skip-only walker) */
     }
     if (c == '<') {
         if (pos + 1 < n && d[pos + 1] == '<') {
@@ -646,6 +652,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
         if (c == '(') {
             int cx;
             long end = scan_literal(d, pos, n, &cx);
+            if (end < 0)
+                return -2; /* unterminated: graceful-to-EOF operand in
+                            * the exact Python model */
             if (nst < MAXOPS) {
                 st[nst].kind = OP_STR;
                 st[nst].flag = cx ? 2 : 0; /* 2 = needs full re-parse */
@@ -682,11 +691,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 continue;
             }
             long end = scan_hex(d, pos, n);
-            if (end >= n && (n == 0 || d[n - 1] != '>')) {
-                TKSHIFT(0);
-                pos++; /* unterminated hex raises in the fallback */
-                continue;
-            }
+            if (end >= n && (n == 0 || d[n - 1] != '>'))
+                return -2; /* unterminated hex: graceful-to-EOF operand
+                            * in the exact Python model */
             if (nst < MAXOPS) {
                 st[nst].kind = OP_STR;
                 st[nst].flag = 1;
@@ -726,6 +733,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 if (e == '(') {
                     int cx;
                     long end = scan_literal(d, pos, n, &cx);
+                    if (end < 0)
+                        return -2; /* unterminated string */
                     EMIT(K_TJSTR, cx ? 2 : 0, pos, end, 0, 0, 0, 0);
                     pos = end;
                     aj2_int = aj1_int; aj1_int = 0;
@@ -755,7 +764,10 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                     double v;
                     long nend = scan_number(d, pos, n, &v);
                     if (nend == pos)
-                        return -2; /* bare +/-/.: page stop there */
+                        return -2; /* sign/dot lead-in: exact model */
+                    if (nend < n && (d[nend] == 'e' || d[nend] == 'E' ||
+                                     d[nend] == '-'))
+                        return -2; /* getNumber continues the token */
                     pos = nend;
                     /* f1 = the kern's own value: unrewritten kern rows
                      * always directly follow a non-empty K_TJSTR (any
@@ -786,6 +798,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                     long end = scan_op(d, pos, n);
                     if (end - pos == 1 && e == 'R' && aj1_int && aj2_int)
                         return -2; /* Ref element eats both kerns there */
+                    if (end - pos > 128)
+                        return -2; /* "Command token too long" */
                     pos = end; /* inert Cmd element: dropped */
                     aj2_int = aj1_int; aj1_int = 0;
                 } else if (e == ')') {
@@ -824,11 +838,13 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
         if (is_num_start(c)) {
             double v;
             long end = scan_number(d, pos, n, &v);
-            if (end == pos) { /* lone +/-/.: skip */
-                TKSHIFT(0);
-                pos++;
-                continue;
-            }
+            if (end == pos)
+                return -2; /* sign/dot lead-in: getNumber's graceful-0
+                            * or FormatError — exact Python model */
+            if (end < n &&
+                (d[end] == 'e' || d[end] == 'E' || d[end] == '-'))
+                return -2; /* e-notation / mid-token minus continue the
+                            * token in getNumber (worker:13992-14022) */
             if (nst < MAXOPS) {
                 st[nst].kind = OP_NUM;
                 st[nst].v = v;
@@ -852,6 +868,8 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
 
             if (oplen == 1 && op[0] == 'R' && tk1_int && tk2_int)
                 return -2; /* `int int R` folds to ONE Ref operand there */
+            if (oplen > 128)
+                return -2; /* "Command token too long" FormatError */
             TKSHIFT(0);
 
             /* true/false are OPERANDS (JS arithmetic coerces them to
@@ -1259,6 +1277,9 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
             nst = 0;
             continue;
         }
+        if (c == ')')
+            return -2; /* Lexer "Illegal character": page stop there,
+                        * two-token-early via the Python prescan cut */
         /* unexpected byte (e.g. ']' '}' '{' '>'): skip, like the fallback */
         TKSHIFT(0);
         pos++;
@@ -1741,8 +1762,8 @@ static int rp_decode(const unsigned char *d, long n, int flag, long a,
                 hi = -1;
             }
         }
-        if (hi >= 0)
-            PUTCODE(hi << 4); /* odd digit count: pad with 0 */
+        /* dangling first digit DROPPED: getHexString emits complete
+         * pairs only (pdf.worker.js:14205-14214; probed: <414> is "A") */
     } else { /* complex literal: full unescape (_parse_literal_string) */
         long pos = a + 1, depth = 1;
         while (pos < n) {

@@ -49,9 +49,13 @@ from .pdfb import (
     Stream,
     _IMG_OPERAND,
     _PageStop,
+    _hex_content,
     _inline_image_scan,
     _is_js_integer,
+    _lex_number,
     _lex_op,
+    _LexThrow,
+    _prescan_lexer_throw,
     _parse_content_array,
     _peek_ref,
     _skip_ws,
@@ -723,6 +727,9 @@ class JsVM:
         opstash: list = []
         buffer: list[bytes] = []  # showSpacedTextBuffer
         pos, ndata = 0, len(data)
+        # Lexer-throw cut: the Parser's two-token lookahead loses the
+        # two tokens before a throwing one (see _prescan_lexer_throw)
+        cut = _prescan_lexer_throw(data, ndata)
         # Each getTextContent invocation catches its OWN errors
         # (ignoreErrors .catch, pdf.worker.js:37129-37140): a stop
         # flushes this frame's open item and resolves, so an error
@@ -733,6 +740,8 @@ class JsVM:
                 pos = _skip_ws(data, pos)
                 if pos >= ndata:
                     break
+                if cut is not None and pos >= cut:
+                    raise JsStop()
                 c = data[pos]
                 if (
                     c in b"/(<[" or c == 0x2B or c == 0x2D or c == 0x2E
@@ -746,17 +755,25 @@ class JsVM:
                                                             ndata)
                         except _PageStop:
                             raise JsStop() from None
+                    elif (0x30 <= c <= 0x39 or c == 0x2B
+                          or c == 0x2D or c == 0x2E):
+                        try:
+                            obj, pos = _lex_number(data, pos, ndata)
+                        except _LexThrow:
+                            raise JsStop() from None
+                        if _is_js_integer(obj):
+                            # `int int R` -> ONE Ref operand
+                            folded = _peek_ref(data, pos, ndata, obj)
+                            if folded is not None:
+                                obj, pos = folded
+                    elif c == 0x3C and data[pos:pos + 2] != b"<<":
+                        obj, pos = _hex_content(data, pos, ndata)
                     else:
                         try:
                             obj, pos = parse_object(data, pos, refs=False)
                         except ValueError:
                             pos += 1
                             continue
-                        if _is_js_integer(obj):
-                            # `int int R` -> ONE Ref operand
-                            folded = _peek_ref(data, pos, ndata, obj)
-                            if folded is not None:
-                                obj, pos = folded
                     stack.append(obj)
                     if len(stack) > 33:
                         raise JsStop()  # "Too many arguments"
@@ -764,7 +781,10 @@ class JsVM:
                 if not _OPERATOR.match(data, pos):
                     pos += 1
                     continue
-                op, pos = _lex_op(data, pos)
+                try:
+                    op, pos = _lex_op(data, pos)
+                except _LexThrow:
+                    raise JsStop() from None  # >128-char command token
                 if op == b"BI":  # inline image (worker:13387)
                     try:
                         pos, _term = _inline_image_scan(data, pos, ndata)
@@ -778,6 +798,7 @@ class JsVM:
                         data = bytes((_term,)) + data[pos:]
                         ndata = len(data)
                         pos = 0
+                        cut = _prescan_lexer_throw(data, ndata)
                     op = b"EI"  # fall through: image operand + 1-arg EI
                 if op == b"true" or op == b"false":
                     stack.append(op == b"true")

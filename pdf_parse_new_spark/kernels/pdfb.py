@@ -1993,9 +1993,20 @@ _KNOWN_OPS = frozenset(_OP_ARITY) | {
 _LEX_SPECIAL = frozenset(b"\x00\t\n\x0c\r %()/<>[]{}")
 
 
+class _LexThrow(ValueError):
+    """pdf.js Lexer FormatError (invalid number, illegal ')', command
+    token over 128 chars). The Parser's two-token lookahead (buf1/buf2)
+    means the throw fires while the two tokens BEFORE the bad one are
+    lexed-but-unprocessed — they are lost with it (probed live: a late
+    `+x` erases the preceding show AND its operand). Content loops stop
+    at `_prescan_lexer_throw`'s cut; reaching the raise directly maps
+    to _PageStop (same visible outcome in the covered cases)."""
+
+
 def _lex_op(data: bytes, pos: int) -> tuple[bytes, int]:
     """pdf.js Lexer command scan: returns (token, end). ``pos`` must
-    sit on a non-special char."""
+    sit on a non-special char. An unknown token extending past 128
+    chars throws FormatError (pdf.worker.js:14302-14304)."""
     n = len(data)
     end = pos + 1
     tok = data[pos:end]
@@ -2004,6 +2015,8 @@ def _lex_op(data: bytes, pos: int) -> tuple[bytes, int]:
         cand = data[pos:end + 1]
         if known and cand not in _KNOWN_OPS:
             break
+        if end - pos == 128:
+            raise _LexThrow()  # "Command token too long"
         tok = cand
         end += 1
         known = tok in _KNOWN_OPS
@@ -2415,6 +2428,13 @@ def _inline_image_scan(data: bytes, pos: int, n: int):
     recurses into a nested makeInlineImage), and a Ref-valued F/Filter
     (pdf.js resolves it through the xref; we keep the Ref, which is not
     a Name, so the default finder runs)."""
+    try:
+        return _inline_image_scan_inner(data, pos, n)
+    except _LexThrow:
+        raise _PageStop() from None
+
+
+def _inline_image_scan_inner(data: bytes, pos: int, n: int):
     dm: dict = {}
     idpos = None
     while True:
@@ -2429,15 +2449,26 @@ def _inline_image_scan(data: bytes, pos: int, n: int):
                 pos = vpos
                 break  # shift() -> EOF -> break (worker:13695)
             vc = data[vpos]
-            if (vc in b"(<[" or vc in b"+-." or 0x30 <= vc <= 0x39
-                    or vc == 0x2F):
+            if 0x30 <= vc <= 0x39 or vc in b"+-.":
+                # the inline dict is parsed by the FULL Parser with xref
+                # (worker:13698): `int int R` folds to one Ref value
+                val, pos = _lex_number(data, vpos, n)
+                if _is_js_integer(val):
+                    folded = _peek_ref(data, pos, n, val)
+                    if folded is not None:
+                        val, pos = folded
+                dm[str(key)] = val
+            elif vc == 0x3C and data[vpos:vpos + 2] != b"<<":
+                val, pos = _hex_content(data, vpos, n)
+                dm[str(key)] = val
+            elif vc == 0x5B:
+                val, pos = _parse_content_array(data, vpos, n)
+                dm[str(key)] = val
+            elif vc == 0x28 or vc == 0x3C or vc == 0x2F:
                 try:
-                    # refs=True: the inline dict is parsed by the FULL
-                    # Parser with xref (worker:13698), so "5 0 R" is one
-                    # Ref token — unlike bare content operands
                     val, pos = parse_object(data, vpos, refs=True)
                 except ValueError:
-                    # Parser/Lexer throw (unbalanced array, illegal char)
+                    # Parser/Lexer throw (malformed dict, illegal char)
                     raise _PageStop() from None
                 dm[str(key)] = val
             elif _OPERATOR.match(data, vpos):
@@ -2530,6 +2561,129 @@ def _is_js_integer(v) -> bool:
     )
 
 
+def _lex_number(data: bytes, pos: int, n: int):
+    """Lexer.getNumber (pdf.worker.js:13958-14031) transliteration:
+    returns (value, end) with end = the index of the terminating char.
+    One token covers e-notation ("1e2" == 100), a mid-token minus
+    ("5-6" warns and reads 56), double leading minus, and CR/LF runs
+    between the sign and the digits. A sign/dot followed by whitespace
+    or EOF is a GRACEFUL 0 operand; followed by anything else it raises
+    (FormatError "Invalid number"). Value arithmetic mirrors the
+    reference's accumulation (per-step double rounding past 2**53,
+    divideBy growth, 10**power); plain small integers return int for
+    the document-space Ref/xref machinery."""
+    i = pos
+
+    def cur(j: int) -> int:
+        return data[j] if j < n else -1
+
+    ch = cur(i)
+    sign = 1
+    if ch == 0x2D:
+        sign = -1
+        i += 1
+        ch = cur(i)
+        if ch == 0x2D:  # double minus tolerated
+            i += 1
+            ch = cur(i)
+    elif ch == 0x2B:
+        i += 1
+        ch = cur(i)
+    while ch == 0x0A or ch == 0x0D:
+        i += 1
+        ch = cur(i)
+    had_dot = False
+    if ch == 0x2E:
+        had_dot = True
+        i += 1
+        ch = cur(i)
+    if ch < 0x30 or ch > 0x39:
+        if ch in (0x20, 0x09, 0x0D, 0x0A) or ch == -1:
+            return 0, i  # info() + return 0: a valid 0-valued operand
+        raise _LexThrow()
+    base = ch - 0x30  # exact int twin of the double accumulation
+    basef = float(base)
+    divf = 10.0 if had_dot else 0.0
+    e_not = False
+    power = 0
+    psign = 1
+    while True:
+        i += 1
+        ch = cur(i)
+        if 0x30 <= ch <= 0x39:
+            d_ = ch - 0x30
+            if e_not:
+                power = power * 10 + d_
+            else:
+                if divf != 0.0:
+                    divf *= 10.0
+                base = base * 10 + d_
+                basef = basef * 10.0 + d_
+        elif ch == 0x2E:
+            if divf == 0.0:
+                divf = 1.0
+            else:
+                break  # second dot ends the token
+        elif ch == 0x2D:
+            pass  # "minus sign in the middle" warn; scan continues
+        elif ch == 0x45 or ch == 0x65:
+            nx = cur(i + 1)
+            if nx == 0x2B or nx == 0x2D:
+                psign = -1 if nx == 0x2D else 1
+                i += 1
+            elif nx < 0x30 or nx > 0x39:
+                break  # bare 'e': becomes the next token
+            e_not = True
+        else:
+            break
+    if divf == 0.0 and not e_not and base < (1 << 53):
+        return sign * base, i  # exact; int type for document space
+    val = basef
+    if divf != 0.0:
+        val /= divf  # inf divideBy (>308 fraction digits) -> 0.0, like JS
+    if e_not:
+        try:
+            val *= 10.0 ** (psign * power)
+        except OverflowError:
+            val *= math.inf
+    return sign * val, i
+
+
+def _hex_content(data: bytes, pos: int, n: int):
+    """Lexer.getHexString (pdf.worker.js:14180-14219) for content
+    streams: complete PAIRS only — a dangling first digit is DROPPED,
+    not zero-padded (probed live: `<414>` shows "A"; spec 7.3.4.3's
+    padding belongs to document space) — invalid chars warn-skipped,
+    whitespace-class skipped, graceful at EOF. ``pos`` sits on '<'."""
+    i = pos + 1
+    out = bytearray()
+    first = -1
+    while i < n:
+        ch = data[i]
+        if ch == 0x3E:
+            i += 1
+            break
+        if ch in _WS:
+            i += 1
+            continue
+        x = _WIN_HEXD[ch]
+        if x != -1:
+            if first < 0:
+                first = x
+            else:
+                out.append((first << 4) | x)
+                first = -1
+        i += 1
+    return bytes(out), i
+
+
+def _hex_span(data: bytes, pos: int):
+    """Content hex-string decode at a C-event span start (drop-dangling
+    getHexString semantics); signature-compatible with the
+    _parse_literal_string call sites in the event consumers."""
+    return _hex_content(data, pos, len(data))
+
+
 def _peek_ref(data: bytes, pos: int, n: int, num):
     """After an integral numeric token: lookahead for `int R` completing
     pdf.js's three-token Ref formation. Returns (Ref, next_pos) or
@@ -2541,14 +2695,13 @@ def _peek_ref(data: bytes, pos: int, n: int, num):
     c = data[p]
     if not (0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E)):
         return None
-    m = _NUMBER.match(data, p)
-    if m is None:
+    try:
+        gen, e2 = _lex_number(data, p, n)
+    except _LexThrow:
+        return None  # the throw fires when the scan reaches that token
+    if not _is_js_integer(gen):
         return None
-    tok = m.group(0)
-    gen = float(tok) if b"." in tok else int(tok)
-    if not float(gen).is_integer():
-        return None
-    p2 = _skip_ws(data, m.end())
+    p2 = _skip_ws(data, e2)
     if p2 >= n or not _OPERATOR.match(data, p2):
         return None
     opv, p3 = _lex_op(data, p2)
@@ -2557,12 +2710,79 @@ def _peek_ref(data: bytes, pos: int, n: int, num):
     return Ref(num, gen), p3
 
 
+def _prescan_lexer_throw(data: bytes, n: int):
+    """Walk the token stream for the FIRST Lexer throw (illegal ')',
+    invalid number, >128-char command). The Parser's buf1/buf2
+    lookahead means the throw erases the two preceding tokens too, so
+    interpretation must stop at the CUT = start of the token two before
+    the throwing one (probed live: `(ab) Tj (cd) Tj (ef) Tj +x` keeps
+    only "abcd"). Returns the cut position, or None when the stream has
+    no lexer throw — or when it reaches a BI whose ID terminator forces
+    the stale-currentChar splice (the interpreter re-prescans on the
+    rebased stream) or a parser-level _PageStop (the interpreter hits
+    it at its own, later timing — dict tokens carry no side effects)."""
+    s1 = s2 = None
+    pos = 0
+    while True:
+        pos = _skip_ws(data, pos)
+        if pos >= n:
+            return None
+        start = pos
+        c = data[pos]
+        try:
+            if c == 0x29:
+                raise _LexThrow()  # Lexer "Illegal character"
+            if c == 0x28:
+                _, pos = _parse_literal_string(data, pos)  # EOF-graceful
+            elif c == 0x3C:
+                if data[pos:pos + 2] == b"<<":
+                    pos += 2
+                else:
+                    _, pos = _hex_content(data, pos, n)
+            elif c == 0x3E:
+                pos += 2 if data[pos:pos + 2] == b">>" else 1
+            elif c in b"[]{}":
+                pos += 1
+            elif c == 0x2F:
+                pos += 1
+                while pos < n and data[pos] not in _LEX_SPECIAL:
+                    pos += 1
+            elif 0x30 <= c <= 0x39 or c in b"+-.":
+                _, pos = _lex_number(data, pos, n)
+            elif _OPERATOR.match(data, pos):
+                tok, pos = _lex_op(data, pos)
+                if tok == b"BI":
+                    ipos, term = _inline_image_scan(data, pos, n)
+                    if term is not None and term not in _WS:
+                        return None  # splice: caller re-prescans rebased
+                    pos = ipos
+            else:
+                pos += 1  # mirror the interpreters' weird-byte skip
+        except _LexThrow:
+            if s2 is not None:
+                return s2
+            if s1 is not None:
+                return s1
+            return 0
+        except _PageStop:
+            return None
+        s2 = s1
+        s1 = start
+
+
 def _parse_content_array(data: bytes, pos: int, n: int):
     """Content-dialect array (Parser.getObj "[" case, worker:13389-13401):
     elements via the same dispatch as the operand loop — commands become
     inert dropped elements, `int int R` folds to a Ref, ')' and parse
     throws stop the page, EOF raises ParserEOFException (page stop).
     ``pos`` sits on '['. Returns (elements, next_pos)."""
+    try:
+        return _parse_content_array_inner(data, pos, n)
+    except _LexThrow:
+        raise _PageStop() from None
+
+
+def _parse_content_array_inner(data: bytes, pos: int, n: int):
     pos += 1
     out: list = []
     while True:
@@ -2576,16 +2796,26 @@ def _parse_content_array(data: bytes, pos: int, n: int):
             sub, pos = _parse_content_array(data, pos, n)
             out.append(sub)
             continue
-        if (c in b"(<" or c == 0x2F or c in b"+-."
-                or 0x30 <= c <= 0x39):
+        if 0x30 <= c <= 0x39 or c in b"+-.":
             try:
-                v, pos = parse_object(data, pos, refs=False)
-            except ValueError:
+                v, pos = _lex_number(data, pos, n)
+            except _LexThrow:
                 raise _PageStop() from None
             if _is_js_integer(v):
                 folded = _peek_ref(data, pos, n, v)
                 if folded is not None:
                     v, pos = folded
+            out.append(v)
+            continue
+        if c == 0x3C and data[pos:pos + 2] != b"<<":
+            v, pos = _hex_content(data, pos, n)
+            out.append(v)
+            continue
+        if c == 0x28 or c == 0x3C or c == 0x2F:
+            try:
+                v, pos = parse_object(data, pos, refs=False)
+            except ValueError:
+                raise _PageStop() from None
             out.append(v)
             continue
         if _OPERATOR.match(data, pos):
@@ -3824,7 +4054,7 @@ class _TextInterp:
                 ev["a"][m6][esc].tolist(), fl[esc].tolist()
             ):
                 raw = (
-                    _parse_hex_string(data, a)[0]
+                    _hex_span(data, a)[0]
                     if flg == 1
                     else _parse_literal_string(data, a)[0]
                 )
@@ -3868,7 +4098,7 @@ class _TextInterp:
                 if flag == 0:
                     raw = data[a + 1 : b - 1]
                 elif flag == 1:
-                    raw = _parse_hex_string(data, a)[0]
+                    raw = _hex_span(data, a)[0]
                 else:
                     raw = _parse_literal_string(data, a)[0]
                 if pend is None:
@@ -4312,7 +4542,7 @@ class _TextInterp:
         # pdf.worker.js:36704-36711)
         tj_last_clip = False
         show = self.show
-        lit, hexs = _parse_literal_string, _parse_hex_string
+        lit, hexs = _parse_literal_string, _hex_span
         for kind, flag, a, b, f0, f1, f2, f3 in ev.tolist():
             if kind == 6 or kind == 4:  # TJSTR / STR (show text)
                 # flag: 0 = escape-free literal (slice), 1 = hex,
@@ -5297,10 +5527,16 @@ class _TextInterp:
                 cur_x += w
                 if shown and cs:
                     cur_x += (cs * tz) * asx
+        # Lexer-throw cut: the Parser's two-token lookahead loses the two
+        # tokens before a throwing one — stop interpreting at the cut
+        # (recomputed after a BI stale-currentChar splice rebases data)
+        cut = _prescan_lexer_throw(data, n)
         while pos < n:
             pos = _skip_ws(data, pos)
             if pos >= n:
                 break
+            if cut is not None and pos >= cut:
+                raise _PageStop()
             c = data[pos]
             is_operand = (
                 c in b"/(<[" or c == 0x2B or c == 0x2D or c == 0x2E
@@ -5311,18 +5547,30 @@ class _TextInterp:
                     # full-Parser array semantics: Cmd elements kept
                     # inert, refs fold, EOF/')' stop the page
                     obj, pos = _parse_content_array(data, pos, n)
-                else:
+                elif 0x30 <= c <= 0x39 or c == 0x2B or c == 0x2D \
+                        or c == 0x2E:
+                    # faithful getNumber tokenization (e-notation,
+                    # mid-minus, graceful 0); normally the prescan cut
+                    # stops the loop before a throwing token is reached
                     try:
-                        obj, pos = parse_object(data, pos, refs=False)
-                    except ValueError:
-                        pos += 1
-                        continue
+                        obj, pos = _lex_number(data, pos, n)
+                    except _LexThrow:
+                        raise _PageStop() from None
                     if _is_js_integer(obj):
                         # `int int R` folds to ONE Ref operand
                         # (worker:13432-13438) — jsvm owns its use sites
                         folded = _peek_ref(data, pos, n, obj)
                         if folded is not None:
                             obj, pos = folded
+                elif c == 0x3C and data[pos:pos + 2] != b"<<":
+                    # content hex string: pairs only, dangling dropped
+                    obj, pos = _hex_content(data, pos, n)
+                else:
+                    try:
+                        obj, pos = parse_object(data, pos, refs=False)
+                    except ValueError:
+                        pos += 1
+                        continue
                 stack.append(obj)
                 if len(stack) > 33:
                     # pdf.worker.js:38668: the 34th pending operand
@@ -5336,7 +5584,10 @@ class _TextInterp:
             # longest-known-prefix command scan (NOT a maximal alpha
             # run): "BQ" is B then Q — the Q restores state; "ETq" is
             # ET then q (pdf.js Lexer, pdf.worker.js:14293-14307)
-            op, pos = _lex_op(data, pos)
+            try:
+                op, pos = _lex_op(data, pos)
+            except _LexThrow:
+                raise _PageStop() from None  # >128-char command token
             if op == b"BI":  # inline image (worker:13387 -> makeInlineImage)
                 pos, _term = _inline_image_scan(data, pos, n)
                 # the imageStream object is ONE operand; then buf1 is a
@@ -5352,6 +5603,7 @@ class _TextInterp:
                     data = bytes((_term,)) + data[pos:]
                     n = len(data)
                     pos = 0
+                    cut = _prescan_lexer_throw(data, n)
                 op = b"EI"  # fall through to the arity/dispatch path
             # true/false parse as OPERANDS (JS arithmetic coerces them
             # to 1/0 — probed: `5 true Tc` runs Tc(true), spacing == 1);

@@ -37,6 +37,7 @@ PLAIN = [  # content-stream generators (wrapped by _assemble)
     ("coerce", m._gen_coerce_stream),
     ("inline_image", m._gen_inline_image_stream),
     ("content_ref", m._gen_ref_stream),
+    ("numlex", m._gen_numlex_stream),
 ]
 FULL = [  # generators that emit complete PDF documents
     ("tzneg", m._gen_tzneg_stream),

@@ -4677,3 +4677,118 @@ def test_content_ref_streams_byte_equal_vs_live_reference(tmp_path):
         tmp_path,
         [_assemble(_gen_ref_stream(rng)) for _ in range(24)],
     )
+
+
+def _gen_numlex_stream(rng: random.Random) -> bytes:
+    """Lexer.getNumber tokenization (pdf.worker.js:13958-14031) and
+    lexer-throw timing: e-notation ("1e2" is ONE 100-valued token),
+    mid-token minus ("5-6" warns and reads 56), sign + CR/LF + digits,
+    double minus, graceful-0 operands ("+ " / ". "), dot-then-e tokens,
+    second-dot splits, odd/unterminated hex (pairs only, dangling digit
+    dropped, graceful at EOF), unterminated literal strings (graceful
+    operand to EOF), and the page-stop throws (sign/dot + non-digit,
+    stray ')', >128-char commands) that erase the two tokens the
+    Parser's buf1/buf2 lookahead had already lexed."""
+    words = WORDS
+
+    def word():
+        return rng.choice(words).encode()
+
+    def numtok():
+        return rng.choice((
+            b"3", b"-4", b"1.5", b"4e1", b"-4E+1", b"3e0", b"0.03e2",
+            b"5-6", b"1-5", b"-\n40", b"--40", b"1.2.3", b"4.e1",
+            b"5.", b".25", b"+17", b"5e+",
+        ))
+
+    ops = [b"BT /F1 12 Tf 40 TL 100 700 Td (%s) Tj " % word()]
+    n_ops = rng.randrange(4, 10)
+    for i in range(n_ops):
+        r = rng.random()
+        if r < 0.45:
+            op = rng.choice((b"Tc", b"Tw", b"Ts", b"TL", b"Tz"))
+            ops.append(b"%s %s (%s) Tj " % (numtok(), op, word()))
+        elif r < 0.65:
+            ops.append(b"%s %s Td (%s) Tj " % (numtok(), numtok(), word()))
+        elif r < 0.8:
+            els = b" ".join(
+                rng.choice((b"(%s)" % word(), numtok())) for _ in range(3)
+            )
+            ops.append(b"[%s] TJ " % els)
+        elif r < 0.9:
+            # graceful zero operand shifting arity
+            ops.append(b"%s + Td (%s) Tj " % (numtok(), word()))
+        else:
+            ops.append(b"<4142%s Tj (%s) Tj " % (
+                rng.choice((b"4>", b">", b"434>")), word()))
+    # ~1 in 4 docs end in a lexer throw (two-token-early page stop)
+    if rng.random() < 0.25:
+        ops.append(rng.choice((
+            b"+x ", b".q ", b"-(k) Tj ", b") ", b"Z" * 140 + b" ",
+            b"<4142 Tj ", b"(open Tj ",
+        )))
+        ops.append(b"(%s) Tj " % word())
+    ops.append(b"ET")
+    return b"".join(ops)
+
+
+def test_numlex_probes_byte_equal_vs_live_reference(tmp_path):
+    """Distilled getNumber / lexer-throw probes, each verified against
+    the live node reference during the round-5 build
+    (scripts/probe_numlex.py keeps the ad-hoc harness)."""
+    H = b"BT /F1 12 Tf 100 700 Td "
+    A = H + b"(ab) Tj "
+    _run_differential(
+        tmp_path,
+        [_assemble(c) for c in [
+            A + b"0 -4e1 Td (z) Tj ET",
+            A + b"0 -4E+1 Td (z) Tj ET",
+            A + b"3e0 Tc (cd) Tj ET",
+            A + b"0 -40 Td 1e (z) Tj ET",
+            A + b"5e+ Tc (cd) Tj ET",
+            A + b"0 5-6 Td (z) Tj ET",
+            A + b"1-5 Tc (cd) Tj ET",
+            A + b"0 -\n40 Td (z) Tj ET",
+            A + b"0 --40 Td (z) Tj ET",
+            A + b"0 -40 + Td (z) Tj ET",
+            A + b"0 -40 . Td (z) Tj ET",
+            A + b"+x 0 -40 Td (z) Tj ET",
+            A + b".q 0 -40 Td (z) Tj ET",
+            A + b"-(a) Tj 0 -40 Td (z) Tj ET",
+            A + b"0 -4.e1 Td (z) Tj ET",
+            A + b"0 1.2.3 Td (z) Tj ET",
+            A + b"[(a) 5e3 (b)] TJ (z) Tj ET",
+            A + b"[(a) 5-3 (b)] TJ (z) Tj ET",
+            A + b"[(a) + (b)] TJ (z) Tj ET",
+            A + b"[(a) .q (b)] TJ (z) Tj ET",
+            A + b"5 0e0 R Td (z) Tj ET",
+            A + b"(cd) Tj (ef) Tj +x ET",
+            A + b"(cd) Tj (ef) Tj (gh) Tj +x ET",
+            A + b"(cd) Tj +x (zz) Tj ET",
+            A + b"(cd) Tj (ef) Tj ) (zz) Tj ET",
+            H + b"(ab) Tj +x ET",
+            H + b"(ab) Tj ET +x",
+            A + b"+ (cd) Tj ET",
+            A + b"(cd) Tj " + b"Z" * 140 + b" (zz) Tj ET",
+            A + b"(cd) Tj " + b"Z" * 128 + b" (zz) Tj ET",
+            A + b"(cd Tj (zz) Tj ET",
+            A + b"<4142 Tj (zz) Tj ET",
+            H + b"<414> Tj ET",
+            H + b"<41424> Tj (z) Tj ET",
+            A + b"3e0 Tc (cd) Tj 0.03e2 Tc (ef) Tj ET",
+            A + b"-\n3 Ts (cd) Tj ET",
+            A + b"q (cd) Tj +x Q (zz) Tj ET",
+            A + b"BI /W 1 ID \x01 EI Q (cd) Tj +x ET",
+            A + b"BI /W 1 ID \x01 EI (cd) Tj +x ET",
+        ]],
+    )
+
+
+def test_numlex_streams_byte_equal_vs_live_reference(tmp_path):
+    """Seeded getNumber / lexer-throw fuzz sweep vs the live node
+    reference."""
+    rng = random.Random(0x90B13)
+    _run_differential(
+        tmp_path,
+        [_assemble(_gen_numlex_stream(rng)) for _ in range(24)],
+    )
