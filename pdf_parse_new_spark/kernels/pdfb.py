@@ -6968,6 +6968,14 @@ class _TextInterp:
                 seen | ({key} if key is not None else set()),
                 lm_seed=lm_seed,
             )
+        except _PageStop:
+            # the form frame's OWN ignoreErrors catch resolves with its
+            # partial text (pdf.worker.js:37129-37140) — the outer page
+            # continues after the Do (the force_flush below closes the
+            # form's open item at the next boundary, the same flush the
+            # normal form-end path takes). _JsCoerce/_CDefer propagate:
+            # those restart the WHOLE page in another tier.
+            pass
         finally:
             self._inh_fm = inh_prev
         self.glyph_y, self.last_end_x = prev_gy, prev_x

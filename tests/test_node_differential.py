@@ -4792,3 +4792,50 @@ def test_numlex_streams_byte_equal_vs_live_reference(tmp_path):
         tmp_path,
         [_assemble(_gen_numlex_stream(rng)) for _ in range(24)],
     )
+
+
+def test_window_dict_form_isolation_byte_equal_vs_live_reference(tmp_path):
+    """Mixed pinned probes from the round-5 session-3 sweeps: the
+    15-byte-window mini-lexer edges (')' throws = page stop, '%' comment
+    skip, graceful-0 number operand, hex operand, '[' rejects), top-level
+    dict recovery (junk keys info-skipped, unterminated dict = page
+    stop, throwing value), and FORM-FRAME ISOLATION — a lexer throw /
+    stray ')' / 34-operand stop inside a Form XObject resolves that
+    frame with its partial text (its own ignoreErrors catch,
+    pdf.worker.js:37129-37140) while the outer page continues; a throw
+    in the OUTER stream before the Do erases the Do (two-token
+    lookahead)."""
+    H = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (pre) Tj "
+    T = b" (tail) Tj ET"
+    D = b"BI /W 2 /H 2 /BPC 8 /CS /G ID"
+    docs = [_assemble(c) for c in [
+        H + D + b" \x01 EI ) Q" + T,
+        H + D + b" \x01 EI % c\nQ (m) Tj EI Q" + T,
+        H + D + b" \x01 EI +z Q (m) Tj EI Q" + T,
+        H + D + b" \x01 EI + Tz (m) Tj EI Q" + T,
+        H + D + b" \x01 EI <41> Tj (m) Tj EI Q" + T,
+        H + D + b" \x01 EI [ (m) ] TJ EI Q" + T,
+        H + b"<< 5 /A 7 >> zz (mid) Tj" + T,
+        H + b"<< (s) >> zz (mid) Tj" + T,
+        H + b"<< /A 7 (mid) Tj ET",
+        H + b"(q) Tj << /A +z >> (mid) Tj" + T,
+        H + b"<< /A 5 0 R >> (mid) Tj" + T,
+    ]]
+    O = b"BT /F1 12 Tf 100 700 Td (out1) Tj /Fm Do (out2) Tj ET"
+    F = b"BT /F1 10 Tf 50 600 Td "
+    docs += [_assemble_with_form(b"", o, f) for o, f in [
+        (O, F + b"(fa) Tj (fb) Tj (fc) Tj +x ET"),
+        (O, F + b"(fa) Tj +x (fz) Tj ET"),
+        (O, F + b"(fa) Tj (fb) Tj ) ET"),
+        (O, F + b"(fa) Tj BI /W 1 ID \x01\x02 XY ET"),
+        (O, F + b"(fa) Tj BI /W 1 ID \x01 EI Q (fb) Tj ET"),
+        (O, F + b"(fa) Tj 5 -40 R Td (fb) Tj ET"),
+        (O, F + b"(fa) Tj 0 -40 + Td (fb) Tj ET"),
+        (O, F + b"(fa) Tj (fb Tj ET"),
+        (b"BT /F1 12 Tf 100 700 Td (o1) Tj +x /Fm Do ET",
+         F + b"(ff) Tj ET"),
+        (O, F + b"(fa) Tj " + b" ".join(b"%d" % i for i in range(34))
+         + b" Tm (fz) Tj ET"),
+        (O, F + b"(fa) Tj " + b"Z" * 140 + b" (fz) Tj ET"),
+    ]]
+    _run_differential(tmp_path, docs)
