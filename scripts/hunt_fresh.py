@@ -54,6 +54,7 @@ FULL = [  # generators that emit complete PDF documents
     ("coerce_form", m._gen_coerce_form_stream),
     ("cross_page", m._gen_cross_page_cache_stream),
     ("font_chaos", m._gen_font_chaos_stream),
+    ("lexmix", m._gen_lexmix_stream),
 ]
 
 

@@ -4839,3 +4839,93 @@ def test_window_dict_form_isolation_byte_equal_vs_live_reference(tmp_path):
         (O, F + b"(fa) Tj " + b"Z" * 140 + b" (fz) Tj ET"),
     ]]
     _run_differential(tmp_path, docs)
+
+
+def _gen_lexmix_stream(rng: random.Random) -> bytes:
+    """Cross-family kitchen sink for the session-3 lexer veins: inline
+    images, `int int R` trios, getNumber token shapes, graceful-0
+    operands, TJ arrays with inert elements, and (rarely) lexer throws —
+    mixed INTO form bodies and around Do, where frame isolation, the
+    two-token lookahead, clone inheritance and the stash interact.
+    Returns a complete PDF document (uses _assemble_with_form)."""
+    words = WORDS
+
+    def word():
+        return rng.choice(words).encode()
+
+    def numtok():
+        return rng.choice((
+            b"3", b"-40", b"1.5", b"4e1", b"5-6", b"-\n12", b"--7",
+            b"0.03e2", b".25", b"5.",
+        ))
+
+    def soup(depth_form: bool) -> bytes:
+        ops = [b"BT /F1 %d Tf 40 TL %d %d Td (%s) Tj "
+               % (rng.choice((10, 12)), rng.randrange(50, 150),
+                  rng.randrange(500, 720), word())]
+        for _ in range(rng.randrange(3, 8)):
+            r = rng.random()
+            if r < 0.2:
+                op = rng.choice((b"Tc", b"Tw", b"Ts", b"TL", b"Tz"))
+                ops.append(b"%s %s (%s) Tj " % (numtok(), op, word()))
+            elif r < 0.35:
+                ops.append(b"%s %s Td (%s) Tj "
+                           % (numtok(), numtok(), word()))
+            elif r < 0.5:
+                els = b" ".join(rng.choice((
+                    b"(%s)" % word(), numtok(),
+                    b"%s %s R" % (numtok(), numtok()),
+                    b"true", b"/N", b"qq",
+                )) for _ in range(rng.randrange(1, 4)))
+                ops.append(b"[%s] TJ " % els)
+            elif r < 0.62:
+                trio = b"%s %s %s" % (numtok(), numtok(),
+                                      rng.choice((b"R", b"R", b"Rz")))
+                op = rng.choice((b"Td", b"Tc", b"Tz", b"q", b"BQ"))
+                ops.append(b"%s %s (%s) Tj " % (trio, op, word()))
+            elif r < 0.74:
+                term = rng.choice((b" ", b" ", b"\n", b""))
+                data = rng.choice((
+                    b"\x01\x02 EI ", b"\x41\x42EI ", b"\x01 EI\t(x) Tj EI ",
+                    b"\x01 EI zz (x) Tj EI ", b"\x01\x02 EI \x00Q ",
+                ))
+                ops.append(b"BI /W 2 /H 2 /BPC 8 /CS /G ID%s%sQ "
+                           % (term, data))
+            elif r < 0.86:
+                ops.append(b"%s + %s (%s) \" "
+                           % (numtok(), numtok(), word()))
+            else:
+                ops.append(b"q %s cm (%s) Tj Q "
+                           % (b" ".join(numtok() for _ in range(6)),
+                              word()))
+        if not depth_form and rng.random() < 0.15:
+            ops.append(rng.choice((
+                b"+x ", b".q ", b") ", b"(open Tj ", b"<4142 Tj ",
+            )))
+            ops.append(b"(%s) Tj " % word())
+        ops.append(b"ET")
+        return b"".join(ops)
+
+    outer = soup(False)
+    if rng.random() < 0.7:
+        # splice a Do into the outer stream (before ET)
+        cut = outer.rfind(b"ET")
+        outer = outer[:cut] + b"/Fm Do (%s) Tj " % word() + outer[cut:]
+    form = soup(True)
+    if rng.random() < 0.3:
+        cut2 = form.rfind(b"ET")
+        form = form[:cut2] + rng.choice((
+            b"+x ", b") ", b"(fa) Tj +x (fb) Tj ",
+        )) + form[cut2:]
+    mat = rng.choice((b"", b"/Matrix [1 0 0 1 20 -30]",
+                      b"/Matrix [2 0 0 2 0 0]"))
+    return _assemble_with_form(mat, outer, form)
+
+
+def test_lexmix_streams_byte_equal_vs_live_reference(tmp_path):
+    """Seeded cross-family sweep vs the live node reference."""
+    rng = random.Random(0x13A6)
+    _run_differential(
+        tmp_path,
+        [_gen_lexmix_stream(rng) for _ in range(24)],
+    )
