@@ -7034,7 +7034,12 @@ def _page_data(doc: Document, page: dict) -> bytes:
             parts.append(doc.decoded(c))
     else:
         parts.append(doc.decoded(page.get("Contents")))
-    return b"\n".join(parts)
+    # pdf.js concatenates /Contents array streams with NO separator
+    # (StreamsSequenceStream.readBlock appends raw chunks,
+    # pdf.worker.js:7879-7901): a token MAY span two streams —
+    # `(ab` + `c) Tj` is one "abc" string, `5` + `0 Tc` is Tc(50)
+    # (probed live). The old b"\n" join split those tokens.
+    return b"".join(parts)
 
 
 class _JsCtx:

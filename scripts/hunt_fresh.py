@@ -55,6 +55,7 @@ FULL = [  # generators that emit complete PDF documents
     ("cross_page", m._gen_cross_page_cache_stream),
     ("font_chaos", m._gen_font_chaos_stream),
     ("lexmix", m._gen_lexmix_stream),
+    ("split_contents", m._gen_split_contents_stream),
 ]
 
 

@@ -4929,3 +4929,83 @@ def test_lexmix_streams_byte_equal_vs_live_reference(tmp_path):
         tmp_path,
         [_gen_lexmix_stream(rng) for _ in range(24)],
     )
+
+
+def _assemble_multi_contents(streams: list[bytes]) -> bytes:
+    """One-page doc whose /Contents is an ARRAY of streams. pdf.js
+    concatenates them with NO separator (StreamsSequenceStream,
+    pdf.worker.js:7879-7901) — a token may span two streams."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> "
+        b"/Contents [%s] >>" % b" ".join(
+            b"%d 0 R" % (5 + i) for i in range(len(streams))),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for s in streams:
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(s), s))
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref))
+    return bytes(out)
+
+
+def _gen_split_contents_stream(rng: random.Random) -> bytes:
+    """A soup stream randomly CUT into 2-4 /Contents array streams at
+    arbitrary byte positions (mid-string, mid-number, mid-command):
+    concatenation must be separator-free, so every split parses
+    byte-identically to the unsplit stream."""
+    content = _gen_stream(rng)
+    ncuts = rng.randrange(1, 4)
+    cuts = sorted(rng.sample(range(1, max(2, len(content))),
+                             min(ncuts, len(content) - 1)))
+    parts = []
+    prev = 0
+    for cpos in cuts:
+        parts.append(content[prev:cpos])
+        prev = cpos
+    parts.append(content[prev:])
+    return _assemble_multi_contents(parts)
+
+
+def test_multi_contents_probes_byte_equal_vs_live_reference(tmp_path):
+    """Distilled /Contents-array probes, each verified against the live
+    node reference during the round-5 build: tokens spanning stream
+    boundaries (string, number, command, hex, name), clean and glued
+    boundaries, BT/ET across streams, three-way splits."""
+    H = b"BT /F1 12 Tf 100 700 Td "
+    _run_differential(
+        tmp_path,
+        [_assemble_multi_contents(s) for s in [
+            [H + b"(ab", b"c) Tj (z) Tj ET"],
+            [H + b"(ab) Tj 5", b"0 Tc (cd) Tj ET"],
+            [H + b"(ab) Tj 5 T", b"c (cd) Tj ET"],
+            [H + b"(ab) Tj ", b"(cd) Tj ET"],
+            [H + b"(ab) Tj", b"(cd) Tj ET"],
+            [b"BT /F1 12 Tf 100 700 Td (ab) Tj", b" (cd) Tj ET"],
+            [H + b"<4142", b"43> Tj ET"],
+            [b"BT /F", b"1 12 Tf 100 700 Td (ab) Tj ET"],
+            [H + b"(ab) Tj ET"],
+            [b"BT /F1 12 Tf 100 700 Td (a", b"b) Tj (c", b"d) Tj ET"],
+        ]],
+    )
+
+
+def test_split_contents_streams_byte_equal_vs_live_reference(tmp_path):
+    """Seeded random-cut /Contents sweep vs the live node reference."""
+    rng = random.Random(0x5971)
+    _run_differential(
+        tmp_path,
+        [_gen_split_contents_stream(rng) for _ in range(24)],
+    )
