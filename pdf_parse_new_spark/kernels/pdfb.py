@@ -7031,6 +7031,13 @@ def _page_data(doc: Document, page: dict) -> bytes:
     parts: list[bytes] = []
     if isinstance(contents, list):
         for c in contents:
+            if isinstance(c, Ref) and doc.resolve(c) is None:
+                # a ref to a MISSING object rejects the page's content
+                # promise in pdf.js (XRef.fetch throws before the
+                # streams are concatenated) — the WHOLE page is empty,
+                # while junk non-stream elements are merely skipped
+                # (probed live: [s1, 99 0 R, s2] extracts nothing)
+                return b""
             parts.append(doc.decoded(c))
     else:
         parts.append(doc.decoded(page.get("Contents")))

@@ -5002,6 +5002,50 @@ def test_multi_contents_probes_byte_equal_vs_live_reference(tmp_path):
     )
 
 
+def test_contents_junk_elements_byte_equal_vs_live_reference(tmp_path):
+    """Junk /Contents elements, probed live: a ref to a MISSING object
+    rejects the page's content promise — the WHOLE page extracts empty —
+    while resolvable non-stream elements (dicts, ints) are skipped and
+    the remaining streams still concatenate; a single non-stream
+    Contents and an empty array extract empty."""
+    def asm(contents_entry, extra_objs):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> "
+            b"/Contents " + contents_entry + b" >>",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ] + extra_objs
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for i, o in enumerate(objs, 1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offs:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF\n" % (len(objs) + 1, xref))
+        return bytes(out)
+
+    S1 = b"BT /F1 12 Tf 100 700 Td (ab) Tj ET"
+    S2 = b"BT /F1 12 Tf 100 650 Td (cd) Tj ET"
+
+    def st(s):
+        return b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s), s)
+
+    _run_differential(tmp_path, [
+        asm(b"[5 0 R 6 0 R 7 0 R]", [st(S1), b"<< /Junk 1 >>", st(S2)]),
+        asm(b"[5 0 R 99 0 R 6 0 R]", [st(S1), st(S2)]),
+        asm(b"[5 0 R 6 0 R 7 0 R]", [st(S1), b"42", st(S2)]),
+        asm(b"5 0 R", [b"<< /Junk 1 >>"]),
+        asm(b"5 0 R", [b"[6 0 R 7 0 R]", st(S1), st(S2)]),
+        asm(b"[]", []),
+    ])
+
+
 def test_split_contents_streams_byte_equal_vs_live_reference(tmp_path):
     """Seeded random-cut /Contents sweep vs the live node reference."""
     rng = random.Random(0x5971)
