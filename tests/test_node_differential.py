@@ -5053,3 +5053,23 @@ def test_split_contents_streams_byte_equal_vs_live_reference(tmp_path):
         tmp_path,
         [_gen_split_contents_stream(rng) for _ in range(24)],
     )
+
+
+def test_bt_et_pairing_byte_equal_vs_live_reference(tmp_path):
+    """BT/ET pairing exotica, probed live: shows and text-state ops work
+    OUTSIDE any BT/ET (the text state is stream-global; BT only resets
+    the matrices), nested/stray/unclosed BT/ET are tolerated, and state
+    set between blocks persists into the next BT."""
+    _run_differential(
+        tmp_path,
+        [_assemble(c) for c in [
+            b"/F1 12 Tf 100 700 Td (ab) Tj (cd) Tj",
+            b"BT /F1 12 Tf 100 700 Td (ab) Tj BT (cd) Tj ET ET",
+            b"ET BT /F1 12 Tf 100 700 Td (ab) Tj ET ET (cd) Tj",
+            b"ET /F1 12 Tf (ab) Tj",
+            b"BT /F1 12 Tf 100 700 Td (ab) Tj",
+            b"BT /F1 12 Tf 100 700 Td (ab) Tj ET 0 -40 Td BT (cd) Tj ET",
+            b"/F1 12 Tf BT 100 700 Td (ab) Tj ET",
+            b"/F1 12 Tf 1 0 0 1 100 700 Tm (ab) Tj BT (cd) Tj ET",
+        ]],
+    )
