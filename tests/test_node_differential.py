@@ -5073,3 +5073,23 @@ def test_bt_et_pairing_byte_equal_vs_live_reference(tmp_path):
             b"/F1 12 Tf 1 0 0 1 100 700 Tm (ab) Tj BT (cd) Tj ET",
         ]],
     )
+
+
+def test_deep_q_nesting_byte_equal_vs_live_reference(tmp_path):
+    """80-deep q/Q nesting (state restores correctly past our 64-slot
+    fast-path save array) and unbalanced restores, probed live. NOT
+    covered here: self/mutually-recursive Form XObjects — pdf.js has no
+    recursion guard in getTextContent's paintXObject and recurses until
+    a V8 stack artifact (~6,272 levels on this node build; an
+    environment constant, not a spec'd one) while this engine cuts
+    cycles immediately via the `seen` ref-set. Deliberate, documented
+    divergence on input that is broken by construction."""
+    deep = (b"BT /F1 12 Tf 100 700 Td (ab) Tj "
+            + b"q " * 80 + b"5 Tc (cd) Tj " + b"Q " * 80
+            + b"(ef) Tj ET")
+    deep2 = (b"BT /F1 12 Tf 100 700 Td (ab) Tj "
+             + b"q 1 0 0 1 5 5 cm " * 80 + b"(cd) Tj " + b"Q " * 80
+             + b"(ef) Tj ET")
+    unbal = b"BT /F1 12 Tf 100 700 Td (ab) Tj Q Q 5 Tc (cd) Tj ET"
+    _run_differential(tmp_path, [_assemble(c) for c in (deep, deep2,
+                                                        unbal)])
