@@ -5093,3 +5093,45 @@ def test_deep_q_nesting_byte_equal_vs_live_reference(tmp_path):
     unbal = b"BT /F1 12 Tf 100 700 Td (ab) Tj Q Q 5 Tc (cd) Tj ET"
     _run_differential(tmp_path, [_assemble(c) for c in (deep, deep2,
                                                         unbal)])
+
+
+def test_stream_length_recovery_byte_equal_vs_live_reference(tmp_path):
+    """Wrong /Length recovery (makeStream + #findStreamLength,
+    pdf.worker.js:13763-13828): zero/short/long/junk/null lengths all
+    recover by scanning for "endstream"; the word endstream INSIDE a
+    string truncates the stream there on both engines (page garbage ->
+    empty). Probed live, all matching."""
+    def asm(content, length_tok):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Length %s >>\nstream\n%s\nendstream"
+            % (length_tok, content),
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for i, o in enumerate(objs, 1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offs:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF\n" % (len(objs) + 1, xref))
+        return bytes(out)
+
+    S = b"BT /F1 12 Tf 100 700 Td (ab) Tj (cd) Tj ET"
+    _run_differential(tmp_path, [
+        asm(S, b"%d" % len(S)),
+        asm(S, b"0"),
+        asm(S, b"10"),
+        asm(S, b"9999"),
+        asm(S, b"(x)"),
+        asm(S, b"null"),
+        asm(b"BT /F1 12 Tf 100 700 Td (endstream) Tj (cd) Tj ET", b"0"),
+        asm(S + b"\r", b"0"),
+    ])
