@@ -5135,3 +5135,45 @@ def test_stream_length_recovery_byte_equal_vs_live_reference(tmp_path):
         asm(b"BT /F1 12 Tf 100 700 Td (endstream) Tj (cd) Tj ET", b"0"),
         asm(S + b"\r", b"0"),
     ])
+
+
+def test_contents_bad_filter_byte_equal_vs_live_reference(tmp_path):
+    """A /Contents sub-stream whose FILTER fails to decode is dropped
+    with a warn (Page._onSubStreamError with ignoreErrors) while the
+    remaining streams still concatenate — unlike a missing-object ref,
+    which rejects the whole page. Probed live, all matching."""
+    def asm(extra_objs):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> "
+            b"/Contents [5 0 R 6 0 R 7 0 R] >>",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ] + extra_objs
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for i, o in enumerate(objs, 1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offs:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF\n" % (len(objs) + 1, xref))
+        return bytes(out)
+
+    S1 = b"BT /F1 12 Tf 100 700 Td (ab) Tj ET"
+    S2 = b"BT /F1 12 Tf 100 650 Td (cd) Tj ET"
+
+    def st(s, f=b""):
+        return (b"<< /Length %d %s >>\nstream\n%s\nendstream"
+                % (len(s), f, s))
+
+    _run_differential(tmp_path, [
+        asm([st(S1), st(b"\x99\x98nonsense", b"/Filter /FlateDecode"),
+             st(S2)]),
+        asm([st(S1), st(b"xx", b"/Filter /NoSuchFilter"), st(S2)]),
+        asm([st(b"\x99\x98", b"/Filter /FlateDecode"), st(S1), st(S2)]),
+    ])
