@@ -5349,6 +5349,21 @@ class _TextInterp:
             else:
                 arise = rise * tm_d * cm_d
 
+        def _matstore():
+            # the matrix stored WITH a prevTransform point: pdf.js's
+            # applyInverseRotation later divides that point by
+            # hypot(prev_trm[0], prev_trm[1]) = fs*|hs|*hypot(cA, cB) —
+            # the |hs| cancels in the X row but scales the Y row by
+            # 1/|hs|, and the divisor is the POINT'S OWN Tz at store
+            # time (caught live: quad-0 'tau' under 700 Tz followed by a
+            # sheared Tm — the raw Y made |advanceY| dwarf the item
+            # height and the EOL band swallowed pdf.js's standalone
+            # space; arity hunt base 83M seed 149)
+            if matn is None:
+                return None
+            return (matn[0], matn[1],
+                    matn[2] / (tz or 1.0), matn[3] / (tz or 1.0))
+
         def _sety() -> None:
             # partial Td/TD/Tm (the x operand failed to convert): only
             # the y leg lands, mirroring the C lexer's K_SETY. Quad 0
@@ -5423,8 +5438,7 @@ class _TextInterp:
                 # the stored mat carries this point's own 1/|tz| in its
                 # Y row, so show()'s re-projection of the prev device
                 # point reproduces pdf.js's own-matrix divisor exactly
-                matp = (matn[0], matn[1],
-                        matn[2] / (tz or 1.0), matn[3] / (tz or 1.0))
+                matp = _matstore()
                 shown = self.show(
                     dec, cy, cmp_x, size * asx,
                     quad=-1, dev_x=ddx, dev_y=ddy, mat=matp,
@@ -5444,7 +5458,7 @@ class _TextInterp:
             ddx, ddy = _swapq(cx, vv)
             shown = self.show(
                 dec, vv, cx, size * asx,
-                quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
+                quad=quad, dev_x=ddx, dev_y=ddy, mat=_matstore(),
                 # cross-axis item height: pdf.js height = fontSize *
                 # hypot(trm[2], trm[3]) — |composed d| at quad 0, which
                 # differs from the x-scale under anisotropic matrices
@@ -5457,7 +5471,7 @@ class _TextInterp:
             if shown and prev is not None:
                 if quad:
                     self.last_end_x, self.glyph_y = _swapq(prev, vv)
-                    self.glyph_mat = matn
+                    self.glyph_mat = _matstore()
                 else:
                     self.last_end_x = prev
             return shown
@@ -6388,7 +6402,7 @@ class _TextInterp:
                                 sh0 = self.show("".join(buf), vv, tj_cx,
                                                 size * asx, quad=quad,
                                                 dev_x=ddx, dev_y=ddy,
-                                                mat=matn,
+                                                mat=_matstore(),
                                                 move_prev=(
                                                     spv is not None
                                                     and (tjhadw or sh0w)
@@ -6410,7 +6424,7 @@ class _TextInterp:
                                     if self.show(sd, vv, sfm,
                                                  size * asx, quad=quad,
                                                  dev_x=ddx, dev_y=ddy,
-                                                 mat=matn,
+                                                 mat=_matstore(),
                                                  move_prev=(
                                                      spm is not None
                                                      and shwm),
@@ -6573,7 +6587,7 @@ class _TextInterp:
                                             "".join(buf), vv, tj_cx,
                                             size * asx, quad=quad,
                                             dev_x=ddx, dev_y=ddy,
-                                            mat=matn,
+                                            mat=_matstore(),
                                             move_prev=tjhadw,
                                             mirror=tz_mirror,
                                             seg_w=tjwacc - tjtailw,
@@ -6649,7 +6663,7 @@ class _TextInterp:
                     if (
                         self.show(
                             "".join(buf), vv, tj_cx, size * asx,
-                            quad=quad, dev_x=ddx, dev_y=ddy, mat=matn,
+                            quad=quad, dev_x=ddx, dev_y=ddy, mat=_matstore(),
                             move_prev=tjhadw,
                             mirror=tz_mirror,
                             # trailing provisional absorb stays with

@@ -5177,3 +5177,31 @@ def test_contents_bad_filter_byte_equal_vs_live_reference(tmp_path):
         asm([st(S1), st(b"xx", b"/Filter /NoSuchFilter"), st(S2)]),
         asm([st(b"\x99\x98", b"/Filter /FlateDecode"), st(S1), st(S2)]),
     ])
+
+
+def test_prev_matrix_tz_divisor_byte_equal_vs_live_reference(tmp_path):
+    """The stored prevTransform point must carry its OWN 1/|tz| in the
+    Y rows of its normalized matrix: applyInverseRotation divides by
+    hypot(trm[0], trm[1]) = fs*|hs|*hypot(a, b), which cancels in the X
+    row but scales the Y row by 1/|hs|. A quad-0 glyph stored under
+    700 Tz followed by a sheared Tm read the RAW device y, making
+    |advanceY| dwarf the item height — the EOL band swallowed pdf.js's
+    textOrientation-0 standalone space (distilled from the last live
+    residual, arity hunt base 83M seed 149; that 200-doc batch now runs
+    0-divergent)."""
+    _run_differential(
+        tmp_path,
+        [_assemble(c) for c in [
+            b"/F1 12 Tf 40 TL 100 700 Td 2 5 5 700 Tz (tau) '"
+            b" 2 700 30 Tm 30 1.5 (sigma) \"",
+            # variants: different Tz magnitudes and shear shapes
+            b"/F1 12 Tf 40 TL 100 700 Td 2 5 5 300 Tz (tau) '"
+            b" 2 700 30 Tm 30 1.5 (sigma) \"",
+            b"/F1 12 Tf 40 TL 100 700 Td 2 5 5 50 Tz (eta) '"
+            b" 1 3 3 1 400 100 Tm (omega) Tj",
+            b"/F1 12 Tf 40 TL 100 700 Td 200 Tz (mu) Tj"
+            b" 2 5 5 2 500 30 Tm (pi) Tj",
+            b"/F1 12 Tf 40 TL 100 700 Td 700 Tz (tau) Tj"
+            b" 1 1 0 1 300 600 Tm (beta) Tj (kap) Tj",
+        ]],
+    )
