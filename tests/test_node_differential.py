@@ -5205,3 +5205,48 @@ def test_prev_matrix_tz_divisor_byte_equal_vs_live_reference(tmp_path):
             b" 1 1 0 1 300 600 Tm (beta) Tj (kap) Tj",
         ]],
     )
+
+
+def test_widths_edge_shapes_byte_equal_vs_live_reference(tmp_path):
+    """/Widths // FirstChar edge shapes, probed live and all matching:
+    inverted FirstChar/LastChar, negative/float FirstChar, junk entries
+    inside /Widths, array longer than the range, huge widths driving
+    the pen off-page, and a missing /LastChar."""
+    def asm(fontobj):
+        content = b"BT /F1 12 Tf 100 700 Td (abc def) Tj (gh) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+            fontobj,
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(content), content),
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for i, o in enumerate(objs, 1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offs:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF\n" % (len(objs) + 1, xref))
+        return bytes(out)
+
+    F = b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial"
+    _run_differential(tmp_path, [
+        asm(F + b" /FirstChar 70 /LastChar 60 /Widths [500 500] >>"),
+        asm(F + b" /FirstChar -5 /LastChar 100 /Widths [500 500 500] >>"),
+        asm(F + b" /FirstChar 97 /LastChar 104 /Widths"
+            b" [500 (x) null 800 true /N 900 1e3] >>"),
+        asm(F + b" /FirstChar 97 /LastChar 99 /Widths"
+            b" [100 9000 100 100 100 100] >>"),
+        asm(F + b" /FirstChar 97 /LastChar 99 /Widths"
+            b" [40000 40000 40000] >>"),
+        asm(F + b" /FirstChar 97.7 /LastChar 99 /Widths"
+            b" [9000 9000 9000] >>"),
+        asm(F + b" /FirstChar 97 /Widths [9000 9000 9000] >>"),
+    ])
