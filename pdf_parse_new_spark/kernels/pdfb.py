@@ -1573,13 +1573,21 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
                         enc_names = _encdata.WinAnsiEncoding
         diffs_names: dict[int, str] = {}
         if isinstance(diffs, list):
-            code = 0
+            code = 0.0
             for item in diffs:
-                if isinstance(item, (int, float)):
-                    code = int(item)
+                if isinstance(item, (int, float)) and not isinstance(
+                        item, bool):
+                    code = float(item)
                 elif isinstance(item, Name):
-                    diffs_names[code] = str(item)
-                    code += 1
+                    # JS `differences[index++] = name`: a FRACTIONAL
+                    # index writes a dead plain property — integer
+                    # charcode lookups never see it — and stays
+                    # fractional through the ++ until the next numeric
+                    # entry (probed live: [97.9 /zeta /xi] renders the
+                    # base encoding; integer-valued floats DO land)
+                    if code.is_integer():
+                        diffs_names[int(code)] = str(item)
+                    code += 1.0
         has_encoding = bool(bname) or bool(diffs_names)
         if non_embedded and subtype in ("Type1", "MMType1"):
             # missing-file Type1 (pdf.js Font._charToGlyph,

@@ -5250,3 +5250,46 @@ def test_widths_edge_shapes_byte_equal_vs_live_reference(tmp_path):
             b" [9000 9000 9000] >>"),
         asm(F + b" /FirstChar 97 /Widths [9000 9000 9000] >>"),
     ])
+
+
+def test_encoding_differences_edges_byte_equal_vs_live_reference(tmp_path):
+    """/Encoding edge shapes, probed live: out-of-range Differences
+    indexes (300, -1, 100000) write dead JS array properties, a
+    FRACTIONAL index (97.9) is dead AND stays fractional through the
+    `index++` for following names (the base encoding renders), unknown
+    /Encoding names and non-Name /Encoding values fall back cleanly."""
+    def asm(fontobj):
+        content = b"BT /F1 12 Tf 100 700 Td (abc) Tj (def) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+            fontobj,
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(content), content),
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for i, o in enumerate(objs, 1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offs:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF\n" % (len(objs) + 1, xref))
+        return bytes(out)
+
+    F = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    _run_differential(tmp_path, [
+        asm(F + b" /Encoding << /Differences [300 /zeta] >> >>"),
+        asm(F + b" /Encoding << /Differences [-1 /zeta 98 /eta] >> >>"),
+        asm(F + b" /Encoding << /Differences [97 /zeta 100000 /xi] >> >>"),
+        asm(F + b" /Encoding /NoSuchEncoding >>"),
+        asm(F + b" /Encoding 5 >>"),
+        asm(F + b" /Encoding (WinAnsi) >>"),
+        asm(F + b" /Encoding << /Differences [97.9 /zeta /xi] >> >>"),
+        asm(F + b" /Encoding << /Differences [/zeta 98 /eta] >> >>"),
+    ])
