@@ -1094,8 +1094,19 @@ def _parse_cid_widths(doc: "Document", desc: dict) -> tuple[dict, float]:
 
 
 def _utf16be(hexs: bytes) -> str:
+    if len(hexs) % 2:
+        hexs = hexs[:-1]  # hex-string lexer drops the dangling digit
     try:
-        return bytes.fromhex(hexs.decode()).decode("utf-16-be", "ignore")
+        b = bytes.fromhex(hexs.decode())
+    except ValueError:
+        return ""
+    if len(b) % 2:
+        # odd BYTE count: UTF-16 units group right-aligned (probed live:
+        # bfchar dst <006100> reads U+0000 U+6100, not "a")
+        b = b"\x00" + b
+    try:
+        # surrogatepass: JS strings carry lone surrogates verbatim
+        return b.decode("utf-16-be", "surrogatepass")
     except ValueError:
         return ""
 
@@ -1267,18 +1278,25 @@ class FontMap:
                 return dst + (code - lo)
         return code
 
+    def _fallback_char(self, code: int) -> str:
+        """Unmapped charcode: glyph.unicode falls back to the CID's
+        char — `toUnicode.get(c) || c` in Font._charToGlyph, so an
+        EMPTY mapped string falls back too (probed live: Identity-H
+        <00410000> keeps the NUL; <0041D800FFFF> keeps the lone
+        surrogate). Whitespace-CATEGORY chars (JS \\s: tab/LF/VT/FF/CR)
+        take the space branch and never append as glyphs. The CID
+        mapping matters for ranged embedded-cmap fonts; for Identity-H
+        cid == charcode."""
+        cid = self._cid(code)
+        if cid in (9, 10, 11, 12, 13):
+            return ""
+        return _normalize_glyph(chr(cid))
+
     def _one(self, code: int) -> str:
         u = self.table.get(code)
-        if u is not None:
+        if u:
             return u
-        if self.identity:
-            cid = self._cid(code)
-            # control chars would corrupt the line model; NUL pads are
-            # common in Identity-H strings
-            if cid < 32:
-                return ""
-            return _normalize_glyph(chr(cid))
-        return ""
+        return self._fallback_char(code)
 
     def _codes(self, s: bytes) -> list[int]:
         if self.var_ranges:
@@ -1296,10 +1314,15 @@ class FontMap:
                     i += 1  # outside every codespace: resync on next byte
             return out
         if self.nbytes == 2:
-            return [
+            out = [
                 int.from_bytes(s[i : i + 2], "big")
                 for i in range(0, len(s) - 1, 2)
             ]
+            if len(s) % 2:
+                # trailing odd byte: its own 1-byte charcode (probed
+                # live: <004100> on Identity-H reads "a\x00")
+                out.append(s[-1])
+            return out
         return list(s)
 
     def decode(self, s: bytes) -> str:
@@ -1309,10 +1332,11 @@ class FontMap:
             return "".join(self._one(c) for c in self._codes(s))
         t = self.table
         if self.nbytes == 2:
-            return "".join(
-                t.get(int.from_bytes(s[i : i + 2], "big"), "")
-                for i in range(0, len(s) - 1, 2)
-            )
+            out = []
+            for c in self._codes(s):
+                u = t.get(c)
+                out.append(u if u else self._fallback_char(c))
+            return "".join(out)
         return "".join(t.get(c, "") for c in s)
 
     def advance(self, s: bytes) -> float:
@@ -1323,10 +1347,7 @@ class FontMap:
         if self.identity or self.var_ranges:
             return sum(w.get(self._cid(c), dw) for c in self._codes(s))
         if self.nbytes == 2:
-            return sum(
-                w.get(int.from_bytes(s[i : i + 2], "big"), dw)
-                for i in range(0, len(s) - 1, 2)
-            )
+            return sum(w.get(c, dw) for c in self._codes(s))
         return sum(w.get(c, dw) for c in s)
 
 

@@ -5293,3 +5293,78 @@ def test_encoding_differences_edges_byte_equal_vs_live_reference(tmp_path):
         asm(F + b" /Encoding << /Differences [97.9 /zeta /xi] >> >>"),
         asm(F + b" /Encoding << /Differences [/zeta 98 /eta] >> >>"),
     ])
+
+
+def _assemble_type0(tounicode_body: bytes | None, content: bytes) -> bytes:
+    """Identity-H Type0 font (CIDFontType2 descendant, DW 500), optional
+    /ToUnicode CMap stream."""
+    tu_ref = b" /ToUnicode 6 0 R" if tounicode_body is not None else b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 8 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Test /Encoding"
+        b" /Identity-H /DescendantFonts [5 0 R]" + tu_ref + b" >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        b" /Supplement 0 >> /FontDescriptor 7 0 R /DW 500 >>",
+        (b"<< /Length %d >>\nstream\n%s\nendstream"
+         % (len(tounicode_body), tounicode_body))
+        if tounicode_body is not None else b"<< >>",
+        b"<< /Type /FontDescriptor /FontName /Test /Flags 4"
+        b" /FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800"
+        b" /Descent -200 /CapHeight 700 /StemV 80 >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref))
+    return bytes(out)
+
+
+def test_tounicode_fallback_edges_byte_equal_vs_live_reference(tmp_path):
+    """ToUnicode / Identity-H fallback edges, probed live: unmapped
+    charcodes fall back to the CID's char (`toUnicode.get(c) || c`) —
+    including NUL and lone surrogates, while whitespace-category CIDs
+    (tab/LF) take the space branch; a bfchar dst with an odd BYTE count
+    groups UTF-16 units right-aligned (<006100> is U+0000 U+6100, not
+    "a"); a bfrange array shorter than its range leaves the tail on the
+    fallback; a trailing odd byte in a 2-byte show string is its own
+    1-byte charcode; garbage ToUnicode streams degrade to the
+    fallback."""
+    CM = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+          b"/CMapName /T currentdict /CMap defineresource pop ")
+    C = b"BT /F1 12 Tf 100 700 Td <00410042> Tj ET"
+    _run_differential(tmp_path, [
+        _assemble_type0(CM + b"2 begincodespacerange <0000> <FFFF>"
+                        b" endcodespacerange 2 beginbfchar <0041> <0061>"
+                        b" <0042> <0062> endbfchar endcmap end end", C),
+        _assemble_type0(CM + b"1 beginbfchar <0041> <006100> endbfchar"
+                        b" endcmap end end", C),
+        _assemble_type0(CM + b"1 beginbfrange <0041> <0042>"
+                        b" [<0063> <0064>] endbfrange endcmap end end", C),
+        _assemble_type0(CM + b"1 beginbfrange <0041> <0044> [<0063>]"
+                        b" endbfrange endcmap end end", C),
+        _assemble_type0(b"\x01\x02 garbage not a cmap", C),
+        _assemble_type0(CM + b"1 beginbfchar <0041> <D83DDE00> endbfchar"
+                        b" endcmap end end", C),
+        _assemble_type0(CM + b"1 beginbfchar <0041> <0061> endbfchar"
+                        b" endcmap end end",
+                        b"BT /F1 12 Tf 100 700 Td <004100> Tj ET"),
+        _assemble_type0(None, C),
+        _assemble_type0(None,
+                        b"BT /F1 12 Tf 100 700 Td <004100000042> Tj ET"),
+        _assemble_type0(None,
+                        b"BT /F1 12 Tf 100 700 Td <00410009000A> Tj ET"),
+        _assemble_type0(None,
+                        b"BT /F1 12 Tf 100 700 Td <0041D800FFFF> Tj ET"),
+    ])
