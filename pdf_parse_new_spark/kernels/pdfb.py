@@ -1021,12 +1021,39 @@ def _normalize_glyph(v: str) -> str:
 
 _LIGATURES = {
     "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
-    "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "st", "ﬆ": "st",
+    "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "ſt", "ﬆ": "st",
 }
+
+# pdf.js normalizeUnicode (pdf.worker.js:5304-5310): a TARGETED set of
+# compatibility chars NFKC'd at item flush — presentation forms
+# (Hebrew/Arabic/latin ligatures), µ, Ω, Greek question mark, NBSP and
+# the U+2000 space family; ﬅ maps via a special table to "ſt" (LONG s —
+# NFKC would give "st"). Runs of ﬅ longer than one hit a Map.get miss
+# and interpolate as the literal string "undefined" (a JS quirk,
+# mirrored).
+_NORM_RE = re.compile(
+    "([\u00a0\u00b5\u037e\u0eb3\u2000-\u200a\u202f\u2126"
+    "\ufb00-\ufb04\ufb06\ufb20-\ufb36\ufb38-\ufb3c\ufb3e"
+    "\ufb40-\ufb41\ufb43-\ufb44\ufb46-\ufba1\ufba4-\ufba9"
+    "\ufbae-\ufbb1\ufbd3-\ufbdc\ufbde-\ufbe7\ufbea-\ufbf8"
+    "\ufbfc-\ufbfd\ufc00-\ufc5d\ufc64-\ufcf1\ufcf5-\ufd3d"
+    "\ufd88\ufdf4\ufdfa-\ufdfb\ufe71\ufe77\ufe79\ufe7b"
+    "\ufe7d]+)|(\ufb05+)"
+)
+
+
+def _normalize_unicode(s: str) -> str:
+    def rep(m):
+        if m.group(1):
+            return unicodedata.normalize("NFKC", m.group(1))
+        return "ſt" if len(m.group(2)) == 1 else "undefined"
+    return _NORM_RE.sub(rep, s)
 
 _BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
-_HEXTOK = re.compile(rb"<([0-9A-Fa-f]+)>")
+# * not +: an EMPTY dst (`<00BB> <>`) is a real token — dropping it
+# misaligns every following src/dst pair (caught by the type0 fuzz)
+_HEXTOK = re.compile(rb"<([0-9A-Fa-f]*)>")
 _CODESPACE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
 _CIDRANGE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
 _CIDCHAR = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
@@ -1289,7 +1316,10 @@ class FontMap:
         cid == charcode."""
         cid = self._cid(code)
         if cid in (9, 10, 11, 12, 13):
-            return ""
+            # whitespace-category glyph: contributes a SPACE through the
+            # show loop's whitespace branch (saveLastChar(" ") arms the
+            # ring — the next glyph's append materializes it)
+            return " "
         return _normalize_glyph(chr(cid))
 
     def _one(self, code: int) -> str:
@@ -1859,6 +1889,8 @@ def build_font_map(doc: Document, font_obj) -> FontMap:
     cf_codes: set[int] = set()
     for k, v in table.items():
         lig = "".join(_LIGATURES.get(c, c) for c in v) if v else v
+        if lig and _NORM_RE.search(lig) is not None:
+            lig = _normalize_unicode(lig)
         nv = _normalize_glyph(lig)
         if lig and not nv:
             # invisible format mark (Cf): pdf.js skips the glyph
@@ -2969,6 +3001,9 @@ class _TextInterp:
         self.glyph_y: float | None = None
         self.last_end_x: float | None = None
         self.force_flush = False
+        # pieces-index where the OPEN item's text begins — flush-time
+        # bidi runs over the joined span (see _close_item_bidi)
+        self._it_start: int | None = None
         # scale_flush: a Tm scale change ran updateAdvanceScale on an
         # open item, zeroing its width — textOrientation becomes
         # Math.sign(0) == 0 at the next glyph's compare, forcing the
@@ -3081,10 +3116,6 @@ class _TextInterp:
             return True
         if dev_y is None:
             dev_y = ty
-        # reference-faithful bidi reorder (pdf.js bidi() runs on every
-        # text chunk, pdf.worker.js:32557/36500; pinned to its output by
-        # tests/test_bidi_reference.py over node-generated goldens)
-        s = _bidi_mod.visual(s)
         # whitespace GLYPHS are never emitted by the reference — pdf.js
         # skips them (category.isWhitespace, pdf.worker.js:36693-36702),
         # only advancing position and arming saveLastChar(" "); the
@@ -3373,6 +3404,14 @@ class _TextInterp:
             flush = True  # vertical shift flush applies on every
             # non-shortcut path (pdf.js returns at the shortcut)
         new_item = flush or not self.line_open
+        if new_item:
+            # the PREVIOUS item is complete: apply the reference's
+            # flush-time bidi over its WHOLE string (runBidiTransform,
+            # pdf.worker.js:36495-36510 — the ratio test numBidi/len <
+            # 0.3 && len > 4 sees the FULL item, so an item joined from
+            # several shows can stay unreordered where a single show
+            # would flip; caught live by the type0 fuzz)
+            self._close_item_bidi()
         # emission = pdf-parse's item join (lib/pdf-parse.js:27-38):
         # "\n" when successive item ANCHORS differ by > Y_TOLERANCE;
         # items on the same anchor line concatenate directly
@@ -3412,6 +3451,7 @@ class _TextInterp:
             if mirror:
                 standin = -standin
             self.item_wreg = seg_w if seg_w is not None else standin
+            self._it_start = len(self.pieces)
         else:
             standin = 0.0 if not move_prev else (fs if fs > 0 else 1.0)
             if mirror:
@@ -3419,7 +3459,7 @@ class _TextInterp:
             self.item_wreg += seg_w if seg_w is not None else standin
         self.pieces.append(core)
         self.line_open = True
-        self.last_char = core[-1]
+        self.last_char = core[-1]  # ring reads LOGICAL order (pre-bidi)
         self.pending_space = trail_n > 0
         self.pending_multi = trail_n >= 2
         if move_prev:
@@ -3431,7 +3471,31 @@ class _TextInterp:
             self.glyph_mat = mat
         return True
 
+    def _close_item_bidi(self) -> None:
+        """Reference-faithful flush-time transforms at ITEM granularity
+        (runBidiTransform, pdf.worker.js:36495-36510): normalizeUnicode
+        over the item's full string (targeted NFKC — a fallback glyph
+        like U+FB3B decomposes to kaf+dagesh HERE, not at decode), then
+        bidi (pinned to node output by tests/test_bidi_reference.py).
+        Items with neither are identity, so plain LTR pages never pay."""
+        st = self._it_start
+        self._it_start = None
+        if st is None or st >= len(self.pieces):
+            return
+        joined = "".join(self.pieces[st:])
+        changed = False
+        if _NORM_RE.search(joined) is not None:
+            joined = _normalize_unicode(joined)
+            changed = True
+        if _RTL_RUN.search(joined) is not None:
+            joined = _bidi_mod.visual(joined)
+            changed = True
+        if changed:
+            del self.pieces[st:]
+            self.pieces.append(joined)
+
     def text(self) -> str:
+        self._close_item_bidi()
         return "".join(self.pieces)
 
 

@@ -56,6 +56,7 @@ FULL = [  # generators that emit complete PDF documents
     ("font_chaos", m._gen_font_chaos_stream),
     ("lexmix", m._gen_lexmix_stream),
     ("split_contents", m._gen_split_contents_stream),
+    ("type0", m._gen_type0_stream),
 ]
 
 

@@ -5368,3 +5368,86 @@ def test_tounicode_fallback_edges_byte_equal_vs_live_reference(tmp_path):
         _assemble_type0(None,
                         b"BT /F1 12 Tf 100 700 Td <0041D800FFFF> Tj ET"),
     ])
+
+
+def _gen_type0_stream(rng: random.Random) -> bytes:
+    """Identity-H Type0 fuzz: randomized ToUnicode CMaps (bfchar/bfrange,
+    scalar and array dsts, odd-byte dsts, empty dsts, surrogate pairs),
+    random /W width arrays over /DW, and show strings mixing mapped /
+    unmapped / control / high charcodes and odd byte counts. Exercises
+    the CID fallback (`toUnicode.get(c) || c`), the whitespace-category
+    branch, and the right-aligned odd-dst grouping."""
+    def hx(n):
+        return ("%04X" % n).encode()
+
+    ents = []
+    mapped = []
+    for _ in range(rng.randrange(0, 5)):
+        src = rng.randrange(0x20, 0x200)
+        mapped.append(src)
+        dst = rng.choice((
+            hx(rng.randrange(0x61, 0x7A)),
+            hx(rng.randrange(0x3040, 0x30FF)),
+            b"0061006200",          # odd-byte dst
+            b"D83DDE00",            # surrogate pair
+            b"",                    # empty dst: falls back
+            hx(rng.randrange(0x61, 0x7A)) + hx(rng.randrange(0x61, 0x7A)),
+        ))
+        ents.append(b"<%s> <%s>" % (hx(src), dst))
+    bf = b""
+    if ents:
+        bf += b"%d beginbfchar %s endbfchar " % (len(ents), b" ".join(ents))
+    if rng.random() < 0.5:
+        lo = rng.randrange(0x40, 0x100)
+        hi = lo + rng.randrange(1, 5)
+        if rng.random() < 0.5:
+            bf += (b"1 beginbfrange <%s> <%s> <%s> endbfrange "
+                   % (hx(lo), hx(hi), hx(rng.randrange(0x61, 0x7A))))
+        else:
+            arr = b" ".join(b"<%s>" % hx(rng.randrange(0x61, 0x7A))
+                            for _ in range(rng.randrange(1, hi - lo + 2)))
+            bf += (b"1 beginbfrange <%s> <%s> [%s] endbfrange "
+                   % (hx(lo), hx(hi), arr))
+    cm = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+          b"/CMapName /T currentdict /CMap defineresource pop "
+          b"1 begincodespacerange <0000> <FFFF> endcodespacerange "
+          + bf + b"endcmap end end") if (bf or rng.random() < 0.5) else None
+    codes = []
+    for _ in range(rng.randrange(2, 8)):
+        r = rng.random()
+        if r < 0.4 and mapped:
+            codes.append(rng.choice(mapped))
+        elif r < 0.6:
+            codes.append(rng.randrange(0x41, 0x5B))
+        elif r < 0.75:
+            c = rng.choice((0, 9, 10, 13, 0x1F))
+            # CONSECUTIVE whitespace-category CIDs excluded: their
+            # summed advance exceeds spaceInFlowMax and pdf.js's
+            # per-glyph machinery splits the item out-of-flow — the
+            # multibyte path here is item-level (documented residual,
+            # see ROADMAP "per-glyph multibyte assembly")
+            if c in (9, 10, 13) and codes and codes[-1] in (9, 10, 13):
+                c = 0x1F
+            codes.append(c)
+        else:
+            codes.append(rng.randrange(0x20, 0xFFF0))
+    show = b"".join(b"%04X" % c for c in codes)
+    if rng.random() < 0.25:
+        show += b"00"  # trailing odd byte
+    content = (b"BT /F1 %d Tf 40 TL 100 700 Td <%s> Tj "
+               % (rng.choice((10, 12)), show))
+    if rng.random() < 0.5:
+        show2 = b"".join(b"%04X" % rng.randrange(0x20, 0x300)
+                         for _ in range(rng.randrange(1, 4)))
+        content += b"<%s> %s " % (show2, rng.choice((b"Tj", b"'")))
+    content += b"ET"
+    return _assemble_type0(cm, content)
+
+
+def test_type0_streams_byte_equal_vs_live_reference(tmp_path):
+    """Seeded Type0/ToUnicode fuzz sweep vs the live node reference."""
+    rng = random.Random(0x7E00)
+    _run_differential(
+        tmp_path,
+        [_gen_type0_stream(rng) for _ in range(24)],
+    )

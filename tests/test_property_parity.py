@@ -177,5 +177,6 @@ def test_bidi_in_binary_dialect_show_path():
     interp.item_hsize, interp.glyph_mat = 0.0, None
     interp.pending_multi = False
     interp.viewbox = None
+    interp._it_start = None
     interp.show("hello שלום עולם world", 0.0)
     assert interp.text() == "world " + "שלום עולם"[::-1] + " hello"

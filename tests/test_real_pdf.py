@@ -727,6 +727,7 @@ def test_pending_space_model():
         it.scale_flush, it.item_size = False, 0.0
         it.item_hsize, it.glyph_mat = 0.0, None
         it.pending_multi = False
+        it._it_start = None
         it.viewbox = None
         return it
 
