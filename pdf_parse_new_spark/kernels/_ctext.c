@@ -1126,6 +1126,15 @@ long pdftext_interpret(const unsigned char *d, long n, Ev *out, long cap,
                 case 'J': /* TJ: keep the buffered array events */
                     if (!seen_tf && tj_start >= 0)
                         nev = tj_start; /* pre-Tf: drop the whole array */
+                    else if (tj_start < 0 && seen_tf && nst >= 1 &&
+                             st[nst - 1].kind == OP_STR)
+                        /* TJ over a PLAIN STRING iterates its chars —
+                         * all strings, one buffered flush == Tj
+                         * (pdf.worker.js:36890-36909); without this the
+                         * show was silently dropped ((abc) ] TJ — the
+                         * stray ']' keeps the operand, probed live) */
+                        EMIT(K_STR, st[nst - 1].flag, st[nst - 1].a,
+                             st[nst - 1].b, 0, 0, 0, 0);
                     tj_start = -1;
                     break;
                 }

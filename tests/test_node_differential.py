@@ -5451,3 +5451,20 @@ def test_type0_streams_byte_equal_vs_live_reference(tmp_path):
         tmp_path,
         [_gen_type0_stream(rng) for _ in range(24)],
     )
+
+
+def test_tj_over_string_c_path_byte_equal_vs_live_reference(tmp_path):
+    """TJ over a plain STRING operand (e.g. after a stray ']' that keeps
+    the operand) shows like Tj — the C fast path silently dropped it
+    (found by the 107M zwreg reduction); pre-Tf and number operands
+    no-op on both engines."""
+    _run_differential(
+        tmp_path,
+        [_assemble(c) for c in [
+            b"BT /F1 12 Tf 100 700 Td (abc)] TJ (z) Tj ET",
+            b"BT /F1 12 Tf 100 700 Td (abc) ] TJ (z) Tj ET",
+            b"BT /F1 12 Tf 100 700 Td (abc) TJ (z) Tj ET",
+            b"BT 100 700 Td (abc) TJ /F1 12 Tf (z) Tj ET",
+            b"BT /F1 12 Tf 100 700 Td (a) Tj 5 TJ (z) Tj ET",
+        ]],
+    )
