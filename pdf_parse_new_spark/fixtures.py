@@ -20,8 +20,14 @@ import zlib
 from pdf_parse_new_spark import spec
 
 SEED = 42
-# bump when payload generation changes — cached bench corpora key on this
-FIXTURES_VERSION = 9
+# bump when payload generation OR materialized layout changes — cached bench
+# corpora key on this (v10: make_transcripts_df_dist round-robin balances
+# rows across output partitions so materialized files are even-sized; the
+# skewed conversations previously concentrated in a few parquet files, and
+# scan splits inherited a 4.5x row imbalance that became the extraction
+# stage's straggler tail. Row CONTENT is unchanged — turn payloads are pure
+# functions of (seed, conv_id, turn_idx).)
+FIXTURES_VERSION = 10
 
 # word bank; includes ligature-bearing words (reference test corpus
 # 01-valid.pdf is ligature-heavy, test/01-valid-default.js:8-10)
@@ -497,7 +503,15 @@ def make_transcripts_df_dist(spark, n_convs=5000, median_turns=40,
                              skew_convs=0, skew_turns=0, partitions=64):
     """Distributed materialization: only (conv_id, conv_no, n_turns) tuples
     leave the driver; payloads are generated inside mapInPandas on executors
-    from the same pure functions — deterministic at any parallelism."""
+    from the same pure functions — deterministic at any parallelism.
+
+    The generated rows are round-robin rebalanced across ``partitions`` so a
+    materialized corpus lands in even-sized files: the skew conversations
+    (skew_turns >> median_turns) would otherwise pile into whichever
+    partitions their conv_id hashes to, and every later scan of the parquet
+    would inherit that imbalance as a straggler tail (guide: fix input skew
+    at the source). The rebalance runs once at generation time, never inside
+    a timed query."""
     import pandas as pd
 
     sizes = conv_sizes(n_convs, median_turns, skew_convs, skew_turns)
@@ -519,7 +533,7 @@ def make_transcripts_df_dist(spark, n_convs=5000, median_turns=40,
             out["ts"] = pd.to_datetime(out["ts"], unit="s")
             yield out
 
-    return seed_df.mapInPandas(gen, TRANSCRIPT_SCHEMA)
+    return seed_df.mapInPandas(gen, TRANSCRIPT_SCHEMA).repartition(partitions)
 
 
 def build_big_binary_pdf(
