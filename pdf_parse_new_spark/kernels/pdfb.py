@@ -94,6 +94,36 @@ _OBJ_MARKER = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
 _STARTXREF = re.compile(rb"startxref\s+(\d+)")
 _XREF_ROW = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
 
+# vectorized classic-xref decode tables (see _read_classic_table)
+_XR_POW10 = (10 ** _np.arange(9, -1, -1)).astype(_np.int64)
+_XR_WS = frozenset((0x20, 0x09, 0x0A, 0x0D, 0x0C, 0x0B))  # \s byte class
+
+
+def _xref_rows_np(raw: bytes, pos: int, count: int):
+    """Decode ``count`` strict 20-byte classic xref rows starting at ``pos``
+    in one vectorized pass: ``(offsets list, is_n list)`` — or None when the
+    section deviates from the spec layout (caller falls back to the tolerant
+    per-row scan). A row is ``\\d{10} WS \\d{5} WS [nf] WS WS`` with each WS
+    a single whitespace byte, exactly what the row regex + _skip_ws loop
+    accepts at 20-byte stride."""
+    end = pos + 20 * count
+    if end > len(raw):
+        return None
+    a = _np.frombuffer(raw, _np.uint8, 20 * count, pos).reshape(count, 20)
+    d1 = a[:, :10]
+    if not (((d1 >= 48) & (d1 <= 57)).all()
+            and ((a[:, 11:16] >= 48) & (a[:, 11:16] <= 57)).all()):
+        return None
+    seps = a[:, (10, 16, 18, 19)]
+    if not _np.isin(seps, tuple(_XR_WS)).all():
+        return None
+    t = a[:, 17]
+    is_n = t == 0x6E  # 'n'
+    if not (is_n | (t == 0x66)).all():  # 'f'
+        return None
+    offs = ((d1.astype(_np.int64) - 48) * _XR_POW10).sum(axis=1)
+    return offs.tolist(), is_n.tolist()
+
 
 def _skip_ws(data: bytes, pos: int) -> int:
     # fast path: already at a token (most callers sit right on one)
@@ -552,6 +582,23 @@ class Document:
                 return {}
             first, count = int(m.group(1)), int(m.group(2))
             pos += m.end()
+            if count >= 64:
+                # spec-conformant tables are exactly 20 bytes/row — decode
+                # the whole section with numpy (the row loop below costs
+                # ~7 us/row; a 20k-page doc carries 40k+ rows and every
+                # page-range chunk task re-reads the table). Any deviation
+                # falls through to the tolerant per-row loop.
+                p2 = _skip_ws(raw, pos)
+                fast = _xref_rows_np(raw, p2, count)
+                if fast is not None:
+                    offs, is_n = fast
+                    for num, off, nflag in zip(
+                        range(first, first + count), offs, is_n
+                    ):
+                        if num not in entries:
+                            entries[num] = ("n", off) if nflag else ("f", off)
+                    pos = p2 + 20 * count
+                    continue
             for k in range(count):
                 pos = _skip_ws(raw, pos)
                 row = _XREF_ROW.match(raw, pos)

@@ -354,6 +354,8 @@ _BC_CACHE: dict = {}
 _BC_CACHE_MAX = 4
 # driver-side structure probes, content-addressed: sha1(payload) -> result
 _PROBE_CACHE: dict = {}
+# path-addressed probe results, validated by (mtime_ns, size)
+_FILE_PROBE_CACHE: dict = {}
 
 
 def _broadcast_cached(sc, payloads: dict):
@@ -549,48 +551,63 @@ def extract_pdf_documents_chunked(
     return small_out.unionByName(_assemble_chunks(chunked))
 
 
-def _reassemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-    # per-doc ordered concat: a few chunk rows per group, so the state
-    # is bounded; Python string join is a memcpy (the JVM higher-order
-    # expression version measured ~15 MB/s on 40 MB of page text)
-    pdf = pdf.sort_values("chunk_idx")
-    text = "".join(pdf["text"])
+def _reassemble_arrow(table):
+    # per-doc ordered concat: a few chunk rows per group, so the state is
+    # bounded. Python string join is a memcpy (the JVM higher-order
+    # expression version measured ~15 MB/s on 40 MB of page text), and the
+    # span shift runs on the flattened Arrow buffers with numpy — the
+    # per-dict pandas version cost ~0.5 s on a 20k-page document's 20k
+    # span structs.
+    import numpy as np
+    import pyarrow as pa
+
+    idx = np.argsort(table.column("chunk_idx").to_numpy(), kind="stable")
+    order = pa.array(idx)
+    texts = table.column("text").take(order).to_pylist()
+    text = "".join(t or "" for t in texts)
     err = None
-    for e in pdf["error"]:
-        if e is not None and not (isinstance(e, float) and pd.isna(e)):
+    for e in table.column("error").take(order).to_pylist():
+        if e is not None:
             err = e
             break
-    spans: list[dict] = []
-    off = 0
-    for t, sl in zip(pdf["text"], pdf["page_spans"]):
-        for s in sl:
-            spans.append(
-                {
-                    "page": int(s["page"]),
-                    "start": int(s["start"]) + off,
-                    "end": int(s["end"]) + off,
-                }
-            )
-        off += len(t)
-    row0 = pdf.iloc[0]
-    return pd.DataFrame(
+    spans = table.column("page_spans").take(order).combine_chunks()
+    lens = np.diff(spans.offsets.to_numpy())
+    # offset of each chunk's text inside the joined text, repeated per span
+    text_lens = np.fromiter((len(t or "") for t in texts), np.int64,
+                            count=len(texts))
+    chunk_off = np.concatenate(([0], np.cumsum(text_lens)[:-1]))
+    shift = np.repeat(chunk_off, lens).astype(np.int32)
+    vals = spans.flatten()
+    out_vals = pa.StructArray.from_arrays(
         [
-            {
-                "doc_id": key[0],
-                "text": text,
-                "n_pages": int(row0["n_pages"]),
-                "n_render": int(pdf["n_render"].sum()),
-                "info": row0["info"],
-                "error": err,
-                "page_spans": spans,
-            }
-        ]
+            vals.field("page"),
+            pa.array(vals.field("start").to_numpy() + shift, pa.int32()),
+            pa.array(vals.field("end").to_numpy() + shift, pa.int32()),
+        ],
+        names=["page", "start", "end"],
+    )
+    span_list = pa.ListArray.from_arrays(
+        pa.array([0, len(out_vals)], pa.int32()), out_vals
+    )
+    first = int(idx[0])
+    return pa.table(
+        {
+            "doc_id": pa.array([table.column("doc_id")[first].as_py()]),
+            "text": pa.array([text]),
+            "n_pages": table.column("n_pages").take(pa.array([first])),
+            "n_render": pa.array(
+                [int(table.column("n_render").to_numpy().sum())], pa.int32()
+            ),
+            "info": table.column("info").take(pa.array([first])),
+            "error": pa.array([err], pa.string()),
+            "page_spans": span_list,
+        }
     )
 
 
 def _assemble_chunks(chunked: DataFrame) -> DataFrame:
-    return chunked.groupBy("doc_id").applyInPandas(
-        _reassemble, PDF_DOC_SCHEMA
+    return chunked.groupBy("doc_id").applyInArrow(
+        _reassemble_arrow, PDF_DOC_SCHEMA
     )
 
 
@@ -654,44 +671,122 @@ def extract_pdf_files_chunked(
         F.col(path_col).cast("string").alias("path"),
     )
 
-    def stat_sizes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _stat_one(p, fsspec, _os):
+        try:
+            if p is None:
+                return -1
+            if fsspec is not None and "://" in p:
+                return int(fsspec.open(p).fs.size(p))
+            return int(_os.stat(p.removeprefix("file:")).st_size)
+        except Exception:
+            return -1  # unreadable: error row downstream
+
+    def _probe_one(p, fetch):
+        # structure probe (page_range=(0,0) renders nothing — xref +
+        # page tree only), cached on (path, mtime, size) so steady-state
+        # reruns skip the re-walk (same policy as the payload-addressed
+        # _PROBE_CACHE of the documents operator)
+        import os as _os
+
+        key = None
+        try:
+            st = _os.stat(p.removeprefix("file:"))
+            key = (p, st.st_mtime_ns, st.st_size, max_pages)
+            hit = _FILE_PROBE_CACHE.get(key)
+            if hit is not None:
+                return hit
+        except Exception:
+            pass
+        try:
+            r = pdfb.parse_pdf_bytes(
+                fetch(p), max_pages=max_pages, page_range=(0, 0)
+            )
+            n = (r["n_pages"] if max_pages <= 0
+                 else min(max_pages, r["n_pages"]))
+            res = (n, r["error"])
+        except Exception as e:  # noqa: BLE001
+            res = (0, f"io:{type(e).__name__}")
+        if key is not None:
+            _FILE_PROBE_CACHE[key] = res
+            while len(_FILE_PROBE_CACHE) > 256:
+                _FILE_PROBE_CACHE.pop(next(iter(_FILE_PROBE_CACHE)))
+        return res
+
+    def stat_probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE distributed pass stats every path AND structure-probes the
+        # big ones in place: the separate probe job this replaces cost a
+        # full extra driver round-trip on the critical path. A big file
+        # later excluded as a duplicate id wastes its (cheap) probe —
+        # duplicates are rare and the probe is structure-only.
         import os as _os
 
         try:
             import fsspec
         except Exception:
             fsspec = None
+        fetch = _make_fetcher()
         for pdf in batches:
-            sizes = []
+            sizes, npages, errs = [], [], []
             for p in pdf["path"]:
-                try:
-                    if p is None:
-                        sizes.append(-1)
-                    elif fsspec is not None and "://" in p:
-                        sizes.append(int(fsspec.open(p).fs.size(p)))
-                    else:
-                        sizes.append(
-                            int(_os.stat(p.removeprefix("file:")).st_size)
-                        )
-                except Exception:
-                    sizes.append(-1)  # unreadable: error row downstream
+                sz = _stat_one(p, fsspec, _os)
+                n, err = (
+                    _probe_one(p, fetch) if sz > big_file_bytes else (0, None)
+                )
+                sizes.append(sz)
+                npages.append(n)
+                errs.append(err)
             out = pdf[["doc_id", "path"]].copy()
             out["sz"] = sizes
+            out["n_render"] = npages
+            out["err"] = errs
             yield out
 
-    stats = cols.mapInPandas(
-        stat_sizes, "doc_id string, path string, sz long"
-    ).collect()
-    big_all = [(r.doc_id, r.path) for r in stats if r.sz > big_file_bytes]
+    # Path A (small local corpora): collect the path rows once and stat +
+    # probe on the driver — the distributed pass costs a full Python-runner
+    # job (~0.5 s of fixed latency) that dwarfs a handful of os.stat calls
+    # and one or two structure probes (the reference parent process probes
+    # exactly the same way). Path B (big or remote corpora): the one-job
+    # distributed stat+probe pass. The collect is bounded the same way in
+    # both paths — Path B's result set carries the same (id, path) rows.
+    rows = cols.collect()
+    local_only = all(
+        r.path is None or "://" not in r.path for r in rows
+    )
+    use_driver = local_only and len(rows) <= 10_000
+    if use_driver:
+        import os as _os
+
+        from collections import namedtuple
+
+        StatRow = namedtuple("StatRow", "doc_id path sz n_render err")
+        fetch = _make_fetcher()
+        stats = []
+        n_driver_probes = 0
+        for r in rows:
+            sz = _stat_one(r.path, None, _os)
+            n, err = 0, None
+            if sz > big_file_bytes:
+                if n_driver_probes >= 8:
+                    use_driver = False  # too many big docs: probe on the grid
+                    break
+                n, err = _probe_one(r.path, fetch)
+                n_driver_probes += 1
+            stats.append(StatRow(r.doc_id, r.path, sz, n, err))
+    if not use_driver:
+        stats = cols.mapInPandas(
+            stat_probe,
+            "doc_id string, path string, sz long, n_render int, err string",
+        ).collect()
+    big_all = [r for r in stats if r.sz > big_file_bytes]
     # Duplicate ids (replicated corpora — extract_pdf_files supports
     # them) must NOT go chunked: reassembly groups by doc_id and would
     # merge replicas into one doubled-text row. Dup ids keep the plain
     # per-file path, preserving one output row per input row.
     id_counts: dict[str, int] = {}
-    for d, _ in big_all:
-        id_counts[d] = id_counts.get(d, 0) + 1
-    big = [(d, p) for d, p in big_all if id_counts[d] == 1]
-    big_ids = {d for d, _ in big}
+    for r in big_all:
+        id_counts[r.doc_id] = id_counts.get(r.doc_id, 0) + 1
+    big = [r for r in big_all if id_counts[r.doc_id] == 1]
+    big_ids = {r.doc_id for r in big}
 
     small_out = extract_pdf_files(
         # coalesce: NULL doc_id (null path) must keep its error row — a
@@ -706,37 +801,16 @@ def extract_pdf_files_chunked(
     if not big:
         return small_out
 
-    # distributed structure probe: one task per big file learns n_pages
-    # (page_range=(0,0) renders nothing — xref + page tree only)
-    def probe_part(it):
-        fetch = _make_fetcher()
-        for doc_id, path in it:
-            try:
-                r = pdfb.parse_pdf_bytes(
-                    fetch(path), max_pages=max_pages, page_range=(0, 0)
-                )
-                n = (r["n_pages"] if max_pages <= 0
-                     else min(max_pages, r["n_pages"]))
-                yield (doc_id, path, n, r["error"])
-            except Exception as e:  # noqa: BLE001
-                yield (doc_id, path, 0, f"io:{type(e).__name__}")
-
-    # one probe task per file up to a scheduler-sane cap (beyond it,
-    # multiple files share a probe task — still fully distributed)
-    probes = (
-        sc.parallelize(big, min(len(big), 4096))
-        .mapPartitions(probe_part).collect()
-    )
     ranges: list[tuple[str, str, int, int, int]] = []
     fallback_ids: list[str] = []
-    for doc_id, path, n_render, err in probes:
-        if err is not None or n_render <= 0:
-            fallback_ids.append(doc_id)  # error row via the plain path
+    for r in big:
+        if r.err is not None or r.n_render <= 0:
+            fallback_ids.append(r.doc_id)  # error row via the plain path
             continue
-        for idx, start in enumerate(range(0, n_render, pages_per_chunk)):
+        for idx, start in enumerate(range(0, r.n_render, pages_per_chunk)):
             ranges.append(
-                (doc_id, path, idx, start,
-                 min(start + pages_per_chunk, n_render))
+                (r.doc_id, r.path, idx, start,
+                 min(start + pages_per_chunk, r.n_render))
             )
     if fallback_ids:
         small_out = small_out.unionByName(
