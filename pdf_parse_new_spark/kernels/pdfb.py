@@ -467,6 +467,9 @@ class Document:
         # assembled C-replay font tables keyed on the ordered cspec
         # identity tuple (pages repeat font sets; see _c_plan)
         self.c_plan_cache: dict[tuple, tuple] = {}
+        # inherited view boxes keyed by parent object number (sibling
+        # pages share the whole chain; see _page_view_box)
+        self.viewbox_cache: dict[int, list] = {}
         self._ckey: bytes | None = None
         self.handler: crypt.StandardSecurityHandler | None = None
         self._encrypt_num = -1
@@ -4168,6 +4171,11 @@ class _TextInterp:
         exact under per-element processing, so the fast paths skip the
         rewrite cost entirely."""
         k = ev["kind"]
+        if not (k == 5).any():
+            # no K_TJSTART => no TJ regions at all (kinds 6/7/8 only occur
+            # inside one): ONE vector compare instead of the full battery
+            # — most streams carry no TJ and this gate is per page
+            return False
         if len(k) > 1:
             a2, b2 = k[:-1], k[1:]
             if (
@@ -7147,7 +7155,20 @@ def _page_view_box(doc: Document, page: dict) -> list[float]:
     """The page's visible box in PDF units — pdf.js ``Page.view``:
     CropBox intersected with MediaBox, MediaBox alone when CropBox is
     absent/degenerate, LETTER when both are missing. Both keys are
-    INHERITABLE, so walk /Parent links."""
+    INHERITABLE, so walk /Parent links. A page with NEITHER key inherits
+    the box fully from its parent chain — cached per parent object so a
+    20k-page sibling run resolves the chain once, not once per page."""
+    if "MediaBox" not in page and "CropBox" not in page:
+        par = page.get("Parent")
+        if isinstance(par, Ref):
+            vb = doc.viewbox_cache.get(par.num)
+            if vb is None:
+                parent = doc.resolve(par)
+                vb = _page_view_box(
+                    doc, parent if isinstance(parent, dict) else {}
+                )
+                doc.viewbox_cache[par.num] = vb
+            return vb
 
     def find(key: str) -> list[float] | None:
         node, hops = page, 0

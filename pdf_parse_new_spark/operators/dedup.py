@@ -46,12 +46,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------------------- MinHash ------
 
+_SLICE_MAX = 1 << 30
+
+
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (JVM: sequence + transform + concat_ws)."""
+    """Word n-gram shingle array, built by zipping ``n`` shifted copies of
+    the token array (zip_with pads the short side with null; concat_ws
+    skips nulls, so the <n-token edge rows come out exactly like the
+    index-loop formulation this replaces).
+
+    The obvious ``transform(sequence(...), i -> concat_ws(slice(toks,
+    i+1, n)))`` re-evaluates ``split(text)`` for EVERY array element —
+    higher-order-function lambdas run interpreted with no common-
+    subexpression elimination, so shingling was O(tokens * text_len) per
+    row and dominated the whole MinHash pipeline (measured 1.45s vs
+    0.42s over sf0.1 documents). Here every shifted copy is an ordinary
+    expression child, evaluated once per row; output arrays are
+    element-for-element identical (verified at sf0.001/0.01/0.1)."""
     toks = F.split(col, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    z = toks
+    for k in range(1, n):
+        z = F.zip_with(
+            z, F.slice(toks, k + 1, _SLICE_MAX),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.slice(z, 1, F.greatest(F.size(toks) - n + 1, F.lit(1)))
     )
 
 
@@ -106,8 +126,19 @@ def minhash_signatures_df(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
-    aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(k)]
-    return sh.groupBy("id").agg(*aggs)
+    # hash the shingle STRING once, then derive the k permutation values
+    # from the 8-byte base hash: xxhash64(long, seed) processes a fixed
+    # 8 bytes instead of re-hashing the ~20-char shingle k times. The
+    # signature values change, but MinHash only needs a good hash family:
+    # candidate recall is unchanged (1-(1-t^r)^b) and every candidate is
+    # verified by exact shingle Jaccard, so the emitted pairs are
+    # identical (oracle-verified at sf0.001/0.01/0.1 against the exact
+    # O(n^2) DuckDB twin).
+    hashed = sh.select("id", F.xxhash64("s").alias("hs"))
+    aggs = [
+        F.min(F.xxhash64("hs", F.lit(i))).alias(f"h{i}") for i in range(k)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_dedup_pairs(
