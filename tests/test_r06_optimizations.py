@@ -1,0 +1,115 @@
+"""Focused pins for the round-6 optimization internals.
+
+Each test pins an optimized code path against its reference twin:
+- the vectorized classic-xref decode vs the tolerant per-row loop;
+- the zip_with shingle construction vs the index-loop formulation;
+- the inherited-viewbox cache vs direct computation.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pdf_parse_new_spark import fixtures
+from pdf_parse_new_spark.kernels import pdfb
+
+
+def test_xref_numpy_matches_row_loop():
+    raw = fixtures.build_big_binary_pdf(300, seed=11)
+    fast = pdfb.Document(raw)
+    orig = pdfb._xref_rows_np
+    pdfb._xref_rows_np = lambda *a: None  # force the tolerant loop
+    try:
+        slow = pdfb.Document(raw)
+    finally:
+        pdfb._xref_rows_np = orig
+    assert fast.index == slow.index
+    assert fast.trailer.keys() == slow.trailer.keys()
+
+
+def test_xref_numpy_rejects_deviant_rows():
+    # 19-byte rows (single-char EOL) deviate from the strict 20-byte
+    # layout: the fast path must bail (None) and leave the tolerant loop
+    # to parse them — same final index either way.
+    raw = bytearray(fixtures.build_big_binary_pdf(120, seed=3))
+    txt = bytes(raw)
+    start = txt.rindex(b"\nxref\n") + 1
+    head, table = txt[:start], txt[start:]
+    deviant = table.replace(b" n \n", b" n\n").replace(b" f \n", b" f\n")
+    assert deviant != table
+    doc = pdfb.Document(head + deviant)  # falls back, still parses
+    ref = pdfb.Document(txt)
+    assert doc.index == ref.index
+
+
+def test_xref_numpy_offsets_exact():
+    raw = fixtures.build_big_binary_pdf(200, seed=7)
+    doc = pdfb.Document(raw)
+    # every 'n' offset must sit exactly on its "N 0 obj" header
+    for num, entry in doc.index.items():
+        if entry[0] != "n":
+            continue
+        assert raw[entry[1]:entry[1] + 20].startswith(
+            b"%d 0 obj" % num
+        ), num
+
+
+def _old_shingles(col, n=3):
+    from pyspark.sql import functions as F
+
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_shingles_zipwith_matches_index_loop(spark, n):
+    from pyspark.sql import functions as F
+
+    from pdf_parse_new_spark.operators import dedup
+
+    rng = random.Random(13)
+    words = "alpha beta gamma delta epsilon zeta".split()
+    rows = [("",), ("one",), ("one two",), ("a b c",), ("x x x x",)] + [
+        (" ".join(rng.choice(words) for _ in range(rng.randint(1, 40))),)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    diff = (
+        df.select(
+            _old_shingles(F.col("text"), n).alias("a"),
+            dedup.shingles(F.col("text"), n).alias("b"),
+        )
+        .filter("a != b")
+        .count()
+    )
+    assert diff == 0
+
+
+def test_viewbox_cache_inheritance():
+    # page 0 inherits MediaBox from the Pages node; page 1 overrides it
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 "
+        b"/MediaBox [0 0 200 300] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 50 60] >>\n"
+        b"endobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    doc = pdfb.Document(raw)
+    pages: list = []
+    root = doc.resolve(doc.trailer.get("Root"))
+    pdfb._walk_pages(doc, root.get("Pages"), pages, set(), None)
+    assert len(pages) == 2
+    vb0 = pdfb._page_view_box(doc, pages[0][0])
+    assert vb0 == [0.0, 0.0, 200.0, 300.0]
+    # cached second lookup returns the same inherited box
+    assert pdfb._page_view_box(doc, pages[0][0]) == vb0
+    # a page with its OWN MediaBox must not hit the parent cache
+    assert pdfb._page_view_box(doc, pages[1][0]) == [0.0, 0.0, 50.0, 60.0]
