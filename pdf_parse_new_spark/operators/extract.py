@@ -772,7 +772,23 @@ def extract_pdf_files_chunked(
                 n, err = _probe_one(r.path, fetch)
                 n_driver_probes += 1
             stats.append(StatRow(r.doc_id, r.path, sz, n, err))
-    if not use_driver:
+    if use_driver:
+        # the plain-path branch re-reads its input on every action; the
+        # original df is a driver-local relation here (rows just
+        # collected), so rebuild it as a LocalTableScan — the
+        # python-pickled-RDD scan behind a list-based createDataFrame
+        # costs ~0.3 s of worker round-trip per action and its lone task
+        # contends with the chunk wave for a core
+        cols = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [r.doc_id for r in rows],
+                    "path": [r.path for r in rows],
+                }
+            ).astype(object),
+            "doc_id string, path string",
+        )
+    else:
         stats = cols.mapInPandas(
             stat_probe,
             "doc_id string, path string, sz long, n_render int, err string",
