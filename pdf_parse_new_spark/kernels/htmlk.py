@@ -47,17 +47,32 @@ _TAG_ONLY = re.compile(_TAG_RE)
 _ENT_ONLY = re.compile(r"&(?:[a-zA-Z]+|#\d{1,7}|#[xX][0-9A-Fa-f]{1,6});")
 
 
-def _clean(col: pd.Series) -> pd.Series:
+_WS_RUN = re.compile(r"\s+")
+
+
+def _clean_one(s: str) -> str:
     # split the fused sweep: tags first via a PLAIN C-level replace (97%
     # of matches — no per-match Python), then the entity callback over
     # the few "&...;" tokens. Equivalent to the fused pass: a tag
     # becomes a space (never empty), so removals cannot splice new
     # entities together, and entities decode AFTER tag stripping, so a
     # decoded "<" (&lt;) is never re-stripped — the same decode-once
-    # ordering the fused alternation had.
-    txt = col.str.replace(_TAG_ONLY, " ", regex=True)
-    txt = txt.str.replace(_ENT_ONLY, _strip_sub, regex=True)
-    return txt.str.replace(r"\s+", " ", regex=True).str.strip()
+    # ordering the fused alternation had. The "&" gate skips the
+    # callable-replacement pass for the (majority) entity-free blocks.
+    t = _TAG_ONLY.sub(" ", s)
+    if "&" in t:
+        t = _ENT_ONLY.sub(_strip_sub, t)
+    return _WS_RUN.sub(" ", t).strip()
+
+
+def _clean(col: pd.Series) -> pd.Series:
+    # plain list comprehension over the flat block frame: three pandas
+    # .str passes cost an object-loop EACH; one loop with bound C-regex
+    # subs measured ~35% cheaper on the html kernel
+    return pd.Series(
+        [_clean_one(s) for s in col.to_numpy()],
+        index=col.index, dtype=object,
+    )
 
 
 def _collect_blocks(raw: str, base: int, out: list, depth: int = 0) -> None:
@@ -106,10 +121,16 @@ def extract(texts: pd.Series) -> pd.DataFrame:
         {"row": rows, "start": starts, "end": ends, "inner": inners, "tag": tags}
     )
     flat["text"] = _clean(flat["inner"])
-    link_inner = flat["inner"].str.findall(_LINK).str.join("")
-    flat["link_len"] = (
-        link_inner.str.replace(_TAG_RE, "", regex=True).str.strip().str.len()
-    )
+
+    def _link_len(s: str) -> int:
+        # "<a" gate: most blocks carry no anchors at all — findall over
+        # every block was ~15% of the kernel
+        if "<a" not in s and "<A" not in s:
+            return 0
+        joined = "".join(_LINK.findall(s))
+        return len(_TAG_ONLY.sub("", joined).strip())
+
+    flat["link_len"] = [_link_len(s) for s in flat["inner"].to_numpy()]
     tlen = flat["text"].str.len()
     # len(s.split(" ")) == s.count(" ") + 1 exactly (split on EVERY
     # occurrence counts empty fields), without materializing the lists;
