@@ -323,9 +323,53 @@ def simhash_md5_buckets(df: DataFrame, text_col: str = "text",
                         prefix_hex: int = 4) -> DataFrame:
     """doc -> (simhash_hex, bucket = leading ``prefix_hex`` hex chars) —
     the oracle-checkable twin of :func:`simhash_buckets` (same banded
-    hamming-search layout, md5-derived bits)."""
-    out = df.select(
-        F.col(id_col), simhash_md5(F.col(text_col)).alias("simhash_hex")
+    hamming-search layout, md5-derived bits).
+
+    Shape: explode distinct tokens -> one md5 per token -> 64 bit-count
+    aggregations (``sum(bit_get(...))`` — plain codegen) -> majority vote
+    assembled into the hex words. This mirrors the DuckDB oracle's own
+    unnest/GROUP BY formulation and replaces the previous per-row
+    ``aggregate(zip_with(...))`` expression, whose interpreted 64-wide
+    lambda per token (and double evaluation across the two hex words)
+    measured 12.3 s at sf0.1 vs 1.3 s for this plan. Bit arithmetic is
+    exact-identical: hi/lo are < 2^32 so ``floor(word / 2^shift) % 2 ==
+    bit_get(word, shift)``, counts and majority are integer, and the word
+    sums add exact powers of two (oracle-verified at every SF)."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    h = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n"),
+        F.explode(toks).alias("t"),
+    ).select(
+        id_col, "n",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = [
+        F.sum(
+            F.bit_get(
+                F.col("hi") if b < 32 else F.col("lo"),
+                F.lit(31 - b if b < 32 else 63 - b),
+            ).cast("long")
+        ).alias(f"c{b}")
+        for b in range(64)
+    ]
+    cnt = h.groupBy(id_col, "n").agg(*aggs)
+
+    def _word(lo_b: int, hi_b: int) -> Column:
+        total = F.lit(0).cast("long")
+        for b in range(lo_b, hi_b + 1):
+            total = total + F.when(
+                2 * F.col(f"c{b}") >= F.col("n"),
+                F.lit(1 << (31 - (b - lo_b))).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return total
+
+    out = cnt.select(
+        F.col(id_col),
+        F.format_string("%08x%08x", _word(0, 31), _word(32, 63)).alias(
+            "simhash_hex"
+        ),
     )
     return out.withColumn("bucket", F.substring("simhash_hex", 1, prefix_hex))
 
@@ -399,6 +443,12 @@ def jaccard_join(
         .select(F.col("p.id").alias("id1"), F.col("q.id").alias("id2"))
         .distinct()
     )
+    # verification from the raw docs projection: measured FASTER than both
+    # alternatives — reusing the frequency-ranked arrays re-runs ordered's
+    # final sort-agg once per join side (7.6 -> 8.8 s at sf0.1), and a
+    # localCheckpoint of the ranked table costs more than it saves
+    # (15.5 s) — the scan+shingle re-evaluation is the cheap branch now
+    # that shingling is zip_with-based
     a = docs.select(
         F.col("id").alias("id1"), F.col("toks").alias("t1"),
         F.col("n").alias("n1"),
