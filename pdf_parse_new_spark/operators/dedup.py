@@ -49,6 +49,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 _SLICE_MAX = 1 << 30
 
 
+def word_ngrams(col: Column, n: int = 2, keep_short: bool = True) -> Column:
+    """Word n-gram array (duplicates kept, document order) built by zipping
+    ``n`` shifted copies of the token array — each shifted copy is an
+    ordinary expression child evaluated once per row, unlike the
+    ``transform(sequence(...), i -> ...slice(split(...)...))`` formulation
+    whose lambda re-evaluates ``split`` per element (O(tokens * text_len)
+    per row; see :func:`shingles`).
+
+    ``keep_short=True``: a document with fewer than ``n`` tokens yields ONE
+    short gram of all its tokens (the ``greatest(..., 1)`` index-loop edge
+    case); ``False``: such documents yield an empty array (the bare
+    ``size - n + 1`` edge case)."""
+    toks = F.split(col, " ")
+    z = toks
+    for k in range(1, n):
+        z = F.zip_with(
+            z, F.slice(toks, k + 1, _SLICE_MAX),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
+    length = F.size(toks) - n + 1
+    if keep_short:
+        return F.slice(z, 1, F.greatest(length, F.lit(1)))
+    return F.slice(z, 1, F.greatest(length, F.lit(0)))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array, built by zipping ``n`` shifted copies of
     the token array (zip_with pads the short side with null; concat_ws
@@ -63,16 +88,7 @@ def shingles(col: Column, n: int = 3) -> Column:
     0.42s over sf0.1 documents). Here every shifted copy is an ordinary
     expression child, evaluated once per row; output arrays are
     element-for-element identical (verified at sf0.001/0.01/0.1)."""
-    toks = F.split(col, " ")
-    z = toks
-    for k in range(1, n):
-        z = F.zip_with(
-            z, F.slice(toks, k + 1, _SLICE_MAX),
-            lambda acc, t: F.concat_ws(" ", acc, t),
-        )
-    return F.array_distinct(
-        F.slice(z, 1, F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    )
+    return F.array_distinct(word_ngrams(col, n, keep_short=True))
 
 
 def _minhash_at(sh: Column, i: int) -> Column:

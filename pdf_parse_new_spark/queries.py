@@ -473,12 +473,12 @@ def q_bigram_topk(spark, sf_dir):
     """Explode word bigrams -> global top-10 (n-gram analysis shape)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - 2)
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    # zip-built bigrams (dedup.word_ngrams): the transform(sequence)
+    # formulation re-evaluated split() per element — see dedup.shingles
+    bigrams = dedup.word_ngrams(F.col("text"), 2)
     return (
-        # <2-token docs would make sequence() descend to [0,-1] and slice(0)
-        # throw; they contribute no bigrams, so filter them (oracle's range()
-        # is empty for those rows — same result)
+        # <2-token docs contribute no bigrams; filter them (oracle's
+        # range() is empty for those rows — same result)
         d.filter(F.size(toks) >= 2)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -1051,10 +1051,9 @@ def q_repetition(spark, sf_dir):
     high-cardinality and unskewed."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-    )
+    # zip-built bigrams; keep_short reproduces the greatest(size-2, 0)
+    # index-loop edge (a 1-token doc contributes its word as one "bigram")
+    bigrams = dedup.word_ngrams(F.col("text"), 2)
     ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
     top = (
         ex.groupBy("doc_id", "bg")
@@ -1116,13 +1115,9 @@ def q_decontaminate(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
 
     def grams(col, n=8):
-        toks = F.split(col, " ")
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        )
+        # distinct word 8-grams == dedup.shingles (zip-built; the
+        # transform(sequence) form re-evaluated split() per element)
+        return dedup.shingles(col, n)
 
     ev = (
         d.filter(F.col("doc_id") < 20)
@@ -2018,11 +2013,10 @@ def q_inverted_index(spark, sf_dir):
     excludes. Postings serialize as a comma-joined ascending doc_id
     string so the oracle hash covers list CONTENT and ORDER."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
-    )
+    # zip-built bigrams, no short-doc gram (the old slice-bounded form
+    # yields an empty array for 1-token docs); the transform lambda's
+    # element_at(toks, i+2) re-evaluated split() per element
+    grams = dedup.word_ngrams(F.col("text"), 2, keep_short=False)
     pairs = d.select(
         "doc_id", F.explode(grams).alias("g")
     ).distinct()
