@@ -392,12 +392,36 @@ def simhash_md5_buckets(df: DataFrame, text_col: str = "text",
 
 def simhash_buckets(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", prefix_bits: int = 16) -> DataFrame:
-    """doc -> (simhash, bucket = top prefix_bits) for banded hamming search."""
-    sh = simhash(F.col(text_col))
-    return df.select(
+    """doc -> (simhash, bucket = top prefix_bits) for banded hamming search.
+
+    Same explode + ``sum(bit_get(...))`` shape as
+    :func:`simhash_md5_buckets` (the per-row ``aggregate(zip_with(...))``
+    lambda in :func:`simhash` runs interpreted per token — 2.4 s vs 0.6 s
+    at sf0.1). Values are bit-identical to :func:`simhash` (LSB bit
+    indexing, integer counts, disjoint power-of-two terms summed — which
+    equals the bitwise OR, including the b=63 sign-bit term); pinned by
+    tests/test_r06_optimizations.py. Note: a NULL text yields no row here
+    (its token array is null), where the column expression produced a
+    null signature — identical on any corpus with non-null text."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    h = df.select(
+        F.col(id_col), F.size(toks).alias("n"), F.explode(toks).alias("t")
+    ).select(id_col, "n", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(F.bit_get("h", F.lit(b)).cast("long")).alias(f"c{b}")
+        for b in range(64)
+    ]
+    cnt = h.groupBy(id_col, "n").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        term = F.lit(-(2 ** 63) if b == 63 else 1 << b).cast("long")
+        sig = sig + F.when(
+            2 * F.col(f"c{b}") >= F.col("n"), term
+        ).otherwise(F.lit(0).cast("long"))
+    return cnt.select(
         F.col(id_col),
-        sh.alias("simhash"),
-        F.shiftrightunsigned(sh, 64 - prefix_bits).alias("bucket"),
+        sig.alias("simhash"),
+        F.shiftrightunsigned(sig, 64 - prefix_bits).alias("bucket"),
     )
 
 

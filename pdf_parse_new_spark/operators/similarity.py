@@ -97,32 +97,29 @@ def embedding_dup_pairs(
     tunable, unlike the exact-verified MinHash text path."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
-    def bucket_udf(planes: np.ndarray, weights: np.ndarray):
-        @F.pandas_udf("long")
-        def bucket(vecs: pd.Series) -> pd.Series:
-            mat = np.vstack(vecs.to_numpy())
-            return pd.Series(
-                ((mat @ planes) > 0).astype(np.int64) @ weights,
-                index=vecs.index,
-            )
+    # ONE vectorized UDF emits every table's bucket per row (posexplode
+    # recovers (tbl, bucket)): the previous per-table union ran n_tables
+    # separate scans + Python stages (~0.3 s fixed latency each). The
+    # per-table matmuls are computed separately inside the UDF so each
+    # bucket's float arithmetic is exactly the per-table UDF's.
+    plane_list = [
+        np.random.RandomState(SEED + 1 + t).standard_normal((dim, n_planes))
+        for t in range(n_tables)
+    ]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-        return bucket
+    @F.pandas_udf("array<long>")
+    def buckets_all(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        per_t = [
+            ((mat @ planes) > 0).astype(np.int64) @ weights
+            for planes in plane_list
+        ]
+        return pd.Series(list(np.stack(per_t, axis=1)), index=vecs.index)
 
-    tables = []
-    for t in range(n_tables):
-        planes = np.random.RandomState(SEED + 1 + t).standard_normal(
-            (dim, n_planes)
-        )
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        fn = bucket_udf(planes, weights)
-        tables.append(
-            base.select(
-                "id", F.lit(t).alias("tbl"), fn(F.col("v")).alias("bucket")
-            )
-        )
-    banded = tables[0]
-    for t in tables[1:]:
-        banded = banded.unionAll(t)
+    banded = base.select(
+        "id", F.posexplode(buckets_all(F.col("v"))).alias("tbl", "bucket")
+    )
 
     ids = F.array_sort(F.collect_list("id"))
     pair_structs = F.flatten(
@@ -155,11 +152,23 @@ def embedding_dup_pairs(
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
-    vecs = base.select(F.col("id"), F.col("v"))
+    # norms computed ONCE per id before the join (the exchange
+    # materializes them): an id appears in ~bucket_size candidate pairs,
+    # and cosine() re-ran the interpreted norm aggregate per PAIR. The
+    # division uses the same per-id norm expressions, so sims are
+    # bit-identical.
+    vecs = base.select(F.col("id"), F.col("v"), _norm(F.col("v")).alias("nv"))
+    sim_expr = _dot(F.col("v1"), F.col("v2")) / (F.col("nv1") * F.col("nv2"))
     return (
-        cand.join(vecs.withColumnsRenamed({"id": "id1", "v": "v1"}), "id1")
-        .join(vecs.withColumnsRenamed({"id": "id2", "v": "v2"}), "id2")
-        .withColumn("sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        cand.join(
+            vecs.withColumnsRenamed({"id": "id1", "v": "v1", "nv": "nv1"}),
+            "id1",
+        )
+        .join(
+            vecs.withColumnsRenamed({"id": "id2", "v": "v2", "nv": "nv2"}),
+            "id2",
+        )
+        .withColumn("sim", F.round(sim_expr, 6))
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", "sim")
     )

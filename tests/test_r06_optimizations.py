@@ -113,3 +113,19 @@ def test_viewbox_cache_inheritance():
     assert pdfb._page_view_box(doc, pages[0][0]) == vb0
     # a page with its OWN MediaBox must not hit the parent cache
     assert pdfb._page_view_box(doc, pages[1][0]) == [0.0, 0.0, 50.0, 60.0]
+
+
+def test_simhash_buckets_matches_column_expression(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parse_new_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = dedup.simhash(F.col("text"))
+    old = d.select(
+        F.col("doc_id"), sh.alias("simhash"),
+        F.shiftrightunsigned(sh, 48).alias("bucket"),
+    )
+    new = dedup.simhash_buckets(d)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
