@@ -628,31 +628,88 @@ class Document:
         size = int(d.get("Size", 0))
         index = d.get("Index", [0, size])
         rw = sum(w)
-        p = 0
-        for s in range(0, len(index) - 1, 2):
-            first, count = int(index[s]), int(index[s + 1])
-            for k in range(count):
-                if p + rw > len(data):
-                    break
-                fields = []
-                for fi, width in enumerate(w):
-                    if width:
-                        fields.append(int.from_bytes(data[p : p + width], "big"))
-                    else:
-                        # spec 7.5.8.2: a zero-width FIRST field defaults to
-                        # type 1; later zero-width fields default to 0
-                        fields.append(1 if fi == 0 else 0)
-                    p += width
-                num = first + k
-                if num in entries:
+        total_rows = sum(
+            int(index[s + 1]) for s in range(0, len(index) - 1, 2)
+        )
+        if len(w) == 3 and rw and all(0 <= x <= 8 for x in w) \
+                and total_rows >= 64:
+            # numpy fast path (the classic-table twin): decode every
+            # W-packed row in one vectorized pass — the per-row
+            # int.from_bytes loop costs ~7 us/row and a modern 20k-page
+            # document keeps its whole xref in one of these streams.
+            # Same cursor semantics as the loop below: ranges consume
+            # rows sequentially, truncated data stops consumption, a
+            # zero-width FIRST field defaults to type 1 (spec 7.5.8.2),
+            # later zero-width fields to 0, first-wins per object.
+            nrows = min(len(data) // rw, total_rows)
+            arr = _np.frombuffer(data, _np.uint8, nrows * rw, 0).reshape(
+                nrows, rw
+            )
+
+            def _field(lo: int, width: int, default: int):
+                if width == 0:
+                    return None  # constant `default` for every row
+                return (
+                    arr[:, lo : lo + width].astype(_np.int64)
+                    @ (256 ** _np.arange(width - 1, -1, -1))
+                )
+
+            typ_a = _field(0, w[0], 1)
+            f2_a = _field(w[0], w[1], 0)
+            f3_a = _field(w[0] + w[1], w[2], 0)
+            r = 0
+            for s in range(0, len(index) - 1, 2):
+                first, count = int(index[s]), int(index[s + 1])
+                take = min(count, nrows - r)
+                if take <= 0:
                     continue
-                typ = fields[0]
-                if typ == 1:
-                    entries[num] = ("n", fields[1])
-                elif typ == 2:
-                    entries[num] = ("c", fields[1], fields[2])
-                else:
-                    entries[num] = ("f", fields[1])
+                typs = typ_a[r : r + take].tolist() if typ_a is not None \
+                    else [1] * take
+                f2s = f2_a[r : r + take].tolist() if f2_a is not None \
+                    else [0] * take
+                f3s = f3_a[r : r + take].tolist() if f3_a is not None \
+                    else [0] * take
+                r += take
+                for num, typ, f2, f3 in zip(
+                    range(first, first + take), typs, f2s, f3s
+                ):
+                    if num in entries:
+                        continue
+                    if typ == 1:
+                        entries[num] = ("n", f2)
+                    elif typ == 2:
+                        entries[num] = ("c", f2, f3)
+                    else:
+                        entries[num] = ("f", f2)
+        else:
+            p = 0
+            for s in range(0, len(index) - 1, 2):
+                first, count = int(index[s]), int(index[s + 1])
+                for k in range(count):
+                    if p + rw > len(data):
+                        break
+                    fields = []
+                    for fi, width in enumerate(w):
+                        if width:
+                            fields.append(
+                                int.from_bytes(data[p : p + width], "big")
+                            )
+                        else:
+                            # spec 7.5.8.2: a zero-width FIRST field
+                            # defaults to type 1; later zero-width
+                            # fields default to 0
+                            fields.append(1 if fi == 0 else 0)
+                        p += width
+                    num = first + k
+                    if num in entries:
+                        continue
+                    typ = fields[0]
+                    if typ == 1:
+                        entries[num] = ("n", fields[1])
+                    elif typ == 2:
+                        entries[num] = ("c", fields[1], fields[2])
+                    else:
+                        entries[num] = ("f", fields[1])
         # "Encrypt" must survive: modern files keep the whole trailer in the
         # xref stream, and dropping it would parse encrypted bytes as
         # plaintext instead of taking the decrypt/reject path below
